@@ -1,0 +1,75 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Each query is timed on its second (warm) run — BASELINE.md's numbers are
+warm runs, and at sf0.1 the first run is dominated by fixed JVM/codegen
+cost that a real cluster amortizes away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import random_forest_using_hadoop_spark as engine
+from random_forest_using_hadoop_spark.session import get_spark
+
+# Headline set mirrors BASELINE.md's workloads; any registered key may be
+# added. Keys not yet in the registry are skipped silently so bench.py
+# stays runnable mid-build.
+HEADLINE = [
+    "agg_hash_groupby",   # TPC-H-Q1-shape agg          (BASELINE q_pricing_summary)
+    "join_multiway",      # star join + agg             (BASELINE q_join_3way)
+    "topk_per_group",     # window top-k per customer   (BASELINE q_window_topk)
+    "fn_datetime",        # hourly event rollup         (BASELINE q_events_hourly)
+    "dedup_exact",        # md5 distinct on documents   (BASELINE q_docs_dedup)
+    "sim_cosine_topk",    # top-k cosine pairs          (BASELINE q_emb_knn)
+    "ml_rf_train",        # MLlib RF train+predict      (BASELINE rf_train_predict)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    engine.load_all()
+    spark = get_spark("rf_engine_bench")
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        spec = engine.REGISTRY.get(key)
+        if spec is None:
+            continue
+        for attempt in range(2):  # first run warms JVM/codegen; time the second
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            elapsed = time.perf_counter() - t0
+        timings[key] = round(elapsed, 4)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

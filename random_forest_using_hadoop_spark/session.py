@@ -1,0 +1,40 @@
+"""SparkSession factory with the engine's scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default all cores), but
+every conf below is chosen to also be the right default on a large
+cluster reading ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting) so
+  static ``shuffle.partitions`` only needs to be an upper bound;
+- Arrow transfer on for any Pandas-UDF path;
+- ``nanosAsLong`` for the events table (Spark 4 hard-errors on
+  TIMESTAMP(NANOS) parquet otherwise — SURVEY.md §1.2);
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rf_engine", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,41 @@
+"""Table loading — the reference's "HDFS text file + dataset descriptor"
+becomes a schema-carrying columnar Parquet scan (SURVEY.md §1.2).
+
+Scale notes (100 TB): a parquet scan is the engine's only leaf operator;
+Catalyst pushes filters/column pruning into it, and partition pruning
+applies when the layout is partitioned. Nothing here ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events`` carries parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read directly ([PARQUET_TYPE_ILLEGAL]). With
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+    column arrives as int64 nanoseconds; rebuild it at microsecond
+    precision — integer ``div`` to avoid double-rounding — to match how
+    DuckDB reads the same file (it truncates nanos → µs internally).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
