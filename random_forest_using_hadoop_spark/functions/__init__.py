@@ -1,1 +1,3 @@
 """Scalar function families + UDF surface (SURVEY.md §2 B42–B49, B58–B61)."""
+
+import random_forest_using_hadoop_spark.functions.scalar  # noqa: F401

@@ -1,0 +1,211 @@
+"""Scalar function families — SURVEY.md §2 B42–B49.
+
+One query per family, each exercising several functions, all inside
+whole-stage codegen (no Python in the hot path). Oracle-dialect deltas
+(Spark ↔ DuckDB) are pinned per query in comments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- B42: string functions ---------------------------------------------------
+
+# Dialect: Spark substring == DuckDB substr (1-based); Spark split on a
+# regex == DuckDB string_split on a literal (single-space sep is both);
+# both regexp_extract(col, pat, 1) return group 1.
+_B42_ORACLE = r"""
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8)) AS head,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       len(string_split(p_name, ' ')) AS n_words,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(trim(p_name), ' ', '_', 'g') AS snake
+FROM part
+"""
+
+
+@register("fn_string", oracle=_B42_ORACLE)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: substr/upper/length/concat_ws/lpad/split/regexp family."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("head"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.trim(F.col("p_name")), " ", "_").alias("snake"),
+    )
+
+
+# --- B43: date/time functions (BASELINE q_events_hourly shape) ---------------
+
+# Dialect: date_trunc/year/month/hour agree; dayofweek deliberately
+# avoided (Spark Sun=1 vs DuckDB Sun=0 — SURVEY §2 B43 note).
+_B43_ORACLE = f"""
+SELECT user_id,
+       date_trunc('hour', ts) AS hour_bucket,
+       year(ts) AS y,
+       month(ts) AS m,
+       event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts), year(ts), month(ts), event_type
+"""
+
+
+@register("fn_datetime", oracle=_B43_ORACLE)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: hourly per-user×type event rollup — date_trunc/year/month.
+
+    Scale: ~1 group per user-hour-type; partial agg collapses before the
+    shuffle. This is the BASELINE q_events_hourly workload.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_bucket"),
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+# --- B44: math functions -----------------------------------------------------
+
+# round(x,6) guards libm last-ulp differences (ln/log10/pow); sqrt is
+# IEEE-exact; magnitudes here keep the 1e-6 budget ≫ ulp error.
+_B44_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_quantity - 25.0), 6) AS dev,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+       round(sqrt(l_extendedprice), 6) AS root_price,
+       round(pow(l_quantity, 2.0), 6) AS qty_sq,
+       round(ln(l_extendedprice + 1), 6) AS ln_price,
+       round(log10(l_extendedprice + 1), 6) AS log_price,
+       l_orderkey % 7 AS key_mod,
+       CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_side
+FROM lineitem
+"""
+# Dialect: Spark ceil/floor(double) → BIGINT but DuckDB's → DOUBLE, and
+# Spark signum → DOUBLE but DuckDB sign → INTEGER — both pinned above.
+
+
+@register("fn_math", oracle=_B44_ORACLE)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: abs/ceil/floor/sqrt/pow/ln/log10/mod/sign."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_quantity") - 25.0), 6).alias("dev"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("root_price"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_side"),
+    )
+
+
+# --- B45: conditional functions ----------------------------------------------
+
+_B45_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       greatest(o_totalprice, 100000.0) AS at_least_100k,
+       least(CAST(o_custkey AS DOUBLE), 500.0) AS capped_cust
+FROM orders
+"""
+
+
+@register("fn_conditional", oracle=_B45_ORACLE)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: CASE WHEN / nullif / greatest / least."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_custkey").cast("double"), F.lit(500.0)).alias("capped_cust"),
+    )
+
+
+# --- B48: JSON extraction ----------------------------------------------------
+
+_B48_ORACLE = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("fn_json", oracle=_B48_ORACLE)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: get_json_object over the events.props JSON strings
+    (shape '{"k": <int>}' — FIXTURES), grouped to a small result."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "user_id"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --- B49: casts + cryptographic hash -----------------------------------------
+
+# Dialect: double→int casting ROUNDS in DuckDB but TRUNCATES in Spark —
+# never cast floats to ints directly in oracle queries; go through
+# floor() (pinned here). md5 agrees byte-for-byte.
+_B49_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) AS id_str,
+       CAST(n_chars AS DOUBLE) AS chars_dbl,
+       CAST(floor(n_chars / 100.0) AS BIGINT) AS chars_century,
+       md5(text) AS text_md5,
+       md5(concat(lang, ':', CAST(doc_id AS VARCHAR))) AS key_md5
+FROM documents
+"""
+
+
+@register("fn_cast_hash", oracle=_B49_ORACLE)
+def q_fn_cast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: cast matrix (int→string, int→double, float→int via floor)
+    + md5 content hashing (xxhash64 is Spark-only → excluded, §2)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("id_str"),
+        F.col("n_chars").cast("double").alias("chars_dbl"),
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("chars_century"),
+        F.md5("text").alias("text_md5"),
+        F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))).alias("key_md5"),
+    )

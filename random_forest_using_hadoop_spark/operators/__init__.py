@@ -4,4 +4,10 @@ Importing this package imports every operator module, which populates
 the central registry as a side effect.
 """
 
+import random_forest_using_hadoop_spark.operators.scans  # noqa: F401
+import random_forest_using_hadoop_spark.operators.filters  # noqa: F401
+import random_forest_using_hadoop_spark.operators.joins  # noqa: F401
 import random_forest_using_hadoop_spark.operators.aggregates  # noqa: F401
+import random_forest_using_hadoop_spark.operators.windows  # noqa: F401
+import random_forest_using_hadoop_spark.operators.setops  # noqa: F401
+import random_forest_using_hadoop_spark.operators.text  # noqa: F401

@@ -61,3 +61,247 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# --- B20: global aggregate (no grouping keys) --------------------------------
+
+_B20_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {o_dsum('l_quantity')} AS sum_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+"""
+
+
+@register("agg_global", oracle=_B20_ORACLE)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: grand aggregate — partial per partition, single final state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# --- B21: exact COUNT(DISTINCT) ----------------------------------------------
+
+_B21_ORACLE = """
+SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(DISTINCT o_orderpriority) AS n_prio
+FROM orders
+"""
+
+
+@register("agg_distinct", oracle=_B21_ORACLE)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: exact distinct — Catalyst expands to a two-phase aggregate
+    (Expand + partial dedup before the shuffle), so distinct keys, not
+    rows, cross the wire."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+# --- B22: approximate count-distinct (HLL; engine-specific sketch → rows-only)
+
+
+@register("agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: HyperLogLog++ distinct estimate. Sketch values are
+    engine-specific (Spark HLL ≠ DuckDB HLL) → rows-only check.
+
+    Scale: constant-size sketch per partition replaces the exact
+    expand+dedup shuffle — at 100 TB this is the only affordable
+    distinct on a high-cardinality key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+# --- B23: filtered / conditional aggregation ---------------------------------
+
+_B23_ORACLE = f"""
+SELECT l_returnflag,
+       {o_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+       {o_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_filtered", oracle=_B23_ORACLE)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: SUM(CASE WHEN …) / FILTER-style conditional aggregation —
+    one pass over the fact computes every branch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_f"),
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_o"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_disc"),
+    )
+
+
+# --- B24/B25/B26: GROUPING SETS / ROLLUP / CUBE ------------------------------
+
+_B24_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n,
+       {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_B24_ORACLE)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: GROUPING SETS with grouping() disambiguation of the NULL
+    super-aggregate rows (data is null-free, so NULL keys are
+    unambiguous markers here — grouping() still demonstrates the
+    general-case idiom)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_b24")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_b24
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_B25_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {o_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup", oracle=_B25_ORACLE)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: ROLLUP hierarchy (status → status×priority → grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+_B26_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {o_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", oracle=_B26_ORACLE)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: CUBE — all 2² grouping combinations in one Expand pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+# --- B27: array aggregation --------------------------------------------------
+
+_B27_ORACLE = """
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_collect", oracle=_B27_ORACLE)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: collect_set + sort_array (sorted ⇒ deterministic across
+    partition orders; the §2 rule for any collected list)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- B28: statistical aggregates ---------------------------------------------
+
+# stddev/var/corr are hand-rolled from exact decimal power sums, and the
+# inputs are scaled to thousands first: the exact sums are identical
+# doubles in both engines, but the var/corr cancellation (sxx - sx²/n)
+# amplifies last-ulp differences in the *scalar* arithmetic (FMA vs
+# non-FMA) — measured ~1e-5 absolute at 1e10 magnitude, which round(6)
+# can't absorb. At ~2e4 magnitude the same noise is ~1e-11 and round(6)
+# makes both sides bit-identical.
+_B28_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST((o_totalprice / 1000.0) * (o_totalprice / 1000.0) AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(o_custkey / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST((o_custkey / 1000.0) * (o_custkey / 1000.0) AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST((o_totalprice / 1000.0) * (o_custkey / 1000.0) AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_kprice,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_kprice,
+       ROUND((sxy - sx * sy / n) /
+             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_price_cust,
+       median_price
+FROM s
+"""
+
+
+@register("agg_stats", oracle=_B28_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: variance / stddev / correlation (on price/custkey scaled to
+    thousands — see oracle comment) / exact median per group, via exact
+    decimal power sums and interpolated percentile (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") / 1000.0
+    y = F.col("o_custkey") / 1000.0
+    d18, d30 = "decimal(18,6)", "decimal(30,6)"
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(d18)).cast("double").alias("sx"),
+        F.sum((x * x).cast(d30)).cast("double").alias("sxx"),
+        F.sum(y.cast(d18)).cast("double").alias("sy"),
+        F.sum((y * y).cast(d30)).cast("double").alias("syy"),
+        F.sum((x * y).cast(d30)).cast("double").alias("sxy"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("median_price"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_kprice"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_kprice"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_price_cust"),
+        "median_price",
+    )

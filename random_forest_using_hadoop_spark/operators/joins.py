@@ -1,0 +1,259 @@
+"""Join operators — SURVEY.md §2 B10–B18.
+
+Reference analog [recon]: the reference never joins; its one "broadcast"
+is shipping the forest file via DistributedCache — the mechanic B10's
+``broadcast()`` hint generalizes.
+
+Scale doctrine per join: small dims broadcast (no shuffle of the fact
+side); fact⋈fact shuffles on the key with AQE skew-splitting; semi/anti
+express EXISTS without materializing the probe side's payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- B10: broadcast hash join (fact ⋈ tiny dim) ------------------------------
+
+_B10_ORACLE = f"""
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("join_broadcast", oracle=_B10_ORACLE)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: explicit broadcast of the part dim — the fact side never
+    shuffles for the join; only the 25-brand aggregate exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# --- B11: shuffle sort-merge join (fact ⋈ fact) ------------------------------
+
+_B11_ORACLE = f"""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       {o_dsum('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("join_sortmerge", oracle=_B11_ORACLE)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: the big-⋈-big path. The MERGE hint pins sort-merge (both
+    sides shuffle on l_orderkey/o_orderkey, sort, streamc-merge) — the
+    strategy that scales when neither side fits in memory; spills are
+    sort-based, never OOM-by-design.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+# --- B12: multiway star join -------------------------------------------------
+
+_B12_ORACLE = f"""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_orders,
+       {o_dsum('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("join_multiway", oracle=_B12_ORACLE)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: 4-way star join. customer/nation/region all broadcast
+    (auto below the threshold; nation/region are tiny at any sf), so the
+    orders fact streams through three broadcast joins with zero
+    pre-aggregation shuffles — the canonical 100 TB star-join plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# --- B13: outer join ---------------------------------------------------------
+
+_B13_ORACLE = """
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE(ROUND(MAX(o.o_totalprice), 6), -1.0) AS max_total
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("join_outer", oracle=_B13_ORACLE)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: left outer join keeping order-less customers (COUNT skips the
+    manufactured NULLs; COALESCE gives them a sentinel)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.max("o_totalprice"), 6), F.lit(-1.0)).alias("max_total"),
+        )
+    )
+
+
+# --- B14 / B15: semi + anti (EXISTS / NOT EXISTS) ----------------------------
+
+_B14_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("join_semi", oracle=_B14_ORACLE)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: left-semi — probe side contributes existence only, so no
+    payload columns cross the shuffle and duplicates never multiply."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_B15_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_anti", oracle=_B15_ORACLE)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: left-anti (NOT EXISTS) — same result as B9's outer+IS NULL
+    but without materializing the nullable payload."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- B16: theta/range join ---------------------------------------------------
+
+_B16_ORACLE = """
+SELECT e1.user_id, COUNT(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.event_id <> e1.event_id
+ AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 10 MINUTE
+GROUP BY e1.user_id
+"""
+
+
+@register("join_theta_range", oracle=_B16_ORACLE)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: equi+range composite self-join (events within 10 minutes
+    after each event, same user).
+
+    Scale: the user_id equi-key keeps this a hash/merge join with the
+    range as a post-filter — never a cross product; per-user skew is the
+    risk and AQE skew-split the mitigation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.event_id") != F.col("e1.event_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- B17: as-of join ---------------------------------------------------------
+
+_B17_ORACLE = """
+SELECT e1.event_id, e1.user_id, e1.ts, e2.ts AS prev_ts
+FROM events e1 ASOF LEFT JOIN events e2
+  ON e1.user_id = e2.user_id AND e2.ts < e1.ts
+"""
+
+
+@register("join_asof", oracle=_B17_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: as-of join (latest strictly-earlier event per user), which
+    Spark SQL lacks natively — expressed as a RANGE-frame window max
+    over epoch-µs ordering, semantically DuckDB's ``ASOF JOIN .. ts < ts``.
+
+    Scale: one shuffle on user_id + a sort — same cost class as any
+    windowed analytic; never a self-join explosion. Tie-safety: the max
+    of prior timestamps is deterministic even with duplicate (user, ts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_micros(F.max(ts_us).over(w)).cast("timestamp_ntz").alias("prev_ts"),
+    )
+
+
+# --- B18: cross join ---------------------------------------------------------
+
+_B18_ORACLE = """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross", oracle=_B18_ORACLE)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: cartesian product of two fixed-size dims (5×25). Only ever
+    sane when one side is tiny — Spark broadcasts it (BroadcastNestedLoop)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

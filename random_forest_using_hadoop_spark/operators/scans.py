@@ -1,0 +1,165 @@
+"""Scan / source / sink operators — SURVEY.md §2 B1–B5.
+
+Reference analog [recon]: the reference's only source is an HDFS text
+scan with a user-declared descriptor; here sources are schema-carrying
+parquet/CSV/JSON reads where Catalyst pushes pruning and predicates into
+the scan, and sinks are partitioned parquet writes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+_TMP_ROOT = "/tmp/rf_engine_io"
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_TMP_ROOT, f"{tag}_{sf_tag}")
+
+
+# --- B1: full parquet scan ---------------------------------------------------
+
+
+@register("scan_parquet", oracle="SELECT * FROM nation")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: whole-table columnar scan (dimension table; full row fidelity)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+# --- B2: pruned + pushed-down scan ------------------------------------------
+
+_B2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_quantity < 5 AND l_returnflag = 'A'
+"""
+
+
+@register("scan_prune_pushdown", oracle=_B2_ORACLE)
+def q_scan_prune_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: 3-of-11-column projection + predicates.
+
+    Scale: both filters reach the parquet reader (PushedFilters) and the
+    scan's ReadSchema carries 5 columns, so row groups failing the
+    min-max stats are skipped — at 100 TB this is the difference between
+    reading the table and reading a slice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 5) & (F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# --- B3: nanos-timestamp ingestion ------------------------------------------
+
+_B3_ORACLE = """
+SELECT event_id, ts, event_type
+FROM events
+WHERE event_type = 'purchase'
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
+@register("scan_events_nanos", oracle=_B3_ORACLE)
+def q_scan_events_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: the TIMESTAMP(NANOS) hazard (SURVEY.md §1.2).
+
+    Spark 4 refuses nanos parquet; the loader reads them as int64 via
+    ``nanosAsLong`` and rebuilds µs-precision timestamp_ntz with integer
+    division — exactly DuckDB's internal nanos→µs truncation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").between(
+            F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+            F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+        )
+    ).select("event_id", "ts", "event_type")
+
+
+# --- B4: CSV/JSON ingestion with explicit schema ----------------------------
+
+_B4_ORACLE = """
+SELECT l_returnflag AS key, COUNT(*) AS n, 'csv' AS src FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT lang AS key, COUNT(*) AS n, 'json' AS src FROM documents GROUP BY lang
+"""
+
+
+@register("src_csv_json", oracle=_B4_ORACLE)
+def q_src_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: text-format ingestion (the reference's native source format
+    [recon]) — write CSV/JSON copies, read back with explicit schemas
+    (no inference job at scale), and aggregate to prove fidelity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    csv_path, json_path = _tmp(sf_dir, "csv"), _tmp(sf_dir, "json")
+    li.write.mode("overwrite").option("header", True).csv(csv_path)
+    docs.write.mode("overwrite").json(json_path)
+
+    csv_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    json_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    csv_back = spark.read.schema(csv_schema).option("header", True).csv(csv_path)
+    json_back = spark.read.schema(json_schema).json(json_path)
+
+    a = (
+        csv_back.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("src", F.lit("csv"))
+    )
+    b = (
+        json_back.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("src", F.lit("json"))
+    )
+    return a.unionByName(b)
+
+
+# --- B5: partitioned parquet sink + read-back -------------------------------
+
+_B5_ORACLE = f"""
+SELECT l_returnflag, COUNT(*) AS n, {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sink_parquet_part", oracle=_B5_ORACLE)
+def q_sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: hive-style partitioned write, then scan the partitioned layout.
+
+    Scale: partitionBy(l_returnflag) gives downstream readers partition
+    pruning on the flag; the read-back aggregation prunes nothing here
+    (all flags) but proves layout fidelity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = _tmp(sf_dir, "parquet_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )

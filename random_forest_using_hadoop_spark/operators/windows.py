@@ -1,0 +1,200 @@
+"""Window-function operators — SURVEY.md §2 B29–B34.
+
+Reference analog [recon]: the argmax in majority voting is the only
+"window-shaped" computation the reference does; here the full analytic
+surface runs as one shuffle on the partition key + a per-partition sort.
+
+Determinism doctrine: every ORDER BY carries a unique tiebreak key
+(o_orderkey / event_id) so rank-dependent output is identical across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- B29: ranking functions --------------------------------------------------
+
+_B29_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("win_rank", oracle=_B29_ORACLE)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: row_number / rank / dense_rank over one window spec."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --- B30: lag / lead ---------------------------------------------------------
+
+_B30_ORACLE = """
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("win_lag_lead", oracle=_B30_ORACLE)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: inter-event gap per user (lag on epoch-µs → bigint, immune
+    to interval-type differences) + lead of the next event type."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --- B31: moving aggregate, ROWS frame ---------------------------------------
+
+_B31_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_rev
+FROM orders
+"""
+
+
+@register("win_moving_rows", oracle=_B31_ORACLE)
+def q_win_moving_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: 3-row moving revenue. A ≤3-term double sum in deterministic
+    frame order is bit-identical across engines; round(6) is cosmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("moving_rev"),
+    )
+
+
+# --- B32: RANGE frame --------------------------------------------------------
+
+_B32_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_rev
+FROM orders
+"""
+
+
+@register("win_range_frame", oracle=_B32_ORACLE)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: value-based RANGE frame — cumulative revenue by order date;
+    same-date orders share a frame edge, so the running sum goes through
+    exact decimals (arbitrary-order accumulation inside the frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("cum_rev"),
+    )
+
+
+# --- B33: analytic functions -------------------------------------------------
+
+_B33_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey)
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("win_analytic", oracle=_B33_ORACLE)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: ntile / percent_rank / cume_dist / first+last value. The
+    last_value frame is widened to the full partition (the SQL default
+    frame stops at CURRENT ROW — a classic silent-wrong-answer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+# --- B34: top-K per group ----------------------------------------------------
+
+_B34_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", oracle=_B34_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: top-3 orders per customer (BASELINE q_window_topk shape).
+
+    Scale: Spark rewrites rank-filter patterns with a WindowGroupLimit
+    (per-partition top-K pushdown before the full sort materializes).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

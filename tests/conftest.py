@@ -48,16 +48,16 @@ def _canon(v):
     """Canonicalize one cell so Spark and DuckDB values compare equal."""
     if v is None:
         return None
-    if isinstance(v, decimal.Decimal):
-        return float(v)
     if isinstance(v, bool):
         return v
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (decimal.Decimal, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        # exact float equality is the bar (the driver hashes values);
-        # repr keeps full precision
-        return v
+        # Tag floats so int-typed 0 never equals float-typed 0.0 and
+        # -0.0 differs from 0.0 — a stringifying driver hash would see
+        # those as different, so our local gate must too.
+        return ("f", repr(f))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
     if isinstance(v, (list, tuple)):
