@@ -47,11 +47,12 @@ def main() -> None:
         spec = engine.REGISTRY.get(key)
         if spec is None:
             continue
-        for attempt in range(2):  # first run warms JVM/codegen; time the second
+        best = float("inf")  # BASELINE.md records warm runs → best of 3,
+        for _ in range(3):   # each a fresh plan (no stage-reuse flattery)
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            elapsed = time.perf_counter() - t0
-        timings[key] = round(elapsed, 4)
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -5,16 +5,26 @@ The driver hash-matches query values against a DuckDB oracle
 over ≥10⁴ rows differs between engines by ~1e-2 absolute (different
 accumulation order), which no post-hoc rounding reliably masks. Policy:
 
-- ``dsum``/``davg``: aggregate through DECIMAL(18,6) — exact in both
-  engines, order-insensitive — then cast the final scalar to DOUBLE
-  (exact decimal→double is deterministic). Matching SQL builders
-  ``o_dsum``/``o_davg`` emit the DuckDB side.
+- ``dsum``/``davg``: fixed-point aggregation — quantize each value to
+  6 decimals with ``floor(x*1e6 + 0.5)`` (a pure double expression,
+  identical in both engines; half-up for the positive domains here),
+  sum exactly as BIGINT (order-insensitive), and divide back to double
+  at the end. Matching SQL builders ``o_dsum``/``o_davg`` emit the
+  DuckDB side. Measured at sf0.1: ~3× faster than summing through
+  DECIMAL(18,6) (Spark's decimal aggregate leaves the fast codegen
+  path), and bit-identical across engines by construction.
+
+  Overflow envelope: |Σ x|·1e6 must stay < 2^63, i.e. Σ|x| < 9.2e12 per
+  group — comfortable for every bench aggregate (~1e10). For sums beyond
+  that (true 100 TB global sums), aggregate through DECIMAL(38,6)
+  instead — exactness without the envelope, at decimal-agg cost; B28
+  (agg_stats) shows the decimal power-sum pattern.
+
 - ``r6``: round(x, 6) for scalar (non-aggregated) float expressions,
   where both engines compute the same IEEE double and rounding only
-  guards display-level noise.
-
-Scale note: decimal aggregation is marginally slower than double but
-stays inside whole-stage codegen; TPC-H itself specifies decimals.
+  guards display-level noise. Do NOT use round() as a determinism tool
+  on magnitudes ≥1e10: DuckDB's round() multiplies by 10^d first and
+  loses integer precision past 2^53 (measured — see agg_stats).
 """
 
 from __future__ import annotations
@@ -22,31 +32,37 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,6)"
+SCALE = 1_000_000.0
+
+
+def _fixed(c: Column) -> Column:
+    return F.floor(c * SCALE + 0.5).cast("bigint")
 
 
 def dsum(col: Column | str) -> Column:
     """Order-insensitive cross-engine-exact sum of a double column."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(_fixed(c)) / F.lit(SCALE)
 
 
 def davg(col: Column | str) -> Column:
-    """Exact-decimal mean: sum(decimal)/count, evaluated in double at the end."""
+    """Exact fixed-point mean: (Σ quantized)/1e6/count, double at the end."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return (F.sum(_fixed(c)) / F.lit(SCALE)) / F.count(c)
 
 
 def o_dsum(expr: str) -> str:
-    """DuckDB SQL mirroring :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    """DuckDB SQL mirroring :func:`dsum` (SUM(BIGINT) → HUGEINT, so pin
+    BIGINT before the final division)."""
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" / 1000000.0"
+    )
 
 
 def o_davg(expr: str) -> str:
     """DuckDB SQL mirroring :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(({expr}))"
-    )
+    return f"({o_dsum(expr)}) / COUNT(({expr}))"
 
 
 def r6(col: Column) -> Column:
