@@ -1,1 +1,3 @@
 """Tier A — the reference's random-forest ML surface on Spark MLlib."""
+
+import random_forest_using_hadoop_spark.ml.forest  # noqa: F401

@@ -1,0 +1,259 @@
+"""Tier A — the reference's random-forest surface on Spark MLlib
+(SURVEY.md §2 A1–A10).
+
+Reference architecture [recon] (reconstructed per SURVEY §0 — the
+checkout is empty): a Hadoop MapReduce random-forest classifier in the
+Mahout-partial style — each mapper buffers its input split, grows
+⌈K/numMaps⌉ trees on bootstrap samples of that split only, a single
+reducer concatenates the forest; a second map-only job ships the forest
+via DistributedCache and majority-votes per record.
+
+Spark mapping: MLlib's RandomForestClassifier distributes *within* trees
+(PLANET-style node-split histograms over the whole dataset) — a strictly
+stronger strategy than tree-per-mapper: every tree sees a bootstrap of
+ALL data, not one split. Training shuffles histogram aggregates (bytes ∝
+#nodes × #features × #bins, not #rows), so it holds at 100 TB where the
+reference's buffer-a-split-in-RAM mapper would OOM.
+
+All Tier A checks are rows-only (results depend on Spark's seeded RNG,
+which no SQL oracle reproduces); determinism within the engine comes
+from fixed seeds. The confusion-matrix groupBy shape is SQL-graded
+elsewhere (B19).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    RandomForestClassificationModel,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+SEED = 42
+NUM_TREES = 20
+MAX_DEPTH = 8
+
+# Per-process cache of (sf_dir → fitted artifacts): the driver calls each
+# queries() entry separately; training once per sf_dir keeps A5–A10 from
+# refitting the same forest ten times.
+_CACHE: dict[str, dict] = {}
+
+
+def assemble(df: DataFrame) -> DataFrame:
+    """A1: dataset-descriptor analog — embeddings array<float> → MLlib
+    features Vector + double label (the reference's record-parse step)."""
+    return df.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+
+
+def _fitted(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _CACHE:
+        return _CACHE[sf_dir]
+    data = assemble(load_table(spark, sf_dir, "embeddings"))
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    train = train.cache()
+    rf = RandomForestClassifier(
+        numTrees=NUM_TREES,
+        maxDepth=MAX_DEPTH,
+        featureSubsetStrategy="auto",  # √p per node, the Breiman default
+        impurity="gini",
+        seed=SEED,
+    )
+    model = rf.fit(train)
+    pred = model.transform(test).cache()
+    _CACHE[sf_dir] = {"train": train, "test": test, "model": model, "pred": pred}
+    return _CACHE[sf_dir]
+
+
+# --- A1: feature assembly ----------------------------------------------------
+
+
+@register("ml_assemble", oracle=None)
+def q_ml_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: vector assembly; returns per-row vector arity as proof the
+    descriptor applied (Vector columns themselves aren't hashable)."""
+    from pyspark.ml.functions import vector_to_array
+
+    df = assemble(load_table(spark, sf_dir, "embeddings"))
+    return df.select(
+        "vec_id",
+        "label",
+        F.size(vector_to_array("features")).alias("n_features"),
+    )
+
+
+# --- A2: categorical/label indexing ------------------------------------------
+
+
+@register("ml_index_label", oracle=None)
+def q_ml_index_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: StringIndexer (frequencyDesc) over documents.lang — the
+    categorical-encoding step of the dataset descriptor. Rows-only:
+    equal-frequency ties order arbitrarily, so no SQL oracle."""
+    from pyspark.ml.feature import StringIndexer
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = StringIndexer(inputCol="lang", outputCol="lang_idx", stringOrderType="frequencyDesc")
+    return idx.fit(d).transform(d).select("doc_id", "lang", "lang_idx")
+
+
+# --- A3: seeded train/test split ---------------------------------------------
+
+
+@register("ml_split", oracle=None)
+def q_ml_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: seeded randomSplit 80/20 — per-split row and class counts."""
+    data = assemble(load_table(spark, sf_dir, "embeddings"))
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    a = train.groupBy("label").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "split", F.lit("train")
+    )
+    b = test.groupBy("label").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "split", F.lit("test")
+    )
+    return a.unionByName(b)
+
+
+# --- A4: bootstrap sample (bagging) ------------------------------------------
+
+
+@register("ml_bootstrap", oracle=None)
+def q_ml_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: with-replacement sample, n≈N (the per-tree bagging step; MLlib
+    does this internally via Poisson(subsamplingRate) per row)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    boot = e.sample(withReplacement=True, fraction=1.0, seed=SEED)
+    return boot.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("vec_id").alias("n_unique"),
+    )
+
+
+# --- A5: random-forest training ----------------------------------------------
+
+
+@register("ml_rf_train", oracle=None)
+def q_ml_rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: K=20 trees, depth 8, √p features per split, gini, seed 42 —
+    the BASELINE rf_train_predict workload. Returns the fit summary."""
+    art = _fitted(spark, sf_dir)
+    model = art["model"]
+    acc = MulticlassClassificationEvaluator(
+        metricName="accuracy", labelCol="label", predictionCol="prediction"
+    ).evaluate(art["pred"])
+    return spark.createDataFrame(
+        [
+            (
+                model.getNumTrees,
+                model.totalNumNodes,
+                art["train"].count(),
+                art["test"].count(),
+                round(acc, 6),
+            )
+        ],
+        "num_trees int, total_nodes int, n_train long, n_test long, accuracy double",
+    )
+
+
+# --- A6: classification (majority vote) --------------------------------------
+
+
+@register("ml_rf_predict", oracle=None)
+def q_ml_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-record majority vote over the forest (model.transform),
+    summarized as the (label, prediction) confusion counts — the exact
+    reduce-side output of the reference's evaluate job [recon]."""
+    art = _fitted(spark, sf_dir)
+    return (
+        art["pred"]
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- A7: RF regression (mean vote) -------------------------------------------
+
+
+@register("ml_rf_reg", oracle=None)
+def q_ml_rf_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: RandomForestRegressor (mean-of-trees vote) on the same
+    features; reports test RMSE."""
+    data = assemble(load_table(spark, sf_dir, "embeddings"))
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    rf = RandomForestRegressor(numTrees=10, maxDepth=5, seed=SEED)
+    pred = rf.fit(train).transform(test)
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(
+            F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)), 4
+        ).alias("rmse"),
+    )
+
+
+# --- A8: evaluation ----------------------------------------------------------
+
+
+@register("ml_eval", oracle=None)
+def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: accuracy + weighted F1 on the held-out split (the reference's
+    map-emit-(true,pred) / reduce-count job as one evaluator call)."""
+    art = _fitted(spark, sf_dir)
+    ev = MulticlassClassificationEvaluator(labelCol="label", predictionCol="prediction")
+    acc = ev.setMetricName("accuracy").evaluate(art["pred"])
+    f1 = ev.setMetricName("weightedFMeasure").evaluate(art["pred"])
+    return spark.createDataFrame(
+        [(art["pred"].count(), round(acc, 6), round(f1, 6))],
+        "n_test long, accuracy double, weighted_f1 double",
+    )
+
+
+# --- A9: feature importances -------------------------------------------------
+
+
+@register("ml_importance", oracle=None)
+def q_ml_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: impurity-decrease importances summed over the forest; top 10
+    features by weight (deterministic under the fixed seed)."""
+    art = _fitted(spark, sf_dir)
+    imp = art["model"].featureImportances
+    rows = [(int(i), round(float(imp[int(i)]), 6)) for i in imp.indices]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(rows[:10], "feature_idx int, importance double")
+
+
+# --- A10: model persistence --------------------------------------------------
+
+
+@register("ml_persist", oracle=None)
+def q_ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: save → load → re-predict (the DistributedCache-ship analog);
+    asserts the reloaded forest votes identically on every test row."""
+    import hashlib
+    import os
+
+    art = _fitted(spark, sf_dir)
+    path = os.path.join(
+        "/tmp/rf_engine_io", "model_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    art["model"].write().overwrite().save(path)
+    reloaded = RandomForestClassificationModel.load(path)
+    re_pred = reloaded.transform(art["test"]).select(
+        "vec_id", F.col("prediction").alias("re_prediction")
+    )
+    joined = art["pred"].select("vec_id", "prediction").join(re_pred, "vec_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(
+            F.when(F.col("prediction") == F.col("re_prediction"), 0).otherwise(1)
+        ).alias("n_mismatch"),
+    )
