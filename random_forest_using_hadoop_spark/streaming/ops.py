@@ -1,0 +1,482 @@
+"""Structured Streaming surface — SURVEY.md §2 B50–B57.
+
+Reference analog [recon]: none — the reference is batch MapReduce only;
+this tier is driver-mandated surface (SURVEY §2 "Exhaustiveness note").
+
+Harness bridge: every query replays the static ``events`` parquet through
+a file stream with ``Trigger.AvailableNow`` into a memory sink, then
+returns the sink table. For a finite static source this is *exactly*
+equivalent to the batch query (SURVEY §5.3.4), which is what makes a
+DuckDB SQL oracle possible for B50–B52/B54/B55/B57.
+
+Scale notes (100 TB): the memory sink is harness-only — production runs
+swap in kafka/parquet sinks via the same unchanged logical plan. Windowed
+and dedup state lives in the executor-local state store keyed by
+(window/user), GC'd by the watermark, so state ∝ open-windows × keys, not
+rows. ``availableNow`` is also the production backfill path: it chunks a
+huge directory into rate-limited micro-batches instead of one giant batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.helpers import o_dsum
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_dir(src_file: str) -> str:
+    """File-stream sources require a *directory*; stage the single
+    testdata parquet behind a symlink in a per-process temp dir."""
+    if src_file not in _STAGE_CACHE:
+        d = Path(tempfile.mkdtemp(prefix="stream_src_"))
+        try:
+            (d / Path(src_file).name).symlink_to(src_file)
+        except OSError:
+            shutil.copy(src_file, d / Path(src_file).name)
+        _STAGE_CACHE[src_file] = str(d)
+    return _STAGE_CACHE[src_file]
+
+
+def _events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over events parquet with the §1.2 nanos rebuild.
+
+    File sources need an explicit schema; we take it from a batch read of
+    the same path (ts arrives as int64 nanos under ``nanosAsLong``).
+    """
+    schema = spark.read.parquet(path).schema
+    if not path.endswith("*.parquet"):
+        path = _staged_dir(path)
+    df = spark.readStream.schema(schema).parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str,
+) -> DataFrame:
+    """Execute one availableNow micro-batch run into a memory sink and
+    return the sink table (a normal batch DataFrame)."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    result = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+# --- B50: tumbling window aggregation ---------------------------------------
+
+_B50_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling", oracle=_B50_ORACLE)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: 1-hour tumbling window count per event_type, availableNow
+    replay ≡ batch date_trunc aggregate."""
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    return _run_to_memory(out, "ss_tumbling", "complete")
+
+
+# --- B51: sliding window aggregation ----------------------------------------
+
+# Each event lands in 4 overlapping [start, start+1h) windows whose starts
+# are the event's 15-min bucket minus {45,30,15,0} minutes; DuckDB mirrors
+# that membership with generate_series. Both engines align buckets on
+# boundaries that are whole multiples of 15 minutes from their origin
+# (epoch resp. 2000-01-03), which coincide.
+_B51_ORACLE = """
+SELECT ws AS window_start, event_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         unnest(generate_series(
+           time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+             - INTERVAL 45 MINUTE,
+           time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)),
+           INTERVAL 15 MINUTE)) AS ws
+  FROM events
+)
+GROUP BY ws, event_type
+"""
+
+
+@register("stream_sliding", oracle=_B51_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: 1-hour window sliding every 15 min, count per event_type."""
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = src.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    return _run_to_memory(out, "ss_sliding", "complete")
+
+
+# --- B52: session window (gap-based) ----------------------------------------
+
+# Spark merges events whose [ts, ts+gap) spans overlap, so two events
+# exactly gap apart start NEW sessions → the oracle's lag-gap flag uses a
+# strict '<'. Session end = last event + gap on both sides.
+_B52_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register("stream_session", oracle=_B52_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: 30-minute-gap session windows per user; the oracle is the
+    classic lag-gap-flag + cumulative-sum sessionization."""
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+    return _run_to_memory(out, "ss_session", "complete")
+
+
+# --- B53: watermark + late-data drop (rows-only by design) ------------------
+
+
+@register("stream_watermark_late")
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: demonstrate the watermark dropping late data.
+
+    Two availableNow runs over one checkpoint (the production shape for
+    an out-of-order backfill): run 1 streams the newest quartile of
+    events, closing its hourly windows and persisting a watermark of
+    max(ts)−10min; then the oldest quartile lands in the source dir and
+    run 2 resumes from the checkpoint — every row is below the watermark,
+    so the state operator drops all of them (visible in
+    ``numRowsDroppedByWatermark``, which counts post-partial-agg rows —
+    the drop filter runs after map-side combine) and emits nothing.
+
+    Result rows: the on-time windows from run 1 (phase='on_time'), any
+    windows emitted for the late batch (phase='late_emitted', must be
+    none), and one 'dropped_late' summary row carrying the drop counter.
+    No SQL oracle models watermark advancement → rows-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.select(
+        F.percentile_approx("ts", 0.25), F.percentile_approx("ts", 0.75)
+    ).first()
+    tmp = Path(tempfile.mkdtemp(prefix="late_replay_"))
+    src_dir, ckpt = tmp / "src", tmp / "ckpt"
+    src_dir.mkdir()
+    ev.filter(F.col("ts") >= hi).coalesce(1).write.parquet(
+        str(tmp / "stage_a")
+    )
+    ev.filter(F.col("ts") <= lo).coalesce(1).write.parquet(
+        str(tmp / "stage_b")
+    )
+    part_a = next((tmp / "stage_a").glob("part-*.parquet"))
+    part_b = next((tmp / "stage_b").glob("part-*.parquet"))
+    schema = spark.read.parquet(str(tmp / "stage_a")).schema
+
+    sink_dir = tmp / "sink"
+
+    def run_once():
+        # A file sink (unlike memory) supports checkpoint recovery, which
+        # run 2 depends on to resume with run 1's persisted watermark.
+        src = spark.readStream.schema(schema).parquet(str(src_dir))
+        # Watermarks require TIMESTAMP (LTZ); session tz is UTC so the
+        # cast is value-preserving.
+        agg = (
+            src.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+            )
+        )
+        query = (
+            agg.writeStream.format("parquet")
+            .option("path", str(sink_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        progress = query.lastProgress
+        query.stop()
+        dropped = 0
+        if progress:
+            for op in progress.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        emitted = [
+            tuple(r)
+            for r in spark.read.parquet(str(sink_dir)).collect()
+        ]
+        return emitted, dropped
+
+    shutil.copy(part_a, src_dir / "a_on_time.parquet")
+    rows_run1, _ = run_once()
+    shutil.copy(part_b, src_dir / "b_late.parquet")
+    rows_run2, n_dropped = run_once()
+
+    seen1 = set(rows_run1)
+    schema_out = "window_start timestamp_ntz, n long"
+    on_time = spark.createDataFrame(rows_run1, schema=schema_out).withColumn(
+        "phase", F.lit("on_time")
+    )
+    late_emitted = spark.createDataFrame(
+        [r for r in rows_run2 if r not in seen1], schema=schema_out
+    ).withColumn("phase", F.lit("late_emitted"))
+
+    summary = spark.createDataFrame(
+        [(None, n_dropped, "dropped_late")], schema="window_start timestamp_ntz, n long, phase string"
+    )
+    rows = on_time.unionByName(late_emitted).unionByName(summary).cache()
+    rows.count()  # materialize before the source files vanish
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+# --- B54: streaming dedup ----------------------------------------------------
+
+_B54_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_B54_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: dropDuplicates on event_id over a deliberately doubled replay
+    (the same parquet file staged twice) — the deduped stream must equal
+    the original table, checked via counts per event_type."""
+    tmp = Path(tempfile.mkdtemp(prefix="dedup_replay_"))
+    src_file = f"{sf_dir}/events.parquet"
+    shutil.copy(src_file, tmp / "copy1.parquet")
+    shutil.copy(src_file, tmp / "copy2.parquet")
+    src = _events_stream(spark, str(tmp / "*.parquet"))
+    agg = (
+        src.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "ss_dedup", "complete")
+    rows = out.cache()
+    rows.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+# --- B55: stream-static enrichment join -------------------------------------
+
+_B55_ORACLE = f"""
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_events,
+       {o_dsum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("stream_static_join", oracle=_B55_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: enrich the event stream with the static customer dim
+    (broadcast per micro-batch), roll up by nation. The static side is a
+    batch DataFrame — Catalyst plans a broadcast hash join inside each
+    micro-batch, the 100 TB-safe shape for stream⋈small-dim."""
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = src.join(
+        F.broadcast(cust), src.user_id == cust.c_custkey, "inner"
+    )
+    agg = joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")) / 1e6
+        ).alias("total_value"),
+    )
+    return _run_to_memory(agg, "ss_static_join", "complete")
+
+
+# --- B56: arbitrary stateful per-key logic ----------------------------------
+
+_B56_ORACLE = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful", oracle=_B56_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: applyInPandasWithState running per-user counter + value sum.
+
+    The pandas fn keeps (count, fixed_point_sum) in GroupState and emits
+    the updated totals each batch; the single-file availableNow replay is
+    one batch, so the final emission equals the batch aggregate and a SQL
+    oracle applies. Fixed-point int64 accumulation (×1e6, half-up) inside
+    the state mirrors helpers.o_dsum exactly.
+
+    Scale: state is 2 ints per user in the state store; emission is
+    per-key-per-batch — state ∝ keys, not rows.
+    """
+    import pandas as pd  # noqa: F401  (imported for the worker closure)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value_fp", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("fp", LongType())]
+    )
+
+    def count_events(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        n, fp = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            fp += int(np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).sum())
+        state.update((n, fp))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_fp": [fp]}
+        )
+
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    stateful = src.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(stateful, "ss_stateful", "update")
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("total_value_fp") / 1e6).alias("total_value"),
+    )
+
+
+# --- B57: foreachBatch micro-batch sink -------------------------------------
+
+_B57_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_foreachbatch", oracle=_B57_ORACLE)
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: foreachBatch sink — each micro-batch appends raw events to a
+    parquet directory (the canonical custom-sink escape hatch); the
+    landed data re-aggregated must equal the batch query."""
+    out_dir = tempfile.mkdtemp(prefix="feb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="feb_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    query = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    landed = spark.read.parquet(out_dir)
+    agg = landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")) / 1e6).alias(
+            "total_value"
+        ),
+    )
+    rows = agg.cache()
+    rows.count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return rows
