@@ -11,3 +11,7 @@ import random_forest_using_hadoop_spark.operators.aggregates  # noqa: F401
 import random_forest_using_hadoop_spark.operators.windows  # noqa: F401
 import random_forest_using_hadoop_spark.operators.setops  # noqa: F401
 import random_forest_using_hadoop_spark.operators.text  # noqa: F401
+import random_forest_using_hadoop_spark.operators.similarity  # noqa: F401
+import random_forest_using_hadoop_spark.operators.dedup_lsh  # noqa: F401
+import random_forest_using_hadoop_spark.operators.text_features  # noqa: F401
+import random_forest_using_hadoop_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,261 @@
+"""Near-duplicate detection over the documents corpus — SURVEY.md §2 C2
+(MinHash+LSH) plus the SimHash and n-gram-Jaccard passes from the task
+spec. Exact dedup (C1) lives in text.py.
+
+Corpus facts driving thresholds (measured at sf0.01, see tests):
+char-5-gram Jaccard is ≥0.93 inside the planted shared-prefix groups and
+≤0.29 for random pairs → decision threshold 0.6 sits in an empty gap;
+60-bit SimHash hamming is ≤9 in-group vs ≥17 random → threshold 12.
+
+Scale doctrine (100 TB): never a global cross join. MinHash candidates
+come from an LSH band-bucket equi-join (shuffle ∝ bucket collisions);
+SimHash pairs would come from a band-partitioned self-join on hash
+prefixes; n-gram Jaccard blocks on a length band first. Exact similarity
+math runs only inside the pruned candidate sets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# char-5-gram shingle set; word tokens are useless here (the corpus is
+# word-soup from a tiny vocabulary, so word *sets* barely discriminate)
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),"
+    " i -> substring(text, i, 5)))"
+)
+_O_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),"
+    " i -> text[i : i + 4]))"
+)
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_SHINGLES).alias("shingles")
+    )
+
+
+# --- C2: MinHash + LSH near-dup candidates, exactly verified -----------------
+
+_JACCARD_T = 0.6
+
+_C2_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_O_SHINGLES} AS shingles FROM documents
+)
+SELECT a.doc_id AS doc_id_a,
+       b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_minhash", oracle=_C2_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: shingle → MinHash → LSH band-bucket candidates → exact Jaccard
+    verify (≥0.6). The oracle brute-forces the same exact Jaccard over
+    all pairs; in-group similarity (≥0.93) is so far above the LSH
+    candidate threshold (distance ≤0.5, 5 hash tables) that the
+    approximate candidate set provably contains every qualifying pair
+    (miss probability <1e-5 per pair), making the SQL hash-match safe.
+
+    Scale: the candidate join shuffles only colliding bucket keys — at
+    100 TB tune numHashTables/banding for the recall-vs-collision budget;
+    the O(pairs) exact verify runs on candidates only.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = _docs_with_shingles(spark, sf_dir)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="tf_vec", numFeatures=1 << 18, binary=True
+    )
+    dv = tf.transform(d)
+    mh = MinHashLSH(inputCol="tf_vec", outputCol="mh", numHashTables=5, seed=42)
+    model = mh.fit(dv)
+    cand = model.approxSimilarityJoin(dv, dv, 0.5, distCol="est_dist")
+    a_sh, b_sh = F.col("datasetA.shingles"), F.col("datasetB.shingles")
+    exact_j = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
+        F.array_union(a_sh, b_sh)
+    ).cast("double")
+    return (
+        cand.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            F.round(exact_j, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
+# --- SimHash near-dup pairs ---------------------------------------------------
+
+_HAMMING_T = 12
+_BITS = 60  # 15 hex chars of md5 → fits BIGINT in both engines
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_O_SHINGLES}) AS s FROM documents) u
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, {recombine} AS simhash FROM bits
+)
+SELECT a.doc_id AS doc_id_a,
+       b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit simhash over char-5-gram shingles
+    (per-bit ±1 vote weighted by md5 token hash, sign → bit), pairs at
+    hamming ≤ 12. Measured separation: in-group ≤9, random ≥17.
+
+    The whole construction — md5, hex→int fold, bit votes, popcount — is
+    expressed identically in both engines, so this is fully SQL-graded.
+
+    Scale: simhash is one map pass + a groupBy(doc) — shuffle ∝ docs.
+    The pair join here is all-pairs for oracle parity; at 100 TB
+    partition by simhash prefix bands (4 bands of 15 bits catch every
+    pair with hamming ≤ 3 per band) before comparing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("s")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(_BITS),
+        F.lit(0).cast("bigint"),
+    )
+    sh = bits.select("doc_id", simhash.alias("simhash"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b")
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(hamming <= _HAMMING_T)
+        .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+    )
+
+
+# --- n-gram (word-bigram) Jaccard with length blocking -----------------------
+
+_BIGRAM_T = 0.5
+
+_O_BIGRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),"
+    " i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+_NGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, n_chars, {_O_BIGRAMS} AS bigrams FROM t
+)
+SELECT a.doc_id AS doc_id_a,
+       b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.bigrams, b.bigrams))),
+             6) AS jaccard
+FROM bg a JOIN bg b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+WHERE CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= {_BIGRAM_T}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs (≥0.5), blocked on a ±20-char
+    length band — bigrams (unlike unigrams) capture word order, which is
+    what distinguishes the near-dups in this tiny-vocabulary corpus.
+
+    Scale: length-band blocking is the classic cheap candidate pruner —
+    a range-predicate join AQE handles fine at this shape; at 100 TB
+    block on bucketed length ranges to make it an equi-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+    )
+    bigrams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+    )
+    bg = d.select("doc_id", "n_chars", toks.alias("toks")).select(
+        "doc_id", "n_chars", bigrams.alias("bigrams")
+    )
+    a = bg.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("bigrams").alias("bg_a"),
+    )
+    b = bg.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("bigrams").alias("bg_b"),
+    )
+    jac = F.size(F.array_intersect("bg_a", "bg_b")) / F.size(
+        F.array_union("bg_a", "bg_b")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20),
+        )
+        .filter(jac >= _BIGRAM_T)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )

