@@ -67,3 +67,30 @@ def o_davg(expr: str) -> str:
 
 def r6(col: Column) -> Column:
     return F.round(col, 6)
+
+
+def salted_agg(df, keys, salt_col, aggs, n_salts: int = 16):
+    """Two-phase salted aggregation for hot grouping keys.
+
+    Phase 1 groups by (keys, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 re-aggregates the per-salt partials by
+    the true keys (tiny input: #keys × n_salts rows). ``salt_col`` must
+    be a deterministic column expression (e.g. ``pmod(event_id, 16)``)
+    so results are reproducible; use a uniform row id, never a value
+    correlated with the keys.
+
+    Only needed when map-side partial aggregation can't compress the hot
+    key first — distinct-like states, collect_list, or extreme
+    single-key skew where even partial states overload one reducer.
+    ``aggs`` maps output name → (phase1_agg_fn, phase2_merge_fn), each
+    Column → Column.
+    """
+    phase1 = df.groupBy(*keys, salt_col.alias("_salt")).agg(
+        *[fn1(name).alias(f"_p_{name}") for name, (fn1, _) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            fn2(F.col(f"_p_{name}")).alias(name)
+            for name, (_, fn2) in aggs.items()
+        ]
+    )

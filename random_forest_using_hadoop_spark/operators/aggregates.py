@@ -305,3 +305,54 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_price_cust"),
         "median_price",
     )
+
+
+# --- salted two-phase aggregation for hot keys (SURVEY §4.3) -----------------
+
+_SALTED_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_salted_hotkey", oracle=_SALTED_ORACLE)
+def q_agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on the maximally skewed shape: 100k
+    rows collapsing into 5 event_type groups.
+
+    Phase 1 groups by (event_type, pmod(event_id, 16)) so each hot key's
+    rows land on 16 reducers; phase 2 merges the 5×16 partials. For
+    algebraic aggs Spark's map-side combine already defuses this skew —
+    the helper exists for the cases it can't (distinct-state aggs,
+    collect_list, single-key blowouts), and this query pins the pattern's
+    correctness: the salted plan must hash-match the plain groupBy
+    oracle exactly (fixed-point partials make the merge order-free).
+    """
+    from random_forest_using_hadoop_spark.helpers import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    result = salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_col=F.pmod(F.col("event_id"), F.lit(16)),
+        aggs={
+            "n": (
+                lambda _: F.count(F.lit(1)),
+                lambda p: F.sum(p),
+            ),
+            "total_value_fp": (
+                lambda _: F.sum(
+                    F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")
+                ),
+                lambda p: F.sum(p),
+            ),
+        },
+    )
+    return result.select(
+        "event_type",
+        "n",
+        (F.col("total_value_fp") / 1e6).alias("total_value"),
+    )

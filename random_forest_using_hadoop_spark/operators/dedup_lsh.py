@@ -76,7 +76,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = _docs_with_shingles(spark, sf_dir)
+    # testdata is one parquet split — spread the LSH self-join across
+    # cores (at real scale file layout provides this for free)
+    d = _docs_with_shingles(spark, sf_dir).repartition("doc_id")
     tf = HashingTF(
         inputCol="shingles", outputCol="tf_vec", numFeatures=1 << 18, binary=True
     )
@@ -173,7 +175,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = bits.select("doc_id", simhash.alias("simhash"))
     a = sh.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a")
-    )
+    ).repartition("doc_id_a")  # parallelize the all-pairs comparison
     b = sh.select(
         F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b")
     )
@@ -241,7 +243,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_a"),
         F.col("n_chars").alias("nc_a"),
         F.col("bigrams").alias("bg_a"),
-    )
+    ).repartition("doc_id_a")  # parallelize the banded pair comparison
     b = bg.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("n_chars").alias("nc_b"),

@@ -1,0 +1,108 @@
+"""Physical-plan regression gates (SURVEY.md 'optimize for scale').
+
+Correctness tests prove the right rows come back; these prove the right
+*plan* produces them — pushdown reaches the scan, small dims broadcast,
+aggregates partial-combine before the shuffle, and the hot path stays in
+whole-stage codegen. A regression here is a 100 TB incident that sf0.01
+correctness would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import random_forest_using_hadoop_spark as engine
+from tests.conftest import SF_DIR
+
+engine.load_all()
+
+
+def _formatted_plan(spark, key: str) -> str:
+    df = engine.REGISTRY[key].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _executed_plan(spark, key: str) -> str:
+    """Final (post-AQE) physical plan: execute, then read executedPlan —
+    codegen stages appear as '*(n)' prefixes only after materialization."""
+    df = engine.REGISTRY[key].fn(spark, SF_DIR)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = _formatted_plan(spark, "agg_hash_groupby")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    # two-phase agg: partial HashAggregate below the Exchange, final above
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _formatted_plan(spark, "agg_hash_groupby")
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    # 7 needed columns; the other 4 (orderkey, partkey, suppkey,
+    # linenumber...) must not be read
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _formatted_plan(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _formatted_plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prune_pushdown_schema(spark):
+    plan = _formatted_plan(spark, "scan_prune_pushdown")
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+    assert "LessThan(l_quantity,5.0)" in plan
+
+
+def test_topk_no_global_sort(spark):
+    """Top-k per group must rank within partitions, not globally sort the
+    fact table; limit_topk must use TakeOrderedAndProject (no full sort +
+    collect)."""
+    plan = _formatted_plan(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_sql_oracle_queries(spark):
+    """No SQL-graded relational query may plan a CartesianProduct —
+    cross-join semantics must come from join_cross only (and the
+    similarity brute-force baselines are broadcast NLJs by design)."""
+    allowed = {"join_cross", "sim_cosine_topk", "dedup_embedding"}
+    flagged = []
+    for key, spec in engine.REGISTRY.items():
+        if spec.oracle is None or key in allowed:
+            continue
+        if key.startswith(("stream_", "ml_")):
+            continue  # streaming plans materialize through sinks
+        plan = _formatted_plan(spark, key)
+        if "CartesianProduct" in plan:
+            flagged.append(key)
+    assert not flagged, f"unexpected cartesian joins in: {flagged}"
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["agg_hash_groupby", "join_multiway", "win_rank", "fn_datetime"],
+)
+def test_headline_plans_stay_codegen(spark, key):
+    plan = _executed_plan(spark, key)
+    # '*(n)' marks WholeStageCodegen stages; the scan and both agg
+    # phases must be inside one
+    assert "*(" in plan, f"no codegen stage in final plan:\n{plan[:800]}"
