@@ -78,7 +78,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # testdata is one parquet split — spread the LSH self-join across
     # cores (at real scale file layout provides this for free)
-    d = _docs_with_shingles(spark, sf_dir).repartition("doc_id")
+    d = _docs_with_shingles(spark, sf_dir).repartition(64, "doc_id")
     tf = HashingTF(
         inputCol="shingles", outputCol="tf_vec", numFeatures=1 << 18, binary=True
     )
@@ -175,7 +175,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = bits.select("doc_id", simhash.alias("simhash"))
     a = sh.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a")
-    ).repartition("doc_id_a")  # parallelize the all-pairs comparison
+    ).repartition(64, "doc_id_a")  # parallelize the all-pairs comparison
     b = sh.select(
         F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b")
     )
@@ -243,7 +243,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_a"),
         F.col("n_chars").alias("nc_a"),
         F.col("bigrams").alias("bg_a"),
-    ).repartition("doc_id_a")  # parallelize the banded pair comparison
+    ).repartition(64, "doc_id_a")  # parallelize the banded pair comparison
     b = bg.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("n_chars").alias("nc_b"),
@@ -260,4 +260,97 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= _BIGRAM_T)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- connected components: near-dup pairs → canonical doc groups --------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_O_SHINGLES} AS shingles FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+walk(doc_id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.doc_id
+)
+SELECT doc_id,
+       MIN(root) AS component_id,
+       COUNT(*) > 1 AS has_dups
+FROM walk
+GROUP BY doc_id
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: every doc labeled
+    with its component's canonical (minimum) doc_id — the step that
+    turns pairwise dedup output into keep/drop groups.
+
+    Spark side: iterative min-label propagation over the edge list
+    (labels ⋈ edges → min per neighbor → merge, loop to fixpoint) — the
+    standard O(graph-diameter)-round distributed CC; each round is one
+    hash join + partial agg, so it holds on a billion-edge graph where
+    any driver-side union-find dies. The oracle is a recursive CTE over
+    the identical edge set. Near-dup cliques here have diameter ≤ 2, so
+    the loop converges in ≲2 rounds.
+    """
+    d = _docs_with_shingles(spark, sf_dir)
+    a_sh, b_sh = F.col("a.shingles"), F.col("b.shingles")
+    jac = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
+        F.array_union(a_sh, b_sh)
+    ).cast("double")
+    pairs = (
+        d.alias("a")
+        .repartition(64, F.col("a.doc_id"))
+        .join(d.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= _JACCARD_T)
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+
+    labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(10):  # diameter bound; planted cliques need ≤2
+        prop = (
+            labels.join(edges, labels.doc_id == edges.a)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .cache()
+        )
+        changed = (
+            merged.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
+            .filter(F.col("component_id") != F.col("old"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+
+    in_component = edges.select(F.col("a").alias("doc_id")).distinct()
+    return labels.join(in_component.withColumn("has_dups", F.lit(True)),
+                       "doc_id", "left").select(
+        "doc_id",
+        "component_id",
+        F.coalesce("has_dups", F.lit(False)).alias("has_dups"),
     )

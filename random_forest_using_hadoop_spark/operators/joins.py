@@ -257,3 +257,63 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --- bucketed co-located join (shuffle-free fact ⋈ fact) ---------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {o_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact with *zero* join-side shuffle: both tables are written
+    bucketed+sorted by the join key, so the sort-merge join reads
+    co-located buckets directly (no Exchange above either scan — asserted
+    in test_plans).
+
+    This is the 100 TB answer to repeated big-table joins: pay the
+    bucketed write once, then every subsequent join/groupBy on the
+    bucket key is shuffle-free. Bucket count here is 8 for the test sf;
+    at scale pick buckets ≈ cluster cores so each bucket is one task.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    tag = abs(hash(sf_dir)) % (1 << 30)
+    names = {"li": f"li_bkt_{tag}", "o": f"o_bkt_{tag}"}
+    if not spark.catalog.tableExists(names["li"]):
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        for name, df, key in (
+            (names["li"], li, "l_orderkey"),
+            (names["o"], o, "o_orderkey"),
+        ):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    lb, ob = spark.table(names["li"]), spark.table(names["o"])
+    # hint merge: at test sf the dims fit the broadcast threshold, which
+    # would hide the bucketing; at 100 TB neither side broadcasts and
+    # SMJ-over-buckets is exactly the plan this operator pins
+    return (
+        lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

@@ -130,7 +130,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 86s → ~4s at sf0.1 on 32 cores)
     a = v.select(
         F.col("vec_id").alias("vec_id_a"), F.col("ve").alias("va")
-    ).repartition("vec_id_a")
+    ).repartition(64, "vec_id_a")
     b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("ve").alias("vb"))
     sim = _cosine(F.col("va"), F.col("vb"))
     return (

@@ -80,6 +80,18 @@ def test_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """join_bucketed_colocated: both sides are bucketed+sorted on the
+    join key, so the SMJ must read buckets directly — the only Exchange
+    allowed in the plan is the final aggregation's."""
+    plan = _executed_plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    # no shuffle on either join key — the only exchange is the agg's
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+
 def test_no_cartesian_in_sql_oracle_queries(spark):
     """No SQL-graded relational query may plan a CartesianProduct —
     cross-join semantics must come from join_cross only (and the
