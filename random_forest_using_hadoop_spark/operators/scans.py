@@ -163,3 +163,53 @@ def q_sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+# --- range-clustered parquet sink + pruned read-back -------------------------
+
+_RANGE_ORACLE = f"""
+SELECT COUNT(*) AS n,
+       {o_dsum('l_extendedprice')} AS revenue,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@register("sink_range_cluster", oracle=_RANGE_ORACLE)
+def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout rewrite: range-partition + sort the fact table by ship
+    date, then answer a date-slice query from the clustered copy.
+
+    Scale: repartitionByRange samples the key to build balanced ranges,
+    so each output file covers a disjoint, sorted date slice; a
+    date-band predicate then prunes whole files by footer min/max and
+    whole row groups by page stats — on a 100 TB fact table the slice
+    query reads only the files overlapping the band. This is the
+    cluster-by/z-order-lite layout step every large table wants after
+    ingest. The read-back filter is pushed (PushedFilters, gated in
+    test_plans).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    path = _tmp(sf_dir, "range_cluster")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+    return back.filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

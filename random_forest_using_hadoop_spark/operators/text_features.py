@@ -185,3 +185,59 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(hashes, 1, 4).alias("fingerprint"),
         F.element_at(hashes, 1).alias("min_hash"),
     )
+
+
+# --- token counting: whitespace + BPE-ish regex ------------------------------
+
+# GPT-2-style pre-tokenizer shape, ASCII-simplified so Java regex and RE2
+# agree codepoint-for-codepoint: a token is an optionally space-prefixed
+# run of letters, digits, or other non-space symbols.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_TOKCOUNT_ORACLE = rf"""
+WITH t AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(ws) AS ws_tokens,
+       SUM(bpe) AS bpe_tokens,
+       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_bpe_token
+FROM t
+GROUP BY lang
+"""
+
+
+@register("text_token_count", oracle=_TOKCOUNT_ORACLE)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget: per language, whitespace-token and BPE-ish
+    regex-token counts plus chars-per-token — the numbers an LLM data
+    pipeline needs to size a training mix before any real tokenizer runs.
+
+    Scale: two stateless regex projections + one hash-groupBy on a
+    5-value key; map-side partial aggregation means the shuffle carries
+    one row per (partition, lang). Counts are exact integers, so the
+    cross-engine hash is safe; the only float is one final division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+    )
+    return (
+        d.select("lang", "n_chars", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("bpe"), 6
+            ).alias("chars_per_bpe_token"),
+        )
+    )

@@ -104,3 +104,16 @@ def test_framesample_stride(spark):
     for r in rows:
         expect = (r["n_frames"] + 3) // 4
         assert len(r["sampled_hashes"]) == expect
+
+
+def test_query_topk_equals_bruteforce(spark):
+    """sim_query_topk (batch-prune + exact re-rank) must reproduce the
+    brute-force sim_cosine_topk result bit-for-bit — the prune is only
+    legitimate if it is lossless."""
+    fast = sorted(
+        map(tuple, engine.REGISTRY["sim_query_topk"].fn(spark, SF_DIR).collect())
+    )
+    brute = sorted(
+        map(tuple, engine.REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect())
+    )
+    assert fast == brute

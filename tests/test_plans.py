@@ -118,3 +118,12 @@ def test_headline_plans_stay_codegen(spark, key):
     # '*(n)' marks WholeStageCodegen stages; the scan and both agg
     # phases must be inside one
     assert "*(" in plan, f"no codegen stage in final plan:\n{plan[:800]}"
+
+
+def test_range_cluster_readback_pushdown(spark):
+    """sink_range_cluster: the date-band predicate must reach the parquet
+    reader of the clustered copy — file/row-group pruning by min-max
+    stats is the whole point of the layout rewrite."""
+    plan = _formatted_plan(spark, "sink_range_cluster")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
