@@ -257,3 +257,42 @@ def q_ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prediction") == F.col("re_prediction"), 0).otherwise(1)
         ).alias("n_mismatch"),
     )
+
+
+# --- deterministic hash split (beyond A3's seeded randomSplit) ---------------
+
+# The reproducible-pipeline alternative to randomSplit: membership is a
+# pure function of the row key, so the split survives repartitioning,
+# engine swaps, and incremental re-runs — which also makes it the ONLY
+# split in Tier A with a full SQL oracle. 'd' splits the 16 hex leads
+# 13/3 ≈ 81/19.
+_HASH_SPLIT_ORACLE = """
+SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd'
+            THEN 'train' ELSE 'test' END AS split,
+       label,
+       COUNT(*) AS n
+FROM embeddings
+GROUP BY 1, 2
+"""
+
+
+@register("ml_hash_split", oracle=_HASH_SPLIT_ORACLE)
+def q_ml_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by content hash of the row key,
+    with per-label counts (the stratification audit).
+
+    Scale: a stateless projection + hash agg — no sampling job, no
+    shuffle beyond the (split,label) aggregate, and (unlike randomSplit,
+    whose assignment depends on partition layout) adding executors or
+    re-bucketing the table cannot move a row across the split boundary.
+    At 100 TB this is how you hold out an eval set you can re-derive
+    forever.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    split = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "d", "train"
+    ).otherwise("test")
+    return (
+        e.groupBy(split.alias("split"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

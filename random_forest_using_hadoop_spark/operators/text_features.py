@@ -241,3 +241,48 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_bpe_token"),
         )
     )
+
+
+# --- global vocabulary: top-k tokens by corpus frequency ---------------------
+
+_VOCAB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM t
+WHERE token <> ''
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 50
+"""
+
+
+@register("text_vocab_topk", oracle=_VOCAB_ORACLE)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by term frequency with
+    document frequency — the first artifact of tokenizer training and
+    of stopword-list induction over a crawl.
+
+    Scale: explode + hash-groupBy; term_freq partial-aggregates
+    map-side, so the shuffle carries one row per (partition, token).
+    doc_freq is exact-distinct — Catalyst expands it to a two-phase
+    (token, doc_id) aggregate whose first phase also combines map-side;
+    hot tokens ("the") spread fine because the distinct phase keys on
+    the PAIR, not the token. Output is a TakeOrdered top-50, totally
+    ordered by (term_freq DESC, token) so LIMIT is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(50)
+    )

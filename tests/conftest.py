@@ -50,7 +50,12 @@ def _canon(v):
         return None
     if isinstance(v, bool):
         return v
-    if isinstance(v, (decimal.Decimal, float)):
+    if isinstance(v, decimal.Decimal):
+        # A stringifying driver hash sees Decimal('123.450000') ≠ 123.45,
+        # so a DECIMAL column may never stand in for a DOUBLE one — tag
+        # decimals by their exact string form, distinct from floats.
+        return ("dec", str(v))
+    if isinstance(v, float):
         f = float(v)
         if math.isnan(f):
             return "NaN"
