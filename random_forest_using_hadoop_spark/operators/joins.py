@@ -317,3 +317,70 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+# --- binned interval join: range join WITHOUT an equi key --------------------
+
+# Without an equi key, a range predicate alone plans as a nested-loop
+# cartesian — O(|L|·|R|), dead at scale. The fix is the canonical
+# interval-join binning trick (Flink interval join / Databricks
+# range-join hint): quantize time into bins the width of the lookback
+# window, explode each probe row to its two candidate bins, equi-join on
+# the bin, then apply the exact range filter. Candidates ∝ rows × 2 ×
+# bin density, never |L|·|R|.
+_BINNED_ORACLE = """
+SELECT p.event_id, COUNT(*) AS n_prior_err
+FROM events p
+JOIN events e
+  ON e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY p.event_id
+"""
+
+_BIN_US = 600 * 1_000_000  # bin width == lookback window (10 min)
+
+
+@register("join_range_binned", oracle=_BINNED_ORACLE)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors in the 10 minutes before each purchase, across ALL users —
+    a pure range join (no equi key) made shuffle-joinable by binning.
+
+    A window of width W spans at most 2 bins of width W, so each
+    purchase probes exactly bins {b-1, b}: the explode is a constant
+    2× fan-out on the (smaller) probe side, the join is a plain hash
+    equi-join on the bin id, and the exact BETWEEN runs as a
+    post-filter. Scale: shuffle ∝ rows, candidate pairs ∝ co-binned
+    density; skewed bins (event storms) split via AQE like any hot
+    equi-key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("e_ts"),
+            F.floor(us / _BIN_US).cast("bigint").alias("bin"),
+        )
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts").alias("p_ts"),
+            F.explode(
+                F.array(
+                    F.floor(us / _BIN_US).cast("bigint") - 1,
+                    F.floor(us / _BIN_US).cast("bigint"),
+                )
+            ).alias("bin"),
+        )
+    )
+    return (
+        purch.join(err, "bin")
+        .filter(
+            (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") < F.col("p_ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_err"))
+    )

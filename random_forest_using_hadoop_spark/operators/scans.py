@@ -213,3 +213,44 @@ def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+# --- small-file compaction ---------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       COUNT(DISTINCT doc_id) AS n_ids
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("sink_compact", oracle=_COMPACT_ORACLE)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: simulate a fragmented landing zone (64
+    shard files), rewrite it into few large files, and prove the content
+    survived byte-for-byte via per-lang stats against the source table.
+
+    Scale: streaming ingests and hourly partitions leave 100 TB tables
+    as millions of KB-sized files — scan throughput dies on open() and
+    footer reads, and the NameNode/catalog bloats. Compaction is a
+    keyless repartition(target) — a round-robin shuffle sized so each
+    output file approaches the 128 MB..1 GB sweet spot. coalesce() would
+    avoid the shuffle but chains upstream parallelism into the narrow
+    stage; for a layout rewrite the shuffle IS the point.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frag = _tmp(sf_dir, "compact_frag")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _tmp(sf_dir, "compact_out")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )

@@ -128,3 +128,48 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_tokens >= 10)
         & (F.col("n_chars") <= 12 * n_tokens)
     ).select("doc_id", "lang", "n_chars", n_tokens.alias("n_tokens"))
+
+
+# --- deterministic stratified downsampling -----------------------------------
+
+# Corpus mix weighting: keep ~30% of every source stratum, membership a
+# pure function of the row key (md5 prefix < '4d' keeps 77/256 ≈ 30.1%).
+# Unlike sample()/sampleBy(), the kept set is independent of partition
+# layout and executor count — re-runs, backfills, and engine swaps keep
+# the identical subset, which is what makes a training-mix reproducible.
+_SAMPLE_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE substr(md5(concat(source, ':',
+           CAST(doc_id AS VARCHAR))), 1, 2) < '4d') AS n_kept,
+       SUM(n_chars) FILTER (WHERE substr(md5(concat(source, ':',
+           CAST(doc_id AS VARCHAR))), 1, 2) < '4d') AS chars_kept
+FROM documents
+GROUP BY source
+"""
+
+
+@register("sample_hash_stratified", oracle=_SAMPLE_ORACLE)
+def q_sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic ~30% downsample with the audit counts a
+    data-mix pipeline reports (docs kept and chars kept per stratum).
+
+    Scale: membership is a stateless hash projection — no sampling job,
+    no per-stratum pass; the audit is one partial+final hash agg on a
+    20-value key. Tuning the mix = editing the per-source threshold
+    table and re-running the same single scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < "4d"
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("chars_kept"),
+    )

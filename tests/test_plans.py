@@ -127,3 +127,31 @@ def test_range_cluster_readback_pushdown(spark):
     plan = _formatted_plan(spark, "sink_range_cluster")
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
+
+
+def test_binned_range_join_is_equi_join(spark):
+    """join_range_binned exists to avoid the nested-loop cartesian a
+    pure range predicate would plan — the bin key must make it a real
+    equi-join."""
+    plan = _formatted_plan(spark, "join_range_binned")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_argmax_is_hash_agg_not_window(spark):
+    """agg_argmax's reason to exist: latest-row-per-key WITHOUT a
+    window sort — the plan must be a two-phase hash aggregate."""
+    plan = _formatted_plan(spark, "agg_argmax")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """subquery_correlated (Q17 shape) must decorrelate to a per-key
+    aggregate joined back — never a per-row re-scan (which would show
+    as a nested-loop over the subquery)."""
+    plan = _formatted_plan(spark, "subquery_correlated")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # inner avg + outer count
