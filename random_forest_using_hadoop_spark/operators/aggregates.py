@@ -356,3 +356,33 @@ def q_agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("total_value_fp") / 1e6).alias("total_value"),
     )
+
+
+# --- histogram: equi-width bucketing -----------------------------------------
+
+# Dialect-shared SQL (run verbatim on Spark and DuckDB): floor-division
+# bucketing instead of width_bucket (absent in DuckDB 1.0); 5e1 keeps
+# the division DOUBLE-typed in both parsers.
+_HIST_SQL = """
+SELECT CAST(floor(n_chars / 5e1) AS BIGINT) * 50 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HIST_SQL)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths (50-char buckets) — the
+    distribution profile behind every quality-filter threshold choice.
+
+    Scale: bucketing is a stateless projection; the agg shuffles one
+    partial state per (partition, bucket) — a histogram over 100 TB
+    costs one scan regardless of bucket count. Exact integer stats, so
+    the cross-engine hash needs no float policy at all.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HIST_SQL)

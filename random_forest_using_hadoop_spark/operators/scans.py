@@ -254,3 +254,68 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct("doc_id").alias("n_ids"),
     )
+
+
+# --- CDC upsert (merge) sink -------------------------------------------------
+
+_UPSERT_ORACLE = f"""
+WITH snap AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1e2 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT s.* FROM snap s ANTI JOIN upd u ON s.o_orderkey = u.o_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@register("sink_upsert", oracle=_UPSERT_ORACLE)
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE) into a parquet snapshot: an update batch wins
+    on key collision, unmatched snapshot rows survive, new keys insert —
+    then the merged table is rewritten and audited per status.
+
+    The snapshot is orders minus every 10th key; the batch repriced
+    copies of every 7th key (some colliding, some net-new), so all three
+    MERGE outcomes occur. Implementation is the lake-table primitive:
+    batch ∪ (snapshot ANTI-JOIN batch) — copy-on-write over plain
+    parquet, which is exactly what Delta/Iceberg/Hudi optimize into
+    metadata. Scale: the anti-join keys on the merge key, so with both
+    sides partitioned by it the rewrite touches only colliding
+    partitions; the batch side is typically small → broadcast anti-join,
+    no snapshot shuffle at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = o.columns
+    snap = o.filter(F.col("o_orderkey") % 10 != 0)
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .select(cols)
+    )
+    merged = upd.unionByName(
+        snap.join(F.broadcast(upd.select("o_orderkey")), "o_orderkey", "left_anti")
+        .select(cols)
+    )
+    path = _tmp(sf_dir, "upsert")
+    merged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

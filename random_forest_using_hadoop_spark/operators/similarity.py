@@ -395,3 +395,77 @@ def q_sim_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_query") <= TOP_K)
         .select("query_id", "corpus_id", "cos_sim", "rank_in_query")
     )
+
+
+# --- int8 vector quantization with reconstruction-error audit ----------------
+
+# Per-vector symmetric int8: scale = 127/max|x|, q = floor(x*scale + .5)
+# (round-half-toward-+inf, written identically in both engines so the
+# reconstruction is bit-for-bit comparable). The per-vector folds run in
+# array order on both sides; only the cross-vector mean goes through the
+# fixed-point policy.
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+q AS (
+  SELECT label,
+         len(ve) AS dim,
+         sqrt(list_aggregate(
+             list_transform(ve, x ->
+                 pow(x - floor(x * (127e0 / list_aggregate(
+                         list_transform(ve, y -> abs(y)), 'max'))
+                     + 5e-1)
+                     / (127e0 / list_aggregate(
+                         list_transform(ve, y -> abs(y)), 'max')), 2)),
+             'sum') / len(ve)) AS rmse
+  FROM v
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(rmse * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) / 1e9
+         AS mean_rmse_sum
+FROM q
+GROUP BY label
+"""
+
+
+@register("emb_quantize", oracle=_QUANT_ORACLE)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column with a
+    per-label reconstruction-error (RMSE) audit — the compression step
+    that makes a billion-vector ANN index fit in executor memory (4×
+    smaller than float32, 8× than float64).
+
+    Scale: stateless per-row array math, entirely JVM-side (transform/
+    aggregate fold), then one hash agg on the 10-value label key. The
+    audit is how a pipeline decides quantization is safe before
+    swapping the serving index. Errors are quantized at 1e-9 before the
+    cross-vector sum so the mean is accumulation-order-free.
+    """
+    v = _vectors(spark, sf_dir)
+    amax = F.aggregate(
+        F.transform(F.col("ve"), lambda y: F.abs(y)),
+        F.lit(0.0),
+        lambda acc, y: F.greatest(acc, y),
+    )
+    scale = F.lit(127.0) / amax
+    err_sq = F.transform(
+        F.col("ve"),
+        lambda x: F.pow(x - F.floor(x * scale + F.lit(0.5)) / scale, F.lit(2.0)),
+    )
+    rmse = F.sqrt(
+        F.aggregate(err_sq, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(F.col("ve"))
+    )
+    return (
+        v.select("label", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.floor(F.col("rmse") * 1e9 + 0.5).cast("bigint"))
+                / F.lit(1e9)
+            ).alias("mean_rmse_sum"),
+        )
+    )
