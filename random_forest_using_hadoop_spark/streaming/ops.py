@@ -480,3 +480,64 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return rows
+
+
+# --- stream-stream watermarked interval join ---------------------------------
+
+_SSJOIN_ORACLE = """
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id
+"""
+
+
+@register("stream_stream_join", oracle=_SSJOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks in the 30 minutes before each
+    purchase by the same user — attribution, the canonical two-stream
+    workload. availableNow replay of both sides ≡ the batch interval
+    join, so a SQL oracle applies.
+
+    Scale: both streams shuffle on user_id into the same state store;
+    each side buffers rows only until the other side's watermark passes
+    the join window (state ∝ users × 30-min rate, not stream length).
+    The time-range condition is what lets the engine GC — a
+    stream-stream join without it buffers forever. The join itself is
+    append-mode; the per-user rollup runs as a batch over the sink,
+    avoiding chained-stateful-operator output-mode restrictions.
+    """
+    src_file = f"{sf_dir}/events.parquet"
+    purchases = (
+        _events_stream(spark, src_file)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, src_file)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user"
+            " AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    )
+    pairs = _run_to_memory(joined, "ss_ssjoin", "append")
+    return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
