@@ -386,3 +386,37 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_HIST_SQL)
+
+
+# --- mergeable HLL sketch rollup (rows-only: Spark HLL ≠ DuckDB HLL) ---------
+
+
+@register("agg_sketch_rollup", oracle=None)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of active
+    users, unioned into a total without touching raw rows again —
+    alongside the exact count for an error audit.
+
+    Scale: THE pattern for distinct-counts at 100 TB. Exact distinct
+    shuffles every (day, user) pair; a sketch table shuffles one ~1.5 KB
+    sketch per day, pre-aggregates map-side, and — unlike an exact
+    count — yesterday's sketches union with today's without re-scanning
+    history. HLL union is register-wise max: order-insensitive,
+    deterministic, and safe to re-run. Rows-only check (Spark's
+    Datasketches estimates won't equal DuckDB's HLL), with the exact
+    value carried in-row so the tests can bound the relative error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "est_total_users"
+        ),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+    ).crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("exact_total_users"))
+    )

@@ -319,3 +319,53 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+# --- schema evolution: mergeSchema across file generations -------------------
+
+_EVOLVE_ORACLE = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_with_price,
+       COUNT(o_orderpriority) AS n_with_prio,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM merged
+"""
+
+
+@register("scan_schema_evolution", oracle=_EVOLVE_ORACLE)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet generations with different columns
+    (v1 carries price, v2 added priority and dropped price) read as ONE
+    table via mergeSchema, audited by null-aware counts.
+
+    Scale: mergeSchema reconciles footers at planning time — missing
+    columns read as null without rewriting old files, which is how a
+    100 TB table survives a column add. The merge step reads only
+    footers (one RPC per file), so compacted generations (few large
+    files) keep planning cheap; this is also why mergeSchema defaults
+    OFF — enable it per-read, not globally.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    root = _tmp(sf_dir, "evolve")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_orderpriority").alias("n_with_prio"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
