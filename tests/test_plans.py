@@ -155,3 +155,23 @@ def test_correlated_subquery_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # inner avg + outer count
+
+
+def test_q5_pushdown_and_no_cartesian(spark):
+    plan = _formatted_plan(spark, "tpch_q5_local_supplier")
+    # region + date filters must reach the parquet scans
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # the c_nationkey = s_nationkey theta-leg must ride a hash join,
+    # never degrade to a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_rollup_before_join_and_topk(spark):
+    plan = _formatted_plan(spark, "tpch_q18_large_volume")
+    # quantity rollup is a two-phase hash agg (partial combines map-side
+    # before the l_orderkey shuffle) ...
+    assert plan.count("HashAggregate") >= 2
+    # ... and the final top-20 is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
