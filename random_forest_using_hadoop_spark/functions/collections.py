@@ -25,7 +25,9 @@ SELECT vec_id,
        round(sqrt(list_reduce(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                   (a, b) -> a + b)), 6) AS l2_norm,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3
+       array_to_string(list_transform(embedding[1:3],
+                         x -> format('{:.6f}', round(CAST(x AS DOUBLE), 6))),
+                       ',') AS head3
 FROM embeddings
 """
 
@@ -51,9 +53,15 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("l2_norm"),
-        F.transform(F.slice(arr, 1, 3), lambda x: F.round(x.cast("double"), 6)).alias(
-            "head3"
-        ),
+        # Serialized, fixed-format: the driver's pandas canonicalizer
+        # cannot hash array cells (r1 lesson) — emit a string, never a list.
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(arr, 1, 3),
+                lambda x: F.format_string("%.6f", F.round(x.cast("double"), 6)),
+            ),
+        ).alias("head3"),
     )
 
 

@@ -223,7 +223,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _B27_ORACLE = """
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        COUNT(*) AS n
 FROM orders
 GROUP BY o_orderpriority
@@ -233,10 +233,17 @@ GROUP BY o_orderpriority
 @register("agg_collect", oracle=_B27_ORACLE)
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B27: collect_set + sort_array (sorted ⇒ deterministic across
-    partition orders; the §2 rule for any collected list)."""
+    partition orders; the §2 rule for any collected list).
+
+    The collected list is serialized with concat_ws: the driver's pandas
+    canonicalizer cannot hash array cells (r1 agg_collect crash), so no
+    registered query may emit an array-typed column.
+    """
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -362,11 +369,13 @@ def q_agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Dialect-shared SQL (run verbatim on Spark and DuckDB): floor-division
 # bucketing instead of width_bucket (absent in DuckDB 1.0); 5e1 keeps
-# the division DOUBLE-typed in both parsers.
+# the division DOUBLE-typed in both parsers. SUM is cast back to BIGINT
+# because DuckDB widens SUM(int) to HUGEINT, which the driver's pandas
+# bridge renders float64 and hash-mismatches Spark's bigint (r1 lesson).
 _HIST_SQL = """
 SELECT CAST(floor(n_chars / 5e1) AS BIGINT) * 50 AS bucket_lo,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents

@@ -153,9 +153,9 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, n_frames,
-       list_filter(list_transform(frames, (x, i) -> CASE
+       array_to_string(list_filter(list_transform(frames, (x, i) -> CASE
            WHEN (i - 1) % {_FRAME_STRIDE} = 0 THEN x END),
-         x -> x IS NOT NULL) AS sampled_hashes
+         x -> x IS NOT NULL), ',') AS sampled_hashes
 FROM f
 """
 
@@ -186,11 +186,13 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(t), _FRAME_CHARS)
                 ]
                 n_frames.append(len(chunks))
+                # Comma-joined, not a list: array cells crash the
+                # driver's pandas canonicalizer (r1 lesson).
                 sampled.append(
-                    [
+                    ",".join(
                         hashlib.md5(c.encode("utf-8")).hexdigest()
                         for c in chunks[::_FRAME_STRIDE]
-                    ]
+                    )
                 )
             yield pd.DataFrame(
                 {
@@ -202,5 +204,5 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         sample_batch,
-        schema="doc_id long, n_frames long, sampled_hashes array<string>",
+        schema="doc_id long, n_frames long, sampled_hashes string",
     )

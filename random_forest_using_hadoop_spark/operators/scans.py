@@ -220,7 +220,7 @@ def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_ORACLE = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT doc_id) AS n_ids
 FROM documents
 GROUP BY lang

@@ -142,8 +142,8 @@ SELECT source,
        COUNT(*) AS n_docs,
        COUNT(*) FILTER (WHERE substr(md5(concat(source, ':',
            CAST(doc_id AS VARCHAR))), 1, 2) < '4d') AS n_kept,
-       SUM(n_chars) FILTER (WHERE substr(md5(concat(source, ':',
-           CAST(doc_id AS VARCHAR))), 1, 2) < '4d') AS chars_kept
+       CAST(SUM(n_chars) FILTER (WHERE substr(md5(concat(source, ':',
+           CAST(doc_id AS VARCHAR))), 1, 2) < '4d') AS BIGINT) AS chars_kept
 FROM documents
 GROUP BY source
 """

