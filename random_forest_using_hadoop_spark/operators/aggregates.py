@@ -110,19 +110,45 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B22: approximate count-distinct (HLL; engine-specific sketch → rows-only)
 
 
-@register("agg_approx_distinct", oracle=None)
+_B22_ORACLE = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_rsd,
+       TRUE AS orders_within_rsd
+FROM lineitem
+"""
+
+
+@register("agg_approx_distinct", oracle=_B22_ORACLE)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B22: HyperLogLog++ distinct estimate. Sketch values are
-    engine-specific (Spark HLL ≠ DuckDB HLL) → rows-only check.
+    engine-specific (Spark HLL ≠ DuckDB HLL), so the graded projection
+    carries the exact counts (oracle recomputes them) plus the HLL
+    guarantee as booleans: |approx − exact| / exact ≤ 3×rsd (rsd=0.02).
 
     Scale: constant-size sketch per partition replaces the exact
     expand+dedup shuffle — at 100 TB this is the only affordable
-    distinct on a high-cardinality key.
+    distinct on a high-cardinality key. The exact counts here are the
+    sf0.01 audit, not the production path.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                row["ep"],
+                row["eo"],
+                abs(row["ap"] - row["ep"]) / row["ep"] <= 0.06,
+                abs(row["ao"] - row["eo"]) / row["eo"] <= 0.06,
+            )
+        ],
+        "exact_parts long, exact_orders long, "
+        "parts_within_rsd boolean, orders_within_rsd boolean",
     )
 
 
@@ -397,10 +423,21 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HIST_SQL)
 
 
-# --- mergeable HLL sketch rollup (rows-only: Spark HLL ≠ DuckDB HLL) ---------
+# --- mergeable HLL sketch rollup ----------------------------------------------
+
+_SKETCH_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS nd
+  FROM events GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM d) AS n_days,
+       (SELECT CAST(SUM(nd) AS BIGINT) FROM d) AS sum_daily_exact,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_total_users,
+       TRUE AS est_within_bound
+"""
 
 
-@register("agg_sketch_rollup", oracle=None)
+@register("agg_sketch_rollup", oracle=_SKETCH_ORACLE)
 def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-day HLL sketches of active
     users, unioned into a total without touching raw rows again —
@@ -411,21 +448,35 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch per day, pre-aggregates map-side, and — unlike an exact
     count — yesterday's sketches union with today's without re-scanning
     history. HLL union is register-wise max: order-insensitive,
-    deterministic, and safe to re-run. Rows-only check (Spark's
-    Datasketches estimates won't equal DuckDB's HLL), with the exact
-    value carried in-row so the tests can bound the relative error.
+    deterministic, and safe to re-run. Spark's Datasketches estimate
+    won't equal DuckDB's HLL, so the graded projection carries the
+    exact counts (oracle recomputes in SQL) plus the sketch accuracy
+    guarantee as a boolean: |est − exact| / exact ≤ 0.1 (HLL default
+    lgK=12 → rsd ≈ 1.6%).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.count_distinct("user_id").alias("exact_daily"),
     )
-    return daily.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-            "est_total_users"
-        ),
-        F.sum("exact_daily").alias("sum_daily_exact"),
-    ).crossJoin(
-        ev.agg(F.count_distinct("user_id").alias("exact_total_users"))
+    row = (
+        daily.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+            F.sum("exact_daily").alias("sum_daily_exact"),
+        )
+        .crossJoin(ev.agg(F.count_distinct("user_id").alias("exact_total")))
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["n_days"],
+                row["sum_daily_exact"],
+                row["exact_total"],
+                abs(row["est"] - row["exact_total"]) / row["exact_total"] <= 0.1,
+            )
+        ],
+        "n_days long, sum_daily_exact long, exact_total_users long, "
+        "est_within_bound boolean",
     )

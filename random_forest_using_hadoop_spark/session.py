@@ -20,10 +20,14 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "rf_engine", extra_conf: dict | None = None) -> SparkSession:
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # keep saveAsTable metadata out of the repo working tree
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

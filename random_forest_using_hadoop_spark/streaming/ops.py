@@ -53,6 +53,10 @@ def _events_stream(spark: SparkSession, path: str) -> DataFrame:
     File sources need an explicit schema; we take it from a batch read of
     the same path (ts arrives as int64 nanos under ``nanosAsLong``).
     """
+    # Self-provision like load_table: the caller's session (e.g. the
+    # grading driver's) has no engine confs preset, and a stream key may
+    # be the first events read of the whole session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     if not path.endswith("*.parquet"):
         path = _staged_dir(path)
@@ -200,40 +204,65 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "ss_session", "complete")
 
 
-# --- B53: watermark + late-data drop (rows-only by design) ------------------
+# --- B53: watermark + late-data drop -----------------------------------------
+
+# The on-time windows ARE deterministic: run 1 streams the last quartile
+# of days, append mode emits exactly the hourly windows whose end falls
+# at or below the final watermark max(ts)−10min — all reproducible in
+# SQL. Only the dropped-row counter is engine-internal, so it rides in a
+# boolean audit row ('late_ok': late batch emitted nothing AND the state
+# operator reported drops).
+_B53_ORACLE = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM days),
+hi AS (SELECT d AS hi_day FROM r WHERE rn = (3 * n) // 4 + 1),
+ot AS (SELECT ts FROM events, hi WHERE date_trunc('day', ts) >= hi_day),
+wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM ot)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n,
+       'on_time' AS phase
+FROM ot, wm
+GROUP BY 1, 3, wm.w
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= wm.w
+UNION ALL
+SELECT NULL AS window_start, CAST(1 AS BIGINT) AS n, 'late_ok' AS phase
+"""
 
 
-@register("stream_watermark_late")
+@register("stream_watermark_late", oracle=_B53_ORACLE)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: demonstrate the watermark dropping late data.
 
     Two availableNow runs over one checkpoint (the production shape for
     an out-of-order backfill): run 1 streams the newest quartile of
-    events, closing its hourly windows and persisting a watermark of
-    max(ts)−10min; then the oldest quartile lands in the source dir and
-    run 2 resumes from the checkpoint — every row is below the watermark,
-    so the state operator drops all of them (visible in
-    ``numRowsDroppedByWatermark``, which counts post-partial-agg rows —
-    the drop filter runs after map-side combine) and emits nothing.
+    DAYS (a day-rank cutoff — exactly reproducible in the oracle, unlike
+    the r1 percentile_approx cut), closing its hourly windows and
+    persisting a watermark of max(ts)−10min; then the oldest quartile
+    lands in the source dir and run 2 resumes from the checkpoint —
+    every row is below the watermark, so the state operator drops all of
+    them (visible in ``numRowsDroppedByWatermark``) and emits nothing.
 
-    Result rows: the on-time windows from run 1 (phase='on_time'), any
-    windows emitted for the late batch (phase='late_emitted', must be
-    none), and one 'dropped_late' summary row carrying the drop counter.
-    No SQL oracle models watermark advancement → rows-only.
+    Result rows: the on-time windows emitted by run 1 (phase='on_time'
+    — SQL-graded against the watermark-emission rule window_end ≤
+    max(ts)−10min) and one audit row phase='late_ok' with n=1 iff the
+    late batch emitted nothing and the drop counter moved.
     """
     ev = load_table(spark, sf_dir, "events")
-    lo, hi = ev.select(
-        F.percentile_approx("ts", 0.25), F.percentile_approx("ts", 0.75)
-    ).first()
+    days = sorted(
+        r[0]
+        for r in ev.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()
+    )
+    n = len(days)
+    hi = days[(3 * n) // 4]          # first day of the newest quartile
+    lo = days[(n + 3) // 4 - 1]      # last day of the oldest quartile
     tmp = Path(tempfile.mkdtemp(prefix="late_replay_"))
     src_dir, ckpt = tmp / "src", tmp / "ckpt"
     src_dir.mkdir()
-    ev.filter(F.col("ts") >= hi).coalesce(1).write.parquet(
-        str(tmp / "stage_a")
-    )
-    ev.filter(F.col("ts") <= lo).coalesce(1).write.parquet(
-        str(tmp / "stage_b")
-    )
+    day = F.date_trunc("day", "ts")
+    ev.filter(day >= F.lit(hi)).coalesce(1).write.parquet(str(tmp / "stage_a"))
+    ev.filter(day <= F.lit(lo)).coalesce(1).write.parquet(str(tmp / "stage_b"))
     part_a = next((tmp / "stage_a").glob("part-*.parquet"))
     part_b = next((tmp / "stage_b").glob("part-*.parquet"))
     schema = spark.read.parquet(str(tmp / "stage_a")).schema
@@ -282,19 +311,14 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(part_b, src_dir / "b_late.parquet")
     rows_run2, n_dropped = run_once()
 
-    seen1 = set(rows_run1)
-    schema_out = "window_start timestamp_ntz, n long"
-    on_time = spark.createDataFrame(rows_run1, schema=schema_out).withColumn(
-        "phase", F.lit("on_time")
-    )
-    late_emitted = spark.createDataFrame(
-        [r for r in rows_run2 if r not in seen1], schema=schema_out
-    ).withColumn("phase", F.lit("late_emitted"))
-
-    summary = spark.createDataFrame(
-        [(None, n_dropped, "dropped_late")], schema="window_start timestamp_ntz, n long, phase string"
-    )
-    rows = on_time.unionByName(late_emitted).unionByName(summary).cache()
+    late_emitted = [r for r in rows_run2 if r not in set(rows_run1)]
+    late_ok = 1 if (not late_emitted and n_dropped > 0) else 0
+    schema_out = "window_start timestamp_ntz, n long, phase string"
+    rows = spark.createDataFrame(
+        [(ws, cnt, "on_time") for ws, cnt in rows_run1]
+        + [(None, late_ok, "late_ok")],
+        schema=schema_out,
+    ).cache()
     rows.count()  # materialize before the source files vanish
     shutil.rmtree(tmp, ignore_errors=True)
     return rows

@@ -1,5 +1,11 @@
 """Tier A ML sanity (SURVEY.md §5.3.3): seeded determinism, accuracy
-floor, confusion-marginal consistency, persistence roundtrip."""
+floor, split/bootstrap invariants, persistence roundtrip.
+
+r2: every Tier A query now RETURNS its invariants as a graded
+projection (exact SQL-derivable columns + booleans), so most tests
+assert the booleans came back true — the SQL-oracle parity test
+separately proves the exact columns match DuckDB.
+"""
 
 from __future__ import annotations
 
@@ -21,33 +27,38 @@ def test_assemble_dims(spark, reg):
     assert all(r.n_features == 64 for r in rows)
 
 
-def test_split_partitions_everything(spark, reg):
-    rows = reg["ml_split"].fn(spark, SF_DIR).collect()
-    total = sum(r.n for r in rows)
-    n_all = reg["ml_assemble"].fn(spark, SF_DIR).count()
-    assert total == n_all
+def test_split_invariants(spark, reg):
+    row = reg["ml_split"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_total == 500 and row.n_classes == 10
+    assert row.split_exhaustive and row.train_frac_ok and row.all_classes_in_train
 
 
-def test_bootstrap_counts(spark, reg):
+def test_bootstrap_invariants(spark, reg):
     row = reg["ml_bootstrap"].fn(spark, SF_DIR).collect()[0]
-    # with-replacement at fraction 1.0: n≈N, distinct ≈ (1-1/e)N
-    assert 0.85 <= row.n_sampled / 500 <= 1.15
-    assert row.n_unique < row.n_sampled
+    assert row.n_rows == 500
+    assert row.sampled_frac_ok and row.unique_frac_ok
 
 
 def test_rf_train_summary(spark, reg):
     row = reg["ml_rf_train"].fn(spark, SF_DIR).collect()[0]
     assert row.num_trees == 20
-    assert row.n_train + row.n_test == 500
+    assert row.n_total == 500
     # labels are near-chance in this corpus (BASELINE: acc 0.115) — the
     # floor asserts "model votes sanely", not "model is good"
-    assert 0.02 <= row.accuracy <= 1.0
+    assert row.forest_grew and row.acc_above_chance
 
 
-def test_confusion_marginals_match_test_counts(spark, reg):
-    conf = reg["ml_rf_predict"].fn(spark, SF_DIR).collect()
-    eval_row = reg["ml_eval"].fn(spark, SF_DIR).collect()[0]
-    assert sum(r.n for r in conf) == eval_row.n_test
+def test_predict_and_eval_invariants(spark, reg):
+    pred = reg["ml_rf_predict"].fn(spark, SF_DIR).collect()[0]
+    assert pred.n_classes == 10
+    assert pred.preds_in_domain and pred.votes_cover_test and pred.preds_integral
+    ev = reg["ml_eval"].fn(spark, SF_DIR).collect()[0]
+    assert ev.acc_in_01 and ev.f1_in_01 and ev.acc_above_chance
+
+
+def test_regression_invariants(spark, reg):
+    row = reg["ml_rf_reg"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_test_pos and row.rmse_finite and row.rmse_bounded
 
 
 def test_determinism_same_seed(spark, reg):
@@ -60,9 +71,10 @@ def test_determinism_same_seed(spark, reg):
 def test_persistence_roundtrip_identical(spark, reg):
     row = reg["ml_persist"].fn(spark, SF_DIR).collect()[0]
     assert row.n_mismatch == 0
-    assert row.n_pred > 0
+    assert row.roundtrip_nonempty
 
 
 def test_importances_valid(spark, reg):
-    rows = reg["ml_importance"].fn(spark, SF_DIR).collect()
-    assert rows and all(0.0 <= r.importance <= 1.0 for r in rows)
+    row = reg["ml_importance"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_top == 10
+    assert row.all_in_01 and row.total_le_1 and row.sorted_desc and row.idx_in_range

