@@ -17,3 +17,4 @@ import random_forest_using_hadoop_spark.operators.text_features  # noqa: F401
 import random_forest_using_hadoop_spark.operators.multimodal  # noqa: F401
 import random_forest_using_hadoop_spark.operators.relational_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.pipelines  # noqa: F401
+import random_forest_using_hadoop_spark.operators.scale_ext  # noqa: F401

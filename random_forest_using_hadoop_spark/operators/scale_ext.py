@@ -1,0 +1,361 @@
+"""Scale-path extensions a 100 TB training-data pipeline reaches for
+next: deterministic per-group sampling, cohort retention, mergeable
+quantile rollups, manual skew-join salting, cogrouped pandas merges,
+and multi-dimensional (z-order) data clustering.
+
+All beyond SURVEY.md §2's letter keys, graded by the same
+(spark_fn, oracle_sql) harness as everything else. Cross-engine hash
+policy follows registry.py: fixed-point float aggregation, BIGINT-cast
+integer sums, totally-ordered limits, no array-typed outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- deterministic per-group top-n sample (reservoir replacement) -------------
+
+_PERGROUP_N = 10
+
+_SAMPLE_TOPN_ORACLE = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM r WHERE rk <= {_PERGROUP_N}
+"""
+
+
+@register("sample_pergroup_topn", oracle=_SAMPLE_TOPN_ORACLE)
+def q_sample_pergroup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each stratum by
+    a content hash of the key and keep the first n — the reproducible
+    replacement for per-group reservoir sampling (same n, but the kept
+    set is a pure function of the data, independent of partition layout,
+    executor count, and traversal order).
+
+    Scale: one window per group key. For pathological groups (billions
+    of rows under one key) pre-prune with the salted two-phase cut from
+    sim_cosine_topk; at normal cardinalities the per-group heap is
+    already partial — only ~n rows per (partition, group) survive to the
+    final rank.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PERGROUP_N)
+    )
+
+
+# --- cohort retention rollup --------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("agg_retention_cohort", oracle=_RETENTION_ORACLE)
+def q_agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    (cohort, day-offset) — the canonical activity-retention rollup.
+
+    Scale: two shuffles, both on true keys — (user) for first-seen and
+    the distinct day set, then (cohort, offset) for the rollup; every
+    aggregate partial-combines map-side. The cohort dim (≤ #days rows)
+    broadcasts into the join. No window, no self-join over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --- mergeable quantile rollup ------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_quantile_rollup", oracle=_QUANTILE_ORACLE)
+def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key latency-style quantiles: exact interpolated p50/p95
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — the same parity
+    pinned by agg_stats) next to a mergeable ``approx_percentile``
+    sketch, graded as a boolean error bound vs the exact value.
+
+    Scale: exact percentile shuffles every (key, value) pair — fine per
+    moderate key, deadly global; approx_percentile (Greenwald-Khanna)
+    keeps a constant-size summary per partition and merges — THE
+    quantile at 100 TB. Carrying both here is the audit that justifies
+    swapping exact → sketch in production.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    exact50 = F.percentile(F.col("value"), F.lit(0.5))
+    exact95 = F.percentile(F.col("value"), F.lit(0.95))
+    approx50 = F.expr("approx_percentile(value, 0.5, 10000)")
+    spread = F.max("value") - F.min("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact50, 6).alias("p50"),
+        F.round(exact95, 6).alias("p95"),
+        (F.abs(approx50 - exact50) <= spread * 0.01).alias("approx_ok"),
+    )
+
+
+# --- manual skew-join salting -------------------------------------------------
+
+_SKEW_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'revenue'
+              ELSE 'engagement' END AS channel
+  FROM events
+)
+SELECT d.channel,
+       COUNT(*) AS n_events,
+       {o_dsum('e.value')} AS total_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.channel
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_ORACLE)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim with MANUAL salting: the fact side's join key has
+    5 values over 100k+ rows (extreme skew — an unsalted shuffle join
+    puts 1/5 of the table in each of 5 tasks). The fact adds
+    salt = pmod(event_id, 8); the dim is exploded ×8 so (key, salt) is
+    an equi-join that spreads every hot key over 8 tasks.
+
+    Scale: this is the mitigation when broadcast is impossible (dim too
+    big) and AQE skew-split can't apply (it only splits sort-merge
+    partitions, not aggregations pinned to the join output, and never
+    helps full-outer shapes). Salt factor trades dim duplication for
+    parallelism; at 100 TB pick salt ≈ cluster parallelism / #hot-keys.
+    The dim here is tiny — the point is the plan shape, gated in
+    test_plans: a hash/SMJ join on (event_type, salt), no broadcast.
+    """
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), "revenue"
+            ).otherwise("engagement"),
+        )
+    )
+    salted_fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)))
+    exploded_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).hint("shuffle_hash")  # forbid broadcast: the demo IS the shuffle shape
+    return (
+        salted_fact.join(exploded_dim, ["event_type", "salt"])
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# --- cogrouped pandas merge (applyInPandas over cogroup) ----------------------
+
+_COGROUP_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+  FROM events
+  GROUP BY user_id
+  HAVING COUNT(CASE WHEN event_type IN ('purchase', 'error') THEN 1 END) > 0
+),
+fl AS (
+  SELECT p.user_id, COUNT(DISTINCT p.event_id) AS n_flagged
+  FROM events p JOIN events e
+    ON e.user_id = p.user_id
+   AND p.event_type = 'purchase' AND e.event_type = 'error'
+   AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+  GROUP BY p.user_id
+)
+SELECT b.user_id, b.n_purchases, b.n_errors,
+       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged
+FROM base b LEFT JOIN fl f USING (user_id)
+"""
+
+
+@register("udf_cogrouped", oracle=_COGROUP_ORACLE)
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: per user, the purchase stream and the
+    error stream arrive as two aligned pandas frames; numpy searchsorted
+    counts purchases preceded by an error within 10 minutes (the fraud
+    review queue shape). Mirrors the binned-interval-join semantics
+    (join_range_binned) but as per-key in-memory merge logic — the form
+    to reach for when the per-key computation is genuinely imperative
+    (state machines, per-entity sequence models).
+
+    Scale: cogroup shuffles both sides once on user_id, then each key's
+    slice is in-memory pandas — bounded by the largest single key, which
+    is exactly the right unit of locality for per-entity logic. Arrow
+    batches both directions; no row-at-a-time Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+
+    def merge(p: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if p.empty and e.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_errors", "n_flagged"]
+            )
+        uid = (p if not p.empty else e)["user_id"].iloc[0]
+        n_flagged = 0
+        if not p.empty and not e.empty:
+            ets = np.sort(e["ts"].to_numpy().astype("datetime64[us]"))
+            pts = p["ts"].to_numpy().astype("datetime64[us]")
+            lo = np.searchsorted(ets, pts - np.timedelta64(10, "m"), "left")
+            hi = np.searchsorted(ets, pts, "left")  # strict: err < purchase
+            n_flagged = int((hi > lo).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(p)],
+                "n_errors": [len(e)],
+                "n_flagged": [n_flagged],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_purchases long, n_errors long, n_flagged long",
+        )
+    )
+
+
+# --- z-order (multi-dimensional) clustering sink ------------------------------
+
+_ZORDER_ORACLE = f"""
+SELECT COUNT(*) AS n,
+       {o_dsum('o_totalprice')} AS revenue,
+       MIN(o_orderdate) AS first_day,
+       MAX(o_orderdate) AS last_day
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+def _zvalue(a, b):
+    """Interleave the low 16 bits of two ints (Morton/z-curve code) with
+    JVM-side bit ops — no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+@register("sink_zorder", oracle=_ZORDER_ORACLE)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: rewrite orders range-partitioned + sorted on
+    the Morton interleave of (custkey, days-since-epoch), then answer a
+    TWO-dimensional slice from the clustered copy.
+
+    Scale: single-key clustering (sink_range_cluster) prunes one
+    predicate dimension and scatters the other; the z-curve keeps BOTH
+    keys locally correlated with the file order, so min/max footer stats
+    prune files for either predicate — the poor man's Delta Z-ORDER /
+    Iceberg sort-order, built from repartitionByRange + bit math. The
+    read-back filter must reach the parquet reader (gated in
+    test_plans).
+    """
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    z = _zvalue(F.col("o_custkey").cast("bigint"), days)
+    path = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    (
+        o.withColumn("zval", z)
+        .repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        back.filter(
+            (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") <= 500)
+            & (F.col("o_orderdate") >= lo)
+            & (F.col("o_orderdate") < hi)
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("revenue"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_day"),
+        )
+    )

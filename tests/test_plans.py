@@ -156,6 +156,28 @@ def test_binned_range_join_is_equi_join(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_zorder_readback_pushes_both_dims(spark):
+    """sink_zorder: BOTH slice predicates must reach the parquet reader
+    of the z-clustered copy — two-dimensional footer pruning is the
+    operator's reason to exist."""
+    plan = _formatted_plan(spark, "sink_zorder")
+    assert "GreaterThanOrEqual(o_custkey,100)" in plan
+    assert "LessThanOrEqual(o_custkey,500)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_skew_salted_join_is_shuffled_not_broadcast(spark):
+    """join_skew_salted: the demo IS the salted shuffle shape — a
+    hash/sort-merge join on (event_type, salt), never a broadcast (which
+    would hide the salting) and never a cartesian."""
+    plan = _formatted_plan(spark, "join_skew_salted")
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "salt" in plan
+
+
 def test_argmax_is_hash_agg_not_window(spark):
     """agg_argmax's reason to exist: latest-row-per-key WITHOUT a
     window sort — the plan must be a two-phase hash aggregate."""
