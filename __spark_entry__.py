@@ -67,9 +67,10 @@ _GRADE_FIRST = [
     "stream_stream_join", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_connected_components", "text_langid", "text_vocab_topk",
     "emb_quantize",
-    # r2 scale-path additions (operators/scale_ext.py)
+    # r2 scale-path additions (operators/scale_ext.py + sources/UDF surface)
     "sample_pergroup_topn", "agg_retention_cohort", "agg_quantile_rollup",
     "join_skew_salted", "udf_cogrouped", "sink_zorder",
+    "src_orc_text", "udf_broadcast_lookup",
 ]
 
 

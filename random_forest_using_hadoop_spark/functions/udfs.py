@@ -171,3 +171,48 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token FROM documents_b61, "
         "LATERAL rf_tokenize(doc_id, text) t"
     )
+
+
+# --- broadcast-variable lookup inside an Arrow UDF ----------------------------
+
+_BCAST_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE event_type
+                WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                WHEN 'error' THEN -1 ELSE 1 END) AS BIGINT) AS score
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("udf_broadcast_lookup", oracle=_BCAST_ORACLE)
+def q_udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-data lookup via ``sc.broadcast`` inside a pandas UDF — the
+    Spark form of the reference's DistributedCache model shipping
+    [recon]: a driver-side table rides once per executor, and each Arrow
+    batch maps against it in vectorized pandas.
+
+    Scale: the broadcast is O(table) per executor, once — vs a join's
+    shuffle or a per-row closure-capture re-pickle per task. This is the
+    right shape for <100 MB reference tables (weights, vocab, geo maps);
+    beyond that, use a broadcast JOIN so the optimizer can spill/plan.
+    The SQL oracle inlines the lookup as a CASE — same semantics, which
+    is exactly what the UDF must reproduce.
+    """
+    weights = {"purchase": 10, "signup": 5, "error": -1}
+    bc = spark.sparkContext.broadcast(weights)
+
+    @pandas_udf(T.LongType())
+    def weight_of(event_type: pd.Series) -> pd.Series:
+        return event_type.map(lambda t: bc.value.get(t, 1)).astype("int64")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("w", weight_of("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )

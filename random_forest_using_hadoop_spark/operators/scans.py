@@ -215,6 +215,56 @@ def q_sink_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ORC + raw-text ingestion -------------------------------------------------
+
+_ORC_TEXT_ORACLE = """
+SELECT o_orderpriority AS key, COUNT(*) AS n, 'orc' AS src
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'lines' AS key, COUNT(*) AS n, 'text' AS src FROM documents
+UNION ALL
+SELECT 'chars' AS key, CAST(SUM(len(text)) AS BIGINT) AS n, 'text' AS src
+FROM documents
+"""
+
+
+@register("src_orc_text", oracle=_ORC_TEXT_ORACLE)
+def q_src_orc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining built-in source formats: columnar ORC (write → read →
+    aggregate; Spark-native, same pushdown/pruning machinery as parquet)
+    and raw line-text (``spark.read.text`` — the reference's actual
+    native input [recon]: newline-delimited records), proven faithful by
+    line and character counts against the parquet-sourced truth.
+
+    Scale: ORC shares parquet's scan economics (footer stats, column
+    pruning). Line-text has none of it — no pushdown, no pruning, full
+    decode of every byte; the docstring-level advice IS the operator:
+    land text once, rewrite columnar, never re-scan text.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    orc_path, txt_path = _tmp(sf_dir, "orc"), _tmp(sf_dir, "text")
+    o.write.mode("overwrite").orc(orc_path)
+    docs.write.mode("overwrite").text(txt_path)
+
+    orc_back = spark.read.orc(orc_path)
+    txt_back = spark.read.text(txt_path)  # one row per line, column 'value'
+
+    a = (
+        orc_back.groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("src", F.lit("orc"))
+    )
+    b = txt_back.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lines").alias("key"), "n", F.lit("text").alias("src")
+    )
+    c = txt_back.agg(
+        F.sum(F.length("value")).cast("bigint").alias("n")
+    ).select(F.lit("chars").alias("key"), "n", F.lit("text").alias("src"))
+    return a.unionByName(b).unionByName(c)
+
+
 # --- small-file compaction ---------------------------------------------------
 
 _COMPACT_ORACLE = """
