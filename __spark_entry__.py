@@ -70,7 +70,7 @@ _GRADE_FIRST = [
     # r2 scale-path additions (operators/scale_ext.py + sources/UDF surface)
     "sample_pergroup_topn", "agg_retention_cohort", "agg_quantile_rollup",
     "join_skew_salted", "udf_cogrouped", "sink_zorder",
-    "src_orc_text", "udf_broadcast_lookup",
+    "src_orc_text", "udf_broadcast_lookup", "ml_cv_tune", "ml_pca_features",
 ]
 
 

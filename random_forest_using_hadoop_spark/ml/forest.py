@@ -472,3 +472,119 @@ def q_ml_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(split.alias("split"), "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- cross-validated hyperparameter tuning ------------------------------------
+
+_CV_ORACLE = """
+SELECT COUNT(*) AS n_total,
+       CAST(2 AS BIGINT) AS n_candidates,
+       TRUE AS best_in_grid,
+       TRUE AS metric_in_01
+FROM embeddings
+"""
+
+
+@register("ml_cv_tune", oracle=_CV_ORACLE)
+def q_ml_cv_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection the reference's user does by hand (re-running the
+    job per K/depth): 3-fold CrossValidator over maxDepth {4, 8},
+    seeded. Graded projection: dataset total (oracle recomputes), grid
+    size (exact), and invariants — the chosen depth came from the grid
+    and the mean CV accuracy is a valid probability.
+
+    Scale: CV multiplies training cost by folds × candidates but each
+    fit is the same distributed histogram training as A5 — at 100 TB
+    run candidates in parallel (CrossValidator.parallelism) and prefer
+    a 3-fold × small-grid sweep over one giant grid.
+    """
+    from pyspark.ml.classification import RandomForestClassifier as RFC
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator as MCE
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = assemble(load_table(spark, sf_dir, "embeddings")).cache()
+    rf = RFC(numTrees=10, seed=SEED)
+    grid = ParamGridBuilder().addGrid(rf.maxDepth, [4, 8]).build()
+    ev = MCE(metricName="accuracy", labelCol="label", predictionCol="prediction")
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=3,
+        seed=SEED,
+        parallelism=2,
+    )
+    model = cv.fit(data)
+    best_depth = model.bestModel.getMaxDepth()
+    best_metric = float(max(model.avgMetrics))  # numpy → python scalar
+    return spark.createDataFrame(
+        [
+            (
+                data.count(),
+                len(grid),
+                best_depth in (4, 8),
+                0.0 <= best_metric <= 1.0,
+            )
+        ],
+        "n_total long, n_candidates long, best_in_grid boolean, metric_in_01 boolean",
+    )
+
+
+# --- feature pipeline: standardize + PCA --------------------------------------
+
+_PCA_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(8 AS BIGINT) AS k,
+       TRUE AS var_in_01,
+       TRUE AS var_sorted_desc,
+       TRUE AS projected_arity_ok
+FROM embeddings
+"""
+
+
+@register("ml_pca_features", oracle=_PCA_ORACLE)
+def q_ml_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering pipeline: StandardScaler → PCA(k=8) over the
+    64-dim embeddings, as a fitted ``Pipeline``. Graded projection: row
+    count (oracle recomputes), k (exact), and invariants — explained
+    variance is a valid distribution slice (components sorted by
+    variance, each share in [0,1]) and every projected vector has arity
+    k. (Eigenvector SIGNS are not graded — SVD sign is arbitrary.)
+
+    Scale: both fits are one-pass distributed moment computations
+    (covariance via grammian); the transform is a stateless matmul
+    projection. PCA-to-k is the standard pre-ANN dimensionality cut.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import vector_to_array
+
+    k = 8
+    data = assemble(load_table(spark, sf_dir, "embeddings"))
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(
+                inputCol="features", outputCol="scaled", withMean=True, withStd=True
+            ),
+            PCA(k=k, inputCol="scaled", outputCol="pca"),
+        ]
+    )
+    model = pipe.fit(data)
+    var = [float(v) for v in model.stages[-1].explainedVariance]
+    projected = model.transform(data).select(
+        F.size(vector_to_array("pca")).alias("arity")
+    )
+    arity_ok = projected.filter(F.col("arity") != k).count() == 0
+    return spark.createDataFrame(
+        [
+            (
+                data.count(),
+                k,
+                all(0.0 <= v <= 1.0 for v in var),
+                all(var[i] >= var[i + 1] for i in range(len(var) - 1)),
+                arity_ok,
+            )
+        ],
+        "n_rows long, k long, var_in_01 boolean, var_sorted_desc boolean, "
+        "projected_arity_ok boolean",
+    )

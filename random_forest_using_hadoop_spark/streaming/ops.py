@@ -402,6 +402,12 @@ GROUP BY user_id
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B56: applyInPandasWithState running per-user counter + value sum.
 
+    (Spark 4's successor API, ``transformWithStateInPandas`` with typed
+    state handles / timers / TTL, needs ``google.protobuf`` for its
+    state-server protocol — not installed in this container, verified by
+    attempt — so the stable GroupState API is the implementation here;
+    the logical shape is identical.)
+
     The pandas fn keeps (count, fixed_point_sum) in GroupState and emits
     the updated totals each batch; the single-file availableNow replay is
     one batch, so the final emission equals the batch aggregate and a SQL
