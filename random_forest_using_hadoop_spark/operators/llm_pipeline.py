@@ -1,0 +1,345 @@
+"""Training-data pipeline operators, part 2 — the corpus-hygiene passes
+a 100 TB pretraining build runs between raw crawl and tokenizer:
+
+- benchmark contamination detection (n-gram overlap vs an eval set),
+- intra-document repetition scoring (Gopher/RefinedWeb-style signals),
+- deterministic sequence packing (token-budget bins),
+- target-mixture resampling (per-domain hash downsampling),
+- the corpus mix report (the "datasheet" aggregate).
+
+Everything is built from JVM-side primitives: higher-order array
+functions for per-document token/n-gram work (zero shuffle — the
+document is the unit of parallelism), hash-groupBy only where a global
+view is genuinely needed (contamination join, mix report). The only
+Python in this file is test plumbing — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# Stand-in eval-benchmark strata: everything from these sources is
+# "benchmark"; the rest of the corpus is checked against it.
+_BENCH_SOURCES = ("src0", "src1")
+
+
+# --- contamination: 4-gram overlap vs the benchmark set ----------------------
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+ngr AS (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+3], ' '))) AS g
+    FROM toks
+),
+dist AS (SELECT DISTINCT doc_id, source, g FROM ngr),
+bench AS (SELECT DISTINCT g FROM dist WHERE source IN ('src0', 'src1')),
+corpus AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS BIGINT)
+             AS n_hit
+    FROM dist
+    WHERE source NOT IN ('src0', 'src1')
+    GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_hit,
+       n_hit * 1.0 / n_ngrams AS contamination_ratio
+FROM corpus
+WHERE n_hit > 0
+"""
+
+
+@register("pipe_contamination_ngram", oracle=_CONTAM_ORACLE)
+def q_pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its distinct word 4-grams that also occur anywhere in
+    the benchmark strata (sources src0/src1). Emits only contaminated
+    docs (n_hit > 0) with their overlap ratio — the decontamination
+    filter's input.
+
+    Scale: n-grams are built array-side (transform over sequence — no
+    explode until after array_distinct, so duplicate n-grams within a
+    doc never hit the shuffle). The benchmark n-gram set is DISTINCT'd
+    then broadcast (eval suites are ~10⁵ rows even at 100 TB corpus
+    scale); the probe is a broadcast inner join, so the only shuffle is
+    the per-doc hit count on doc_id — high-cardinality, even. Ratio is
+    int/int division: bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_ngrams = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 4))))"
+        ).alias("grams"),
+    )
+    bench = (
+        with_ngrams.filter(F.col("source").isin(*_BENCH_SOURCES))
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_ngrams.filter(~F.col("source").isin(*_BENCH_SOURCES)).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_ngrams"),
+        F.explode("grams").alias("g"),
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            (F.col("n_hit") * 1.0 / F.col("n_ngrams")).alias("contamination_ratio"),
+        )
+    )
+
+
+# --- repetition: dup-3gram and top-token concentration -----------------------
+
+_REPEAT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' ')) AS g,
+           list_max(list_transform(list_distinct(t),
+                                   tok -> len(list_filter(t, x -> x = tok)))) AS top_cnt,
+           len(t) AS n_toks
+    FROM toks
+)
+SELECT doc_id,
+       1.0 - len(list_distinct(g)) * 1.0 / len(g) AS dup_3gram_ratio,
+       top_cnt * 1.0 / n_toks AS top_token_ratio,
+       (1.0 - len(list_distinct(g)) * 1.0 / len(g)) > 0.2
+         OR (top_cnt * 1.0 / n_toks) > 0.2 AS repetitive
+FROM feats
+WHERE len(g) > 0
+"""
+
+
+@register("pipe_repetition_score", oracle=_REPEAT_ORACLE)
+def q_pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rules family):
+    duplicate-3-gram ratio and the most-frequent-token concentration,
+    plus the boolean filter verdict at the 0.2 thresholds.
+
+    Scale: a pure stateless projection — every signal is computed with
+    higher-order array functions inside whole-stage codegen, so the op
+    is scan-bound with ZERO shuffle at any corpus size. The per-doc
+    token loop is O(distinct·n) on ~10² tokens; for multi-MB documents
+    swap in a sorted-run count (same output, still array-side). Ratios
+    are int/int divisions: bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = "split(text, ' ')"
+    g = f"transform(sequence(1, greatest(size({t}) - 2, 0)), i -> concat_ws(' ', slice({t}, i, 3)))"
+    # NB: arithmetic happens in PySpark column space — a `1.0` literal
+    # inside F.expr SQL is DECIMAL in Spark, which would ship decimal
+    # ratios to the driver while DuckDB ships doubles.
+    feats = d.select(
+        "doc_id",
+        F.expr(f"size({g})").alias("n_g"),
+        F.expr(f"size(array_distinct({g}))").alias("nd_g"),
+        F.expr(
+            f"array_max(transform(array_distinct({t}), tok -> size(filter({t}, x -> x = tok))))"
+        ).alias("top_cnt"),
+        F.expr(f"size({t})").alias("n_toks"),
+    ).filter(F.col("n_g") > 0)
+    dup = 1.0 - F.col("nd_g") * 1.0 / F.col("n_g")
+    top = F.col("top_cnt") * 1.0 / F.col("n_toks")
+    return feats.select(
+        "doc_id",
+        dup.alias("dup_3gram_ratio"),
+        top.alias("top_token_ratio"),
+        ((dup > 0.2) | (top > 0.2)).alias("repetitive"),
+    )
+
+
+# --- sequence packing: deterministic token-budget bins -----------------------
+
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+    SELECT doc_id,
+           doc_id % {_PACK_BUCKETS} AS bucket,
+           len(string_split(text, ' ')) AS n_toks
+    FROM documents
+),
+placed AS (
+    SELECT bucket, n_toks,
+           SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM sized
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST((cum - n_toks) // {_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+FROM placed
+GROUP BY bucket, bin
+ORDER BY bucket, bin
+"""
+
+
+@register("pipe_seq_packing", oracle=_PACK_ORACLE)
+def q_pipe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget training bins (budget {budget}) by streaming next-fit —
+    docs are sharded into {buckets} hash buckets, ordered by doc_id
+    within each, and a doc joins the bin its cumulative start offset
+    falls in. Emits the packing manifest (docs and tokens per bin).
+
+    Scale: packing is embarrassingly parallel across buckets — one
+    window partition per bucket, so bucket count (in production:
+    thousands) sets the parallelism and NO global sort exists. The
+    cumulative sum is the only state and it's a running bigint. The
+    same manifest re-materializes identically on re-run/backfill
+    because placement is a pure function of (doc_id, n_toks).
+    """.format(budget=_PACK_BUDGET, buckets=_PACK_BUCKETS)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_BUCKETS)).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        placed.groupBy(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr(f"(cum - n_toks) div {_PACK_BUDGET}").cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("bucket", "bin")
+    )
+
+
+# --- target-mixture resampling ----------------------------------------------
+
+# Per-lang keep thresholds on the first md5 byte: en is downsampled to
+# ~1/3 ('55' keeps 85/256 ≈ 33.2%), every other lang keeps all rows
+# ('zz' exceeds any hex prefix). Membership is a pure function of
+# (lang, doc_id) — partition-layout- and engine-independent.
+_MIX_CASE = "CASE WHEN lang = 'en' THEN '55' ELSE 'zz' END"
+
+_MIXTURE_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE substr(md5(concat(lang, '#',
+           CAST(doc_id AS VARCHAR))), 1, 2) < ({_MIX_CASE})) AS BIGINT) AS n_kept,
+       CAST(SUM(len(string_split(text, ' '))) FILTER (WHERE
+           substr(md5(concat(lang, '#', CAST(doc_id AS VARCHAR))), 1, 2)
+             < ({_MIX_CASE})) AS BIGINT) AS tokens_kept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("pipe_domain_mixture", oracle=_MIXTURE_ORACLE)
+def q_pipe_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling audit: deterministically downsample the
+    dominant language (en → ~33%) while keeping the rest, reporting
+    per-lang doc and token counts kept — the knob a data-mix pipeline
+    turns to hit a target language distribution.
+
+    Scale: membership is a stateless md5 projection (no sampling pass,
+    no per-stratum state); the audit is one partial+final hash agg on a
+    5-value key. Changing the mixture = editing the threshold CASE —
+    the scan and shuffle shape never change. Unlike ``sampleBy``, the
+    kept set survives re-runs, repartitions, and engine swaps bit-for-
+    bit ([[sample_hash_stratified]] uses the same doctrine per-source).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", "55").otherwise("zz")
+    kept = (
+        F.substring(
+            F.md5(F.concat(F.col("lang"), F.lit("#"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < thresh
+    )
+    n_toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, n_toks)).cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- corpus mix report -------------------------------------------------------
+
+_MIXREPORT_ORACLE = """
+WITH per AS (
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       n_tokens * 1.0 / SUM(n_tokens) OVER () AS token_share
+FROM per
+"""
+
+
+@register("pipe_corpus_mix_report", oracle=_MIXREPORT_ORACLE)
+def q_pipe_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet: per (source, lang) document and token
+    counts plus each cell's share of the global token count.
+
+    Scale: the heavy pass is one partial+final hash agg over the scan
+    (token counting stays array-side in codegen — the text column never
+    shuffles). The global-share window runs on the AGGREGATED frame —
+    |sources|×|langs| rows, bounded by design — so the unpartitioned
+    window is a deliberate single-task step over ~10² rows, not a
+    scale hazard. Shares are bigint/bigint divisions off an exact sum:
+    bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens")
+            * 1.0
+            / F.sum("n_tokens").over(Window.partitionBy())
+        ).alias("token_share"),
+    )
