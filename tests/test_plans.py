@@ -214,3 +214,72 @@ def test_q18_rollup_before_join_and_topk(spark):
     assert plan.count("HashAggregate") >= 2
     # ... and the final top-20 is TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_q8_broadcast_all_dims_single_fact_shuffle(spark):
+    """tpch_q7/q8: every dimension must broadcast — the lineitem⋈orders
+    sort-merge/shuffle join is the only non-broadcast join allowed."""
+    for key in ("tpch_q7_bination_volume", "tpch_q8_market_share"):
+        plan = _formatted_plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        n_bhj = plan.count("BroadcastHashJoin")
+        assert n_bhj >= 4, f"{key}: expected >=4 broadcast joins, saw {n_bhj}"
+        # at most one shuffled join (the fact-fact leg)
+        n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert n_smj <= 1, f"{key}: {n_smj} shuffled joins"
+
+
+def test_q19_residual_pushdown(spark):
+    """tpch_q19: Catalyst must derive single-side residuals from the
+    OR-brackets — the quantity envelope [1,50] reaches the lineitem
+    scan and the brand set reaches the part scan."""
+    plan = _formatted_plan(spark, "tpch_q19_bracket_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,50.0)" in plan
+    assert "Brand#1" in plan  # brand residual pushed to the part side
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_no_collect_shape(spark):
+    """tpch_q22: the global AVG threshold must enter the plan as a
+    broadcast (sub)join — and the no-orders test as a broadcast or
+    shuffled anti join."""
+    plan = _formatted_plan(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_bench_set_broadcasts(spark):
+    """pipe_contamination_ngram: the benchmark n-gram set must broadcast;
+    the only shuffle feeds the per-doc hit count."""
+    plan = _formatted_plan(spark, "pipe_contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_is_pure_projection(spark):
+    """pipe_repetition_score must be scan → project → filter with ZERO
+    exchanges — the whole point is per-document locality."""
+    plan = _formatted_plan(spark, "pipe_repetition_score")
+    assert "Exchange" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """win_sessionize_gap: lag-window, running-sum window, and the final
+    agg all share the user_id partitioning — exactly one shuffle."""
+    import re
+
+    plan = _formatted_plan(spark, "win_sessionize_gap")
+    # formatted output names each node twice (tree + detail header);
+    # count detail headers like "(2) Exchange"
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark):
+    """join_fuzzy_levenshtein: the self-join must ride the noun block
+    key (hash join), never an all-pairs nested loop."""
+    plan = _formatted_plan(spark, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
