@@ -297,25 +297,58 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its component's canonical (minimum) doc_id — the step that
     turns pairwise dedup output into keep/drop groups.
 
-    Spark side: iterative min-label propagation over the edge list
-    (labels ⋈ edges → min per neighbor → merge, loop to fixpoint) — the
-    standard O(graph-diameter)-round distributed CC; each round is one
-    hash join + partial agg, so it holds on a billion-edge graph where
-    any driver-side union-find dies. The oracle is a recursive CTE over
-    the identical edge set. Near-dup cliques here have diameter ≤ 2, so
-    the loop converges in ≲2 rounds.
+    Spark side: edges come from prefix-filtered candidates (rarest
+    ⌊(1-t)·|A|⌋+1 shingles under a global df order — collision there is
+    NECESSARY for J ≥ t, so the equi-join on prefix shingles is a
+    lossless pruner and the exact Jaccard runs on candidates only,
+    never all pairs). Components then resolve by iterative min-label
+    propagation (labels ⋈ edges → min per neighbor → merge, loop to
+    fixpoint) — the standard O(graph-diameter)-round distributed CC;
+    each round is one hash join + partial agg, so it holds on a
+    billion-edge graph where any driver-side union-find dies. The
+    oracle is a recursive CTE over the brute-force edge set — a hash
+    match proves the pruning lost nothing. Near-dup cliques here have
+    diameter ≤ 2, so the loop converges in ≲2 rounds.
     """
-    d = _docs_with_shingles(spark, sf_dir)
-    a_sh, b_sh = F.col("a.shingles"), F.col("b.shingles")
+    from pyspark.sql import Window
+
+    d = _docs_with_shingles(spark, sf_dir).cache()
+    # Candidate pairs by PREFIX FILTERING (SSJoin/PPJoin): under any global
+    # total order on shingles, two sets with J ≥ t MUST collide within
+    # their first ⌊(1-t)·|A|⌋+1 shingles. Ordering by ascending document
+    # frequency puts the RAREST shingles in the prefix, so high-df shingles
+    # (shared by everything in a small-vocab corpus) never generate pairs.
+    # Exact Jaccard then verifies candidates only — lossless, never O(n²).
+    tok = d.select("doc_id", F.explode("shingles").alias("sh"))
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        tok.join(dfreq, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(d.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
+        .filter(F.col("rn") <= F.floor((1.0 - _JACCARD_T) * F.col("sz")) + 1)
+        .select("doc_id", "sh")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    a_sh, b_sh = F.col("sa.shingles"), F.col("sb.shingles")
     jac = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
         F.array_union(a_sh, b_sh)
     ).cast("double")
     pairs = (
-        d.alias("a")
-        .repartition(64, F.col("a.doc_id"))
-        .join(d.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(d.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(d.alias("sb"), F.col("b") == F.col("sb.doc_id"))
         .filter(jac >= _JACCARD_T)
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .select("a", "b")
     )
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))

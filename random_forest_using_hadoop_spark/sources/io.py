@@ -34,11 +34,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision — integer ``div`` to avoid double-rounding — to match how
     DuckDB reads the same file (it truncates nanos → µs internally).
 
-    The conf is set HERE (runtime-settable in Spark 4) rather than only at
-    session build, because callers — the grading driver included — hand us
-    an arbitrary SparkSession that never saw session.py.
+    The confs are set HERE (runtime-settable in Spark 4) rather than only
+    at session build, because callers — the grading driver included — hand
+    us an arbitrary SparkSession that never saw session.py. AQE +
+    partition coalescing are the engine's execution defaults (session.py
+    sets the same): semantics-preserving, and they right-size every
+    query's shuffles whatever static ``shuffle.partitions`` the host
+    session carries — at sf0.01 that's the difference between 200-task
+    and 1-task reduce stages; on a cluster it's runtime skew handling.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # let AQE right-size shuffles UNDER persist()/cache() too — without
+    # this, cached iterative frames (graph_pagerank's edge set) pin the
+    # host session's static shuffle.partitions forever
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # timestamp_ntz like every other table's timestamps: DuckDB reads

@@ -77,6 +77,14 @@ def _run_to_memory(
     """Execute one availableNow micro-batch run into a memory sink and
     return the sink table (a normal batch DataFrame)."""
     spark = df.sparkSession
+    # State-store partition count is frozen at stream start from
+    # shuffle.partitions and AQE does NOT apply to streaming stages —
+    # under a host session's static 200 that is 200 state files per
+    # micro-batch for kilobyte-scale state. 32 is the engine's local
+    # default (session.py); a production deployment sizes it to
+    # peak-state ÷ executor-memory once, before first checkpoint.
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
