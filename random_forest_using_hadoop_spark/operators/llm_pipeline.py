@@ -77,9 +77,15 @@ def q_pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ngrams = d.select(
         "doc_id",
         "source",
+        # Short-doc guard: sequence(1, 0) in Spark is DESCENDING [1, 0],
+        # and slice(..., 0, 4) then throws — so docs with < 4 tokens get
+        # an empty gram array outright (matches the DuckDB oracle, whose
+        # generate_series(1, 0) is empty).
         F.expr(
-            "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+            "CASE WHEN size(split(text, ' ')) >= 4 THEN"
+            " array_distinct(transform(sequence(1, size(split(text, ' ')) - 3),"
             " i -> concat_ws(' ', slice(split(text, ' '), i, 4))))"
+            " ELSE cast(array() as array<string>) END"
         ).alias("grams"),
     )
     bench = (
@@ -145,7 +151,13 @@ def q_pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = "split(text, ' ')"
-    g = f"transform(sequence(1, greatest(size({t}) - 2, 0)), i -> concat_ws(' ', slice({t}, i, 3)))"
+    # Same short-doc guard as pipe_contamination_ngram: sequence(1, 0)
+    # descends and slice(..., 0, 3) throws, so < 3-token docs get [].
+    g = (
+        f"CASE WHEN size({t}) >= 3 THEN"
+        f" transform(sequence(1, size({t}) - 2), i -> concat_ws(' ', slice({t}, i, 3)))"
+        f" ELSE cast(array() as array<string>) END"
+    )
     # NB: arithmetic happens in PySpark column space — a `1.0` literal
     # inside F.expr SQL is DECIMAL in Spark, which would ship decimal
     # ratios to the driver while DuckDB ships doubles.
@@ -199,8 +211,8 @@ ORDER BY bucket, bin
 @register("pipe_seq_packing", oracle=_PACK_ORACLE)
 def q_pipe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: assign documents to fixed
-    token-budget training bins (budget {budget}) by streaming next-fit —
-    docs are sharded into {buckets} hash buckets, ordered by doc_id
+    token-budget training bins (budget 512) by streaming next-fit —
+    docs are sharded into 8 hash buckets, ordered by doc_id
     within each, and a doc joins the bin its cumulative start offset
     falls in. Emits the packing manifest (docs and tokens per bin).
 
@@ -210,7 +222,7 @@ def q_pipe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum is the only state and it's a running bigint. The
     same manifest re-materializes identically on re-run/backfill
     because placement is a pure function of (doc_id, n_toks).
-    """.format(budget=_PACK_BUDGET, buckets=_PACK_BUCKETS)
+    """
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")

@@ -230,5 +230,5 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist", F.levenshtein(F.col("name1"), F.col("name2")).cast("bigint")
         )
         .filter(F.col("edit_dist") <= 2)
-        .drop("noun")
+        .select("p1_key", "p2_key", "name1", "name2", "edit_dist")
     )

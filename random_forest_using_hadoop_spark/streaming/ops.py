@@ -83,24 +83,32 @@ def _run_to_memory(
     # micro-batch for kilobyte-scale state. 32 is the engine's local
     # default (session.py); a production deployment sizes it to
     # peak-state ÷ executor-memory once, before first checkpoint.
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if int(prior_parts) > 32:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    query.stop()
-    result = spark.table(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        query.stop()
+        result = spark.table(name)
+    finally:
+        # The lowered setting must not leak into the host session's
+        # subsequent batch queries (it would silently re-shape every
+        # later shuffle); the stream's state partitioning is already
+        # frozen into its checkpoint at this point.
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
 
