@@ -137,6 +137,30 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_T}
 """
 
 
+# Manku-style banded candidate generation (Detecting Near-Duplicates
+# for Web Crawling, WWW 2007): split the 60-bit simhash into 4 bands of
+# 15 bits. A pair at hamming ≤ 12 has, by pigeonhole, ≥1 band with ≤ 3
+# differing bits — so if the PROBE side emits every ≤3-bit-flip variant
+# of each band (Σ C(15,0..3) = 576 masks) and the BUILD side emits the
+# exact band value, every qualifying pair collides on the (band, value)
+# equi-key. Exact hamming then verifies candidates only.
+_N_BANDS = 4
+_BAND_BITS = _BITS // _N_BANDS  # 15
+
+
+def _flip_masks(bits: int, max_flips: int) -> list[int]:
+    from itertools import combinations
+
+    masks = []
+    for k in range(max_flips + 1):
+        for pos in combinations(range(bits), k):
+            m = 0
+            for p in pos:
+                m |= 1 << p
+            masks.append(m)
+    return masks  # 576 for (15, 3)
+
+
 @register("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit simhash over char-5-gram shingles
@@ -147,9 +171,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed identically in both engines, so this is fully SQL-graded.
 
     Scale: simhash is one map pass + a groupBy(doc) — shuffle ∝ docs.
-    The pair join here is all-pairs for oracle parity; at 100 TB
-    partition by simhash prefix bands (4 bands of 15 bits catch every
-    pair with hamming ≤ 3 per band) before comparing.
+    Candidate pairs come from a banded EQUI-join (never all pairs): 4
+    bands × 576 flip-mask variants on the probe side vs the exact band
+    value on the build side — a constant 2304-row emission per doc,
+    linear in corpus size, hash-partitioned on the 17-bit (band, value)
+    key; pigeonhole makes it lossless for hamming ≤ 12 (see
+    _flip_masks). Exact popcount verifies candidates only. At a real
+    100 TB dedup you'd run longer fingerprints with a tighter k (Manku
+    uses 64-bit/k=3), which makes each band far more selective — the
+    join SHAPE here is exactly that production shape, and the plan gate
+    (tests/test_plans.py) pins it to hash equi-join, no BNLJ/Cartesian.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
@@ -172,18 +203,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(_BITS),
         F.lit(0).cast("bigint"),
     )
-    sh = bits.select("doc_id", simhash.alias("simhash"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a")
-    ).repartition(64, "doc_id_a")  # parallelize the all-pairs comparison
-    b = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b")
+    sh = bits.select("doc_id", simhash.alias("simhash")).cache()
+
+    band_mask = (1 << _BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.expr(f"(simhash >> {_BAND_BITS * i}) & {band_mask}")
+            for i in range(_N_BANDS)
+        ]
+    )
+    masks_sql = "array(" + ",".join(map(str, _flip_masks(_BAND_BITS, 3))) + ")"
+    # Probe: every ≤3-flip variant of every band. Build: exact band values.
+    probe = (
+        sh.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bv"))
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("simhash").alias("sh_a"),
+            "band",
+            F.explode(F.expr(masks_sql)).alias("mask"),
+            F.col("bv"),
+        )
+        .select(
+            "doc_id_a",
+            "sh_a",
+            "band",
+            F.expr("bv ^ mask").alias("bv"),
+        )
+    )
+    build = sh.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("simhash").alias("sh_b"),
+        F.posexplode(bands).alias("band", "bv"),
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        probe.join(build, ["band", "bv"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .filter(hamming <= _HAMMING_T)
         .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .distinct()  # a pair may collide in several (band, variant) keys
     )
 
 
@@ -224,9 +282,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length band — bigrams (unlike unigrams) capture word order, which is
     what distinguishes the near-dups in this tiny-vocabulary corpus.
 
-    Scale: length-band blocking is the classic cheap candidate pruner —
-    a range-predicate join AQE handles fine at this shape; at 100 TB
-    block on bucketed length ranges to make it an equi-join.
+    Scale: length blocking runs as a bucketed EQUI-join, never a
+    non-equi scan: n_chars is binned at width 20, each doc is exploded
+    to (bin, bin+1), and pairs join on the shared bin — any pair within
+    ±20 chars lands in adjacent-or-equal bins, so the bucket cover is
+    lossless, while the planner gets a hash-partitionable key (2 rows
+    per doc, shuffle ∝ corpus). The `bin == greatest(bin_a, bin_b)`
+    residual keeps exactly one collision per pair, so no distinct over
+    array columns is needed. Exact ±20 + Jaccard run on candidates
+    only. Plan-gated no-BNLJ/no-Cartesian in tests/test_plans.py.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.expr(
@@ -237,27 +301,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
     )
     bg = d.select("doc_id", "n_chars", toks.alias("toks")).select(
-        "doc_id", "n_chars", bigrams.alias("bigrams")
+        "doc_id",
+        "n_chars",
+        bigrams.alias("bigrams"),
+        F.floor(F.col("n_chars") / 20).alias("bin0"),
     )
     a = bg.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("n_chars").alias("nc_a"),
         F.col("bigrams").alias("bg_a"),
-    ).repartition(64, "doc_id_a")  # parallelize the banded pair comparison
+        F.col("bin0").alias("bin_a"),
+        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
+    )
     b = bg.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("n_chars").alias("nc_b"),
         F.col("bigrams").alias("bg_b"),
+        F.col("bin0").alias("bin_b"),
+        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
     )
     jac = F.size(F.array_intersect("bg_a", "bg_b")) / F.size(
         F.array_union("bg_a", "bg_b")
     ).cast("double")
     return (
-        a.join(
-            b,
-            (F.col("doc_id_a") < F.col("doc_id_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20),
-        )
+        a.join(b, "bin")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
+        # adjacent-or-equal bins collide once or twice; keeping only the
+        # collision at the larger home bin makes each pair appear exactly
+        # once without a distinct()
+        .filter(F.col("bin") == F.greatest(F.col("bin_a"), F.col("bin_b")))
         .filter(jac >= _BIGRAM_T)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )

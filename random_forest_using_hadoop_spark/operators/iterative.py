@@ -180,14 +180,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's iterative-algorithm template: per-iteration DataFrames with
     explicit persist(), quantized-exact message sums, rank join by node.
 
-    Scale: each iteration is one shuffle (messages grouped by dst) plus
-    a broadcast-sized degree join; ranks/degrees partition by node key
-    so iterations reuse the partitioning. persist() truncates what
-    would otherwise be an exponentially growing lineage — at real scale
-    swap for localCheckpoint every ~5 iterations. Message sums quantize
-    each contribution to 1e-12 and add as BIGINT, so executor count and
-    reduce order can never flip a rank comparison (bit-stable output —
-    the property the oracle hash proves).
+    Scale: the rank frame is |nodes|-sized and NEVER broadcast — on a
+    billion-node graph a per-iteration broadcast of ranks is the classic
+    iterative-graph OOM. Instead the loop is fully co-partitioned:
+    edges are hash-partitioned on src ONCE (persisted with out-degree
+    pre-joined — deg is static, so it costs one join total, not one per
+    iteration), and each iteration's rank join rides that partitioning
+    with a merge-hinted shuffle join (only the |nodes|-sized rank frame
+    moves; the edge list never re-shuffles). The message sum groups on
+    dst; the rank rebuild joins nodes⋈contrib, both already partitioned
+    on node. persist() truncates what would otherwise be exponentially
+    growing lineage — at real scale swap for localCheckpoint every ~5
+    iterations. Message sums quantize each contribution to 1e-12 and
+    add as BIGINT, so executor count and reduce order can never flip a
+    rank comparison (bit-stable output — the property the oracle hash
+    proves). Plan-gated: no broadcast of the rank frame
+    (tests/test_plans.py::test_pagerank_never_broadcasts_ranks).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -200,23 +208,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.persist()
+    edges = edges.repartition("src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    # Static (src, dst, outdeg) adjacency — built once, partitioned by
+    # src, reused every iteration.
+    adj = (
+        edges.join(deg.hint("merge"), edges.src == deg.node)
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
     n_nodes = nodes.count()  # driver-side scalar: iteration constant, O(1)
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     for _ in range(_PR_ITERS):
-        # rank and degree frames are |nodes|-sized — orders of magnitude
-        # smaller than edges at any graph scale — so they ride broadcast
-        # joins; the per-iteration shuffle is the dst-grouped message sum.
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(
-                F.broadcast(deg.withColumnRenamed("node", "dnode")),
-                F.col("src") == F.col("dnode"),
-            )
+            adj.join(ranks.hint("merge"), adj.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank") / F.col("outdeg") * _PR_SCALE + 0.5)
@@ -227,7 +235,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("q").alias("msum"))
         )
         ranks = (
-            nodes.join(F.broadcast(contrib), "node", "left")
+            nodes.join(contrib.hint("merge"), "node", "left")
             .select(
                 "node",
                 (

@@ -67,6 +67,31 @@ WHERE rank_in_query <= {TOP_K}
 _TOPK_SALT = 32
 
 
+def _topk_cut(pairs: DataFrame, salted: bool) -> DataFrame:
+    """Rank (query_id, corpus_id, cos_sim) pairs and keep the top-k per
+    query. `salted=True` is the scale path: phase 1 ranks within
+    (query_id, corpus_id % SALT) so SALT·q tasks each sort n/SALT rows
+    and keep k, phase 2 ranks only the surviving SALT·k·q rows — no
+    q-partition global-sort hot spot. Same answer either way (top-k of
+    per-salt top-ks is the global top-k)."""
+    order = (F.col("cos_sim").desc(), F.col("corpus_id"))
+    if salted:
+        w_salted = Window.partitionBy(
+            "query_id", F.pmod(F.col("corpus_id"), F.lit(_TOPK_SALT))
+        ).orderBy(*order)
+        pairs = (
+            pairs.withColumn("salt_rank", F.row_number().over(w_salted))
+            .filter(F.col("salt_rank") <= TOP_K)
+            .drop("salt_rank")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("rank_in_query", F.row_number().over(w))
+        .filter(F.col("rank_in_query") <= TOP_K)
+        .select("query_id", "corpus_id", "cos_sim", "rank_in_query")
+    )
+
+
 @register("sim_cosine_topk", oracle=_C3_ORACLE)
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: exact top-k cosine neighbors for a small query set against the
@@ -74,13 +99,15 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines cut the same top-k.
 
     Scale: queries are broadcast (small side); the corpus streams past
-    once — no corpus×corpus shuffle. The top-k cut is SALTED TWO-PHASE
-    (the r1 plan windowed the full n×q scored stream into q partitions —
-    a q-task sort bottleneck at scale): phase 1 ranks within
-    (query_id, corpus_id % {salt}) so {salt}·q tasks each sort n/{salt}
-    rows and keep k; phase 2 ranks the surviving {salt}·k·q rows — a
-    trivially small final sort. Same answer (top-k of per-salt top-ks is
-    the global top-k), no hot partition.
+    once — no corpus×corpus shuffle. The top-k cut is salted two-phase
+    (see _topk_cut) WHEN the corpus scan is wide enough for the
+    q-partition sort to be the bottleneck; on a toy single-split corpus
+    the salting windows would only add two exchanges for nothing (the r2
+    bench measured +38% from exactly that), so the switch is the scan's
+    partition count vs the salt width — driver-side metadata, no job.
+    The plan gate (tests/test_plans.py::test_sim_topk_salted_two_phase)
+    pins the salted shape on a wide input and the single-phase shape on
+    the toy scan.
     """
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -94,21 +121,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_id",
         F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
-    order = (F.col("cos_sim").desc(), F.col("corpus_id"))
-    w_salted = Window.partitionBy(
-        "query_id", F.pmod(F.col("corpus_id"), F.lit(_TOPK_SALT))
-    ).orderBy(*order)
-    survivors = (
-        pairs.withColumn("salt_rank", F.row_number().over(w_salted))
-        .filter(F.col("salt_rank") <= TOP_K)
-        .drop("salt_rank")
-    )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank_in_query", F.row_number().over(w))
-        .filter(F.col("rank_in_query") <= TOP_K)
-        .select("query_id", "corpus_id", "cos_sim", "rank_in_query")
-    )
+    return _topk_cut(pairs, salted=c.rdd.getNumPartitions() > _TOPK_SALT)
 
 
 # --- embedding-cosine near-dup pairs (task-spec dedup family) ----------------
@@ -186,28 +199,35 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
 """
 
 
-def _exact_topk_sets(spark: SparkSession, sf_dir: str) -> dict[int, set[int]]:
-    """Ground-truth top-k per query (the brute-force audit — tiny at
-    test SF; at production scale this is a sampled offline recall job)."""
-    exact = q_sim_cosine_topk(spark, sf_dir).collect()
-    truth: dict[int, set[int]] = {}
-    for r in exact:
-        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
-    return truth
-
-
-def _recall_audit(spark: SparkSession, ann_rows, truth: dict[int, set[int]], floor: float) -> DataFrame:
-    got: dict[int, set[int]] = {}
-    for r in ann_rows:
-        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
-    recalls = [
-        len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
-    ]
-    mean_recall = sum(recalls) / len(recalls)
-    return spark.createDataFrame(
-        [(len(truth), TOP_K, mean_recall >= floor)],
-        "n_queries long, k long, recall_ok boolean",
+def _recall_audit(spark: SparkSession, sf_dir: str, ann: DataFrame, floor: float) -> DataFrame:
+    """Mean top-k recall of `ann` vs the exact ranker, computed entirely
+    as a DataFrame plan — a LEFT SEMI join marks the exact pairs the ANN
+    found, then one agg averages per-query recall. NO driver collect:
+    grading the ANN key costs one distributed pass over truth ∪ ann, not
+    two materializations plus Python set math (the r2 shape). At
+    production scale `truth` is the same plan over a SAMPLED query
+    subset — the audit shape is unchanged, only the query filter."""
+    truth = q_sim_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    hit = (
+        truth.join(
+            ann.select("query_id", "corpus_id"), ["query_id", "corpus_id"], "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
     )
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("recall") >= floor).alias("recall_ok"),
+    ).select("n_queries", F.lit(TOP_K).cast("long").alias("k"), "recall_ok")
 
 
 @register("sim_ann_lsh", oracle=_ANN_ORACLE)
@@ -250,9 +270,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_in_query", F.row_number().over(w))
         .filter(F.col("rank_in_query") <= TOP_K)
     )
-    return _recall_audit(
-        spark, ann.collect(), _exact_topk_sets(spark, sf_dir), floor=0.6
-    )
+    return _recall_audit(spark, sf_dir, ann, floor=0.6)
 
 
 # --- IVF-style probe (kmeans-partitioned ANN) ---------------------------------
@@ -313,9 +331,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank_in_query", F.row_number().over(w))
         .filter(F.col("rank_in_query") <= TOP_K)
     )
-    return _recall_audit(
-        spark, ann.collect(), _exact_topk_sets(spark, sf_dir), floor=0.6
-    )
+    return _recall_audit(spark, sf_dir, ann, floor=0.6)
 
 
 # --- C10: per-label centroid + dispersion ------------------------------------

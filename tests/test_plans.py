@@ -17,12 +17,16 @@ from tests.conftest import SF_DIR
 engine.load_all()
 
 
-def _formatted_plan(spark, key: str) -> str:
-    df = engine.REGISTRY[key].fn(spark, SF_DIR)
+def _formatted_plan_at(spark, key: str, sf_dir: str) -> str:
+    df = engine.REGISTRY[key].fn(spark, sf_dir)
     jvm = spark._jvm
     return df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def _formatted_plan(spark, key: str) -> str:
+    return _formatted_plan_at(spark, key, SF_DIR)
 
 
 def _executed_plan(spark, key: str) -> str:
@@ -130,11 +134,45 @@ def test_dedup_embedding_is_bucketed_not_allpairs(spark):
 
 
 def test_sim_topk_salted_two_phase(spark):
-    """r2 gate: the exact top-k cut must be the salted two-phase window
-    (no q-partition global sort of the full scored stream)."""
-    plan = _formatted_plan(spark, "sim_cosine_topk")
-    assert plan.count("Window") >= 2
-    assert "pmod" in plan
+    """r3 gate (amends r2): the salted two-phase cut is the SCALE path —
+    it must engage on a wide corpus scan and stay OUT of the plan on the
+    toy single-split scan (the r2 bench paid +38% for salting 2 corpus
+    partitions). Pin both shapes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators import similarity as S
+
+    # toy scan (sf0.01 parquet = 1-2 splits): single-phase, no pmod salt
+    toy_plan = _formatted_plan(spark, "sim_cosine_topk")
+    n_windows = len(re.findall(r"^\(\d+\) Window\b", toy_plan, re.MULTILINE))
+    assert n_windows == 1, f"toy scan should skip salting, saw {n_windows} windows"
+    assert "pmod" not in toy_plan
+
+    # wide corpus (> _TOPK_SALT partitions): salted two-phase
+    v = S._vectors(spark, SF_DIR)
+    q = v.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    c = (
+        v.filter(F.col("vec_id") >= S.N_QUERIES)
+        .repartition(S._TOPK_SALT * 2)
+        .select(F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        F.round(S._cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    wide = S._topk_cut(pairs, salted=c.rdd.getNumPartitions() > S._TOPK_SALT)
+    jvm = spark._jvm
+    wide_plan = wide._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_windows = len(re.findall(r"^\(\d+\) Window\b", wide_plan, re.MULTILINE))
+    assert n_windows == 2, f"wide scan must salt: saw {n_windows} windows"
+    assert "pmod" in wide_plan
 
 
 def test_range_cluster_readback_pushdown(spark):
@@ -277,9 +315,58 @@ def test_sessionize_single_exchange(spark):
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
 
 
-def test_fuzzy_join_blocked_not_cartesian(spark):
+@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.1"])
+def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
     """join_fuzzy_levenshtein: the self-join must ride the noun block
-    key (hash join), never an all-pairs nested loop."""
-    plan = _formatted_plan(spark, "join_fuzzy_levenshtein")
+    key (hash join), never an all-pairs nested loop — at the grading SF
+    AND the bench SF (plan choices can flip with input stats)."""
+    plan = _formatted_plan_at(spark, "join_fuzzy_levenshtein", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.1"])
+def test_contamination_broadcast_holds_at_bench_sf(spark, sf_dir):
+    """pipe_contamination_ngram's broadcast-probe shape must survive the
+    10× larger bench input, not just the grading SF."""
+    plan = _formatted_plan_at(spark, "pipe_contamination_ngram", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_is_banded_equi_join(spark):
+    """r3 gate for the verdict's perf-weak flag: simhash candidates must
+    come from the (band, value) hash equi-join — the O(n²) inequality
+    self-join may never reappear."""
+    plan = _formatted_plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_never_broadcasts_ranks(spark):
+    """r3 gate: the iterative rank frame must ride merge-hinted shuffle
+    joins — a per-iteration BroadcastExchange of ranks is the
+    billion-node OOM the operator exists to avoid. The only broadcasts
+    allowed are the EDGE-CONSTRUCTION join (orders⋈lineitem, ≤3 nodes);
+    the 7 loop-side joins (adj build + 3×(contrib ⋈ + rank rebuild))
+    must all be SortMergeJoin."""
+    import re
+
+    plan = _formatted_plan(spark, "graph_pagerank")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_smj = len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.MULTILINE))
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE))
+    assert n_smj >= 7, f"rank loop degraded: only {n_smj} SortMergeJoins"
+    assert n_bhj <= 3, f"{n_bhj} broadcast joins — a rank/contrib frame is broadcasting"
+
+
+def test_ngram_jaccard_is_binned_equi_join(spark):
+    """r3 gate: length blocking must ride the exploded width-20 bin as a
+    hash equi-join — the non-equi |nc_a − nc_b| ≤ 20 predicate alone
+    (BNLJ) may never reappear."""
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
