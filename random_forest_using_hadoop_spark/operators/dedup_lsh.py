@@ -46,18 +46,31 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.6
 
+# The oracle is the exact all-qualifying-pairs Jaccard, computed
+# relationally (unnest → equi-join on shingle → per-pair intersection
+# count; union size = n_a + n_b − i since shingle lists are distinct).
+# Equivalent to the naive list_intersect double loop — every pair with
+# J > 0 shares a shingle, so no qualifying pair is missed — but ~25×
+# faster, which matters because the grading driver pays for oracle
+# runtime too.
 _C2_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_O_SHINGLES} AS shingles FROM documents
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_id_a,
-       b.doc_id AS doc_id_b,
-       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))),
-             6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {_JACCARD_T}
+SELECT inter.a AS doc_id_a,
+       inter.b AS doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_T}
 """
 
 
@@ -338,15 +351,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected components: near-dup pairs → canonical doc groups --------------
 
+# Pair stage shares _C2_ORACLE's relational Jaccard form (exact, ~25×
+# faster than the list_intersect double loop — see the note there).
 _CC_ORACLE = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, {_O_SHINGLES} AS shingles FROM documents
 ),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {_JACCARD_T}
+  SELECT inter.a, inter.b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = inter.a
+  JOIN sz sb ON sb.doc_id = inter.b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_T}
 ),
 edges AS (
   SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
@@ -434,6 +457,9 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # localCheckpoint (eager) truncates the logical plan — with only
+        # cache(), every round's plan still stacks all prior joins and
+        # Catalyst re-analysis dominates the loop's wall clock
         merged = (
             labels.join(prop, "doc_id", "left")
             .select(
@@ -442,7 +468,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "component_id", F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             merged.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
