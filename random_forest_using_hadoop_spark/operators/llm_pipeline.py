@@ -355,3 +355,202 @@ def q_pipe_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(Window.partitionBy())
         ).alias("token_share"),
     )
+
+
+# --- composite quality verdict: the final keep/drop pass ----------------------
+
+_QV_ORACLE = """
+WITH t AS (
+    SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents
+),
+f AS (
+    SELECT doc_id, lang, n_chars,
+           len(tk) AS n_toks,
+           CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [] END AS g
+    FROM t
+),
+s AS (
+    SELECT doc_id,
+           (n_chars BETWEEN 100 AND 500) AS len_ok,
+           lang IN ('en', 'de', 'fr', 'es') AS lang_ok,
+           (n_chars * 1.0 / n_toks) BETWEEN 5.0 AND 6.0 AS tok_ok,
+           NOT (len(g) > 0
+                AND (1.0 - len(list_distinct(g)) * 1.0 / len(g)) > 0.05)
+             AS rep_ok
+    FROM f
+)
+SELECT doc_id,
+       CAST(CASE WHEN len_ok THEN 0 ELSE 1 END
+          + CASE WHEN lang_ok THEN 0 ELSE 2 END
+          + CASE WHEN tok_ok THEN 0 ELSE 4 END
+          + CASE WHEN rep_ok THEN 0 ELSE 8 END AS BIGINT) AS fail_mask,
+       len_ok AND lang_ok AND tok_ok AND rep_ok AS keep
+FROM s
+"""
+
+
+@register("pipe_quality_composite", oracle=_QV_ORACLE)
+def q_pipe_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's final keep/drop gate: every quality signal — length
+    band, language allowlist, mean-token-length band, duplicate-3-gram
+    repetition — evaluated in ONE scan, emitting a per-document verdict
+    plus a reason BITMASK (bit0 length, bit1 lang, bit2 token shape,
+    bit3 repetition) so downstream dashboards can attribute every
+    dropped byte to a rule without re-running the filters.
+
+    Scale: a pure stateless projection — all four signals are codegen
+    array/scalar expressions over the single documents scan, ZERO
+    shuffle at any corpus size (the same doctrine as
+    [[pipe_repetition_score]]). Changing a policy threshold re-runs the
+    scan only. All signal arithmetic is int/int division and integer
+    masks: bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = "split(text, ' ')"
+    g = (
+        f"CASE WHEN size({t}) >= 3 THEN"
+        f" transform(sequence(1, size({t}) - 2), i -> concat_ws(' ', slice({t}, i, 3)))"
+        f" ELSE cast(array() as array<string>) END"
+    )
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").between(100, 500).alias("len_ok"),
+        F.col("lang").isin("en", "de", "fr", "es").alias("lang_ok"),
+        (F.col("n_chars") * 1.0 / F.expr(f"size({t})"))
+        .between(5.0, 6.0)
+        .alias("tok_ok"),
+        (
+            ~(
+                (F.expr(f"size({g})") > 0)
+                & (
+                    (
+                        1.0
+                        - F.expr(f"size(array_distinct({g}))")
+                        * 1.0
+                        / F.expr(f"size({g})")
+                    )
+                    > 0.05
+                )
+            )
+        ).alias("rep_ok"),
+    )
+    mask = (
+        F.when(F.col("len_ok"), 0).otherwise(1)
+        + F.when(F.col("lang_ok"), 0).otherwise(2)
+        + F.when(F.col("tok_ok"), 0).otherwise(4)
+        + F.when(F.col("rep_ok"), 0).otherwise(8)
+    ).cast("bigint")
+    return feats.select(
+        "doc_id",
+        mask.alias("fail_mask"),
+        (
+            F.col("len_ok") & F.col("lang_ok") & F.col("tok_ok") & F.col("rep_ok")
+        ).alias("keep"),
+    )
+
+
+# --- dedup manifest: fingerprint groups → keep/drop accounting ----------------
+
+_MANIFEST_ORACLE = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chars) - arg_min(n_chars, doc_id) AS BIGINT) AS chars_dropped
+FROM documents
+GROUP BY md5(substr(text, 1, 40))
+HAVING COUNT(*) > 1
+"""
+
+
+@register("pipe_dedup_manifest", oracle=_MANIFEST_ORACLE)
+def q_pipe_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision layer on top of dedup: fingerprint groups (40-char
+    prefix hash — the planted near-dup families share exactly this
+    prefix) collapse to a keep/drop MANIFEST: canonical survivor
+    (minimum doc_id — deterministic, re-run-stable), member count, and
+    the bytes reclaimed by dropping the rest. This is the artifact a
+    100 TB dedup job actually ships: the filter pass that follows
+    joins against it, and the savings number is the job's report card.
+
+    Scale: one hash groupBy on the fingerprint (map-side partial
+    combine; group count ≪ corpus) — no pair joins at all, which is
+    why fingerprint dedup is the first pass before any
+    MinHash/SimHash machinery ([[dedup_minhash]], [[dedup_simhash]]).
+    min/min_by/sum are order-insensitive; every output is BIGINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.expr("substring(text, 1, 40)")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            (F.sum("n_chars") - F.min_by("n_chars", "doc_id"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+        .drop("fp")
+    )
+
+
+# --- token-share concentration curve (data-mix analytics) ---------------------
+
+_LORENZ_ORACLE = """
+WITH per AS (
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+ranked AS (
+    SELECT source, n_tokens,
+           ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rk,
+           SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM per
+)
+SELECT source, n_tokens, CAST(rk AS BIGINT) AS rk,
+       CAST(cum_tokens AS BIGINT) * 1.0
+         / (SELECT SUM(n_tokens) FROM per) AS cum_share
+FROM ranked
+"""
+
+
+@register("pipe_token_share_curve", oracle=_LORENZ_ORACLE)
+def q_pipe_token_share_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration (Lorenz) curve of the corpus: sources ranked
+    by token volume with the cumulative share each rank covers — the
+    chart a data-mix review reads to see that "top 3 sources are 40% of
+    the tokens" before deciding rebalancing weights
+    ([[pipe_domain_mixture]] is the knob this analysis turns).
+
+    Scale: token counting stays array-side in the scan; the heavy pass
+    is one partial+final hash agg to |sources| rows. The ranking window
+    then runs UNPARTITIONED on the aggregated frame — |sources| is
+    bounded by design (thousands at worst), so the single-task window
+    is deliberate, not a hazard (same doctrine as
+    [[pipe_corpus_mix_report]]'s global-share window). Cumulative sums
+    are BIGINT; the share divides two exact integers.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "source")
+    total = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        (
+            F.sum("n_tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+            * 1.0
+            / F.sum("n_tokens").over(total)
+        ).alias("cum_share"),
+    )

@@ -359,3 +359,57 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_day"),
         )
     )
+
+
+# --- heavy hitters: pigeonhole candidate prefilter + exact recount ------------
+
+_HH_THRESHOLD = 75
+_HH_SHARDS = 16
+_HH_SHARD_MIN = -(-_HH_THRESHOLD // _HH_SHARDS)  # ceil(T / shards) = 5
+
+_HH_ORACLE = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= {_HH_THRESHOLD}
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_ORACLE)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection (users with ≥ 75 events) via a two-phase
+    pigeonhole prefilter: rows are sharded by a deterministic hash
+    (event_id mod 16), counted per (user, shard), and only users with
+    some shard count ≥ ⌈T/shards⌉ = 5 survive as CANDIDATES — a key
+    with global count ≥ T must, by pigeonhole, exceed the per-shard
+    quota somewhere, so the prefilter is provably lossless (the oracle
+    hash-matches a plain GROUP BY ... HAVING, proving exactly that).
+    The exact recount then runs only on candidate rows.
+
+    Scale: the point of the candidate pass is state bounding — per
+    (user, shard) partials combine map-side and the heavy-hitter
+    threshold prunes the long tail BEFORE the global count, so the
+    final shuffle carries candidate rows only. At toy SF the per-user
+    event counts sit near the threshold and most keys survive the
+    prefilter; at 100 TB — where the key tail is ~all of the keyspace
+    and each tail key is far below T/shards — the candidate set is
+    orders of magnitude smaller than the key space, which is when this
+    shape beats the single groupBy. The shard hash rides event_id, a
+    uniform row id never correlated with user_id (same doctrine as
+    [[agg_salted_hotkey]]'s salt).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    shard = F.pmod(F.col("event_id"), F.lit(_HH_SHARDS))
+    cand = (
+        e.groupBy("user_id", shard.alias("shard"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _HH_SHARD_MIN)
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        e.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= _HH_THRESHOLD)
+    )

@@ -370,3 +370,27 @@ def test_ngram_jaccard_is_binned_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quality_composite_is_pure_projection(spark):
+    """pipe_quality_composite: all four quality signals in ONE scan with
+    ZERO exchanges — per-document locality is the operator's contract."""
+    plan = _formatted_plan(spark, "pipe_quality_composite")
+    assert "Exchange" not in plan
+
+
+def test_dedup_manifest_single_hash_agg(spark):
+    """pipe_dedup_manifest: one two-phase hash agg on the fingerprint,
+    no joins at all (the no-pair-join property is why fingerprint dedup
+    runs first at 100 TB)."""
+    plan = _formatted_plan(spark, "pipe_dedup_manifest")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """agg_heavy_hitters: the candidate set must broadcast into the
+    recount semi-join; both counting passes must partial-combine."""
+    plan = _formatted_plan(spark, "agg_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 phases × 2 counting passes
