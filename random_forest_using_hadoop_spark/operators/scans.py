@@ -419,3 +419,53 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_prio"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --- binary-file ingestion (the multimodal raw-bytes path) --------------------
+
+_BINFILE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 5
+"""
+
+
+@register("src_binaryfile", oracle=_BINFILE_ORACLE)
+def q_src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-file ingestion via Spark's `binaryFile` source — the
+    path image/audio/video bytes take into a multimodal table before
+    [[multimodal_struct]] packs them alongside text and embeddings.
+    Five deterministic blobs (the UTF-8 bytes of the 5 lowest-doc_id
+    documents) are staged as .bin files, read back as (path, length,
+    content) rows, and verified by length + md5 against the source —
+    proving the bytes survive the scan untouched.
+
+    Scale: binaryFile is a real FileFormat — distributed listing,
+    per-file tasks, pushdown on path/length metadata — so a billion
+    media blobs scan exactly like parquet does; one row per file keeps
+    each blob a single task-local value (no row-splitting of content).
+    The 5-row driver-side stage is test plumbing only: production bytes
+    already live in object storage. md5 runs JVM-side on BINARY in
+    Spark and on the identical byte string in DuckDB.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .collect()  # 5 bounded rows of stage plumbing, not operator data
+    )
+    path = _tmp(sf_dir, "binfiles")
+    os.makedirs(path, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(os.path.join(path, "*.bin"))
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

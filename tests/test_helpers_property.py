@@ -53,3 +53,58 @@ def test_fixed_sum_error_bound(xs):
     sum stays within n*5e-7 of the exact (math.fsum) result."""
     exact = math.fsum(xs)
     assert abs(_py_fixed_sum(xs) - exact) <= len(xs) * 5e-7 + 1e-9
+
+# --- candidate-generation losslessness (the r3 dedup rewrites) ----------------
+#
+# Pure-Python models of the two equi-join candidate constructions; each
+# test proves the pruning can never drop a qualifying pair, which is the
+# property the oracle hash-match relies on at corpus scale.
+
+_BITS, _N_BANDS, _BAND_BITS, _HAMMING_T = 60, 4, 15, 12
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << _BITS) - 1),
+    st.sets(st.integers(min_value=0, max_value=_BITS - 1), max_size=_HAMMING_T),
+)
+def test_simhash_band_cover_is_lossless(h_a, flips):
+    """Any pair within hamming ≤ 12 must collide on ≥1 (band, variant)
+    equi-key: probe emits every ≤3-flip variant of each 15-bit band of A,
+    build emits B's exact band values (dedup_lsh.q_dedup_simhash)."""
+    from random_forest_using_hadoop_spark.operators.dedup_lsh import _flip_masks
+
+    h_b = h_a
+    for b in flips:
+        h_b ^= 1 << b
+    masks = set(_flip_masks(_BAND_BITS, 3))
+    band_mask = (1 << _BAND_BITS) - 1
+    collides = False
+    for i in range(_N_BANDS):
+        ba = (h_a >> (_BAND_BITS * i)) & band_mask
+        bb = (h_b >> (_BAND_BITS * i)) & band_mask
+        if (ba ^ bb) in masks:  # probe variant ba^mask == bb  ⇔  mask = ba^bb
+            collides = True
+            break
+    assert collides, f"hamming={len(flips)} pair escaped the band cover"
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=100_000),
+    st.integers(min_value=-20, max_value=20),
+)
+def test_length_bin_cover_is_lossless(nc_a, delta):
+    """Any pair within ±20 chars must share an exploded width-20 bin
+    (each doc emits bin and bin+1), and the `bin == greatest(bin_a,
+    bin_b)` residual must keep EXACTLY one collision per pair
+    (dedup_lsh.q_dedup_ngram_jaccard)."""
+    nc_b = max(0, nc_a + delta)
+    if abs(nc_a - nc_b) > 20:
+        return
+    bin_a, bin_b = nc_a // 20, nc_b // 20
+    emit_a, emit_b = {bin_a, bin_a + 1}, {bin_b, bin_b + 1}
+    shared = emit_a & emit_b
+    assert shared, "pair within ±20 chars missed the bin cover"
+    kept = [b for b in shared if b == max(bin_a, bin_b)]
+    assert len(kept) == 1, f"dedup residual kept {len(kept)} collisions"
