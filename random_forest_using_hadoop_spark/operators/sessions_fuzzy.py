@@ -232,3 +232,65 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("p1_key", "p2_key", "name1", "name2", "edit_dist")
     )
+
+
+# --- gaps & islands: consecutive same-type event runs -------------------------
+
+_ISLANDS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, event_type, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM ordered
+)
+SELECT user_id,
+       CAST(island_id AS BIGINT) AS island_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS island_start
+FROM islands
+GROUP BY user_id, island_id, event_type
+"""
+
+
+@register("win_gaps_islands", oracle=_ISLANDS_ORACLE)
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (a change in event_type starts a new island) — the value-change
+    complement of [[win_sessionize_gap]]'s time-gap rule, and the classic
+    pattern behind "current streak" / state-duration analytics.
+
+    Scale: identical shuffle shape to sessionization — the lag flag, the
+    running island counter, and the final per-island agg all share the
+    user_id hash partitioning, so the whole operator is ONE exchange at
+    any event volume. The (ts, event_id) order key is a total order, so
+    island boundaries are deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    islands = e.withColumn(
+        "island_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy(
+        "user_id",
+        F.col("island_id").cast("bigint").alias("island_id"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("island_start"),
+    )

@@ -394,3 +394,14 @@ def test_heavy_hitters_candidates_broadcast(spark):
     plan = _formatted_plan(spark, "agg_heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert plan.count("HashAggregate") >= 4  # 2 phases × 2 counting passes
+
+
+def test_gaps_islands_single_exchange(spark):
+    """win_gaps_islands: lag flag, running island counter, and the final
+    per-island agg must all share the user_id partitioning — exactly one
+    shuffle, same contract as win_sessionize_gap."""
+    import re
+
+    plan = _formatted_plan(spark, "win_gaps_islands")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
