@@ -554,3 +554,53 @@ def q_pipe_token_share_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(total)
         ).alias("cum_share"),
     )
+
+
+# --- token-rarity scoring (vocab-join quality signal) -------------------------
+
+_RARITY_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+vocab AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(vocab.tf) AS BIGINT) AS sum_tf,
+       CAST(SUM(vocab.tf) AS BIGINT) * 1.0 / COUNT(*) AS mean_tf
+FROM tok JOIN vocab ON vocab.t = tok.t
+GROUP BY tok.doc_id
+"""
+
+
+@register("pipe_token_rarity", oracle=_RARITY_ORACLE)
+def q_pipe_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring: each document's mean corpus term frequency —
+    the integer-exact stand-in for the KenLM/unigram-LM perplexity
+    signal pretraining pipelines use to rank crawl text (low mean
+    frequency = rare/unusual vocabulary, high = boilerplate). Two
+    passes: build the corpus vocabulary with counts, then score every
+    document against it through a token join.
+
+    Scale: the vocab table is a hash agg over the token stream
+    (map-side combined, |vocab| ≪ |tokens|); the scoring join shuffles
+    on the token key — Zipf skew on stop-tokens is the classic hazard,
+    and the mitigation is the same salting doctrine as
+    [[agg_salted_hotkey]] or a broadcast of the head of the vocabulary.
+    The score is Σtf/n — two exact BIGINTs and one division, so the
+    hash can never drift (a log-probability variant would hit libm
+    last-ulp differences cross-engine; rank/frequency statistics don't).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("tf").alias("sum_tf"),
+            (F.sum("tf") * 1.0 / F.count(F.lit(1))).alias("mean_tf"),
+        )
+    )
