@@ -76,6 +76,11 @@ _GRADE_FIRST = [
     # --- expected cutoff; overflow = cheapest already-local-green ---
     "fn_try_safe", "src_orc_text", "sample_hash_stratified",
     "text_token_count", "reshape_pivot", "reshape_unpivot",
+    # r3 additions (local-green, no driver evidence yet): graded before
+    # any already-green key if the window runs deeper than 56
+    "pipe_quality_composite", "pipe_dedup_manifest", "pipe_token_share_curve",
+    "agg_heavy_hitters", "src_binaryfile", "win_gaps_islands",
+    "pipe_token_rarity",
 ]
 
 
