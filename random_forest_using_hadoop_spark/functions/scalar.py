@@ -222,3 +222,43 @@ def q_fn_cast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))).alias("key_md5"),
     )
+
+
+# --- bitwise function family --------------------------------------------------
+
+# NB dialect traps pinned here: DuckDB's infix ^ is EXPONENT (xor is the
+# function xor()); Spark's bitwiseXOR is ^ in its own SQL. bit_count
+# return types differ (Spark INT, DuckDB TINYINT for integers) — cast
+# both to BIGINT.
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS band,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_mix,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS n_bits,
+       CAST((o_orderkey >> 5) & 1 AS BIGINT) AS bit5,
+       CAST((o_orderkey << 3) | 7 AS BIGINT) AS shifted_or
+FROM orders
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family — AND-masked banding, XOR key mixing,
+    popcount, bit probes, and shift/OR packing — the primitives behind
+    hash partitioning, bitmap indexes, and the [[dedup_simhash]] banding,
+    exercised here as a graded scalar surface.
+
+    Scale: stateless codegen projections over the scan; zero shuffle.
+    Integer semantics are two's-complement BIGINT on both engines, so
+    every output is bit-exact by construction.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("key_mix"),
+        F.bit_count(k).cast("bigint").alias("n_bits"),
+        F.shiftright(k, 5).bitwiseAND(F.lit(1)).cast("bigint").alias("bit5"),
+        F.shiftleft(k, 3).bitwiseOR(F.lit(7)).cast("bigint").alias("shifted_or"),
+    )

@@ -480,3 +480,40 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days long, sum_daily_exact long, exact_total_users long, "
         "est_within_bound boolean",
     )
+
+
+# --- bitmap-exact distinct counting -------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through bitmap aggregation (the
+    Databricks/Snowflake bitmap pattern): key ids are bucketed
+    (bitmap_bucket_number), each bucket aggregates a fixed-size bitmap
+    of bit positions, and the distinct count is the sum of per-bucket
+    popcounts. The oracle is plain COUNT(DISTINCT) — the hash match
+    proves bitmap distinct is exact, not approximate.
+
+    Scale: this is the shape that replaces count-distinct expansion at
+    100 TB — bitmap partials are fixed-size, MERGEABLE (bitmap_or_agg
+    rolls buckets up a date ladder the way [[agg_sketch_rollup]] merges
+    HLLs, but without the error bar), and combine map-side, so the
+    shuffle carries (group, bucket, 4KB bitmap) rows instead of one row
+    per distinct id. Two hash aggs, both partial+final.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias("n_users")
+    )
