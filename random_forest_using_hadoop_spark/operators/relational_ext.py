@@ -247,3 +247,34 @@ def q_reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["p_brand"], ["avg_price", "avg_size"], "metric", "value"
     )
+
+
+# --- correlated LATERAL subquery ----------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+
+@register("subquery_lateral", oracle=_LATERAL_SQL)
+def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — "for each outer row, the top-2 of a
+    correlated inner query" — the dialect-shared SQL runs VERBATIM on
+    both engines. Semantically kin to [[topk_per_group]], but the
+    declaration exercises a different planner path: Catalyst must
+    decorrelate the per-row LIMIT subquery into a ranked join (a
+    per-outer-row rescan would be quadratic), which is exactly the
+    rewrite that makes LATERAL usable on a big outer side.
+
+    Scale: post-decorrelation the plan is the window-rank shape — one
+    shuffle on the correlation key, rank, filter — so it inherits
+    topk_per_group's scaling; the (c_acctbal DESC, c_custkey) order is
+    total, making the 2-row cut deterministic cross-engine.
+    """
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

@@ -405,3 +405,14 @@ def test_gaps_islands_single_exchange(spark):
     plan = _formatted_plan(spark, "win_gaps_islands")
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_lateral_subquery_decorrelates_to_ranked_join(spark):
+    """subquery_lateral: the per-outer-row LIMIT must decorrelate to the
+    window-rank + hash-join shape — never a per-row rescan (nested
+    loop over the inner query)."""
+    plan = _formatted_plan(spark, "subquery_lateral")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
