@@ -262,3 +262,45 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 5).bitwiseAND(F.lit(1)).cast("bigint").alias("bit5"),
         F.shiftleft(k, 3).bitwiseOR(F.lit(7)).cast("bigint").alias("shifted_or"),
     )
+
+
+# --- calendar / interval family -----------------------------------------------
+
+# Parity pinned by measurement: add_months ≡ + INTERVAL n MONTH (both
+# clamp Jan 31 + 1mo → Feb 29); last_day identical; weekofyear is ISO
+# week in both (2024-01-01 → 1).
+_CALENDAR_ORACLE = """
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+FROM orders
+"""
+
+
+@register("fn_calendar", oracle=_CALENDAR_ORACLE)
+def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval scalar family — month-end, month arithmetic
+    with end-of-month clamping, quarter, day-of-year, ISO week — the
+    functions fiscal-calendar rollups and retention offsets are built
+    from (complements fn_datetime's truncation/diff surface).
+
+    Scale: stateless codegen projection, zero shuffle. The dialect
+    hazards live in the oracle note above — month clamping and ISO-week
+    conventions are the classic cross-engine drift points and both are
+    measured identical here.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return o.select(
+        "o_orderkey",
+        # DATE → string on both sides: DuckDB's pandas bridge widens
+        # DATE to datetime64, which a stringifying hash distinguishes
+        # from Spark's date objects.
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+    )
