@@ -81,7 +81,7 @@ _GRADE_FIRST = [
     "pipe_quality_composite", "pipe_dedup_manifest", "pipe_token_share_curve",
     "agg_heavy_hitters", "src_binaryfile", "win_gaps_islands",
     "pipe_token_rarity", "fn_bitwise", "agg_bitmap_distinct",
-    "subquery_lateral", "fn_calendar",
+    "subquery_lateral", "fn_calendar", "dedup_substring",
 ]
 
 

@@ -486,3 +486,64 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         F.coalesce("has_dups", F.lit(False)).alias("has_dups"),
     )
+
+
+# --- cross-document exact-substring duplication -------------------------------
+
+_SUBSTR_WIN = 20
+_SUBSTR_MIN_SHARED = 15
+
+_SUBSTR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(length(text) - {_SUBSTR_WIN - 1}, 1) + 1),
+                i -> text[i : i + {_SUBSTR_WIN - 1}]))) AS win
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_SUBSTR_MIN_SHARED}
+"""
+
+
+@register("dedup_substring", oracle=_SUBSTR_ORACLE)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring duplication (the ExactSubstr pass of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better*, 2022): two docs sharing a duplicated run of ≥ L chars share
+    all of its L−19 20-char windows, so pairs with ≥ 15 distinct shared
+    windows have a long verbatim overlap (the planted shared-prefix
+    families surface with hundreds of shared windows). Complements the
+    set-similarity family: [[dedup_minhash]] sees bag-of-shingles
+    likeness; this sees contiguous verbatim copying — the boilerplate/
+    license-block/press-release signature.
+
+    Scale: a pure equi-join on window CONTENT — no pair enumeration
+    outside shared windows, shuffle ∝ Σ df(win)². The two scale knobs,
+    in order: winnowing (keep only local-minimum window hashes, the
+    [[text_fingerprint]] construction — cuts join input ~w-fold,
+    preserves any ≥L-char run), and a df cap dropping ubiquitous
+    boilerplate windows before the join (the stop-shingle rule). At
+    graded SF the exact all-windows form doubles as its own
+    verification baseline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(text) - {_SUBSTR_WIN - 1}, 1)),"
+                f" i -> substring(text, i, {_SUBSTR_WIN})))"
+            )
+        ).alias("win"),
+    )
+    a = wins.select(F.col("doc_id").alias("doc_id_a"), "win")
+    b = wins.select(F.col("doc_id").alias("doc_id_b"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _SUBSTR_MIN_SHARED)
+    )
