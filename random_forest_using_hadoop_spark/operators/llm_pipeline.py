@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
+
+def _guarded_ngram_expr(n: int) -> str:
+    """Spark SQL for the distinct word n-grams of `text`, empty for docs
+    with < n tokens. The guard matters: Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0] and slice(..., 0, n) then throws, while DuckDB's
+    generate_series(1, 0) is simply empty — so every n-gram site must
+    branch before building the sequence."""
+    t = "split(text, ' ')"
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({t}, i, {n}))))"
+        f" ELSE cast(array() as array<string>) END"
+    )
+
+
 # Stand-in eval-benchmark strata: everything from these sources is
 # "benchmark"; the rest of the corpus is checked against it.
 _BENCH_SOURCES = ("src0", "src1")
@@ -77,16 +93,7 @@ def q_pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ngrams = d.select(
         "doc_id",
         "source",
-        # Short-doc guard: sequence(1, 0) in Spark is DESCENDING [1, 0],
-        # and slice(..., 0, 4) then throws — so docs with < 4 tokens get
-        # an empty gram array outright (matches the DuckDB oracle, whose
-        # generate_series(1, 0) is empty).
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) >= 4 THEN"
-            " array_distinct(transform(sequence(1, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i, 4))))"
-            " ELSE cast(array() as array<string>) END"
-        ).alias("grams"),
+        F.expr(_guarded_ngram_expr(4)).alias("grams"),
     )
     bench = (
         with_ngrams.filter(F.col("source").isin(*_BENCH_SOURCES))
@@ -151,8 +158,9 @@ def q_pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = "split(text, ' ')"
-    # Same short-doc guard as pipe_contamination_ngram: sequence(1, 0)
-    # descends and slice(..., 0, 3) throws, so < 3-token docs get [].
+    # NB: the repetition signal needs the NON-distinct gram stream (its
+    # whole point is counting duplicates), so this one keeps its own
+    # guarded expression rather than _guarded_ngram_expr's distinct form.
     g = (
         f"CASE WHEN size({t}) >= 3 THEN"
         f" transform(sequence(1, size({t}) - 2), i -> concat_ws(' ', slice({t}, i, 3)))"
@@ -410,6 +418,7 @@ def q_pipe_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = "split(text, ' ')"
+    # non-distinct gram stream, same reason as pipe_repetition_score
     g = (
         f"CASE WHEN size({t}) >= 3 THEN"
         f" transform(sequence(1, size({t}) - 2), i -> concat_ws(' ', slice({t}, i, 3)))"

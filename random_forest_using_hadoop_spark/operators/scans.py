@@ -457,6 +457,12 @@ def q_src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # 5 bounded rows of stage plumbing, not operator data
     )
     path = _tmp(sf_dir, "binfiles")
+    # truncate like Spark's mode("overwrite") staging writes elsewhere in
+    # this module — a stale .bin from a prior corpus would otherwise
+    # survive into the glob and break the row-count match
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     for r in docs:
         with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:

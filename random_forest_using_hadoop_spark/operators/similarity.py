@@ -207,22 +207,17 @@ def _recall_audit(spark: SparkSession, sf_dir: str, ann: DataFrame, floor: float
     two materializations plus Python set math (the r2 shape). At
     production scale `truth` is the same plan over a SAMPLED query
     subset — the audit shape is unchanged, only the query filter."""
+    # ONE read of the exact ranker: left-join the ANN hits onto truth and
+    # derive n_true/n_hit in a single agg (two branches off `truth` would
+    # execute the expensive exact-ranker subtree twice).
     truth = q_sim_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
-    hit = (
-        truth.join(
-            ann.select("query_id", "corpus_id"), ["query_id", "corpus_id"], "left_semi"
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    marked = truth.join(
+        ann.select("query_id", "corpus_id").withColumn("hit", F.lit(1)),
+        ["query_id", "corpus_id"],
+        "left",
     )
-    per_q = (
-        truth.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_true"))
-        .join(hit, "query_id", "left")
-        .select(
-            "query_id",
-            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall"),
-        )
+    per_q = marked.groupBy("query_id").agg(
+        (F.count("hit") / F.count(F.lit(1))).alias("recall")
     )
     return per_q.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),

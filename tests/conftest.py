@@ -33,6 +33,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+BENCH_SF_DIR = "/root/testdata/sf0.1"
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 import random_forest_using_hadoop_spark as engine
-from tests.conftest import SF_DIR
+from tests.conftest import BENCH_SF_DIR, SF_DIR
 
 engine.load_all()
 
@@ -315,7 +315,7 @@ def test_sessionize_single_exchange(spark):
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
 
 
-@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sf_dir", [SF_DIR, BENCH_SF_DIR])
 def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
     """join_fuzzy_levenshtein: the self-join must ride the noun block
     key (hash join), never an all-pairs nested loop — at the grading SF
@@ -325,7 +325,7 @@ def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("sf_dir", [SF_DIR, BENCH_SF_DIR])
 def test_contamination_broadcast_holds_at_bench_sf(spark, sf_dir):
     """pipe_contamination_ngram's broadcast-probe shape must survive the
     10× larger bench input, not just the grading SF."""

@@ -14,11 +14,10 @@ from __future__ import annotations
 import pytest
 
 import random_forest_using_hadoop_spark as engine
-from tests.conftest import SMOKE_SF_DIR
+from tests.conftest import BENCH_SF_DIR, SMOKE_SF_DIR
 
 engine.load_all()
 
-BENCH_SF_DIR = "/root/testdata/sf0.1"
 
 # Keys whose behavior depends on corpus shape, not just size.
 _SF_SENSITIVE = [
