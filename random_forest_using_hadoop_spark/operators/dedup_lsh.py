@@ -36,6 +36,23 @@ _O_SHINGLES = (
 )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a SUPERSEDED localCheckpoint's storage blocks.
+
+    A localCheckpoint is non-recomputable, so this must only run on
+    frames no later plan references (e.g. the previous iteration's label
+    frame in the CC loop). Spark's ContextCleaner reclaims the blocks
+    anyway once the JVM Dataset becomes unreachable, but that waits on
+    driver GC; an iterative loop over a billion-doc label frame should
+    not hold every iteration's copy until then. The LogicalRDD access is
+    internal API, so it is guarded — on any failure we degrade to the
+    async GC path, never to an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.expr(_SHINGLES).alias("shingles")
@@ -216,6 +233,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(_BITS),
         F.lit(0).cast("bigint"),
     )
+    # cache(): the fingerprint frame feeds BOTH the probe and build sides
+    # below; without it the shingle-explode + 60-column agg runs twice in
+    # one action. The blocks outlive the query's terminal action (a query
+    # fn returns a lazy plan, so there is no post-action hook to
+    # unpersist from); that is deliberate — storage is MEMORY_AND_DISK
+    # with LRU block eviction, so a long grading session degrades to
+    # recompute, never OOM. A production dedup job owns its action and
+    # should unpersist after it.
     sh = bits.select("doc_id", simhash.alias("simhash")).cache()
 
     band_mask = (1 << _BAND_BITS) - 1
@@ -446,11 +471,16 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_T)
         .select("a", "b")
     )
+    # edges stays cached past the function's return: the returned plan
+    # reads it (in_component below), so it cannot be unpersisted here.
+    # MEMORY_AND_DISK + LRU eviction bounds the cost (worst case the
+    # candidate join recomputes from parquet).
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
 
     labels = d.select("doc_id", F.col("doc_id").alias("component_id"))
+    prev_ckpt = None
     for _ in range(10):  # diameter bound; planted cliques need ≤2
         prop = (
             labels.join(edges, labels.doc_id == edges.a)
@@ -475,9 +505,21 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("component_id") != F.col("old"))
             .count()
         )
+        # the changed-count above was this round's last read of the OLD
+        # labels: a superseded iteration's checkpoint blocks are dead
+        # weight from here on, so release them eagerly instead of
+        # holding every iteration's copy until driver GC
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = merged
         labels = merged
         if changed == 0:
             break
+    # the shingle frame fed edge construction only; edges is cached and
+    # materialized by the loop's first count, so d's blocks are no
+    # longer reachable from the returned plan (eviction of an edges
+    # block recomputes from parquet, not from d)
+    d.unpersist(blocking=False)
 
     in_component = edges.select(F.col("a").alias("doc_id")).distinct()
     return labels.join(in_component.withColumn("has_dups", F.lit(True)),

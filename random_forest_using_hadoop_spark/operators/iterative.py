@@ -221,6 +221,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_nodes = nodes.count()  # driver-side scalar: iteration constant, O(1)
+    # materialize adj now (one job), then drop the raw edge cache — the
+    # loop and the returned plan read only adj and nodes, so holding the
+    # un-joined edge copy for the whole session is pure dead weight. If
+    # an adj block is later evicted it recomputes from parquet lineage.
+    adj.count()
+    edges.unpersist(blocking=False)
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (

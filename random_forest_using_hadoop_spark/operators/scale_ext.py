@@ -397,6 +397,14 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape beats the single groupBy. The shard hash rides event_id, a
     uniform row id never correlated with user_id (same doctrine as
     [[agg_salted_hotkey]]'s salt).
+
+    The candidate semi-join carries NO broadcast hint: whether the
+    surviving candidate set fits in a broadcast is exactly what the
+    prefilter cannot promise (at toy SF most keys survive, so the hint
+    would force-broadcast nearly the whole keyspace; at scale few do),
+    so the planner + AQE pick the strategy from the observed candidate
+    size at runtime instead of a hint that is only right in the
+    selective regime.
     """
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     shard = F.pmod(F.col("event_id"), F.lit(_HH_SHARDS))
@@ -408,7 +416,7 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        e.join(F.broadcast(cand), "user_id", "left_semi")
+        e.join(cand, "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") >= _HH_THRESHOLD)

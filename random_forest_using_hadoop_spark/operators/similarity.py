@@ -67,13 +67,41 @@ WHERE rank_in_query <= {TOP_K}
 _TOPK_SALT = 32
 
 
+def _scan_splits(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Driver-side estimate of a table scan's split count: file bytes /
+    ``spark.sql.files.maxPartitionBytes``, from plain file metadata.
+
+    This exists so plan-shape switches (salting in ``_topk_cut``) never
+    call ``df.rdd.getNumPartitions()`` — the ``.rdd`` conversion forces
+    an extra plan analysis per invocation, and its answer depends on
+    whatever split layout the scan happened to pick, so the produced
+    plan shape would vary with file-split accidents. Bytes-on-disk is
+    deterministic in the input and free to read."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        total = os.path.getsize(path)
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit()) or "134217728"
+    return max(1, -(-total // int(digits)))
+
+
 def _topk_cut(pairs: DataFrame, salted: bool) -> DataFrame:
     """Rank (query_id, corpus_id, cos_sim) pairs and keep the top-k per
     query. `salted=True` is the scale path: phase 1 ranks within
     (query_id, corpus_id % SALT) so SALT·q tasks each sort n/SALT rows
     and keep k, phase 2 ranks only the surviving SALT·k·q rows — no
     q-partition global-sort hot spot. Same answer either way (top-k of
-    per-salt top-ks is the global top-k)."""
+    per-salt top-ks is the global top-k), so callers may pick `salted`
+    from any heuristic — including the _scan_splits estimate — without
+    affecting results, only the plan shape."""
     order = (F.col("cos_sim").desc(), F.col("corpus_id"))
     if salted:
         w_salted = Window.partitionBy(
@@ -104,7 +132,9 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q-partition sort to be the bottleneck; on a toy single-split corpus
     the salting windows would only add two exchanges for nothing (the r2
     bench measured +38% from exactly that), so the switch is the scan's
-    partition count vs the salt width — driver-side metadata, no job.
+    estimated split count (file bytes / maxPartitionBytes, _scan_splits)
+    vs the salt width — driver-side file metadata, no job, no .rdd
+    conversion, deterministic in the input size.
     The plan gate (tests/test_plans.py::test_sim_topk_salted_two_phase)
     pins the salted shape on a wide input and the single-phase shape on
     the toy scan.
@@ -121,7 +151,9 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_id",
         F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
-    return _topk_cut(pairs, salted=c.rdd.getNumPartitions() > _TOPK_SALT)
+    return _topk_cut(
+        pairs, salted=_scan_splits(spark, sf_dir, "embeddings") > _TOPK_SALT
+    )
 
 
 # --- embedding-cosine near-dup pairs (task-spec dedup family) ----------------
@@ -201,18 +233,23 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
 
 def _recall_audit(spark: SparkSession, sf_dir: str, ann: DataFrame, floor: float) -> DataFrame:
     """Mean top-k recall of `ann` vs the exact ranker, computed entirely
-    as a DataFrame plan — a LEFT SEMI join marks the exact pairs the ANN
-    found, then one agg averages per-query recall. NO driver collect:
-    grading the ANN key costs one distributed pass over truth ∪ ann, not
-    two materializations plus Python set math (the r2 shape). At
-    production scale `truth` is the same plan over a SAMPLED query
-    subset — the audit shape is unchanged, only the query filter."""
+    as a DataFrame plan — a LEFT OUTER join marks each truth pair the ANN
+    found (non-null `hit`), then one agg averages per-query recall. NO
+    driver collect: grading the ANN key costs one distributed pass over
+    truth ∪ ann, not two materializations plus Python set math (the r2
+    shape). At production scale `truth` is the same plan over a SAMPLED
+    query subset — the audit shape is unchanged, only the query filter."""
     # ONE read of the exact ranker: left-join the ANN hits onto truth and
     # derive n_true/n_hit in a single agg (two branches off `truth` would
-    # execute the expensive exact-ranker subtree twice).
+    # execute the expensive exact-ranker subtree twice). The .distinct()
+    # makes the audit robust to ANN variants that emit a candidate pair
+    # more than once — a duplicate would otherwise fan out its truth row
+    # and inflate both the recall numerator and denominator.
     truth = q_sim_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
     marked = truth.join(
-        ann.select("query_id", "corpus_id").withColumn("hit", F.lit(1)),
+        ann.select("query_id", "corpus_id")
+        .distinct()
+        .withColumn("hit", F.lit(1)),
         ["query_id", "corpus_id"],
         "left",
     )

@@ -165,7 +165,7 @@ def test_sim_topk_salted_two_phase(spark):
         "corpus_id",
         F.round(S._cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
-    wide = S._topk_cut(pairs, salted=c.rdd.getNumPartitions() > S._TOPK_SALT)
+    wide = S._topk_cut(pairs, salted=True)
     jvm = spark._jvm
     wide_plan = wide._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
