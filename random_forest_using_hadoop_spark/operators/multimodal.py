@@ -1,14 +1,17 @@
 """Multimodal columns — SURVEY.md §2 C9 plus the task-spec decode /
 frame-sample plumbing.
 
-The container has no image/audio libraries and the testdata has no real
-media, so media bytes are modeled as an opaque ``binary`` payload column
-(utf-8 of the doc text) with typed metadata, exactly as a 100 TB media
-lake stores them. The *decode* step is a clearly marked stub (gated on
-the real library being importable, deterministic fake otherwise); the
-Spark-side plumbing — binary column, metadata struct, Arrow-batched
-``mapInPandas``, partition-preserving schema — is real and oracle-checked
-because the fake is a pure function of the bytes that DuckDB can mirror.
+The testdata has no real media files, so the pipeline SYNTHESIZES real
+ones: each document's text is rendered into a genuine PNG (8-bit
+grayscale, written to the public spec — ISO/IEC 15948 / RFC 2083 chunk
+layout, zlib-deflated filtered scanlines, CRC-32 per chunk) carried as
+an opaque ``binary`` column, exactly as a 100 TB media lake stores
+payloads. The decode step is a REAL codec: it validates the signature
+and chunk CRCs, parses IHDR, inflates IDAT, and reverses all five
+standard scanline filters to recover the pixels (PIL cross-checks the
+result when importable). The graded columns (dimensions + pixel sum)
+are therefore round-tripped through actual image bytes, while DuckDB
+recomputes the expected values independently from the source text.
 """
 
 from __future__ import annotations
@@ -70,53 +73,179 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- decode stub over mapInPandas --------------------------------------------
+# --- real PNG encode → decode over mapInPandas -------------------------------
 
-_DECODE_ORACLE = """
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# image dims are a pure function of the text length so the oracle can
+# predict what the decoder must recover from the bytes
+_W_MOD, _W_OFF = 61, 4
+_H_MOD, _H_OFF = 37, 3
+
+_DECODE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_W_MOD} + {_W_OFF} AS w,
+         length(text) % {_H_MOD} + {_H_OFF} AS h
+  FROM documents
+)
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       ('0x' || substr(md5(text), 1, 4))::INTEGER % 1024 AS width,
-       ('0x' || substr(md5(text), 5, 4))::INTEGER % 1024 AS height,
-       'stub' AS decoder
-FROM documents
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+            i -> ascii(text[(i % n) + 1 : (i % n) + 1]))) AS BIGINT)
+         AS pixel_sum,
+       'png8-gray' AS codec
+FROM p
 """
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, str]:
-    """Decode an image payload → (width, height, decoder).
+def _png_encode(data: bytes, width: int, height: int) -> bytes:
+    """Write an 8-bit grayscale PNG whose pixels tile ``data`` row-major
+    (pixel i = data[i mod len]). Pure stdlib, to the public spec
+    (ISO/IEC 15948): signed chunks IHDR/IDAT/IEND, filter byte 0 per
+    scanline, one deflate stream."""
+    import struct
+    import zlib
 
-    STUB: real decoding needs an image library that is not in this
-    container. When PIL is importable this raises NotImplementedError at
-    the integration point rather than guessing; otherwise it returns a
-    deterministic fake derived from the payload's md5 so the pipeline
-    stays testable end-to-end.
-    """
-    try:
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode path not wired: container lacks test media"
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
-    except ImportError:
-        import hashlib
 
-        h = hashlib.md5(payload).hexdigest()
-        return int(h[0:4], 16) % 1024, int(h[4:8], 16) % 1024, "stub"
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    n = len(data)
+    raw = b"".join(
+        b"\x00"
+        + bytes(data[(y * width + x) % n] for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit grayscale non-interlaced PNG → (width, height,
+    pixel bytes). A real, if narrow, decoder: validates the signature
+    and every chunk's CRC-32, parses IHDR, concatenates and inflates the
+    IDAT stream, and reverses all five standard scanline filters
+    (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9), not just the one the
+    encoder above happens to emit."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    width = height = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError("only 8-bit grayscale non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    pixels = bytearray()
+    prev = bytearray(width)
+    for y in range(height):
+        f = raw[y * stride]
+        row = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        if f == 1:  # Sub (bpp = 1: left neighbor is the reconstructed byte)
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown scanline filter {f}")
+        pixels += row
+        prev = row
+    return width, height, bytes(pixels)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, str]:
+    """Decode an image payload → (width, height, pixel_sum, codec),
+    through the real PNG parser above. When PIL is importable its
+    decode cross-checks ours — any disagreement raises rather than
+    letting a codec bug grade silently."""
+    w, h, px = _png_decode(payload)
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        if img.size != (w, h) or bytes(img.convert("L").tobytes()) != px:
+            raise ValueError("pure-python PNG decode disagrees with PIL")
+    except ImportError:
+        pass
+    return w, h, sum(px), "png8-gray"
 
 
 @register("multimodal_decode", oracle=_DECODE_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract metadata from a binary media column via
-    Arrow-batched ``mapInPandas`` — the real 100 TB shape: one Python
-    worker per partition, whole Arrow record batches in/out, schema
-    declared up front, no per-row py4j traffic. The stubbed decode is a
-    pure function of the bytes, so DuckDB mirrors it for the hash check.
+    """Media decode over a binary column via Arrow-batched
+    ``mapInPandas`` — the 100 TB shape: one Python worker per partition,
+    whole Arrow record batches in/out, schema declared up front, no
+    per-row py4j traffic.
+
+    Two mapInPandas stages through a real ``binary`` column: stage 1
+    renders each doc's text into an actual PNG payload (dims are a pure
+    function of text length); stage 2 decodes those bytes with the real
+    parser — signature, CRCs, inflate, defilter — and reports the
+    recovered dimensions and pixel sum. The oracle recomputes all three
+    from the source text without touching PNG at all, so a hash match
+    proves the encode→decode round trip reproduced every pixel.
     """
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8")
+                n = len(data)
+                payloads.append(
+                    _png_encode(data, n % _W_MOD + _W_OFF, n % _H_MOD + _H_OFF)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(encode_batch, schema="doc_id long, payload binary")
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,16 +253,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
-                    "decoder": [m[2] for m in meta],
+                    "pixel_sum": [m[2] for m in meta],
+                    "codec": [m[3] for m in meta],
                 }
             )
 
-    return d.mapInPandas(
+    return media.mapInPandas(
         decode_batch,
-        schema="doc_id long, n_bytes long, width int, height int, decoder string",
+        schema="doc_id long, width int, height int, pixel_sum long, codec string",
     )
 
 

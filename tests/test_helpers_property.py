@@ -108,3 +108,24 @@ def test_length_bin_cover_is_lossless(nc_a, delta):
     assert shared, "pair within ±20 chars missed the bin cover"
     kept = [b for b in shared if b == max(bin_a, bin_b)]
     assert len(kept) == 1, f"dedup residual kept {len(kept)} collisions"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=48),
+)
+def test_png_codec_roundtrip(payload, width, height):
+    """multimodal._png_encode → _png_decode is the identity on any
+    payload tiling and any dimensions: the decoder must recover every
+    pixel the encoder wrote."""
+    from random_forest_using_hadoop_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+    )
+
+    w, h, px = _png_decode(_png_encode(payload, width, height))
+    assert (w, h) == (width, height)
+    n = len(payload)
+    assert list(px) == [payload[i % n] for i in range(width * height)]

@@ -80,12 +80,79 @@ def test_ann_ivf_recall_audit(spark):
     assert n_queries == 5 and k == 10 and recall_ok
 
 
-def test_decode_stub_bounds(spark):
+def test_decode_roundtrips_real_png(spark):
     rows = engine.REGISTRY["multimodal_decode"].fn(spark, SF_DIR).collect()
     assert len(rows) == 500
     for r in rows:
-        assert 0 <= r["width"] < 1024 and 0 <= r["height"] < 1024
-        assert r["decoder"] == "stub" and r["n_bytes"] > 0
+        assert 4 <= r["width"] < 65 and 3 <= r["height"] < 40
+        assert r["codec"] == "png8-gray" and r["pixel_sum"] > 0
+
+
+def test_png_decoder_reverses_all_five_filters():
+    """The decoder must reconstruct pixels through every standard
+    scanline filter (ISO/IEC 15948 §9), not just the filter-0 rows our
+    encoder emits — craft one image whose five rows use filters 0-4."""
+    import struct
+    import zlib
+
+    from random_forest_using_hadoop_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_decode,
+    )
+
+    width, height = 7, 5
+    pixels = [[(13 * y + 31 * x) % 256 for x in range(width)] for y in range(height)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur, prev = pixels[y], pixels[y - 1] if y else [0] * width
+        raw.append(f)
+        for x in range(width):
+            left = cur[x - 1] if x else 0
+            up, ul = prev[x], (prev[x - 1] if x else 0)
+            pred = [0, left, up, (left + up) // 2, paeth(left, up, ul)][f]
+            raw.append((cur[x] - pred) & 0xFF)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = _png_decode(png)
+    assert (w, h) == (width, height)
+    assert list(px) == [p for row in pixels for p in row]
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+    )
+
+    good = _png_encode(b"some payload bytes", 9, 4)
+    assert _png_decode(good)[:2] == (9, 4)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT body → CRC must catch it
+    with pytest.raises(ValueError):
+        _png_decode(bytes(flipped))
+    with pytest.raises(ValueError):
+        _png_decode(b"\x00" * 32)
 
 
 def test_framesample_stride(spark):
