@@ -252,7 +252,9 @@ def q_ml_rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A6_ORACLE = """
-SELECT COUNT(DISTINCT label) AS n_classes,
+SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_classes,
+       CAST(MIN(label) AS BIGINT) AS min_label,
+       CAST(MAX(label) AS BIGINT) AS max_label,
        TRUE AS preds_in_domain,
        TRUE AS votes_cover_test,
        TRUE AS preds_integral
@@ -265,9 +267,11 @@ def q_ml_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-record majority vote over the forest (model.transform),
     audited via the (label, prediction) confusion counts — the exact
     reduce-side output of the reference's evaluate job [recon]. Graded
-    projection: class count (oracle recomputes) + invariants — every
-    vote lands in the label domain, is a whole class id, and the
-    confusion matrix accounts for every test row."""
+    projection: class count and label-domain bounds (all recomputed by
+    the oracle from source — the Spark side must derive the same numbers
+    through its own scan) + invariants — every vote lands in the label
+    domain, is a whole class id, and the confusion matrix accounts for
+    every test row."""
     art = _fitted(spark, sf_dir)
     conf = (
         art["pred"].groupBy("label", "prediction").agg(F.count(F.lit(1)).alias("n"))
@@ -283,8 +287,18 @@ def q_ml_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral = all(float(r["prediction"]).is_integer() for r in conf)
     covered = sum(r["n"] for r in conf) == art["pred"].count()
     return spark.createDataFrame(
-        [(len(domain), in_domain, covered, integral)],
-        "n_classes long, preds_in_domain boolean, votes_cover_test boolean, "
+        [
+            (
+                len(domain),
+                int(min(domain)),
+                int(max(domain)),
+                in_domain,
+                covered,
+                integral,
+            )
+        ],
+        "n_classes long, min_label long, max_label long, "
+        "preds_in_domain boolean, votes_cover_test boolean, "
         "preds_integral boolean",
     )
 
@@ -293,11 +307,12 @@ def q_ml_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A7_ORACLE = """
-SELECT TRUE AS n_test_pos,
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(label) AS BIGINT) AS label_sum,
+       TRUE AS n_test_pos,
        TRUE AS rmse_finite,
        TRUE AS rmse_bounded
 FROM embeddings
-LIMIT 1
 """
 
 
@@ -306,7 +321,9 @@ def q_ml_rf_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: RandomForestRegressor (mean-of-trees vote) on the same
     features, judged on test RMSE staying within 1.5× the label stddev
     (a mean predictor scores 1.0×; measured 1.11× at sf0.01 — the
-    embeddings are weakly informative for the label)."""
+    embeddings are weakly informative for the label). The source row
+    count and exact label sum ride along so the oracle recomputes real
+    values, not just constants (label ids ≤ 9 sum exactly in doubles)."""
     import math
 
     data = assemble(load_table(spark, sf_dir, "embeddings"))
@@ -318,8 +335,12 @@ def q_ml_rf_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)),
         F.stddev("label"),
     ).first()
+    n_rows, label_sum = data.agg(
+        F.count(F.lit(1)).cast("long"), F.sum("label").cast("long")
+    ).first()
     return spark.createDataFrame(
-        [(n_test > 0, math.isfinite(rmse), rmse <= 1.5 * sd)],
+        [(n_rows, label_sum, n_test > 0, math.isfinite(rmse), rmse <= 1.5 * sd)],
+        "n_rows long, label_sum long, "
         "n_test_pos boolean, rmse_finite boolean, rmse_bounded boolean",
     )
 
@@ -328,11 +349,13 @@ def q_ml_rf_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _A8_ORACLE = """
-SELECT TRUE AS acc_in_01,
+WITH pc AS (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MAX(c) AS BIGINT) AS majority_n,
+       TRUE AS acc_in_01,
        TRUE AS f1_in_01,
        TRUE AS acc_above_chance
-FROM embeddings
-LIMIT 1
+FROM pc
 """
 
 
@@ -341,13 +364,24 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: accuracy + weighted F1 on the held-out split (the reference's
     map-emit-(true,pred) / reduce-count job as one evaluator call),
     graded on metric-domain invariants plus beating 10-class chance
-    (floor 0.12 vs 0.20 measured at sf0.01)."""
+    (floor 0.12 vs 0.20 measured at sf0.01). The class count and the
+    majority class's row count — the baseline any classifier must beat —
+    are recomputed by the oracle from source, so two graded columns are
+    real numbers, not constants."""
     art = _fitted(spark, sf_dir)
     ev = MulticlassClassificationEvaluator(labelCol="label", predictionCol="prediction")
     acc = ev.setMetricName("accuracy").evaluate(art["pred"])
     f1 = ev.setMetricName("weightedFMeasure").evaluate(art["pred"])
+    n_classes, majority_n = (
+        assemble(load_table(spark, sf_dir, "embeddings"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long"), F.max("c").cast("long"))
+        .first()
+    )
     return spark.createDataFrame(
-        [(0.0 <= acc <= 1.0, 0.0 <= f1 <= 1.0, acc >= 0.12)],
+        [(n_classes, majority_n, 0.0 <= acc <= 1.0, 0.0 <= f1 <= 1.0, acc >= 0.12)],
+        "n_classes long, majority_n long, "
         "acc_in_01 boolean, f1_in_01 boolean, acc_above_chance boolean",
     )
 
