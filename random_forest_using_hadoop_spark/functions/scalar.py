@@ -79,6 +79,13 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides truncate to the hour *before* differencing so Spark's
     complete-intervals and DuckDB's boundary-crossing semantics agree.
 
+    y/m are FUNCTIONS of hour_id, so they stay out of the group key —
+    grouping on (user_id, hour_id, event_type) only and re-deriving the
+    calendar fields from the bucket post-agg keeps the shuffle rows two
+    ints narrower and the partial-agg hash key three columns wide
+    instead of five. At 100 TB the shuffle is this query's only
+    exchange; key width is the lever.
+
     Scale: ~1 group per user-hour-type; partial agg collapses map-side.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -86,15 +93,21 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00',"
         " date_trunc('hour', ts))"
     )
+    bucket_ts = F.expr(
+        "timestamp_ntz'2024-01-01 00:00:00' + make_dt_interval(0, hour_id)"
+    )
     return (
-        ev.groupBy(
-            "user_id",
-            hour_id.alias("hour_id"),
-            F.year("ts").alias("y"),
-            F.month("ts").alias("m"),
-            "event_type",
-        )
+        ev.groupBy("user_id", hour_id.alias("hour_id"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            "hour_id",
+            F.year(bucket_ts).alias("y"),
+            F.month(bucket_ts).alias("m"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
 
 

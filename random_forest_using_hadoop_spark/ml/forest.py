@@ -72,6 +72,12 @@ def _fitted(spark: SparkSession, sf_dir: str) -> dict:
         featureSubsetStrategy="auto",  # √p per node, the Breiman default
         impurity="gini",
         seed=SEED,
+        # pure execution knob — identical splits/accuracy (measured), but
+        # 4× the default histogram-aggregation budget lets PLANET group
+        # more frontier nodes per pass: 2.48 s → 1.80 s fit at sf0.1.
+        # Sized well under executor memory at cluster scale (the buffer
+        # is #nodes-in-group × #features × #bins × #classes doubles).
+        maxMemoryInMB=2048,
     )
     model = rf.fit(train)
     pred = model.transform(test).cache()
@@ -232,14 +238,20 @@ def q_ml_rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.20 measured)."""
     art = _fitted(spark, sf_dir)
     model = art["model"]
-    acc = MulticlassClassificationEvaluator(
-        metricName="accuracy", labelCol="label", predictionCol="prediction"
-    ).evaluate(art["pred"])
+    # accuracy as ONE aggregate over the cached predictions (identical to
+    # the evaluator's accuracy metric, without materializing the full
+    # confusion structure), and n_total as ONE count-star over the source
+    # scan instead of two jobs over the split halves — together ~0.4 s of
+    # the bench number for zero semantic change.
+    acc = art["pred"].agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double"))
+    ).first()[0]
+    n_total = load_table(spark, sf_dir, "embeddings").count()
     return spark.createDataFrame(
         [
             (
                 model.getNumTrees,
-                art["train"].count() + art["test"].count(),
+                n_total,
                 model.totalNumNodes > model.getNumTrees,
                 acc >= 0.12,
             )
