@@ -245,11 +245,24 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    # The two cogroup branches MUST come from separate scans: when both
+    # derive from one DataFrame, Spark's cogroup analysis can resolve the
+    # second branch's column references to the FIRST branch's attribute
+    # ids (shared lineage), and column pruning then legally strips the
+    # second child down to its grouping key — the UDF receives an
+    # errors frame with no `ts` whenever the action prunes (count()).
+    # Two relations give unambiguous attributes; the scans are per-branch
+    # either way, so this costs nothing.
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
     )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+    )
 
     def merge(p: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
         if p.empty and e.empty:
