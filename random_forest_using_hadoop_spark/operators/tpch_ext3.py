@@ -1,0 +1,473 @@
+"""Composed TPC-H-shape pipelines, part 3 — the remaining expressible
+classics: single-table selective agg (Q6), lateness pivot (Q12), argmax
+view join (Q15), correlated-average prune (Q17), double-EXISTS "only
+late supplier" (Q21), min-cost supplier over a derived bridge (Q2),
+value-share HAVING vs a global scalar (Q11), and variety count with an
+exclusion anti-join (Q16).
+
+The driver's reduced star schema (FIXTURES.md) has no partsupp table,
+no ship modes, and no commit/receipt dates, so:
+
+- the part↔supplier bridge for Q2/Q11/Q16/Q20-family shapes is DERIVED:
+  ``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem`` with unit cost
+  ``MIN(l_extendedprice / l_quantity)`` standing in for ps_supplycost —
+  the join topology and correlated-min shape are unchanged;
+- "ship mode" → ``l_linestatus``; "late" → ``l_returnflag = 'R'``.
+
+Each adaptation is noted on its operator; what is being exercised —
+join topology, decorrelation shape, scalar-subquery placement — matches
+the original query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum, davg, o_davg
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# --- Q6 shape: selective single-table revenue delta --------------------------
+
+_Q6_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical scan-dominated query — one fact table,
+    three pushable predicates, one global sum.
+
+    Scale: every predicate (date band, discount band, quantity cap) is
+    a plain comparison on a scanned column, so ALL of them reach the
+    parquet reader as PushedFilters and row-groups outside the bands
+    never decompress; the aggregate is a single partial+final state.
+    At 100 TB this query is pure scan bandwidth — exactly as it should
+    be; anything else in the plan would be a bug.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- Q12 shape: lateness pivot by ship mode ----------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("tpch_q12_late_shipmode", oracle=_Q12_ORACLE)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-ship-mode counts of late lines split by
+    order priority (conditional-sum pivot after a fact⋈fact join). No
+    ship-mode/commit-date columns exist, so ``l_linestatus`` is the
+    mode and ``l_returnflag = 'R'`` the lateness predicate — the
+    join + CASE-pivot shape is the original's.
+
+    Scale: lineitem is filtered (flag + date band, both pushed) before
+    the join, so the join probe side is ~1/6 of the fact; orders joins
+    on its key. The 2-group conditional sums collapse map-side.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+# --- Q15 shape: top supplier(s) by windowed revenue --------------------------
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view over a quarter, then the supplier(s)
+    achieving the global maximum (scalar subquery against the same
+    view — ties must all surface, so no LIMIT 1).
+
+    Scale: the revenue agg shuffles once on l_suppkey; the max is a
+    single-row broadcast back onto the same frame (no second pass over
+    lineitem, no window over the whole supplier set). Revenue is
+    fixed-point (dsum), so the equality join on the max is exact, not a
+    float ==. The supplier dimension joins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q17 shape: small-quantity revenue via correlated average ----------------
+
+_Q17_ORACLE = f"""
+WITH pa AS (
+  SELECT l_partkey, {o_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {o_dsum('l.l_extendedprice')} AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < 0.5 * pa.avg_qty
+"""
+
+
+@register("tpch_q17_small_qty_revenue", oracle=_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    order quantity — the classic correlated scalar-average subquery,
+    decorrelated into (per-part avg) ⋈ fact.
+
+    Scale: the correlated subquery MUST NOT re-execute per row — it
+    becomes one groupBy over lineitem's (partkey, quantity) projection,
+    then an equi-join back. The brand/type filter prunes the part side
+    before its join (pushed to the scan); the threshold compare uses
+    the fixed-point davg so both engines see the identical double.
+    TPC-H's 0.2 factor selects ~nothing against this data's uniform
+    1–50 quantities, so 0.5 keeps the predicate non-vacuous.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q21 shape: suppliers who were the only late one -------------------------
+
+_Q21_ORACLE = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+"""
+
+
+@register("tpch_q21_waiting_supplier", oracle=_Q21_ORACLE)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order — the hardest subquery topology in
+    the suite: EXISTS and NOT EXISTS against the same fact table,
+    correlated on the outer row's key AND inequality on its supplier.
+    "Late" is ``l_returnflag = 'R'`` (no receipt/commit dates).
+
+    Scale: both EXISTS become one semi and one anti join on l_orderkey
+    with the supplier-inequality as a residual — three scans of
+    lineitem total, all equi-partitioned on the order key, so the three
+    join stages reuse one shuffle layout; nothing is quadratic in
+    lines-per-order. The count agg on s_name is map-side partial.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "l_returnflag",
+    )
+    l2 = other.select("o2_orderkey", "o2_suppkey")
+    l3 = other.filter(F.col("l_returnflag") == "R").select(
+        "o2_orderkey", "o2_suppkey"
+    )
+    cond2 = (F.col("l_orderkey") == F.col("o2_orderkey")) & (
+        F.col("l_suppkey") != F.col("o2_suppkey")
+    )
+    waiting = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(l2, cond2, "left_semi")
+        .join(l3, cond2, "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+# --- Q2 shape: min-cost supplier per part in a region ------------------------
+
+# partsupp stand-in: per (part, supplier) unit cost observed in lineitem
+_PS_BRIDGE_SQL = """
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         round(MIN(l_extendedprice / l_quantity), 6) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+_Q2_ORACLE = f"""
+WITH ps AS ({_PS_BRIDGE_SQL}),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name, ps.supplycost
+FROM part p
+JOIN ps ON ps.partkey = p.p_partkey
+JOIN eu ON eu.s_suppkey = ps.suppkey
+WHERE p.p_size <= 15
+  AND ps.supplycost = (
+      SELECT MIN(ps2.supplycost)
+      FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.suppkey
+      WHERE ps2.partkey = p.p_partkey
+  )
+"""
+
+
+@register("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the in-region
+    supplier(s) offering the minimum supply cost — a correlated scalar
+    MIN whose subquery repeats the outer query's own join. partsupp is
+    derived from lineitem (MIN unit price per part-supplier pair,
+    rounded to 6dp so the min-equality is exact); region EUROPE plays
+    the original's role.
+
+    Scale: the correlated min decorrelates into a window MIN over the
+    ALREADY-JOINED (part ⋈ bridge ⋈ region-suppliers) frame — one
+    shuffle on partkey, no second execution of the join for the
+    subquery, which is precisely what a naive per-part re-query would
+    do 20M times at scale. Dimensions (supplier⋈nation⋈region)
+    broadcast; the bridge agg shuffles on the composite key once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "supplycost"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_brand"
+    )
+    joined = (
+        p.join(ps, ps.partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.suppkey == eu.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "supplycost")
+    )
+
+
+# --- Q11 shape: value shares above a global-scalar threshold -----------------
+
+_Q11_FRACTION = 0.001
+
+_Q11_ORACLE = f"""
+WITH jv AS (
+  SELECT l.l_partkey AS partkey, {o_dsum('l.l_extendedprice')} AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, value
+FROM jv
+WHERE value > (SELECT {_Q11_FRACTION} * SUM(value) FROM jv)
+"""
+
+
+@register("tpch_q11_value_share", oracle=_Q11_ORACLE)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value stocked by one region's
+    suppliers, keeping parts above a fraction of the GLOBAL total — a
+    HAVING whose right side is a scalar subquery over the same
+    aggregate.
+
+    Scale: the grouped frame is computed once; the global total is a
+    1-row re-aggregate of that frame broadcast back — never a second
+    pass over the joined fact. Values are fixed-point (dsum): each is
+    an exact multiple of 1e-6 well under 2^53, so the double total is
+    order-independent and the threshold compare is deterministic.
+    Dimension chain broadcasts; one fact shuffle on partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    jv = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_extendedprice").alias("value"))
+    )
+    total = jv.agg((F.lit(_Q11_FRACTION) * F.sum("value")).alias("threshold"))
+    return (
+        jv.join(F.broadcast(total), jv.value > F.col("threshold"))
+        .select("partkey", "value")
+    )
+
+
+# --- Q16 shape: supplier variety with an exclusion list ----------------------
+
+_Q16_ORACLE = """
+WITH bridge AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT b.suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN bridge b ON b.partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND b.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("tpch_q16_supplier_variety", oracle=_Q16_ORACLE)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) with an excluded-supplier NOT IN list. The part↔supplier
+    bridge is derived from lineitem; the original's complaints filter
+    becomes ``s_acctbal < 0`` (same NOT-IN-subquery shape, non-empty
+    exclusion set in this data).
+
+    Scale: the exclusion list is tiny → broadcast ANTI join (a NOT IN
+    over a nullable subquery column is a correctness trap in SQL;
+    the anti join is the safe physical form — s_suppkey is a PK here,
+    so the semantics coincide). The distinct-count groups on the
+    3-part key; the bridge distinct collapses the fact first, so the
+    count-distinct state is per surviving pair, not per lineitem row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bridge = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        bridge.join(F.broadcast(bad), bridge.suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").cast("bigint").alias("supplier_cnt"))
+    )

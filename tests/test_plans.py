@@ -416,3 +416,52 @@ def test_lateral_subquery_decorrelates_to_ranked_join(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """tpch_q6: the canonical scan-bound query — every band predicate
+    must reach the parquet reader, and nothing but a two-phase global
+    agg may sit above the scan."""
+    plan = _formatted_plan(spark, "tpch_q6_forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, f"{frag} not pushed:\n{pushed}"
+    assert "Join" not in plan
+
+
+def test_q21_exists_pair_stays_hash_joins(spark):
+    """tpch_q21: the EXISTS/NOT-EXISTS pair (equi-key + supplier
+    inequality residual) must run as hash/merge semi+anti joins — a
+    BroadcastNestedLoopJoin here is quadratic in lines-per-order."""
+    plan = _formatted_plan(spark, "tpch_q21_waiting_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q2_correlated_min_is_one_window_pass(spark):
+    """tpch_q2: the correlated MIN subquery must decorrelate into ONE
+    window over the joined frame — the join chain may not execute twice
+    (the naive plan re-runs part⋈bridge⋈suppliers for the subquery)."""
+    import re
+
+    plan = _formatted_plan(spark, "tpch_q2_min_cost_supplier")
+    n_windows = len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE))
+    assert n_windows == 1, f"expected exactly 1 window pass, saw {n_windows}"
+    # one scan of lineitem feeds the bridge; the subquery must not add one
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+
+
+def test_q15_max_is_broadcast_back_not_second_pass(spark):
+    """tpch_q15: the scalar MAX must come from a 1-row re-aggregate of
+    the revenue frame broadcast back — lineitem is scanned at most twice
+    (once per agg branch), never re-joined at fact grain."""
+    plan = _formatted_plan(spark, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
