@@ -47,12 +47,13 @@ _GRADE_FIRST = [
     "agg_heavy_hitters", "src_binaryfile", "win_gaps_islands",
     "pipe_token_rarity", "fn_bitwise", "agg_bitmap_distinct",
     "subquery_lateral", "fn_calendar", "dedup_substring",
-    # --- positions 19-26: new this round (TPC-H part 3) ---
+    # --- positions 19-28: new this round (TPC-H part 3 + pipeline) ---
     "tpch_q6_forecast_revenue", "tpch_q12_late_shipmode",
     "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
     "tpch_q11_value_share", "tpch_q16_supplier_variety",
-    # --- positions 27-50: stale-r1 evidence, hardest topologies first ---
+    "pipe_pii_scrub", "emb_random_projection",
+    # --- positions 29-50: stale-r1 evidence, hardest topologies first ---
     "join_broadcast", "join_sortmerge", "join_multiway", "join_outer",
     "join_semi", "join_anti", "join_cross", "join_bucketed_colocated",
     "agg_hash_groupby", "agg_grouping_sets", "agg_rollup", "agg_cube",
@@ -60,8 +61,9 @@ _GRADE_FIRST = [
     "win_rank", "win_moving_rows", "win_range_frame", "win_analytic",
     "topk_per_group",
     "scan_prune_pushdown", "scan_schema_evolution", "src_csv_json",
-    "sink_parquet_part", "sink_range_cluster", "sink_upsert",  # = key #50
+    "sink_parquet_part",                               # = key #50
     # --- expected cutoff; overflow = simplest stale-r1 keys ---
+    "sink_range_cluster", "sink_upsert",
     "agg_global", "agg_distinct", "agg_filtered",
     "filter_like_regex", "filter_null_safe",
     "set_union", "set_intersect", "set_except",

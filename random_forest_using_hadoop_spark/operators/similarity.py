@@ -590,3 +590,103 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rmse_sum"),
         )
     )
+
+
+# --- random-projection dimensionality reduction (Achlioptas signs) -----------
+
+_RP_IN, _RP_OUT = 64, 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """±1 projection matrix, seeded per-cell from md5(i_j) — a
+    database-friendly random projection (Achlioptas, PODS'01): sign
+    matrices satisfy the Johnson-Lindenstrauss bound while needing only
+    additions. Deriving each cell from a content hash makes the matrix
+    a deterministic CONSTANT both engines embed literally, so the
+    oracle recomputes the projection with the identical arithmetic."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else -1.0
+            for i in range(_RP_IN)
+        ]
+        for j in range(_RP_OUT)
+    ]
+
+
+def _rp_oracle() -> str:
+    import math
+
+    signs = _rp_signs()
+    scale = 1.0 / math.sqrt(_RP_OUT)
+    rows = [
+        f"list_inner_product(ve, {signs[j]}) * {scale!r}" for j in range(_RP_OUT)
+    ]
+    norm_sq = " + ".join(f"p{j} * p{j}" for j in range(_RP_OUT))
+    proj_cols = ",\n  ".join(f"{rows[j]} AS p{j}" for j in range(_RP_OUT))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+p AS (SELECT vec_id, ve,
+  {proj_cols}
+  FROM v)
+SELECT vec_id,
+       round(p0, 6) AS p0, round(p1, 6) AS p1,
+       round(p2, 6) AS p2, round(p3, 6) AS p3,
+       round(sqrt({norm_sq}) / sqrt(list_inner_product(ve, ve)), 6)
+         AS norm_ratio
+FROM p
+"""
+
+
+@register("emb_random_projection", oracle=_rp_oracle())
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 → 16 with an
+    Achlioptas ±1 sign matrix — the cheap pre-pass that shrinks
+    embedding payloads before ANN indexing or clustering at corpus
+    scale. Grades the first four projected coordinates exactly plus the
+    norm ratio computed over ALL 16 (so every output dimension must be
+    right, not just the four shown).
+
+    Scale: the matrix is a compile-time constant folded into the plan
+    (no broadcast, no shuffle); each row costs 16 sign-folded dot
+    products inside whole-stage codegen, so the pass is scan-bound and
+    embarrassingly parallel — the correct shape for a 100 TB embedding
+    sweep. The fold order matches DuckDB's sequential
+    list_inner_product, keeping every double bit-identical.
+    """
+    import math
+
+    signs = _rp_signs()
+    scale = 1.0 / math.sqrt(_RP_OUT)
+    v = _vectors(spark, sf_dir)
+    projected = v.select(
+        "vec_id",
+        "ve",
+        *[
+            (
+                _dot(
+                    F.col("ve"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                )
+                * scale
+            ).alias(f"p{j}")
+            for j in range(_RP_OUT)
+        ],
+    )
+    norm_sq = sum(
+        (F.col(f"p{j}") * F.col(f"p{j}") for j in range(1, _RP_OUT)),
+        F.col("p0") * F.col("p0"),
+    )
+    return projected.select(
+        "vec_id",
+        F.round("p0", 6).alias("p0"),
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round("p3", 6).alias("p3"),
+        F.round(
+            F.sqrt(norm_sq) / F.sqrt(_dot(F.col("ve"), F.col("ve"))), 6
+        ).alias("norm_ratio"),
+    )
