@@ -434,3 +434,118 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") >= _HH_THRESHOLD)
     )
+
+
+# --- sliding-window distinct (explode-to-bucket rewrite) ----------------------
+
+_SLIDE_DAYS = 7
+
+_SLIDING_DISTINCT_ORACLE = f"""
+WITH ed AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ed)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+FROM days d
+JOIN ed e ON e.day >= d.day - {_SLIDE_DAYS - 1} AND e.day <= d.day
+GROUP BY d.day
+"""
+
+
+@register("agg_sliding_distinct", oracle=_SLIDING_DISTINCT_ORACLE)
+def q_agg_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day — the
+    sliding COUNT(DISTINCT) that window frames cannot express (DISTINCT
+    aggregates are unsupported over moving frames in every engine).
+
+    Scale: the standard explode-to-bucket rewrite — each (user, day)
+    pair, ALREADY deduplicated to one row per pair, is exploded to the
+    W windows it contributes to, then a plain hash groupBy counts
+    distinct per window end. Shuffle ∝ W × |distinct (user, day)|, not
+    W × |events|, because the dedup runs before the explode; the window
+    ends are restricted to observed days by an equi-join on the day
+    spine, never a range scan. For approximate needs at larger W,
+    swap count_distinct for HLL-sketch merge — same explode shape.
+    """
+    ed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    # renamed spine column: days and contrib share ed's lineage, and a
+    # same-name join condition would be ambiguous (see udf_cogrouped)
+    days = ed.select(F.col("day").alias("win_day")).distinct()
+    contrib = ed.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _SLIDE_DAYS - 1))
+        ).alias("win_end"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, contrib.win_end == days.win_day)
+        .groupBy(F.col("win_day").cast("timestamp_ntz").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_7d"))
+    )
+
+
+# --- time-series densification (gap-filled spine) -----------------------------
+
+_DENSIFY_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       COALESCE(d.n, 0) AS n_events,
+       d.n IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
+@register("agg_timeseries_densify", oracle=_DENSIFY_ORACLE)
+def q_agg_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-to-dense time series: every user's daily event counts,
+    gap-filled with explicit zero rows between that user's first and
+    last active day — the densify pass feature pipelines run before
+    fixed-stride models (lag features, rolling means) that cannot
+    tolerate missing buckets.
+
+    Scale: the spine is generated per user from its OWN [min, max] span
+    (sequence + explode), so output is Σ span-days — bounded by the
+    retention window, never |users| × |calendar|. The gap-fill join is
+    an equi-join on (user_id, day): both sides hash-partition the same
+    way, and the daily agg collapsed the fact table before anything
+    exploded. Nothing in the plan is quadratic and no driver loop
+    builds the calendar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
