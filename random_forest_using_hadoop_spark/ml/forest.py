@@ -403,12 +403,12 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A9_ORACLE = """
 SELECT CAST(10 AS BIGINT) AS n_top,
+       CAST(MAX(len(embedding)) AS BIGINT) AS n_dims,
        TRUE AS all_in_01,
        TRUE AS total_le_1,
        TRUE AS sorted_desc,
        TRUE AS idx_in_range
 FROM embeddings
-LIMIT 1
 """
 
 
@@ -417,8 +417,10 @@ def q_ml_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: impurity-decrease importances summed over the forest; audits
     the top-10 features by weight (deterministic under the fixed seed):
     weights live in [0,1], the forest total is ≤1 (MLlib normalizes),
-    the top-10 list is sorted, and indices stay inside the 64-dim
-    feature space."""
+    the top-10 list is sorted, and indices stay inside the feature
+    space. The model's feature-space width rides along as a value the
+    oracle independently recomputes from the source arrays (the fitted
+    model must agree with max embedding arity)."""
     art = _fitted(spark, sf_dir)
     imp = art["model"].featureImportances
     rows = [(int(i), float(imp[int(i)])) for i in imp.indices]
@@ -429,13 +431,14 @@ def q_ml_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 len(top),
+                n_dims,
                 all(0.0 <= v <= 1.0 for _, v in top),
                 sum(v for _, v in rows) <= 1.0 + 1e-9,
                 all(top[i][1] >= top[i + 1][1] for i in range(len(top) - 1)),
                 all(0 <= i < n_dims for i, _ in top),
             )
         ],
-        "n_top long, all_in_01 boolean, total_le_1 boolean, "
+        "n_top long, n_dims long, all_in_01 boolean, total_le_1 boolean, "
         "sorted_desc boolean, idx_in_range boolean",
     )
 
