@@ -589,3 +589,110 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _SUBSTR_MIN_SHARED)
     )
+
+
+# --- incremental dedup: incoming batch vs existing corpus index ---------------
+
+_INC_SPLIT = 10  # src0..src9 = existing corpus, src10..src19 = incoming batch
+
+# Relational exact-Jaccard oracle (same rewrite as _C2_ORACLE: equi-join
+# on shared shingles + size arithmetic, |A∪B| = n_a + n_b − |A∩B|) —
+# every J ≥ t pair shares a shingle so nothing is missed, and the
+# grading driver does not pay for a |inc|×|ex| list_intersect loop.
+_INC_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) >= {_INC_SPLIT} AS is_inc,
+         {_O_SHINGLES} AS sh
+  FROM documents
+),
+sz AS (SELECT doc_id, len(sh) AS n FROM lab),
+tok AS (SELECT doc_id, is_inc, unnest(sh) AS s FROM lab),
+inter AS (
+  SELECT i.doc_id AS inc_id, e.doc_id AS ex_id, COUNT(*) AS iv
+  FROM tok i JOIN tok e ON i.s = e.s AND i.is_inc AND NOT e.is_inc
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT inc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+  FROM inter
+  JOIN sz si ON si.doc_id = inter.inc_id
+  JOIN sz se ON se.doc_id = inter.ex_id
+  WHERE iv * 1.0 / (si.n + se.n - iv) >= {_JACCARD_T}
+  GROUP BY 1
+)
+SELECT i.doc_id, COALESCE(m.n_dups, 0) AS n_dups, m.n_dups IS NULL AS keep
+FROM (SELECT doc_id FROM lab WHERE is_inc) i LEFT JOIN m USING (doc_id)
+"""
+
+
+@register("dedup_incremental", oracle=_INC_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the asymmetric form every rolling
+    corpus build runs: an INCOMING batch (sources src10+) is checked
+    against the EXISTING corpus (src0-9) and each incoming doc gets a
+    keep/drop verdict with its match count. Unlike the symmetric passes
+    (dedup_minhash et al.) the existing side is an index that never
+    joins against itself — cost scales with the batch, not the corpus².
+
+    Scale: prefix filtering (SSJoin/PPJoin, as in
+    dedup_connected_components): under a global rarest-first shingle
+    order, two sets with J ≥ t MUST collide inside their first
+    ⌊(1-t)·|A|⌋+1 shingles, so candidates come from an equi-join of the
+    two sides' prefixes — lossless, shuffle ∝ prefix postings, never
+    |inc|×|ex|. Exact Jaccard verifies candidates only; the final
+    verdict is a left join of the batch onto its own match counts.
+    Document frequencies for the rarest-first order come from the union
+    corpus (index + batch), the order any incremental indexer maintains.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SHINGLES).alias("shingles"),
+        (
+            F.expr("CAST(substring(source, 4, 10) AS INT)") < _INC_SPLIT
+        ).alias("is_existing"),
+    )
+    tok = d.select("doc_id", "is_existing", F.explode("shingles").alias("sh"))
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        tok.join(dfreq, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(d.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
+        .filter(F.col("rn") <= F.floor((1.0 - _JACCARD_T) * F.col("sz")) + 1)
+        .select("doc_id", "is_existing", "sh")
+    )
+    cand = (
+        prefix.filter(~F.col("is_existing"))
+        .select(F.col("doc_id").alias("inc_id"), "sh")
+        .join(
+            prefix.filter(F.col("is_existing")).select(
+                F.col("doc_id").alias("ex_id"), "sh"
+            ),
+            "sh",
+        )
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    a_sh, b_sh = F.col("si.shingles"), F.col("se.shingles")
+    jac = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
+        F.array_union(a_sh, b_sh)
+    ).cast("double")
+    matches = (
+        cand.join(d.alias("si"), F.col("inc_id") == F.col("si.doc_id"))
+        .join(d.alias("se"), F.col("ex_id") == F.col("se.doc_id"))
+        .filter(jac >= _JACCARD_T)
+        .groupBy(F.col("inc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+    )
+    incoming = d.filter(~F.col("is_existing")).select("doc_id")
+    return incoming.join(matches, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+        F.col("n_dups").isNull().alias("keep"),
+    )

@@ -549,3 +549,49 @@ def q_agg_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# --- recency-decay-weighted activity score ------------------------------------
+
+_DECAY_ANCHOR = "2024-02-01"  # first day after the event range
+
+_DECAY_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(
+           value / (1 + date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                                  DATE '{_DECAY_ANCHOR}'))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_fixed
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_decay_weighted", oracle=_DECAY_ORACLE)
+def q_agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score per user: each event contributes
+    value / (1 + age_days) against a fixed anchor date — the harmonic
+    recency decay feature stores compute for ranking and churn models.
+    Harmonic (not exponential) decay is deliberate: the weight is one
+    IEEE division of exact ints, so both engines produce bit-identical
+    doubles, where exp(-λ·age) could differ in the last ulp and flip a
+    fixed-point quantization. The score is summed as quantized BIGINT —
+    order-independent, overflow-safe (see helpers.py envelope).
+
+    Scale: one hash groupBy with map-side partial sums; the weight is a
+    per-row expression inside codegen. The anchor is a literal, not a
+    MAX(ts) scalar subquery, because a feature store scores against its
+    snapshot date, and a literal keeps the plan one-pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit(_DECAY_ANCHOR).cast("date"),
+        F.to_date(F.date_trunc("day", F.col("ts"))),
+    )
+    term = F.col("value") / (F.lit(1) + age)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(term * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("score_fixed"),
+    )

@@ -198,3 +198,77 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# --- forward fill (last non-null over an ordered frame) -----------------------
+
+_FFILL_ORACLE = """
+WITH spine AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+purch AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(floor(SUM(floor(value * 1000000 + 0.5))) AS BIGINT) AS v_fixed
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       round(last_value(p.v_fixed IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 1000000.0, 6) AS last_purchase_value,
+       p.v_fixed IS NULL AS is_filled
+FROM spine s LEFT JOIN purch p ON p.user_id = s.user_id AND p.day = s.day
+"""
+
+
+@register("win_forward_fill", oracle=_FFILL_ORACLE)
+def q_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill: on each user's activity-day spine, carry the most
+    recent daily purchase total across days without purchases — the
+    last-observation-carried-forward pass that turns sparse
+    observations into model-ready features. Exercises the IGNORE NULLS
+    ordered-frame semantics (``last(ignorenulls=True)`` ≡ DuckDB
+    ``last_value(... IGNORE NULLS)``, verified identical including
+    all-leading-NULL partitions).
+
+    Scale: one shuffle on user_id serves both the purchase agg and the
+    fill window (same partitioning); frames are ROWS-bounded running
+    state, so the window is a single ordered pass per user, no
+    re-scan per row. Daily sums are fixed-point so the filled value is
+    bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    spine = ev.select("user_id", day.alias("day")).distinct()
+    # sum the quantized ints DIRECTLY (dsum's divided double times 1e6
+    # re-truncates: 128.729999... × 1e6 → off-by-one fixed value)
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v_fixed")
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(purch, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.round(
+                F.last("v_fixed", ignorenulls=True).over(w) / 1_000_000.0, 6
+            ).alias("last_purchase_value"),
+            F.col("v_fixed").isNull().alias("is_filled"),
+        )
+    )
