@@ -317,3 +317,50 @@ def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
         F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
     )
+
+
+# --- deterministic surrogate keys --------------------------------------------
+
+_SKEY_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('doc|' || doc_id), 1, 15))::BIGINT AS skey
+  FROM documents
+),
+audit AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT skey) AS BIGINT) AS n_collisions FROM k
+)
+SELECT k.doc_id, k.skey, audit.n_collisions
+FROM k CROSS JOIN audit
+"""
+
+
+@register("fn_surrogate_key", oracle=_SKEY_ORACLE)
+def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 60-bit surrogate keys from a namespaced content
+    hash — the scale-safe replacement for ``monotonically_increasing_id``
+    (whose values depend on partition layout, so two runs of the same
+    pipeline disagree) and for sequence generators (a coordination
+    bottleneck). Key = first 15 hex chars of md5('doc|' || id); the
+    global collision count rides along as an audited column, recomputed
+    by the oracle (Spark must observe the same 0 the oracle derives).
+
+    Scale: pure per-row expression plus one count-distinct audit pass;
+    the audit broadcasts a single row back — no window, no global sort.
+    At 60 bits the birthday bound keeps collision probability < 1e-5
+    up to ~10⁷ keys per namespace; widen to two BIGINT columns (full
+    md5) beyond that.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc|"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    k = d.select("doc_id", skey.alias("skey"))
+    audit = k.agg(
+        (F.count(F.lit(1)) - F.count_distinct("skey"))
+        .cast("bigint")
+        .alias("n_collisions")
+    )
+    return k.crossJoin(F.broadcast(audit))

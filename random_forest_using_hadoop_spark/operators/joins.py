@@ -384,3 +384,74 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_prior_err"))
     )
+
+
+# --- null-split outer join (null-key hot-partition mitigation) ----------------
+
+_NULLSPLIT_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'view' THEN NULL ELSE user_id END AS actor_id,
+         event_type
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT user_id % 10 AS cohort_key, 'cohort_' || (user_id % 10) AS cohort
+  FROM events
+)
+SELECT ev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN d.cohort IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM ev LEFT JOIN dim d ON ev.actor_id % 10 = d.cohort_key
+GROUP BY ev.event_type
+"""
+
+
+@register("join_null_split", oracle=_NULLSPLIT_ORACLE)
+def q_join_null_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join on a NULL-heavy key with the null-split rewrite:
+    anonymous events (views — their actor is NULL) can never match, yet
+    a naive outer join still shuffles every NULL row into one reducer
+    (all NULLs hash alike) — the canonical null-skew hot partition. The
+    rewrite splits the probe side: non-null rows take the real join,
+    NULL rows bypass it entirely and union back with the dim columns
+    nulled — same SQL semantics (NULL never equals), no NULL ever
+    shuffles on the join key.
+
+    Scale: at 100 TB with 30% anonymous traffic the naive plan ships
+    30 TB into one task; the split plan ships zero. The union is a
+    no-shuffle concat; the final rollup shuffles on its own group key.
+    The oracle runs the NAIVE single outer join — a hash match proves
+    the rewrite is semantics-preserving.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("actor_id"),
+        "event_type",
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 10).alias("cohort_key"))
+        .distinct()
+        .withColumn("cohort", F.concat(F.lit("cohort_"), F.col("cohort_key")))
+    )
+    nonnull = ev.filter(F.col("actor_id").isNotNull()).join(
+        dim, F.col("actor_id") % 10 == F.col("cohort_key"), "left"
+    )
+    nulls = ev.filter(F.col("actor_id").isNull()).select(
+        "event_id",
+        "actor_id",
+        "event_type",
+        F.lit(None).cast("long").alias("cohort_key"),
+        F.lit(None).cast("string").alias("cohort"),
+    )
+    joined = nonnull.unionByName(nulls)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("cohort").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+    )

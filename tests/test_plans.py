@@ -465,3 +465,11 @@ def test_q15_max_is_broadcast_back_not_second_pass(spark):
     plan = _formatted_plan(spark, "tpch_q15_top_supplier")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_prefix_equi_join(spark):
+    """dedup_incremental: candidates must come from the prefix-shingle
+    equi-join — batch × corpus may never appear as a nested loop."""
+    plan = _formatted_plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
