@@ -587,3 +587,58 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# --- streaming per-window distinct actives -----------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("stream_distinct_users", oracle=_DISTINCT_ORACLE)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct active users computed ON A STREAM: Structured
+    Streaming rejects COUNT(DISTINCT) outright (distinct state is
+    unbounded per window), so the streaming-native form is two stacked
+    aggregations — dropDuplicates-style (window, user) dedup first,
+    then a plain count per window — which Spark 4 supports as chained
+    stateful aggregates under availableNow replay. The availableNow
+    result must equal the batch COUNT(DISTINCT) the oracle runs.
+
+    Scale: state = one row per (window, user) in the dedup stage and
+    one counter per window above it; the watermark-less complete mode
+    here is the replay harness — production caps state with a
+    watermark, same two-stage shape. This is the exact pattern
+    dashboards use for streaming DAU/HAU.
+    """
+    src = _events_stream(spark, f"{sf_dir}/events.parquet")
+    per_user = src.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = per_user.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "n_users",
+        "n_events",
+    )
+    # Spark's multi-stateful-operator guard flags ANY chained stateful
+    # aggs as a *possible* late-data correctness hazard. Here there is
+    # no watermark and output is complete mode, so no operator ever
+    # drops state and every trigger re-emits full results — the hazard
+    # the check guards against (an upstream op emitting below a
+    # downstream watermark) cannot occur. Scoped disable + restore.
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prior = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return _run_to_memory(out, "ss_distinct_users", "complete")
+    finally:
+        spark.conf.set(key, prior)
