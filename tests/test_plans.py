@@ -473,3 +473,30 @@ def test_incremental_dedup_is_prefix_equi_join(spark):
     plan = _formatted_plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("key", ["pipe_pii_scrub", "emb_random_projection"])
+def test_scan_bound_ops_have_no_exchange(spark, key):
+    """The PII scrub and JL projection claim zero-shuffle scan-bound
+    plans — one Exchange anywhere means a per-row map silently grew an
+    aggregation or join."""
+    plan = _formatted_plan(spark, key)
+    assert "Exchange" not in plan, f"{key} plan gained a shuffle:\n{plan[:600]}"
+
+
+def test_null_split_join_unions_null_bypass(spark):
+    """join_null_split: the NULL probe rows must bypass the join via a
+    Union — and nothing may degrade to a nested loop."""
+    plan = _formatted_plan(spark, "join_null_split")
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["agg_sliding_distinct", "agg_timeseries_densify", "win_forward_fill"]
+)
+def test_timeseries_ops_stay_equi_join(spark, key):
+    plan = _formatted_plan(spark, key)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
