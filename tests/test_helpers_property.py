@@ -129,3 +129,35 @@ def test_png_codec_roundtrip(payload, width, height):
     assert (w, h) == (width, height)
     n = len(payload)
     assert list(px) == [payload[i % n] for i in range(width * height)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_prefix_filter_cover_is_lossless(data):
+    """SSJoin/PPJoin prefix theorem (used by dedup_connected_components
+    and dedup_incremental): under ANY global total order on shingles,
+    two sets with J ≥ t must share an element within their first
+    ⌊(1-t)·|X|⌋+1 shingles. Build random pairs at-or-above threshold
+    and check the cover under a random order."""
+    t = 0.6
+    universe = list(range(60))
+    a = set(data.draw(st.lists(st.sampled_from(universe), min_size=5,
+                               max_size=30, unique=True)))
+    # force J >= t: b = a minus a few, plus a few new
+    n_drop = data.draw(st.integers(min_value=0, max_value=max(0, len(a) // 5)))
+    dropped = set(list(a)[:n_drop])
+    extra = set(data.draw(st.lists(st.sampled_from([u for u in universe if u not in a]),
+                                   min_size=0, max_size=3, unique=True)))
+    b = (a - dropped) | extra
+    if not b:
+        return
+    j = len(a & b) / len(a | b)
+    if j < t:
+        return
+    order = data.draw(st.permutations(universe))
+    rank = {v: i for i, v in enumerate(order)}
+    pa = sorted(a, key=lambda v: rank[v])[: int((1 - t) * len(a)) + 1]
+    pb = sorted(b, key=lambda v: rank[v])[: int((1 - t) * len(b)) + 1]
+    assert set(pa) & set(pb), (
+        f"J={j:.3f} pair escaped the prefix cover: |a|={len(a)} |b|={len(b)}"
+    )
