@@ -346,7 +346,9 @@ def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle (Spark must observe the same 0 the oracle derives).
 
     Scale: pure per-row expression plus one count-distinct audit pass;
-    the audit broadcasts a single row back — no window, no global sort.
+    the audit broadcasts a single row back — no window, no global sort
+    (the crossJoin plans as a BroadcastNestedLoopJoin whose build side
+    is that ONE row: the scalar-broadcast shape, not a quadratic join).
     At 60 bits the birthday bound keeps collision probability < 1e-5
     up to ~10⁷ keys per namespace; widen to two BIGINT columns (full
     md5) beyond that.

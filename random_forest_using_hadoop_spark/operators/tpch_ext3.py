@@ -394,7 +394,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the grouped frame is computed once; the global total is a
     1-row re-aggregate of that frame broadcast back — never a second
-    pass over the joined fact. Values are fixed-point (dsum): each is
+    pass over the joined fact. The physical plan shows a
+    BroadcastNestedLoopJoin for the threshold compare: with a ONE-ROW
+    build side that is the scalar-subquery execution shape (each
+    partition tests its rows against one broadcast scalar — a filter,
+    not a quadratic join). Values are fixed-point (dsum): each is
     an exact multiple of 1e-6 well under 2^53, so the double total is
     order-independent and the threshold compare is deterministic.
     Dimension chain broadcasts; one fact shuffle on partkey.
