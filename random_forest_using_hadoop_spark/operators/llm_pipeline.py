@@ -761,3 +761,62 @@ def q_pipe_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# --- blocklist filtering (term-level corpus hygiene) --------------------------
+
+# Deterministic stand-in blocklist drawn from the corpus vocabulary so
+# the pass is non-vacuous at every SF; a production list arrives as a
+# side table and follows the identical broadcast shape.
+_BLOCKLIST = ("spark", "error", "slow")
+
+_BLOCKLIST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(toks,
+             x -> list_contains({list(_BLOCKLIST)}, x))) AS n_blocked,
+         len(toks) AS n_tokens
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       round(n_blocked * 1.0 / n_tokens, 6) AS blocked_ratio,
+       n_blocked * 1.0 / n_tokens < 0.05 AS keep
+FROM hits
+"""
+
+
+@register("pipe_blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def q_pipe_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering — the term-level hygiene pass (slurs,
+    boilerplate markers, machine-generated tells) every corpus build
+    runs: count blocked-term occurrences per doc, keep docs whose
+    blocked-token ratio stays under 5%. The verdict and the ratio are
+    both graded, so the filter's decision boundary is oracle-checked,
+    not just its counts.
+
+    Scale: the blocklist folds into the plan as an array literal here;
+    a real multi-thousand-term list broadcasts as a side table (the
+    contamination scan shows that shape) or compiles to one regex.
+    Either way the pass is a zero-shuffle projection: per-doc token
+    filter inside codegen, no UDF, no exchange — scan-bandwidth-bound
+    like every other hygiene stage, which is what lets a 100 TB build
+    run all of them in one pass over the data.
+    """
+    blocked = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_blocked = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(blocked, x))
+    )
+    ratio = n_blocked * F.lit(1.0) / F.size("toks")
+    return d.select(
+        "doc_id",
+        n_blocked.cast("bigint").alias("n_blocked"),
+        F.round(ratio, 6).alias("blocked_ratio"),
+        (ratio < 0.05).alias("keep"),
+    )
