@@ -517,3 +517,38 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias("n_users")
     )
+
+
+# --- boolean / conditional aggregate family ----------------------------------
+
+_BOOL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_boolean_family", oracle=_BOOL_ORACLE)
+def q_agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates per group: count_if, every
+    (bool_and), any (bool_or) — the predicate-rollup surface that data
+    quality checks and assertion frameworks compile to (e.g. "all rows
+    in this partition pass constraint X").
+
+    Scale: all three are algebraic aggregates with trivial partial
+    state (a count, two booleans) — they combine map-side like count/
+    sum, so constraint checks over 100 TB cost one scan and a 5-group
+    shuffle. Spark count_if/every/any ≡ DuckDB count_if/bool_and/
+    bool_or, pinned here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias("n_large"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

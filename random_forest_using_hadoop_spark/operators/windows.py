@@ -272,3 +272,70 @@ def q_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_fixed").isNull().alias("is_filled"),
         )
     )
+
+
+# --- running distinct count (first-occurrence rewrite) ------------------------
+
+_RUNDISTINCT_ORACLE = """
+WITH ed AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+firsts AS (
+  SELECT user_id, event_type, MIN(day) AS first_day
+  FROM ed GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT user_id, day FROM ed)
+SELECT d.user_id, CAST(d.day AS TIMESTAMP) AS day,
+       CAST(COUNT(f.event_type) AS BIGINT) AS n_types_seen
+FROM days d LEFT JOIN firsts f
+  ON f.user_id = d.user_id AND f.first_day <= d.day
+GROUP BY d.user_id, d.day
+"""
+
+
+@register("win_running_distinct", oracle=_RUNDISTINCT_ORACLE)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct event types seen per user by each active day
+    — running COUNT(DISTINCT), which no engine supports as a window
+    frame. The scalable rewrite: mark each (user, type)'s FIRST day
+    (one agg), convert to a per-day increment, and running-SUM the
+    increments over the user's day spine — distinct-so-far without any
+    distinct state in the window at all.
+
+    Scale: two shuffles on user-rooted keys (first-occurrence agg, day
+    spine) and one ordered ROWS window; state per window row is a
+    single counter. The oracle instead recomputes via the quadratic
+    first_day ≤ day join — the hash match proves the increment rewrite
+    equals the definitional form. Fan-out is |distinct types| per user
+    (bounded, 5 here), never |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    ed = ev.select("user_id", "event_type", day.alias("day")).distinct()
+    firsts = ed.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("first_day")
+    )
+    incr = firsts.groupBy("user_id", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    days = ed.select("user_id", "day").distinct()
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        days.join(incr, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.sum("new_types").over(w).cast("bigint").alias("n_types_seen"),
+        )
+    )
