@@ -475,3 +475,106 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+# --- Q20 shape: surplus suppliers of promo parts (double semi-join) ----------
+
+_Q20_ORACLE = """
+WITH pairs AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS avail_fx,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS demand_fx
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+qual AS (
+  SELECT DISTINCT pr.suppkey
+  FROM pairs pr
+  WHERE 2 * pr.avail_fx > pr.demand_fx AND pr.avail_fx > 0
+    AND pr.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (SELECT suppkey FROM qual)
+"""
+
+
+@register("tpch_q20_part_surplus", oracle=_Q20_ORACLE)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in one region) holding a SURPLUS of a
+    promo part — supplier IN (pairs whose availability exceeds half of
+    next-year demand, for parts matching a name prefix). With no
+    partsupp.ps_availqty in the reduced schema, availability is derived
+    as the pair's 1996 shipped quantity and demand as its 1997 shipped
+    quantity, which keeps the original's nested-semi-join topology
+    (supplier ⋉ qualifying pairs ⋉ qualifying parts) and the correlated
+    half-of-demand threshold non-vacuous.
+
+    Determinism: the surplus test compares fixed-point (×1e6 BIGINT)
+    quantity sums as integers (2·avail > demand), so the qualifying set
+    is bit-identical across engines regardless of accumulation order.
+
+    Scale: one shuffle builds the (part,supplier) pair aggregate from a
+    date-band-pruned scan (both CASE branches fold into the same
+    partial agg — no second pass for the correlated demand subquery,
+    which a naive per-pair re-query would do per pair at 100 TB). The
+    name-prefix part filter is highly selective, so the part side
+    broadcasts into a semi-join; the final supplier membership check
+    broadcasts the distinct qualifying suppkeys (bounded by supplier
+    cardinality). Nation/region dims broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fx = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    cut = _ts("1997-01-01 00:00:00")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < cut, fx(F.col("l_quantity"))).otherwise(
+                    F.lit(0)
+                )
+            ).alias("avail_fx"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= cut, fx(F.col("l_quantity"))).otherwise(
+                    F.lit(0)
+                )
+            ).alias("demand_fx"),
+        )
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual = (
+        pairs.filter(
+            (2 * F.col("avail_fx") > F.col("demand_fx")) & (F.col("avail_fx") > 0)
+        )
+        .join(F.broadcast(promo), F.col("partkey") == F.col("p_partkey"), "left_semi")
+        .select("suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(qual), s.s_suppkey == F.col("suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

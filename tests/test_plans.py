@@ -500,3 +500,15 @@ def test_timeseries_ops_stay_equi_join(spark, key):
     plan = _formatted_plan(spark, key)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_joins_no_cartesian(spark):
+    """tpch_q20: both membership checks (pairs ⋉ promo parts, supplier ⋉
+    qualifying suppkeys) must be broadcast semi-joins; the surplus
+    threshold must not reintroduce a second lineitem pass (exactly one
+    lineitem scan) or any nested-loop/cartesian shape."""
+    plan = _formatted_plan(spark, "tpch_q20_part_surplus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 2
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 4
