@@ -1,0 +1,390 @@
+"""Scale-path extensions, part 2: interval-overlap joins, per-group
+modes, power-sum correlation, corpus length histograms, URL parsing,
+and z-score outlier screens.
+
+All beyond SURVEY.md §2's letter keys, graded by the same
+(spark_fn, oracle_sql) harness. Cross-engine hash policy follows
+registry.py: fixed-point float aggregation, BIGINT-cast integer sums,
+integer bucket math instead of float log/floor, no array-typed outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- interval-overlap join (binned blocking) ---------------------------------
+
+_OVERLAP_ORACLE = """
+WITH spans AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         MIN(ts) AS span_start, MAX(ts) AS span_end
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+incidents AS (
+  SELECT event_id, event_type,
+         ts - INTERVAL 1 HOUR AS inc_start,
+         ts + INTERVAL 1 HOUR AS inc_end
+  FROM events WHERE value > 180
+)
+SELECT i.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT i.event_id) AS BIGINT) AS n_incidents
+FROM spans s
+JOIN incidents i
+  ON s.span_start <= i.inc_end AND i.inc_start <= s.span_end
+GROUP BY i.event_type
+"""
+
+
+@register("join_interval_overlap", oracle=_OVERLAP_ORACLE)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity spans vs ±1 h
+    incident windows around high-value events, reported as per-type
+    overlap counts. The oracle runs the definitional inequality theta
+    join, so the hash match proves the binned rewrite is lossless.
+
+    Scale: a raw overlap join is an inequality theta join — a nested
+    loop at 100 TB. Here each span is keyed by its calendar day and
+    each incident explodes to the (≤2, bounded by window/bin ratio)
+    day bins it touches, turning the candidate step into a hash
+    equi-join on the day; the exact inequality runs only on co-binned
+    pairs. A span matches an incident on exactly one bin (the span's
+    own day), so the rewrite introduces no duplicates and needs no
+    dedup shuffle. Both sides come from one events scan each with
+    map-side partial aggs; bin width tunes fan-out vs selectivity
+    exactly like the n-gram length bins in dedup_ngram_jaccard.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("span_start"), F.max("ts").alias("span_end"))
+    inc = (
+        ev.filter(F.col("value") > 180)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("inc_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("inc_end"),
+        )
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col("inc_start")),
+                    F.date_trunc("day", F.col("inc_end")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+    )
+    pairs = spans.join(inc, "day").filter(
+        (F.col("span_start") <= F.col("inc_end"))
+        & (F.col("inc_start") <= F.col("span_end"))
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct("event_id").cast("bigint").alias("n_incidents"),
+    )
+
+
+# --- deterministic per-group mode --------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, event_type
+         ) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS mode_cnt
+FROM r WHERE rk = 1
+"""
+
+
+@register("agg_mode_pergroup", oracle=_MODE_ORACLE)
+def q_agg_mode_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break (count DESC, then value ASC) — the aggregate SQL lacks
+    and mode() implementations leave tie-order undefined on.
+
+    Scale: stage 1 is a partial-agg-friendly (user, type) count whose
+    output is bounded by |users|×|types|, not by row count; stage 2
+    ranks inside each user over ≤|types| rows. Both stages share the
+    user hash partitioning, so AQE coalesces to effectively one wide
+    shuffle of the *reduced* frame — never a row-level sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+
+
+# --- correlation via exact integer power sums --------------------------------
+
+# Quantize to 1e3; products/squares then fit BIGINT per row (max ~1e16)
+# and accumulate exactly (Spark: DECIMAL(38,0); DuckDB: HUGEINT). The
+# final Pearson formula runs in double on identical integers with an
+# identical operation order, so the result is bit-identical by
+# construction despite the classic power-sum cancellation.
+_CORR_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 1000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 1000.0 + 0.5) AS BIGINT) AS y,
+         CAST(floor(l_discount * 1000.0 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * z) AS DOUBLE) AS syz,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(z * z) AS DOUBLE) AS szz
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS corr_qty_price,
+       round((n * syz - sy * sz)
+             / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+           AS corr_price_disc
+FROM s
+"""
+
+
+@register("agg_corr_powersum", oracle=_CORR_ORACLE)
+def q_agg_corr_powersum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (quantity↔price, price↔discount)
+    per return flag, from exact integer power sums — corr() itself is
+    accumulation-order-dependent in every engine, so cross-engine (and
+    cross-run, under AQE repartitioning) reproducibility requires the
+    sums to be exact integers.
+
+    Scale: one scan, one partial+final agg on a 3-value key carrying
+    nine algebraic accumulators — the same merge-anywhere property
+    HLL/quantile sketches have, so partials combine map-side and the
+    final math runs on 3 rows. DECIMAL(38,0) accumulation costs ~2×
+    codegen-long sums but only on 5 of 9 accumulators (the squares).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 1000.0 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 1000.0 + 0.5).cast("bigint").alias("y"),
+        F.floor(F.col("l_discount") * 1000.0 + 0.5).cast("bigint").alias("z"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("y") * F.col("z"))).cast("double").alias("syz"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("z") * F.col("z"))).cast("double").alias("szz"),
+    )
+    n, sx, sy, sz = F.col("n"), F.col("sx"), F.col("sy"), F.col("sz")
+    sxy, syz = F.col("sxy"), F.col("syz")
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(
+            (n * syz - sy * sz) / F.sqrt((n * syy - sy * sy) * (n * szz - sz * sz)),
+            6,
+        ).alias("corr_price_disc"),
+    )
+
+
+# --- corpus length histogram (log2 buckets, integer math) --------------------
+
+_LENHIST_ORACLE = """
+WITH b AS (
+  SELECT length(bin(n_chars)) - 1 AS bucket,
+         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY length(bin(n_chars)) - 1
+),
+t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM b)
+SELECT b.bucket, CAST(b.n_docs AS BIGINT) AS n_docs, b.chars,
+       round(CAST(b.chars AS DOUBLE) / t.total, 6) AS share,
+       round(CAST(SUM(b.chars) OVER (ORDER BY b.bucket) AS DOUBLE)
+             / t.total, 6) AS cum_share
+FROM b, t
+"""
+
+
+@register("pipe_length_histogram", oracle=_LENHIST_ORACLE)
+def q_pipe_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram with per-bucket corpus
+    share and cumulative share — the datasheet a sequence-length /
+    packing-budget decision reads. The bucket is the integer bit
+    length (⌊log2⌋) computed via binary-string length, NOT float
+    log2+floor, which flips at exact powers of two between libm
+    implementations.
+
+    Scale: one scan → partial agg on ≤64 bucket values; the share and
+    cumulative window run on that ≤64-row frame in one task. Nothing
+    downstream of the first agg depends on corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            (F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1).alias(
+                "bucket"
+            ),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.withColumn("total", F.sum("chars").over(wall))
+        .select(
+            "bucket",
+            "n_docs",
+            "chars",
+            F.round(F.col("chars").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sum("chars").over(wcum).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+# --- URL construction + parse_url family -------------------------------------
+
+_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS lang_param
+FROM documents
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE)
+def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family: build a canonical URL per document, then
+    recover host / path / one query parameter with ``parse_url`` — the
+    crawl-provenance normalization step every web-corpus pipeline runs.
+    The oracle states the expected components directly, so a parse
+    regression (e.g. query-string leakage into path) hash-mismatches.
+
+    Scale: pure stateless projection — zero exchanges, whole-stage
+    codegen end to end; at 100 TB this is scan-bandwidth-bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+# --- z-score outlier screen (fixed-point group stats) ------------------------
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000.0 AS s1,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS s2
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, e.event_id,
+         (e.value - s.s1 / s.n)
+             / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+  FROM events e JOIN s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE abs(zscore) > 1.8) AS BIGINT) AS n_outliers,
+       round(MAX(zscore), 6) AS max_z,
+       round(MIN(zscore), 6) AS min_z
+FROM z GROUP BY event_type
+"""
+
+
+@register("win_zscore_outlier", oracle=_ZSCORE_ORACLE)
+def q_win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier screen: group mean/std from exact
+    fixed-point power sums (order-insensitive — stddev() itself is
+    not), broadcast back onto the stream, |z| > 1.8 flagged.
+
+    Scale: stats are one partial+final agg on the 5-value type key; the
+    5-row stats frame broadcasts back (map-side join, no second
+    shuffle of the fact). The z projection and the final per-type
+    rollup reuse the scan — never a window over the raw stream, which
+    would force a full sort per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fx = F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(fx).cast("double") / 1000.0).alias("s1"),
+        (F.sum(fx * fx).cast("double") / 1000000.0).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = ev.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "event_id",
+        ((F.col("value") - mean) / std).alias("zscore"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.when(F.abs(F.col("zscore")) > 1.8, 1)).alias("n_outliers"),
+        F.round(F.max("zscore"), 6).alias("max_z"),
+        F.round(F.min("zscore"), 6).alias("min_z"),
+    )

@@ -512,3 +512,41 @@ def test_q20_semi_joins_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") >= 2
     assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 4
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """join_interval_overlap: candidates must come from the day-bin hash
+    equi-join — the definitional inequality theta join (nested loop)
+    may never appear in the physical plan."""
+    plan = _formatted_plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_powersum_single_agg_pass(spark):
+    """agg_corr_powersum: all nine accumulators ride ONE partial+final
+    hash aggregate over one scan — no per-pair recomputation, no join."""
+    import re
+
+    plan = _formatted_plan(spark, "agg_corr_powersum")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1, f"expected 1 scan, saw {n_scans}"
+    assert "Join" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}"
+
+
+def test_url_parse_zero_exchange(spark):
+    """fn_url_parse: stateless projection — zero exchanges."""
+    plan = _formatted_plan(spark, "fn_url_parse")
+    assert "Exchange" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """win_zscore_outlier: the 5-row stats frame must broadcast back
+    onto the events scan — a sort-merge join or a raw-stream window
+    sort here would be a 100 TB regression."""
+    plan = _formatted_plan(spark, "win_zscore_outlier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
