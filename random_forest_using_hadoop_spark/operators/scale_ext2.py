@@ -388,3 +388,217 @@ def q_win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("zscore"), 6).alias("max_z"),
         F.round(F.min("zscore"), 6).alias("min_z"),
     )
+
+
+# --- spatial epsilon-join via grid blocking ----------------------------------
+
+_EPS = 2.0  # also the grid cell size: neighbors-of-home covers all pairs
+
+_SPATIAL_ORACLE = """
+WITH pts AS (
+  SELECT event_id, value AS x,
+         CAST(epoch(ts) % 86400 AS DOUBLE) / 600.0 AS y
+  FROM events WHERE value > 190
+),
+pairs AS (
+  SELECT a.event_id AS id_a, b.event_id AS id_b,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM pts a JOIN pts b ON a.event_id < b.event_id
+  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 2.0
+)
+SELECT CAST(floor(d) AS BIGINT) AS dist_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_left
+FROM pairs GROUP BY CAST(floor(d) AS BIGINT)
+"""
+
+
+@register("join_spatial_grid", oracle=_SPATIAL_ORACLE)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-distance spatial self-join: high-value events as 2-D
+    points (value × time-of-day), all pairs within Euclidean ε=2,
+    bucketed by distance. The oracle is the definitional quadratic
+    theta join, so the hash match proves the grid rewrite lossless.
+
+    Scale: all-pairs distance is O(n²) — a few trillion candidates per
+    day at 100 TB event volume. With cell size = ε, any qualifying pair
+    sits in the same or an adjacent cell, so side A explodes to its
+    3×3 cell neighborhood (bounded 9× fan-out) and candidates come
+    from a hash equi-join against side B's unique home cell — a pair
+    is met exactly once (at B's home), so no dedup shuffle. Work
+    scales with points-per-cell density, not n²; the exact distance
+    predicate runs on co-celled candidates only. Same doctrine as
+    PostGIS ST_DWithin grid plans and Spark's own range-join binning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value") > 190).select(
+        "event_id",
+        F.col("value").alias("x"),
+        (
+            (F.unix_timestamp(F.col("ts")) % 86400).cast("double") / 600.0
+        ).alias("y"),
+    )
+    cx = F.floor(F.col("x") / _EPS).cast("bigint")
+    cy = F.floor(F.col("y") / _EPS).cast("bigint")
+    home = pts.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("event_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            cx.alias("hx"),
+            cy.alias("hy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    pairs = (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d.alias("d"))
+        .filter(F.col("d") <= _EPS)
+    )
+    return pairs.groupBy(
+        F.floor(F.col("d")).cast("bigint").alias("dist_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("id_a").cast("bigint").alias("n_left"),
+    )
+
+
+# --- per-source type-token ratio ---------------------------------------------
+
+_TTR_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       round(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 6) AS ttr
+FROM tok GROUP BY source
+"""
+
+
+@register("text_ttr", oracle=_TTR_ORACLE)
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio — the lexical-diversity signal used
+    to flag boilerplate-heavy or template-generated corpus slices
+    (low TTR → near-duplicate phrasing even when documents differ).
+
+    Scale: explode(split) is a flatMap projection — no shuffle; the
+    distinct-count aggregates partially on (source, token) before the
+    final per-source merge, so shuffle volume is bounded by the
+    vocabulary per source, not the token stream. For web-scale
+    vocabularies, swap count_distinct for approx_count_distinct — the
+    agg topology is unchanged (agg_approx_distinct shows the swap).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("token").cast("bigint").alias("n_types"),
+        F.round(
+            F.count_distinct("token").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+    )
+
+
+# --- skewness/kurtosis from exact integer power sums -------------------------
+
+# Standardized moments are scale-invariant, so they are computed directly
+# over the ×100-quantized integers — no unscaling step. Per-row x^4 fits
+# BIGINT (2e4^4 ≈ 1.6e17); accumulation is exact (Spark DECIMAL(38,0),
+# DuckDB HUGEINT). skewness()/kurtosis() builtins are accumulation-order
+# dependent in both engines — unusable for a cross-engine hash match.
+_MOMENTS_ORACLE = """
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS s1,
+         CAST(SUM(x * x) AS DOUBLE) AS s2,
+         CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+         CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+  FROM q GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS v,
+         s3 / n AS r3, s2 / n AS r2, s4 / n AS r4
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (sqrt(v) * v), 6)
+           AS skewness,
+       round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+             / (v * v) - 3.0, 6) AS excess_kurtosis
+FROM m
+"""
+
+
+@register("agg_skew_kurtosis", oracle=_MOMENTS_ORACLE)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type skewness and excess kurtosis from exact integer power
+    sums — the distribution-shape audit a feature-quality monitor runs,
+    reproducible across engines and AQE repartitioning where the
+    builtin skewness()/kurtosis() are not.
+
+    Scale: identical shape to agg_corr_powersum — one scan, one
+    partial+final agg on the 5-value type key carrying five algebraic
+    accumulators; the moment algebra runs on 5 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    q = ev.select("event_type", x.alias("x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xc = F.col("x")
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(dec(xc * xc)).cast("double").alias("s2"),
+        F.sum(dec(xc * xc * xc)).cast("double").alias("s3"),
+        F.sum(dec(xc * xc * xc * xc)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    v = r2 - m1 * m1
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_rows"),
+        F.round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (F.sqrt(v) * v), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+            / (v * v)
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
+    )

@@ -550,3 +550,21 @@ def test_zscore_stats_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_spatial_grid_no_cartesian(spark):
+    """join_spatial_grid: candidates come from the 3x3-neighborhood
+    cell equi-join — never an all-pairs nested loop."""
+    plan = _formatted_plan(spark, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_kurtosis_single_agg_pass(spark):
+    """agg_skew_kurtosis: five accumulators in ONE partial+final agg."""
+    import re
+
+    plan = _formatted_plan(spark, "agg_skew_kurtosis")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1
+    assert "Join" not in plan
