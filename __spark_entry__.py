@@ -63,7 +63,10 @@ _GRADE_FIRST = [
     "join_interval_overlap", "agg_mode_pergroup", "agg_corr_powersum",
     "pipe_length_histogram", "fn_url_parse", "win_zscore_outlier",
     "join_spatial_grid", "text_ttr", "agg_skew_kurtosis",      # = key #50
-    # --- expected cutoff; overflow = remaining stale-r1 keys ---
+    # --- expected cutoff; overflow head = the final two r4 additions
+    # (the window already holds 50 zero-evidence keys — these two are
+    # the r5 rotation's first candidates), then the stale-r1 keys ---
+    "agg_entropy", "agg_gini_concentration",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

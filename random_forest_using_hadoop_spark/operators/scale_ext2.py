@@ -602,3 +602,123 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+# --- Shannon entropy of per-user behavior ------------------------------------
+
+# c·ln(c) is quantized to 1e6 fixed point BEFORE the per-user sum, so the
+# only float operation shared across engines is ln() itself on identical
+# integer inputs (the same contract text_tokens_tfidf's hash match
+# already proves holds for these engines' libm).
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(floor(cnt * ln(cnt) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS sclnc
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       round(ln(n_events) - sclnc / n_events, 6) AS entropy_nats
+FROM u
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the behavioral
+    diversity signal bot-detection and engagement scoring read (H = 0
+    → single-action automation; high H → organic use). Uses the
+    algebraic identity H = ln(n) − (Σ c·ln c)/n so entropy needs only
+    per-(user,type) counts, never per-row probabilities.
+
+    Scale: stage 1 is the same bounded (user,type) count as
+    agg_mode_pergroup; stage 2 reduces ≤|types| rows per user. Both
+    stages share the user hash partitioning; nothing touches the raw
+    stream after the first partial agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    clnc_fx = F.floor(
+        F.col("cnt") * F.log(F.col("cnt")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    u = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.sum(clnc_fx).cast("double") / 1000000.0).alias("sclnc"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(
+            F.log(F.col("n_events")) - F.col("sclnc") / F.col("n_events"), 6
+        ).alias("entropy_nats"),
+    )
+
+
+# --- Gini concentration per group --------------------------------------------
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT event_type,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+         ) AS i
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS DOUBLE) AS six
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n AS n_rows,
+       round((2.0 * six - (n + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM s
+"""
+
+
+@register("agg_gini_concentration", oracle=_GINI_ORACLE)
+def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of the value distribution — the
+    inequality/concentration audit (is 1% of events carrying 90% of
+    value?) via the rank formula G = (2Σi·xᵢ − (n+1)Σxᵢ)/(nΣxᵢ) with a
+    deterministic tie-break (value, event_id) and fixed-point sums.
+
+    Scale: exact Gini needs each row's rank, so one shuffle partitions
+    by type and sorts within — the window and both aggregates then
+    share that single exchange. For groups too large to sort, the
+    approximate path is a quantile-sketch Lorenz curve (see
+    agg_quantile_rollup); the exact operator stays the audit tool.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    return s.select(
+        "event_type",
+        n.alias("n_rows"),
+        F.round(
+            (2.0 * F.col("six") - (n + 1.0) * sx.cast("double"))
+            / (n.cast("double") * sx.cast("double")),
+            6,
+        ).alias("gini"),
+    )
