@@ -66,7 +66,7 @@ _GRADE_FIRST = [
     # --- expected cutoff; overflow head = the final two r4 additions
     # (the window already holds 50 zero-evidence keys — these two are
     # the r5 rotation's first candidates), then the stale-r1 keys ---
-    "agg_entropy", "agg_gini_concentration",
+    "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

@@ -475,3 +475,61 @@ def q_src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# --- dynamic partition pruning over a month-partitioned layout ---------------
+
+_DPP_ORACLE = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {o_dsum('l_extendedprice')} AS revenue
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN (
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+@register("scan_dpp_prune", oracle=_DPP_ORACLE)
+def q_scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: stage the fact table partitioned by
+    ship month (~84 partitions), then answer a join whose partition
+    filter is only known at RUNTIME — the months that had urgent 1997
+    orders. Catalyst turns the broadcast dim into a
+    dynamicpruningexpression on the scan, so only the ~12 qualifying
+    month directories are read (gated in tests/test_plans.py).
+
+    Scale: on a 100 TB month-partitioned fact table this is the
+    difference between reading ~12/84 partitions and a full scan —
+    static predicate pushdown cannot do it because the month set comes
+    from another table. The staged write is itself the recommended
+    layout for time-series facts (low-cardinality date-derived
+    partition key, files sized by the writer, no small-file explosion
+    from over-partitioning).
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    path = _tmp(sf_dir, "dpp_month")
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    fact = spark.read.parquet(path)
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(months), "ship_month")
+        .groupBy("ship_month")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
+    )

