@@ -278,3 +278,82 @@ def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --- SCD2 point-in-time join -------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER w AS version,
+         o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER w,
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT d.version,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT d.o_custkey) AS BIGINT) AS n_customers
+FROM fact f
+JOIN dim d
+  ON f.custkey = d.o_custkey
+ AND f.l_shipdate >= d.valid_from AND f.l_shipdate < d.valid_to
+GROUP BY d.version
+"""
+
+
+@register("join_scd2_pointintime", oracle=_SCD2_ORACLE)
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 point-in-time join: build the
+    versioned dimension (each customer's order history as half-open
+    validity intervals via LEAD, 9999-12-31 sentinel on the open
+    version) and resolve each Q1-1997 returned line to the version in
+    effect at ship time.
+
+    Scale: the dim build is one window pass partitioned by the natural
+    key. The point-in-time join is an EQUI-join on custkey with the
+    interval predicate as a residual filter — fan-out before the
+    filter is bounded by versions-per-customer (tens), never
+    quadratic, and exactly one version survives per fact row because
+    the intervals tile the timeline. This is the standard warehouse
+    SCD2 plan; a BETWEEN-only join (no equi key) would be the
+    nested-loop mistake.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    fact = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("custkey", "l_shipdate")
+    resolved = fact.join(dim, fact.custkey == dim.o_custkey).filter(
+        (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("l_shipdate") < F.col("valid_to"))
+    )
+    return resolved.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+    )

@@ -576,3 +576,12 @@ def test_dpp_prunes_month_partitions(spark):
     partition directories than exist in the staged layout."""
     plan = _executed_plan(spark, "scan_dpp_prune")
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_scd2_join_is_equi_keyed(spark):
+    """join_scd2_pointintime: the interval predicate must ride the
+    custkey equi-join as a residual — a BETWEEN-only join would plan a
+    nested loop."""
+    plan = _formatted_plan(spark, "join_scd2_pointintime")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
