@@ -67,7 +67,8 @@ _GRADE_FIRST = [
     # (the window already holds 50 zero-evidence keys — these two are
     # the r5 rotation's first candidates), then the stale-r1 keys ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
-    "join_scd2_pointintime",
+    "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",
+    "text_bigram_lm",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

@@ -19,6 +19,7 @@ import random_forest_using_hadoop_spark.operators.relational_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.pipelines  # noqa: F401
 import random_forest_using_hadoop_spark.operators.scale_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.scale_ext2  # noqa: F401
+import random_forest_using_hadoop_spark.operators.mining_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.tpch_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.tpch_ext3  # noqa: F401
 import random_forest_using_hadoop_spark.operators.llm_pipeline  # noqa: F401

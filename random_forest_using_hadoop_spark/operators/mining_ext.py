@@ -1,0 +1,237 @@
+"""Statistical-mining extensions: per-group OLS trend lines, exact
+discrete percentiles, and bigram language-model quality scoring.
+
+Same harness and determinism doctrine as every other module:
+fixed-point/integer accumulation wherever floats would otherwise cross
+an accumulation-order boundary, deterministic tie-breaks on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- per-group OLS trend -----------------------------------------------------
+
+# x = whole hours since the stream epoch (exact small int), y = value
+# quantized to 1e3. All five accumulators are exact integers; the
+# slope/intercept algebra runs in double on 5 rows.
+#
+# Cross-engine subtlety: Spark timestampdiff(HOUR) counts complete
+# 60-minute periods while DuckDB date_diff('hour') counts hour-BOUNDARY
+# crossings. They coincide exactly because the epoch anchor sits on an
+# hour boundary — keep it there.
+_TREND_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+              AS BIGINT) AS x,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000.0, 6)
+           AS slope_per_hour,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n / 1000.0, 6) AS intercept
+FROM s
+"""
+
+
+@register("agg_ols_trend", oracle=_TREND_ORACLE)
+def q_agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend line of value over time (slope per
+    hour + intercept) from exact integer power sums — the drift
+    detector a metric-quality monitor runs over every series.
+
+    Scale: identical shape to agg_corr_powersum — one scan, one
+    partial+final agg carrying five algebraic accumulators; the line
+    fit runs on one row per group. An OLS over 100 TB of points costs
+    exactly one aggregation, which is the whole point of the
+    sufficient-statistics form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_rows"),
+        F.round(slope / 1000.0, 6).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n / 1000.0, 6).alias("intercept"),
+    )
+
+
+# --- exact discrete percentiles ----------------------------------------------
+
+_PCTL_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM r GROUP BY event_type
+"""
+
+
+@register("agg_percentile_disc", oracle=_PCTL_ORACLE)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) per group: the reported
+    value is an actual data point selected by deterministic rank
+    (value, then event_id on ties) — no interpolation, so the result
+    is hash-exact across engines by construction.
+
+    Scale: one shuffle partitions by type; rank and per-type count
+    share that sort, and the final agg reduces three tagged rows per
+    group. Exact percentiles require the per-group sort; at sketch
+    scale the approximate path is agg_quantile_rollup (KLL-style
+    mergeable summaries) — this operator is the audit-grade exact
+    version run on slices.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy("event_type").agg(
+        at(0.50).alias("p50"), at(0.90).alias("p90"), at(0.99).alias("p99")
+    )
+
+
+# --- bigram language-model quality score -------------------------------------
+
+# Per-document mean of ln((c(w1,w2)+1) / (c(w1)+V)) over the document's
+# bigrams — an add-one-smoothed bigram LM scored against the corpus's
+# own statistics (low score → phrasing unlike the corpus: boilerplate,
+# noise, or injected content). Each log term is quantized to 1e6 before
+# the per-document sum, so only ln() itself must agree across engines
+# (the contract text_tokens_tfidf's hash match already establishes).
+_BIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(s) AS token, generate_subscripts(s, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+big AS (
+  SELECT doc_id, token,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+  FROM tok
+),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY token),
+bg AS (
+  SELECT token, next, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM big WHERE next IS NOT NULL GROUP BY token, next
+),
+v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab FROM tok),
+terms AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((bg.c2 + 1.0) / (uni.c1 + v.vocab)) * 1000000.0 + 0.5)
+              AS BIGINT) AS t
+  FROM big b
+  JOIN bg ON b.token = bg.token AND b.next = bg.next
+  JOIN uni ON b.token = uni.token
+  CROSS JOIN v
+  WHERE b.next IS NOT NULL
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS lm_score
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_ORACLE)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram LM score against the corpus's own bigram
+    statistics (add-one smoothing) — the cheap statistical stand-in
+    for a perplexity quality filter, computed entirely relationally:
+    no model artifact, no Python in the hot path.
+
+    Scale: unigram/bigram count tables are vocabulary-bounded, not
+    corpus-bounded, so the scoring joins are dimension-style (small
+    side broadcastable; candidates keyed exactly). The per-document
+    sum is over quantized integers, so partial aggregation commutes.
+    On a 100 TB corpus the same plan holds with the count tables
+    becoming broadcast-or-bucketed dims — the token stream is
+    scanned twice (counts, scoring), which is the relational minimum
+    for self-referential statistics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", "token", F.lead("token").over(wdoc).alias("next")
+    ).filter(F.col("next").isNotNull())
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    bg = big.groupBy("token", "next").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = tok.agg(F.count_distinct("token").alias("vocab"))
+    terms = (
+        big.join(bg, ["token", "next"])
+        .join(uni, "token")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("t").cast("double") / 1000000.0 / F.count(F.lit(1)), 6).alias(
+            "lm_score"
+        ),
+    )

@@ -585,3 +585,21 @@ def test_scd2_join_is_equi_keyed(spark):
     plan = _formatted_plan(spark, "join_scd2_pointintime")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ols_trend_single_agg_pass(spark):
+    """agg_ols_trend: sufficient statistics in ONE partial+final agg."""
+    import re
+
+    plan = _formatted_plan(spark, "agg_ols_trend")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+    assert "Join" not in plan
+
+
+def test_bigram_lm_no_cartesian_vocab_scalar_broadcast(spark):
+    """text_bigram_lm: scoring joins are keyed on (token, next)/(token);
+    the vocab scalar rides a broadcast — no unkeyed nested loop over
+    the bigram stream (BroadcastNestedLoopJoin is legal ONLY for the
+    1-row vocab scalar cross join)."""
+    plan = _formatted_plan(spark, "text_bigram_lm")
+    assert "CartesianProduct" not in plan
