@@ -68,7 +68,7 @@ _GRADE_FIRST = [
     # the r5 rotation's first candidates), then the stale-r1 keys ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",
-    "text_bigram_lm",
+    "text_bigram_lm", "agg_markov_transition", "agg_basket_pairs",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

@@ -235,3 +235,114 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_score"
         ),
     )
+
+
+# --- Markov transition matrix ------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+@register("agg_markov_transition", oracle=_MARKOV_ORACLE)
+def q_agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (from, to) event-type pair, the count and row-normalized
+    probability of that transition in per-user time order
+    (deterministic tie-break ts, then event_id).
+
+    Scale: the LEAD window partitions by user — one shuffle bounded by
+    the stream, sorted per user only. The transition counts then
+    reduce to a |types|² frame (25 rows here) on which normalization
+    is a toy window. Next-event-prediction baselines and funnel
+    anomaly detectors read exactly this matrix.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+# --- market-basket pair mining -----------------------------------------------
+
+_BASKET_TOPN = 20
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+r AS (
+  SELECT part_a, part_b, support,
+         ROW_NUMBER() OVER (
+             ORDER BY support DESC, part_a, part_b
+         ) AS rk
+  FROM pairs
+)
+SELECT part_a, part_b, support, rk FROM r WHERE rk <= {_BASKET_TOPN}
+"""
+
+
+@register("agg_basket_pairs", oracle=_BASKET_ORACLE)
+def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-{N} co-purchased part pairs by
+    support, totally ordered (support DESC, then pair) so the LIMIT is
+    deterministic.
+
+    Scale: the pair self-join is keyed on l_orderkey, so fan-out per
+    order is lines-per-order² (~16 here, bounded by basket size —
+    never corpus-quadratic); the candidate stream then partial-aggs on
+    the pair key. The final top-N is a TakeOrderedAndProject, not a
+    global sort. This is the support-counting pass of Apriori/FP-growth
+    expressed relationally; larger itemsets iterate the same join
+    against the surviving frequent set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BASKET_TOPN)
+    )
