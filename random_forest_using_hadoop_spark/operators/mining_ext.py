@@ -341,8 +341,137 @@ def q_agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
+    # top-N via TakeOrderedAndProject (never a global sort of the pair
+    # frame); the rank is re-derived on the 20 surviving rows only.
+    top = pairs.orderBy(
+        F.col("support").desc(), "part_a", "part_b"
+    ).limit(_BASKET_TOPN)
     w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _BASKET_TOPN)
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+# --- two-proportion z-test ---------------------------------------------------
+
+# Cohorts: even vs odd user_id (a deterministic hash split); conversion
+# = the user emitted >=1 HIGH-VALUE purchase (value > 195 — at this
+# stream's density plain "any purchase" converts ~100% of users, which
+# degenerates the pooled variance to zero). All counts are exact
+# integers; the z statistic is one double expression over them.
+_ABTEST_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 195
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+    CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+    CAST(SUM(converted) FILTER (WHERE cohort = 0) AS BIGINT) AS conv_a,
+    CAST(SUM(converted) FILTER (WHERE cohort = 1) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+FROM s
+"""
+
+
+@register("agg_ab_ztest", oracle=_ABTEST_ORACLE)
+def q_agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic user cohorts (even vs
+    odd id) on purchase conversion — the experiment-readout query an
+    A/B platform materializes per metric. Pooled-variance z statistic
+    computed in one double expression over four exact counts.
+
+    Scale: per-user conversion flags reduce on user_id (bounded by
+    |users|), then four global counters partial-agg to a single row —
+    two shuffles, both shrinking. No per-row float math at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 195), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("cohort", F.col("user_id") % 2)
+    s = u.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted"))).alias("conv_a"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    pool = (ca + cb).cast("double") / (na + nb)
+    z = (ca.cast("double") / na - cb.cast("double") / nb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    return s.select("n_a", "n_b", "conv_a", "conv_b", F.round(z, 6).alias("z_stat"))
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("agg_rfm_segmentation", oracle=_RFM_ORACLE)
+def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation: quintile scores
+    per customer with deterministic tie-breaks (custkey), reported as
+    segment sizes. Monetary totals aggregate in cents (exact BIGINT),
+    never floating dollars.
+
+    Scale: the per-customer rollup partial-aggs on the natural key.
+    The three NTILEs are global sorts of the CUSTOMER frame (already
+    reduced ~100:1 from orders); at larger scale each becomes a
+    2-pass percentile-cut (approx quantile thresholds broadcast back,
+    agg_quantile_rollup's doctrine) with identical downstream shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
     )

@@ -607,8 +607,9 @@ def test_bigram_lm_no_cartesian_vocab_scalar_broadcast(spark):
 
 def test_basket_pairs_keyed_join_and_topn(spark):
     """agg_basket_pairs: pair generation must be the orderkey equi-join
-    (fan-out bounded by basket size) and the final top-N must not be a
-    global sort of the pair frame."""
+    (fan-out bounded by basket size) and the final top-N must be a
+    TakeOrderedAndProject, never a global sort of the pair frame."""
     plan = _formatted_plan(spark, "agg_basket_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
