@@ -161,3 +161,46 @@ def test_prefix_filter_cover_is_lossless(data):
     assert set(pa) & set(pb), (
         f"J={j:.3f} pair escaped the prefix cover: |a|={len(a)} |b|={len(b)}"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=0, max_value=1000, allow_nan=False),
+    st.floats(min_value=0, max_value=1000, allow_nan=False),
+    st.floats(min_value=0, max_value=1000, allow_nan=False),
+    st.floats(min_value=0, max_value=1000, allow_nan=False),
+)
+def test_spatial_grid_neighborhood_cover_is_lossless(xa, ya, xb, yb):
+    """join_spatial_grid's coverage theorem: if two points lie within
+    Euclidean eps, B's home cell is inside A's 3x3 neighborhood (cell
+    size = eps). A counterexample would mean the grid join silently
+    drops qualifying pairs."""
+    eps = 2.0
+    if math.dist((xa, ya), (xb, yb)) > eps:
+        return
+    ca = (math.floor(xa / eps), math.floor(ya / eps))
+    cb = (math.floor(xb / eps), math.floor(yb / eps))
+    assert abs(ca[0] - cb[0]) <= 1 and abs(ca[1] - cb[1]) <= 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),   # span start (seconds)
+    st.integers(min_value=0, max_value=86_399),  # span length within day
+    st.integers(min_value=0, max_value=10**9),   # incident center
+)
+def test_interval_overlap_day_bin_cover_is_lossless(s0, slen, ic):
+    """join_interval_overlap's coverage theorem: a span confined to one
+    calendar day overlaps a +/-1h incident window only if the span's
+    day is among the days the incident window touches — so joining on
+    the exploded day bins finds every qualifying pair."""
+    day = 86_400
+    s_start = (s0 // day) * day + min(s0 % day, 86_399 - slen)
+    s_end = s_start + slen  # same-day span by construction
+    i_start, i_end = ic - 3600, ic + 3600
+    overlaps = s_start <= i_end and i_start <= s_end
+    if not overlaps:
+        return
+    span_day = s_start // day
+    inc_days = range(i_start // day, i_end // day + 1)
+    assert span_day in inc_days
