@@ -475,3 +475,235 @@ def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --- Benford first-digit audit -----------------------------------------------
+
+# Expected Benford mass log10(1+1/d) is a 9-constant table computed by
+# the same expression on both sides; observed counts are exact integers.
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM c)
+SELECT c.digit, c.observed,
+       round(CAST(c.observed AS DOUBLE) / t.total, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_p
+FROM c, t
+"""
+
+
+@register("agg_benford_digits", oracle=_BENFORD_ORACLE)
+def q_agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-numbers screen: observed leading-digit shares next to
+    the Benford expectation log10(1+1/d).
+
+    Scale: the digit projection is stateless string math on the scan;
+    the audit reduces to a 9-row frame in one partial+final agg, with
+    the total joined back as a broadcast scalar. Runs at any volume
+    for the cost of one scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    t = c.agg(F.sum("observed").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed").cast("double") / F.col("total"), 6).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )
+
+
+# --- chi-square test of independence -----------------------------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT user_id % 2 AS cohort, event_type,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY user_id % 2, event_type
+),
+m AS (
+  SELECT cohort, event_type, o,
+         SUM(o) OVER (PARTITION BY cohort) AS row_tot,
+         SUM(o) OVER (PARTITION BY event_type) AS col_tot,
+         SUM(o) OVER () AS n
+  FROM obs
+)
+SELECT CAST(COUNT(*) - 1 - (COUNT(DISTINCT event_type) - 1)
+            - (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+       round(SUM(
+         (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+         * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+         / (CAST(row_tot AS DOUBLE) * col_tot / n)
+       ), 6) AS chi2
+FROM m
+"""
+
+
+@register("agg_chisq_independence", oracle=_CHISQ_ORACLE)
+def q_agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between user cohort (even/odd id)
+    and event type — the contingency-table audit behind guardrail
+    checks like "did the experiment change the action mix". The
+    statistic sums over the |cohorts|x|types| table only; dof =
+    (r-1)(c-1) is derived from the same frame.
+
+    Scale: one partial+final agg builds the contingency table (10
+    cells here; bounded by the category product, never the stream);
+    the marginals are windows over that tiny frame. Order-dependent
+    float math never touches more than |cells| values, all derived
+    from exact integer counts.
+
+    Determinism note: the chi-square SUM accumulates doubles over the
+    10-cell frame; with both engines summing the identical 10 values
+    the result agrees to >=12 significant digits and r6 absorbs the
+    accumulation-order residue.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        (F.col("user_id") % 2).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("cohort")
+    wc = Window.partitionBy("event_type")
+    wall = Window.partitionBy()
+    m = obs.select(
+        "cohort",
+        "event_type",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        (
+            F.count(F.lit(1))
+            - 1
+            - (F.count_distinct("event_type") - 1)
+            - (F.count_distinct("cohort") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+    )
+
+
+# --- MAD (median absolute deviation) outlier screen --------------------------
+
+_MAD_ORACLE = """
+WITH r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS median
+  FROM r1 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.median) AS ad,
+         m.median
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, ad, median,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY ad, event_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, median, ad AS mad
+  FROM r2 WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT d.event_type,
+       round(m.median, 6) AS median,
+       round(m.mad, 6) AS mad,
+       CAST(COUNT(*) FILTER (
+           WHERE abs(d.value - m.median) > 3.0 * m.mad) AS BIGINT)
+           AS n_outliers
+FROM events d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.median, m.mad
+"""
+
+
+@register("win_outlier_mad", oracle=_MAD_ORACLE)
+def q_win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation per group
+    (|x − median| > 3·MAD) — the screen of choice when the z-score's
+    own mean/std are corrupted by the outliers being hunted. Both
+    medians are exact discrete selections with deterministic
+    tie-breaks, so the whole chain is hash-exact.
+
+    Scale: two ranked passes per group (median, then MAD) plus a final
+    counting join — each a type-partitioned sort like
+    agg_percentile_disc, with the 5-row median/MAD frames broadcast
+    back onto the stream. Exactness costs the sorts; the sketch path
+    (approx medians) keeps the identical topology.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def disc_median(df, col, part, tie):
+        w = Window.partitionBy(part).orderBy(col, tie)
+        wn = Window.partitionBy(part)
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"))
+        )
+
+    med = disc_median(ev, "value", "event_type", "event_id").select(
+        "event_type", F.col("value").alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = disc_median(dev, "ad", "event_type", "event_id").select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("median"))
+                    > 3.0 * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
