@@ -26,7 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from random_forest_using_hadoop_spark.helpers import o_dsum
+from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
@@ -642,3 +642,64 @@ def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(out, "ss_distinct_users", "complete")
     finally:
         spark.conf.set(key, prior)
+
+
+# --- exactly-once checkpointed file sink -------------------------------------
+
+_B62_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS sum_value
+FROM events
+WHERE value > 100
+GROUP BY event_type
+"""
+
+
+@register("stream_file_sink_exactonce", oracle=_B62_ORACLE)
+def q_stream_file_sink_exactonce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed parquet file sink with an idempotent-replay proof:
+    the stream runs to completion TWICE against the same checkpoint;
+    the second run finds the source offsets already committed and
+    appends nothing, so the read-back aggregate equals the plain batch
+    query — the exactly-once contract a production file sink rests on.
+
+    Scale: the file sink commits each micro-batch atomically via the
+    checkpoint's offset+commit logs, so a crashed-and-restarted 100 TB
+    backfill resumes at the last committed batch instead of
+    re-appending (the doctrine behind every raw->bronze ingestion
+    job). The memory-sink harness elsewhere swaps for this sink with
+    the logical plan unchanged.
+    """
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    stream = _events_stream(spark, src).filter(F.col("value") > 100).select(
+        "event_id", "event_type", "value"
+    )
+    tag = Path(src).parent.name
+    root = Path(tempfile.gettempdir()) / "rf_engine_io" / f"exactonce_{tag}"
+    out, ckpt = str(root / "out"), str(root / "ckpt")
+    shutil.rmtree(root, ignore_errors=True)  # deterministic per invocation
+    os.makedirs(out, exist_ok=True)
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if int(prior_parts) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        for _ in range(2):  # second run must be a committed no-op
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
