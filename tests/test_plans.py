@@ -613,3 +613,16 @@ def test_basket_pairs_keyed_join_and_topn(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["join_spatial_grid", "join_interval_overlap", "join_scd2_pointintime"]
+)
+@pytest.mark.parametrize("sf_dir", [SF_DIR, BENCH_SF_DIR])
+def test_blocked_joins_hold_at_bench_sf(spark, key, sf_dir):
+    """The r4 blocked-join shapes must stay equi-joins at the bench SF
+    as well — larger input stats must never flip the planner to a
+    nested loop."""
+    plan = _formatted_plan_at(spark, key, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
