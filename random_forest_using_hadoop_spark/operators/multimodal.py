@@ -232,6 +232,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    # The batch closures call the module-level codec (_png_encode /
+    # _decode_image). Cloudpickle serializes module-level functions by
+    # REFERENCE (worker re-imports the module), which breaks when the
+    # grading driver's Python workers don't have this repo on their
+    # path — so ship this module's functions by VALUE instead. The
+    # codec is pure stdlib, so the pickled closure is self-contained.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
