@@ -820,3 +820,65 @@ def q_pipe_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("blocked_ratio"),
         (ratio < 0.05).alias("keep"),
     )
+
+
+# --- n-gram novelty score ----------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+ngr AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 7),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM toks WHERE len(t) >= 8
+),
+freq AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS doc_count FROM ngr GROUP BY g
+)
+SELECT n.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) FILTER (WHERE f.doc_count = 1) AS BIGINT) AS n_novel,
+       round(CAST(COUNT(*) FILTER (WHERE f.doc_count = 1) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM ngr n JOIN freq f ON n.g = f.g
+GROUP BY n.doc_id
+"""
+
+
+@register("pipe_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def q_pipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the share of a document's distinct
+    8-grams that appear in NO other document — the memorization /
+    template-diversity audit (low novelty → the doc is assembled from
+    phrasing the corpus already contains; the inverse view of the
+    contamination and near-dup screens).
+
+    Scale: the n-gram frequency table is vocabulary-bounded and built
+    with one partial-agg pass; the scoring join is keyed exactly on
+    the gram. Same cost envelope as pipe_contamination_ngram, whose
+    guarded n-gram expression this reuses (short docs yield empty
+    arrays, never a negative-length sequence).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ngr = (
+        d.select("doc_id", F.expr(_guarded_ngram_expr(8)).alias("grams"))
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    freq = ngr.groupBy("g").agg(F.count(F.lit(1)).alias("doc_count"))
+    # grams are already distinct per doc (array_distinct in the helper),
+    # so doc_count counts documents, matching the oracle's DISTINCT.
+    return (
+        ngr.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col("doc_count") == 1, 1)).alias("n_novel"),
+            F.round(
+                F.count(F.when(F.col("doc_count") == 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -690,3 +690,78 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(norm_sq) / F.sqrt(_dot(F.col("ve"), F.col("ve"))), 6
         ).alias("norm_ratio"),
     )
+
+
+# --- embedding drift between corpus halves -----------------------------------
+
+_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT label, vec_id % 2 AS cohort,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT label, cohort, dim,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_v
+  FROM e GROUP BY label, cohort, dim
+),
+d AS (
+  SELECT a.label, a.dim, (a.mean_v - b.mean_v) AS delta
+  FROM m a JOIN m b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.cohort = 0 AND b.cohort = 1
+)
+SELECT label, round(sqrt(SUM(delta * delta)), 6) AS centroid_shift
+FROM d GROUP BY label
+"""
+
+
+@register("emb_drift_monitor", oracle=_DRIFT_ORACLE)
+def q_emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label L2 distance between the
+    centroids of two deterministic corpus halves (vec_id parity
+    standing in for before/after snapshots) — the "did the encoder or
+    the data move" check an embedding pipeline runs per refresh.
+
+    Per-dimension means come from fixed-point integer sums (float32
+    inputs quantized at 1e6), so each cohort centroid is exact; only
+    the final 64-term sum of squared deltas is float math, identical
+    on both engines per-label.
+
+    Scale: posexplode fans rows ×dim but the (label, cohort, dim)
+    partial agg collapses map-side to |labels|×2×64 rows — the join
+    and distance run on that tiny frame. Same doctrine as
+    emb_cluster_stats (similarity.py) extended with the cohort axis.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    )
+    m = (
+        e.groupBy("label", "cohort", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1000000.0 + 0.5).cast("bigint")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 1000000.0
+            ).alias("mean_v")
+        )
+    )
+    a = m.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("mean_v").alias("ma")
+    )
+    b = m.filter(F.col("cohort") == 1).select(
+        "label", "dim", F.col("mean_v").alias("mb")
+    )
+    d = a.join(b, ["label", "dim"]).select(
+        "label", (F.col("ma") - F.col("mb")).alias("delta")
+    )
+    return d.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias(
+            "centroid_shift"
+        )
+    )
