@@ -71,7 +71,8 @@ _GRADE_FIRST = [
     "text_bigram_lm", "agg_markov_transition", "agg_basket_pairs",
     "agg_ab_ztest", "agg_rfm_segmentation", "agg_benford_digits",
     "agg_chisq_independence", "win_outlier_mad", "stream_file_sink_exactonce",
-    "pipe_ngram_novelty", "emb_drift_monitor",
+    "pipe_ngram_novelty", "emb_drift_monitor", "win_period_over_period",
+    "dedup_cluster_histogram", "join_runtime_bloomfilter",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

@@ -707,3 +707,102 @@ def q_win_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --- period-over-period (week-over-week) -------------------------------------
+
+_WOW_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_fx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('day', ts)
+),
+l AS (
+  SELECT day, n, value_fx,
+         LAG(value_fx, 7) OVER (ORDER BY day) AS prev_fx
+  FROM daily
+)
+SELECT day, n, round(value_fx / 1000000.0, 6) AS value_sum,
+       round(CASE WHEN prev_fx > 0
+                  THEN CAST(value_fx AS DOUBLE) / prev_fx - 1.0 END, 6)
+           AS wow_change
+FROM l
+"""
+
+
+@register("win_period_over_period", oracle=_WOW_ORACLE)
+def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per day: daily value totals with the
+    ratio against the same weekday one week earlier (LAG 7 over the
+    day spine) — the period-over-period comparison every metrics
+    dashboard leads with. NULL (not a fake 0) where no prior week
+    exists.
+
+    Scale: the stream reduces to one row per day before any window
+    runs, so the LAG sorts a ~365-row frame per year regardless of
+    event volume. Totals ride fixed-point integers; the ratio is one
+    double op on two exact values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("value_fx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn("prev_fx", F.lag("value_fx", 7).over(w))
+        .select(
+            "day",
+            "n",
+            F.round(F.col("value_fx") / 1000000.0, 6).alias("value_sum"),
+            F.round(
+                F.when(
+                    F.col("prev_fx") > 0,
+                    F.col("value_fx").cast("double") / F.col("prev_fx") - 1.0,
+                ),
+                6,
+            ).alias("wow_change"),
+        )
+    )
+
+
+# --- dedup cluster-size histogram --------------------------------------------
+
+_CLUSTHIST_ORACLE = """
+WITH g AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM g GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_histogram", oracle=_CLUSTHIST_ORACLE)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-duplicate
+    clusters exist at each size, how many documents they hold, and how
+    many rows dedup would remove — the datasheet row that turns "we
+    deduped" into a number (Σ n_removable / Σ n_docs).
+
+    Scale: two shrinking aggregations — content-hash groups (shuffle ∝
+    distinct texts, same as dedup_exact) then a ≤max-cluster-size
+    histogram. The removable count falls out arithmetically; no second
+    pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return g.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )

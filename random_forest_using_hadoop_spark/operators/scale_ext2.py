@@ -722,3 +722,82 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- runtime bloom-filter join ------------------------------------------------
+
+_BLOOM_CONFS = {
+    # bloom injection is on by default but gated by thresholds tuned for
+    # clusters; pin them so the demo triggers at test SF. broadcast is
+    # disabled because the runtime filter only arms shuffle joins (a
+    # broadcast join already prunes at the probe).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_BLOOM_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 1000000.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle join Catalyst arms with a runtime bloom filter:
+    selective build side (urgent orders) → bloom_filter_agg subquery →
+    might_contain pushed into the fact scan's data filters."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    fx = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(fx) / 1000000.0).alias("revenue"),
+        )
+    )
+
+
+@register("join_runtime_bloomfilter", oracle=_BLOOM_ORACLE)
+def q_join_runtime_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: the build side's keys become a bloom
+    filter that Catalyst injects as a might_contain predicate on the
+    FACT SCAN — rows that cannot join are dropped before the shuffle,
+    the runtime analog of DPP for non-partition keys (gated in
+    tests/test_plans.py).
+
+    Scale: on a 100 TB fact⋈selective-dim shuffle join this is the
+    difference between shuffling the whole fact and shuffling only
+    might-match rows (false-positive rate bounded by the filter's
+    sizing). The tuned thresholds are session-scoped to this operator
+    and RESTORED afterward — they must not leak into the grading
+    session — so the join materializes here (write → read-back, the
+    sink ops' doctrine) rather than deferring execution past the
+    restore.
+    """
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    prior = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    path = _tmp(sf_dir, "bloom_join")
+    try:
+        _bloom_join(spark, sf_dir).write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)

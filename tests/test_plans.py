@@ -626,3 +626,31 @@ def test_blocked_joins_hold_at_bench_sf(spark, key, sf_dir):
     plan = _formatted_plan_at(spark, key, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloomfilter_arms_fact_scan(spark):
+    """join_runtime_bloomfilter: under the operator's session confs the
+    fact scan must carry a might_contain runtime filter fed by a
+    bloom_filter_agg subquery over the selective build side."""
+    from random_forest_using_hadoop_spark.operators.scale_ext2 import (
+        _BLOOM_CONFS,
+        _bloom_join,
+    )
+
+    prior = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join(spark, SF_DIR)
+        jvm = spark._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan
