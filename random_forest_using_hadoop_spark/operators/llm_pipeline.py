@@ -882,3 +882,60 @@ def q_pipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --- secrets / credential scan -----------------------------------------------
+
+# Pattern classes kept to regex constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): literal prefixes, character
+# classes, bounded repetition. The synthetic corpus contains no real
+# secrets, so the graded signal is the per-source hit accounting plus
+# the planted-pattern check the oracle recomputes from the same text.
+_SECRET_PATTERNS = {
+    "aws_key": "AKIA[0-9A-Z]{16}",
+    "hex40_token": "[0-9a-f]{40}",
+    "long_base64ish": "[A-Za-z0-9+/]{32,}={0,2}",
+}
+
+_SECRETS_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, 'AKIA[0-9A-Z]{{16}}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits_aws_key,
+       CAST(SUM(CASE WHEN regexp_matches(text, '[0-9a-f]{{40}}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits_hex40_token,
+       CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9+/]{{32,}}={{0,2}}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits_long_base64ish,
+       CAST(SUM(CASE WHEN regexp_matches(text, 'AKIA[0-9A-Z]{{16}}')
+                  OR regexp_matches(text, '[0-9a-f]{{40}}')
+                  OR regexp_matches(text, '[A-Za-z0-9+/]{{32,}}={{0,2}}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+FROM documents GROUP BY source
+"""
+
+
+@register("pipe_secrets_scan", oracle=_SECRETS_ORACLE)
+def q_pipe_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential/secret scan: per-source counts of documents matching
+    each leak-pattern class (AWS-style key ids, 40-hex tokens,
+    long base64 runs) — the redaction/drop gate a training corpus
+    passes before anything else, complementing pipe_pii_scrub's
+    formatted-PII pass.
+
+    Scale: pure projection + bounded agg — each pattern is one
+    rlike over the scan, all classes evaluated in the same pass, and
+    the rollup key is the 20-value source. Pattern semantics restricted
+    to the Java-regex ∩ RE2 subset so the oracle runs the exact same
+    automaton class.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hits = {k: F.col("text").rlike(p) for k, p in _SECRET_PATTERNS.items()}
+    any_hit = hits["aws_key"] | hits["hex40_token"] | hits["long_base64ish"]
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"hits_{k}")
+            for k, c in hits.items()
+        ],
+        F.sum(F.when(any_hit, 1).otherwise(0)).alias("docs_flagged"),
+    )

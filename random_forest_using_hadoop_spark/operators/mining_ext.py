@@ -806,3 +806,79 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+# --- rank movers between periods ---------------------------------------------
+
+_MOVERS_ORACLE = """
+WITH halves AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+             AS half,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_fx
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, half,
+         ROW_NUMBER() OVER (
+             PARTITION BY half ORDER BY value_fx DESC, user_id
+         ) AS rk
+  FROM halves
+)
+SELECT a.user_id,
+       a.rk AS rank_before, b.rk AS rank_after,
+       CAST(a.rk - b.rk AS BIGINT) AS moved_up
+FROM ranked a JOIN ranked b
+  ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+ORDER BY abs(a.rk - b.rk) DESC, a.user_id
+LIMIT 10
+"""
+
+
+@register("win_rank_movers", oracle=_MOVERS_ORACLE)
+def q_win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movers: each user's value rank in the first vs second
+    half of the stream window, reporting the 10 largest rank swings —
+    the "biggest movers" card on every ranking dashboard. Ranks use
+    fixed-point totals and a deterministic tie-break; the final LIMIT
+    is totally ordered (|swing| DESC, then user).
+
+    Scale: the stream reduces to |users|×2 rows before any rank; both
+    rank windows and the self-join run on that reduced frame. The
+    top-10 is a TakeOrderedAndProject over |users| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "user_id",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias(
+            "value_fx"
+        )
+    )
+    w = Window.partitionBy("half").orderBy(F.col("value_fx").desc(), "user_id")
+    ranked = halves.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("half") == 0).select(
+        "user_id", F.col("rk").alias("rank_before")
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        "user_id", F.col("rk").alias("rank_after")
+    )
+    return (
+        a.join(b, "user_id")
+        .select(
+            "user_id",
+            "rank_before",
+            "rank_after",
+            (F.col("rank_before") - F.col("rank_after"))
+            .cast("bigint")
+            .alias("moved_up"),
+        )
+        .orderBy(F.abs(F.col("moved_up")).desc(), "user_id")
+        .limit(10)
+    )

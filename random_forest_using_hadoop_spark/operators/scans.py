@@ -533,3 +533,83 @@ def q_scan_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ship_month")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
     )
+
+
+# --- corrupt-record-tolerant CSV ingestion -----------------------------------
+
+_N_BAD = 7  # malformed lines injected into the staged CSV
+
+_CORRUPT_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST({_N_BAD} AS BIGINT) AS n_corrupt,
+       CAST(COUNT(*) + {_N_BAD} AS BIGINT) AS n_total,
+       CAST(SUM(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 1000000.0 AS sum_acctbal
+FROM customer
+"""
+
+
+@register("scan_corrupt_records", oracle=_CORRUPT_ORACLE)
+def q_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance: stage the customer table as CSV with
+    deliberately broken lines mixed in (truncated fields, non-numeric
+    keys), read it back in PERMISSIVE mode with a _corrupt_record
+    column, and account for every line — good rows aggregate, bad rows
+    are counted, nothing is silently dropped.
+
+    Scale: PERMISSIVE + corrupt-record capture is the only ingestion
+    mode that lets a 100 TB raw feed keep flowing while quarantining
+    garbage for replay (FAILFAST halts the world; DROPMALFORMED loses
+    data silently — the audit row this query emits is exactly what
+    DROPMALFORMED cannot produce). Schema is declared, so the reader
+    never pays the inference pass.
+    """
+    import os
+
+    c = load_table(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "corrupt_csv")
+    c.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).coalesce(1).write.mode("overwrite").option("header", False).csv(path)
+    part = next(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".csv")
+    )
+    with open(part, "a", encoding="utf-8") as fh:
+        for i in range(_N_BAD):
+            # non-numeric key + missing columns → unparseable under the
+            # declared schema
+            fh.write(f"not_a_key_{i},broken\n")
+    for f in os.listdir(path):
+        # drop Hadoop's local-FS checksum sidecars — the append above
+        # invalidates them and ChecksumFileSystem would fail the read
+        if f.endswith(".crc"):
+            os.remove(os.path.join(path, f))
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    back = back.cache()  # one read: Spark requires caching to filter on
+    # the corrupt-record column (SPARK-21610: the raw record is not
+    # otherwise available after pushdown)
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    fx = F.floor(F.col("c_acctbal") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        good.agg(
+            F.count(F.lit(1)).alias("n_good"),
+            (F.sum(fx) / 1000000.0).alias("sum_acctbal"),
+        )
+        .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
+        .select(
+            "n_good",
+            "n_corrupt",
+            (F.col("n_good") + F.col("n_corrupt")).alias("n_total"),
+            "sum_acctbal",
+        )
+    )
