@@ -882,3 +882,85 @@ def q_win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("moved_up")).desc(), "user_id")
         .limit(10)
     )
+
+
+# --- mean family (arithmetic / weighted / geometric / harmonic) ---------------
+
+# Geometric and harmonic means need ln(x) and 1/x per row — both
+# quantized to 1e6 BEFORE summation so accumulation order cannot leak;
+# ln() agreement across engines is the established contract
+# (text_tokens_tfidf, agg_entropy). Values are strictly positive after
+# the filter, so every mean is defined.
+_MEANS_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         l_quantity AS x,
+         l_extendedprice AS w,
+         CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS x_fx,
+         CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS w_fx,
+         CAST(floor(ln(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS lnx_fx,
+         CAST(floor(1000000.0 / l_quantity + 0.5) AS BIGINT) AS invx_fx,
+         CAST(floor(l_quantity * l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             AS wx_fx2
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(x_fx) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+           AS mean_arith,
+       round(CAST(SUM(wx_fx2) AS DOUBLE) / 100.0
+             / (CAST(SUM(w_fx) AS DOUBLE) / 1000000.0), 6) AS mean_weighted,
+       round(exp(CAST(SUM(lnx_fx) AS DOUBLE) / 1000000.0 / COUNT(*)), 6)
+           AS mean_geo,
+       round(COUNT(*) / (CAST(SUM(invx_fx) AS DOUBLE) / 1000000.0), 6)
+           AS mean_harmonic
+FROM q GROUP BY l_returnflag
+"""
+
+
+@register("agg_mean_family", oracle=_MEANS_ORACLE)
+def q_agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four means per group — arithmetic, price-weighted, geometric
+    (exp of mean-log), harmonic (reciprocal of mean-reciprocal) — the
+    full toolkit for rate/ratio metrics where the arithmetic mean is
+    the wrong estimator (harmonic for rates, geometric for growth
+    factors).
+
+    Scale: one scan, one partial+final agg carrying five integer
+    accumulators; every per-row transform (ln, reciprocal, product)
+    quantizes before summation so the partials merge exactly anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    q6 = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q6(F.col("l_quantity"))).alias("sx"),
+        F.sum(q6(F.col("l_extendedprice"))).alias("sw"),
+        F.sum(q6(F.log(F.col("l_quantity")))).alias("slnx"),
+        F.sum(
+            F.floor(1000000.0 / F.col("l_quantity") + 0.5).cast("bigint")
+        ).alias("sinvx"),
+        F.sum(
+            F.floor(
+                F.col("l_quantity") * F.col("l_extendedprice") * 100.0 + 0.5
+            ).cast("bigint")
+        ).alias("swx"),
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(F.col("sx").cast("double") / 1000000.0 / n, 6).alias("mean_arith"),
+        F.round(
+            F.col("swx").cast("double")
+            / 100.0
+            / (F.col("sw").cast("double") / 1000000.0),
+            6,
+        ).alias("mean_weighted"),
+        F.round(
+            F.exp(F.col("slnx").cast("double") / 1000000.0 / n), 6
+        ).alias("mean_geo"),
+        F.round(
+            n / (F.col("sinvx").cast("double") / 1000000.0), 6
+        ).alias("mean_harmonic"),
+    )

@@ -613,3 +613,78 @@ def q_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_acctbal",
         )
     )
+
+
+# --- nested-JSON ingestion ----------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH lines AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 1000000.0 AS total_spend
+FROM lines GROUP BY o_custkey
+"""
+
+
+@register("src_json_nested", oracle=_NESTED_ORACLE)
+def q_src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: stage each customer's orders as ONE JSON
+    document (struct customer + array of order structs — the shape
+    every API export and event envelope arrives in), read back with an
+    explicit nested schema, explode the array, and flatten to the
+    relational rollup the oracle recomputes from the original table.
+
+    Scale: the declared schema skips inference (a full extra pass at
+    100 TB); explode is a flatMap with no shuffle; array elements
+    carry no per-row key duplication until flattening, which is why
+    envelope-per-entity beats line-per-event for cold storage. The
+    collect_list staging shuffle is the write side only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.collect_list(
+            F.struct("o_orderkey", "o_totalprice", "o_orderpriority")
+        ).alias("orders")
+    )
+    path = _tmp(sf_dir, "json_nested")
+    nested.write.mode("overwrite").json(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("custkey", T.LongType()),
+            T.StructField(
+                "orders",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("o_orderkey", T.LongType()),
+                            T.StructField("o_totalprice", T.DoubleType()),
+                            T.StructField("o_orderpriority", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    flat = back.select(
+        "custkey", F.explode("orders").alias("o")
+    ).select(
+        "custkey",
+        F.col("o.o_totalprice").alias("price"),
+        F.col("o.o_orderpriority").alias("prio"),
+    )
+    fx = F.floor(F.col("price") * 1000000.0 + 0.5).cast("bigint")
+    return flat.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("prio") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_urgent"),
+        (F.sum(fx) / 1000000.0).alias("total_spend"),
+    )
