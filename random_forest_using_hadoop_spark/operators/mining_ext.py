@@ -964,3 +964,135 @@ def q_agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             n / (F.col("sinvx").cast("double") / 1000000.0), 6
         ).alias("mean_harmonic"),
     )
+
+
+# --- data profiling -----------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       round(MIN(o_custkey), 6) AS min_v, round(MAX(o_custkey), 6) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       round(MIN(o_totalprice), 6), round(MAX(o_totalprice), 6)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       round(CAST(epoch(MIN(o_orderdate)) AS DOUBLE), 6),
+       round(CAST(epoch(MAX(o_orderdate)) AS DOUBLE), 6)
+FROM orders
+"""
+
+
+@register("pipe_data_profile", oracle=_PROFILE_ORACLE)
+def q_pipe_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile datasheet (row count, distinct, nulls, min/max per
+    column, one output row per column) — the first query every data
+    platform runs against a new table, and the statistics a cost-based
+    optimizer's ANALYZE collects.
+
+    Scale: ALL columns profile in ONE scan — each metric is an
+    independent aggregate expression in the same partial+final agg, so
+    adding columns widens the accumulator row, not the pass count.
+    (Exact distincts expand to one extra shuffle per column; the sketch
+    swap is approx_count_distinct with identical topology.) The
+    row-per-column shape comes from restacking the single agg row,
+    not from per-column jobs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("d_cust"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.min("o_custkey").cast("double").alias("min_cust"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+        F.count_distinct("o_totalprice").alias("d_price"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_distinct("o_orderdate").alias("d_date"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.unix_timestamp(F.min("o_orderdate")).cast("double").alias("min_date"),
+        F.unix_timestamp(F.max("o_orderdate")).cast("double").alias("max_date"),
+    )
+    n = F.col("n_rows")
+    rows = [
+        ("o_custkey", "d_cust", "nn_cust", "min_cust", "max_cust"),
+        ("o_totalprice", "d_price", "nn_price", "min_price", "max_price"),
+        ("o_orderdate", "d_date", "nn_date", "min_date", "max_date"),
+    ]
+    parts = [
+        s.select(
+            F.lit(name).alias("col"),
+            n.alias("n_rows"),
+            F.col(d).cast("bigint").alias("n_distinct"),
+            (n - F.col(nn)).cast("bigint").alias("n_null"),
+            F.round(F.col(mn), 6).alias("min_v"),
+            F.round(F.col(mx), 6).alias("max_v"),
+        )
+        for name, d, nn, mn, mx in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- longest daily-activity streak -------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+),
+runs AS (
+  SELECT user_id, day - INTERVAL (rn) DAY AS grp, CAST(COUNT(*) AS BIGINT)
+             AS streak
+  FROM r GROUP BY user_id, day - INTERVAL (rn) DAY
+)
+SELECT user_id,
+       MAX(streak) AS max_streak,
+       CAST(SUM(streak) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+"""
+
+
+@register("win_streak_longest", oracle=_STREAK_ORACLE)
+def q_win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus total
+    active days) — the engagement metric behind every "N-day streak"
+    product surface, via the classic day-minus-rank trick: consecutive
+    days share (day − rank·1day), so streaks fall out of a groupBy.
+
+    Scale: the stream first reduces to distinct (user, day) — bounded
+    by users × calendar, not events — and the rank window, the run
+    grouping, and the final per-user max all share the user hash
+    partitioning: one exchange after the distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = days.withColumn("rn", F.row_number().over(w))
+    runs = r.groupBy(
+        "user_id",
+        (F.col("day") - F.make_dt_interval(F.col("rn"))).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("streak"))
+    return runs.groupBy("user_id").agg(
+        F.max("streak").alias("max_streak"),
+        F.sum("streak").alias("active_days"),
+    )
