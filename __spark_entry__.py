@@ -76,7 +76,7 @@ _GRADE_FIRST = [
     "dedup_cluster_histogram", "join_runtime_bloomfilter",
     "pipe_secrets_scan", "scan_corrupt_records", "win_rank_movers",
     "src_json_nested", "agg_mean_family", "pipe_data_profile",
-    "win_streak_longest",
+    "win_streak_longest", "agg_pareto_point", "agg_cohort_ltv",
     "join_multiway", "agg_hash_groupby", "agg_grouping_sets",
     "join_broadcast", "join_sortmerge", "join_outer",
     "join_bucketed_colocated", "agg_stats", "win_rank",

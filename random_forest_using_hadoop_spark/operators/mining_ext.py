@@ -1096,3 +1096,163 @@ def q_win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("max_streak"),
         F.sum("streak").alias("active_days"),
     )
+
+
+# --- Pareto concentration point ----------------------------------------------
+
+_PARETO_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS v_fx
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, v_fx,
+         ROW_NUMBER() OVER (ORDER BY v_fx DESC, user_id) AS rk,
+         SUM(v_fx) OVER (ORDER BY v_fx DESC, user_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_fx,
+         SUM(v_fx) OVER () AS tot_fx,
+         COUNT(*) OVER () AS n_users
+  FROM u
+)
+SELECT CAST(rk AS BIGINT) AS users_to_80pct,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(rk AS DOUBLE) / n_users, 6) AS user_share,
+       round(CAST(cum_fx AS DOUBLE) / tot_fx, 6) AS value_share
+FROM r
+WHERE CAST(cum_fx AS DOUBLE) / tot_fx >= 0.8
+ORDER BY rk LIMIT 1
+"""
+
+
+@register("agg_pareto_point", oracle=_PARETO_ORACLE)
+def q_agg_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto concentration point: how many top users it takes to
+    cover 80% of total value ("is this an 80/20 business?") — one row
+    with the user count and the exact shares at the crossing.
+
+    Scale: the stream reduces to per-user fixed-point totals first;
+    rank + running share are windows over the |users| frame, and the
+    crossing row is a TakeOrderedAndProject. The cumulative sums are
+    exact integers, so the crossing index is deterministic — never a
+    float-accumulation coin flip at the 0.8 boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias(
+            "v_fx"
+        )
+    )
+    wo = Window.orderBy(F.col("v_fx").desc(), "user_id")
+    wall = Window.partitionBy()
+    r = u.select(
+        F.row_number().over(wo).alias("rk"),
+        F.sum("v_fx")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_fx"),
+        F.sum("v_fx").over(wall).alias("tot_fx"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    )
+    return (
+        r.filter(
+            F.col("cum_fx").cast("double") / F.col("tot_fx") >= 0.8
+        )
+        .orderBy("rk")
+        .limit(1)
+        .select(
+            F.col("rk").cast("bigint").alias("users_to_80pct"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("rk").cast("double") / F.col("n_users"), 6).alias(
+                "user_share"
+            ),
+            F.round(
+                F.col("cum_fx").cast("double") / F.col("tot_fx"), 6
+            ).alias("value_share"),
+        )
+    )
+
+
+# --- cohort lifetime-value curve ---------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+spend AS (
+  SELECT f.cohort,
+         date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+             AS month_idx,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE f.cohort >= TIMESTAMP '1995-01-01' AND f.cohort < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts
+  WHERE cohort >= TIMESTAMP '1995-01-01' AND cohort < TIMESTAMP '1996-01-01'
+  GROUP BY cohort
+)
+SELECT s.cohort, CAST(s.month_idx AS BIGINT) AS month_idx, z.cohort_size,
+       round(CAST(SUM(s.cents) OVER (PARTITION BY s.cohort ORDER BY s.month_idx
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 100.0 / z.cohort_size, 6) AS cum_ltv_per_user
+FROM spend s JOIN sizes z ON s.cohort = z.cohort
+"""
+
+
+@register("agg_cohort_ltv", oracle=_LTV_ORACLE)
+def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: for each 1995 signup cohort, the
+    cumulative spend per user by months-since-first-order — the revenue
+    complement of agg_retention_cohort's activity curve, and the number
+    a payback-period decision reads.
+
+    Scale: first-order cohorts and per-(cohort, month) cents both
+    partial-agg on bounded keys; the cumulative window runs per cohort
+    over ≤ |months| rows. Money stays in integer cents until the final
+    per-user division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    ).filter(
+        (F.col("cohort") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("cohort") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    joined = o.join(firsts, "o_custkey")
+    spend = joined.groupBy(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+        .cast("bigint")
+        .alias("month_idx"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort").orderBy("month_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spend.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "month_idx",
+            "cohort_size",
+            F.round(
+                F.sum("cents").over(w).cast("double")
+                / 100.0
+                / F.col("cohort_size"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
