@@ -547,8 +547,8 @@ m AS (
          SUM(o) OVER () AS n
   FROM obs
 )
-SELECT CAST(COUNT(*) - 1 - (COUNT(DISTINCT event_type) - 1)
-            - (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+SELECT CAST((COUNT(DISTINCT cohort) - 1)
+            * (COUNT(DISTINCT event_type) - 1) AS BIGINT) AS dof,
        round(SUM(
          (o - CAST(row_tot AS DOUBLE) * col_tot / n)
          * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
@@ -564,7 +564,8 @@ def q_agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     and event type — the contingency-table audit behind guardrail
     checks like "did the experiment change the action mix". The
     statistic sums over the |cohorts|x|types| table only; dof =
-    (r-1)(c-1) is derived from the same frame.
+    (r-1)(c-1) is computed directly from the distinct category counts,
+    so a sparse contingency table (empty cells) cannot understate it.
 
     Scale: one partial+final agg builds the contingency table (10
     cells here; bounded by the category product, never the stream);
@@ -595,10 +596,8 @@ def q_agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     return m.agg(
         (
-            F.count(F.lit(1))
-            - 1
-            - (F.count_distinct("event_type") - 1)
-            - (F.count_distinct("cohort") - 1)
+            (F.count_distinct("cohort") - 1)
+            * (F.count_distinct("event_type") - 1)
         )
         .cast("bigint")
         .alias("dof"),
@@ -720,9 +719,8 @@ WITH daily AS (
   FROM events GROUP BY date_trunc('day', ts)
 ),
 l AS (
-  SELECT day, n, value_fx,
-         LAG(value_fx, 7) OVER (ORDER BY day) AS prev_fx
-  FROM daily
+  SELECT d.day, d.n, d.value_fx, p.value_fx AS prev_fx
+  FROM daily d LEFT JOIN daily p ON p.day = d.day - INTERVAL 7 DAY
 )
 SELECT day, n, round(value_fx / 1000000.0, 6) AS value_sum,
        round(CASE WHEN prev_fx > 0
@@ -735,15 +733,21 @@ FROM l
 @register("win_period_over_period", oracle=_WOW_ORACLE)
 def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week growth per day: daily value totals with the
-    ratio against the same weekday one week earlier (LAG 7 over the
-    day spine) — the period-over-period comparison every metrics
-    dashboard leads with. NULL (not a fake 0) where no prior week
-    exists.
+    ratio against the same calendar day one week earlier — the
+    period-over-period comparison every metrics dashboard leads with.
+    NULL (not a fake 0) where no prior week exists.
 
-    Scale: the stream reduces to one row per day before any window
-    runs, so the LAG sorts a ~365-row frame per year regardless of
-    event volume. Totals ride fixed-point integers; the ratio is one
-    double op on two exact values.
+    The prior week comes from a self-join on ``day − 7 days``, not a
+    row-offset LAG(7): a LAG over the day spine only means "one week
+    earlier" when the spine is dense — any missing day would silently
+    shift the comparison to the 7th-prior *present* day. The calendar
+    join is gap-proof by construction.
+
+    Scale: the stream reduces to one row per day before the join, so
+    both sides are ~365 rows per year regardless of event volume and
+    the self-join is a broadcast hash join on the day key. Totals ride
+    fixed-point integers; the ratio is one double op on two exact
+    values.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
@@ -752,9 +756,12 @@ def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_fx"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = Window.orderBy("day")
+    prior = daily.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("value_fx").alias("prev_fx"),
+    )
     return (
-        daily.withColumn("prev_fx", F.lag("value_fx", 7).over(w))
+        daily.join(F.broadcast(prior), "day", "left")
         .select(
             "day",
             "n",
@@ -1133,10 +1140,15 @@ def q_agg_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the user count and the exact shares at the crossing.
 
     Scale: the stream reduces to per-user fixed-point totals first;
-    rank + running share are windows over the |users| frame, and the
-    crossing row is a TakeOrderedAndProject. The cumulative sums are
-    exact integers, so the crossing index is deterministic — never a
-    float-accumulation coin flip at the 0.8 boundary.
+    rank + running share then use the classic distributed cumulative
+    sum — value-range slices via approx-percentile boundaries,
+    per-slice windows in parallel, broadcast prefix totals to stitch —
+    so no un-partitioned window ever sees the user frame (billions of
+    users stay spread over |slices| tasks; the only global window runs
+    over the ≤33-row slice partials). The cumulative sums are exact
+    integers, so the crossing index is deterministic — never a
+    float-accumulation coin flip at the 0.8 boundary, and independent
+    of where the sampled slice boundaries happen to land.
     """
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -1144,15 +1156,59 @@ def q_agg_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_fx"
         )
     )
-    wo = Window.orderBy(F.col("v_fx").desc(), "user_id")
+    # Distributed two-pass cumulative sum (no global un-partitioned
+    # window over the user frame, which would funnel every user through
+    # ONE WindowExec task):
+    #   1. slice the value axis with approx-percentile boundaries —
+    #      slice id is a pure monotone function of v_fx (ties never
+    #      straddle a slice), so ascending slice = descending v_fx and
+    #      ANY boundary choice yields the same final answer;
+    #   2. per-slice rank + running sum in parallel (window partitioned
+    #      by slice);
+    #   3. prefix-stitch with the ≤33-row per-slice partials (the only
+    #      un-partitioned window runs over that constant-size frame).
+    n_slices = 32
+    pcts = [i / n_slices for i in range(1, n_slices)]
+    bounds = u.agg(
+        F.percentile_approx("v_fx", F.array(*[F.lit(p) for p in pcts]), 2000)
+        .alias("bnds")
+    )
+    sliced = (
+        u.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "slice",
+            F.size(F.filter("bnds", lambda b: b > F.col("v_fx"))),
+        )
+        .drop("bnds")
+    )
+    partials = sliced.groupBy("slice").agg(
+        F.sum("v_fx").alias("psum"), F.count(F.lit(1)).alias("pcnt")
+    )
+    wp = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.partitionBy()
-    r = u.select(
-        F.row_number().over(wo).alias("rk"),
-        F.sum("v_fx")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_fx"),
-        F.sum("v_fx").over(wall).alias("tot_fx"),
-        F.count(F.lit(1)).over(wall).alias("n_users"),
+    prefix = partials.select(
+        "slice",
+        F.coalesce(F.sum("psum").over(wp), F.lit(0)).alias("pre_sum"),
+        F.coalesce(F.sum("pcnt").over(wp), F.lit(0)).alias("pre_cnt"),
+        F.sum("psum").over(wall).alias("tot_fx"),
+        F.sum("pcnt").over(wall).alias("n_users"),
+    )
+    ws = Window.partitionBy("slice").orderBy(F.col("v_fx").desc(), "user_id")
+    r = (
+        sliced.withColumn("rn_loc", F.row_number().over(ws))
+        .withColumn(
+            "cum_loc",
+            F.sum("v_fx").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(prefix), "slice")
+        .select(
+            (F.col("pre_cnt") + F.col("rn_loc")).alias("rk"),
+            (F.col("pre_sum") + F.col("cum_loc")).alias("cum_fx"),
+            "tot_fx",
+            "n_users",
+        )
     )
     return (
         r.filter(

@@ -597,22 +597,30 @@ def q_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = back.cache()  # one read: Spark requires caching to filter on
     # the corrupt-record column (SPARK-21610: the raw record is not
     # otherwise available after pushdown)
-    good = back.filter(F.col("_corrupt_record").isNull())
-    bad = back.filter(F.col("_corrupt_record").isNotNull())
-    fx = F.floor(F.col("c_acctbal") * 1000000.0 + 0.5).cast("bigint")
-    return (
-        good.agg(
-            F.count(F.lit(1)).alias("n_good"),
-            (F.sum(fx) / 1000000.0).alias("sum_acctbal"),
+    try:
+        good = back.filter(F.col("_corrupt_record").isNull())
+        bad = back.filter(F.col("_corrupt_record").isNotNull())
+        fx = F.floor(F.col("c_acctbal") * 1000000.0 + 0.5).cast("bigint")
+        audit = (
+            good.agg(
+                F.count(F.lit(1)).alias("n_good"),
+                (F.sum(fx) / 1000000.0).alias("sum_acctbal"),
+            )
+            .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
+            .select(
+                "n_good",
+                "n_corrupt",
+                (F.col("n_good") + F.col("n_corrupt")).alias("n_total"),
+                "sum_acctbal",
+            )
         )
-        .crossJoin(bad.agg(F.count(F.lit(1)).alias("n_corrupt")))
-        .select(
-            "n_good",
-            "n_corrupt",
-            (F.col("n_good") + F.col("n_corrupt")).alias("n_total"),
-            "sum_acctbal",
-        )
-    )
+        # materialize the one audit row NOW so the cache can be released
+        # before returning — a long grading/test session otherwise leaks
+        # one cached CSV copy per invocation
+        rows, schema = audit.collect(), audit.schema
+    finally:
+        back.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 # --- nested-JSON ingestion ----------------------------------------------------

@@ -511,7 +511,14 @@ def test_q20_semi_joins_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") >= 2
-    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 4
+    # the one-scan gate must stand on its own (an OR with a total-scan
+    # bound let a second lineitem pass slip through unnoticed)
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln or "lineitem.parquet" in ln
+    ]
+    lineitem_scans = sum("lineitem" in ln for ln in scan_lines)
+    assert lineitem_scans == 1, f"expected 1 lineitem scan, saw {lineitem_scans}"
 
 
 def test_interval_overlap_is_binned_equi_join(spark):
@@ -654,3 +661,21 @@ def test_runtime_bloomfilter_arms_fact_scan(spark):
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan
+
+
+def test_pareto_no_global_window_over_user_frame(spark):
+    """agg_pareto_point: the rank/cumsum over the per-user frame must be
+    a slice-partitioned window (distributed two-pass cumulative sum) —
+    an un-partitioned Window over the user rows funnels every user
+    through ONE task at 100 TB. The only un-partitioned windows allowed
+    are the ones over the ≤33-row slice partials (psum/pcnt)."""
+    import re
+
+    plan = _executed_plan(spark, "agg_pareto_point")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    user_frame_specs = [s for s in win_specs if "v_fx" in s]
+    assert user_frame_specs, "expected a window over the user frame"
+    for spec in user_frame_specs:
+        assert "slice" in spec, (
+            f"user-frame window lost its slice partitioning: {spec}"
+        )
