@@ -18,8 +18,18 @@ suite, and ``bench.py`` all consume that single registry.
 """
 
 from random_forest_using_hadoop_spark.registry import REGISTRY, register
+from random_forest_using_hadoop_spark.session import (
+    cached_block_count,
+    release_caches,
+)
 
-__all__ = ["REGISTRY", "register", "load_all"]
+__all__ = [
+    "REGISTRY",
+    "register",
+    "load_all",
+    "release_caches",
+    "cached_block_count",
+]
 
 
 def load_all() -> None:

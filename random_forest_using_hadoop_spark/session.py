@@ -42,3 +42,41 @@ def get_spark(app_name: str = "rf_engine", extra_conf: dict | None = None) -> Sp
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Session-scoped cache hygiene: drop every storage block the engine
+    has deliberately left cached past a query function's return.
+
+    A few operators cache frames their returned (lazy) plan reads twice
+    (simhash fingerprints, CC edge lists, the ML train/predict split) —
+    documented as LRU-bounded, but a long grading or test session is
+    cleaner releasing them at module boundaries than relying on
+    eviction. Safe whenever no previously-returned plan will be
+    re-collected afterwards (unpersisted localCheckpoints are
+    non-recomputable; everything else just recomputes).
+    """
+    from random_forest_using_hadoop_spark.ml import forest
+
+    forest._CACHE.clear()
+    # all DataFrame/table-level caches (simhash `sh`, CC `edges`, ...)
+    spark.catalog.clearCache()
+    # RDD-level blocks clearCache can't see: localCheckpoints from the
+    # iterative loops. py4j map iteration; guarded — hygiene must never
+    # turn into a failure.
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:
+        pass
+
+
+def cached_block_count(spark: SparkSession) -> int:
+    """Number of persistent RDDs the session currently tracks (cached
+    DataFrames appear here once materialized) — the observability hook
+    for the no-cache-growth regression test."""
+    try:
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    except Exception:
+        return -1

@@ -131,3 +131,20 @@ def assert_parity(spark_df, oracle: str, duck) -> None:
             f"value mismatch ({len(diffs)}+ rows differ); first diffs:\n"
             + "\n".join(f"  spark={a}\n oracle={b}" for a, b in diffs)
         )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_engine_caches():
+    """Module-boundary cache hygiene: unpersist every deliberately
+    long-lived engine cache (simhash fingerprints, CC edges, ML split)
+    so a full-suite run never accumulates storage across modules. Only
+    fires if a SparkSession actually exists — pure-unit modules must not
+    pay a session boot for hygiene they don't need."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        import random_forest_using_hadoop_spark as engine
+
+        engine.release_caches(s)

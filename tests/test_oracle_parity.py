@@ -35,3 +35,13 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_cache_hygiene_releases_everything(spark):
+    """After the full parity sweep above, release_caches() must leave
+    ZERO persistent RDDs — the long-lived caches the sweep accumulates
+    (simhash `sh`, CC `edges`, ML split, iterative checkpoints) are all
+    engine-owned and must all be releasable."""
+    engine.release_caches(spark)
+    n = engine.cached_block_count(spark)
+    assert n == 0, f"{n} persistent RDDs survived release_caches()"
