@@ -34,6 +34,13 @@ HEADLINE = [
     "dedup_exact",        # md5 distinct on documents   (BASELINE q_docs_dedup)
     "sim_cosine_topk",    # top-k cosine pairs          (BASELINE q_emb_knn)
     "ml_rf_train",        # MLlib RF train+predict      (BASELINE rf_train_predict)
+    # r5 additions — one per expensive family with no BASELINE row, so a
+    # perf regression in the repo's most differentiated operators shows
+    # up round-over-round (compare BENCH_r{N} to BENCH_r{N-1}):
+    "dedup_minhash",            # MinHash-LSH band join + Jaccard verify
+    "dedup_connected_components",  # iterative min-label propagation
+    "sim_ann_ivf",              # IVF cell equi-join ANN
+    "stream_tumbling",          # Structured Streaming replay + sink
 ]
 
 
@@ -43,12 +50,12 @@ def main() -> None:
     spark = get_spark("rf_engine_bench")
 
     def clear_ml_cache(key: str) -> None:
-        # the engine memoizes fitted models per sf_dir; clear it so ml_*
-        # timings honestly include the fit, like BASELINE's rf number
-        if key.startswith("ml_"):
-            from random_forest_using_hadoop_spark.ml import forest
-
-            forest._CACHE.clear()
+        # the engine memoizes fitted models per sf_dir and several heavy
+        # operators deliberately cache intermediates (simhash
+        # fingerprints, CC edges) — release everything so each timed run
+        # honestly pays the full computation, like BASELINE's numbers
+        if key.startswith(("ml_", "dedup_", "sim_")):
+            engine.release_caches(spark)
 
     active = [k for k in HEADLINE if k in engine.REGISTRY]
     for key in active:  # untimed warmup pass: BASELINE.md records *warm*
