@@ -44,6 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity clone each pytest run). Every key appears exactly once.
 _GRADE_FIRST = [
     # --- new-in-r5 keys: inserted here, position 1, as they land ---
+    "agg_percentile_cont", "agg_changepoint_cusum", "agg_autocorr",
+    "win_attribution_touch", "sink_snapshot_timetravel", "scan_file_audit",
+    "ml_feature_hash",
     # --- r4 additions with zero driver evidence (29 keys) ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",
