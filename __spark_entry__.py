@@ -46,7 +46,9 @@ _GRADE_FIRST = [
     # --- new-in-r5 keys: inserted here, position 1, as they land ---
     "agg_percentile_cont", "agg_changepoint_cusum", "agg_autocorr",
     "win_attribution_touch", "sink_snapshot_timetravel", "scan_file_audit",
-    "ml_feature_hash",
+    "ml_feature_hash", "text_pmi_collocations", "text_readability",
+    "text_char_entropy", "dedup_lsh_audit", "emb_matryoshka_recall",
+    "graph_triangle_count",
     # --- r4 additions with zero driver evidence (29 keys) ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",

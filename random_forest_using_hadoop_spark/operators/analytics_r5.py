@@ -289,7 +289,7 @@ def q_win_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot / time-travel table layer --------------------------------------
 
-_SNAPSHOT_CUT = "1995-01-01"
+_SNAPSHOT_CUT = "1997-01-01"  # mid-range: both commits are non-empty
 
 _SNAPSHOT_ORACLE = f"""
 SELECT 1 AS version,
@@ -499,4 +499,612 @@ def q_ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+# PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p(bigram) over total bigrams
+# and p(word) over total tokens. All counts are exact integers; the PMI
+# itself is a handful of double ops on them, and the top-20 cut orders
+# by the ROUNDED pmi with a (w1, w2) tie-break so the ranking never
+# hinges on sub-1e-6 float residue.
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.w <> '' AND b.w <> ''
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE w <> '' GROUP BY w
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY w1, w2
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM big) AS BIGINT) AS n_big,
+         CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS n_tok
+)
+SELECT w1, w2, c_ab,
+       round(ln((CAST(c_ab AS DOUBLE) / n_big)
+                / ((CAST(ua.c AS DOUBLE) / n_tok)
+                   * (CAST(ub.c AS DOUBLE) / n_tok))), 6) AS pmi
+FROM bc JOIN uni ua ON ua.w = bc.w1
+        JOIN uni ub ON ub.w = bc.w2
+        CROSS JOIN tot
+WHERE c_ab >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP}
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990): bigrams whose observed frequency most exceeds what their
+    parts predict — the phrase detector ("new york", "machine
+    learning") that feeds tokenizer merge rules and phrase-aware
+    dedup shingling.
+
+    Scale: bigrams come from a positional self-join keyed on
+    (doc_id, pos) — shuffle ∝ tokens, never tokens². Unigram and
+    bigram counts are separate hash aggs; the two totals join back as
+    a broadcast scalar; the final cut is TakeOrderedAndProject over
+    the ≥{min}-count survivors.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    big = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .filter((F.col("a.w") != "") & (F.col("b.w") != ""))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    )
+    uni = (
+        tok.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = bc.agg(F.sum("c_ab").alias("n_big")).crossJoin(
+        uni.agg(F.sum("c").alias("n_tok"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_big"))
+            / (
+                (F.col("ua.c").cast("double") / F.col("n_tok"))
+                * (F.col("ub.c").cast("double") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.alias("ua")), F.col("ua.w") == F.col("w1"))
+        .join(F.broadcast(uni.alias("ub")), F.col("ub.w") == F.col("w2"))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+# --- readability scoring -----------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(sentences) AS BIGINT) AS sentences,
+       CAST(SUM(syllables) AS BIGINT) AS syllables,
+       round(206.835
+             - 1.015 * (CAST(SUM(words) AS DOUBLE) / SUM(sentences))
+             - 84.6 * (CAST(SUM(syllables) AS DOUBLE) / SUM(words)), 6)
+           AS flesch
+FROM d GROUP BY source
+"""
+
+
+@register("text_readability", oracle=_READABILITY_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (Flesch 1948), with the standard
+    corpus-level proxies: whitespace words, [.!?]-run sentences, and
+    vowel-group syllables — the readability gate training-data curation
+    uses to separate prose from boilerplate/code soup.
+
+    Scale: three stateless regexp counts on the scan, then one hash agg
+    per source over exact integer totals; the Flesch formula runs once
+    per group on two exact ratios. Pure codegen, zero Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).cast("bigint").alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).cast("bigint").alias("sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).cast("bigint").alias("syllables"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("sentences").alias("sentences"),
+        F.sum("syllables").alias("syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+            - 84.6 * (F.col("syllables").cast("double") / F.col("words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+# --- character-entropy gibberish screen --------------------------------------
+
+# Per-character-class terms c·log2(c) are quantized to 1e6 fixed point
+# BEFORE the sum, so the per-doc accumulation is exact integer math in
+# both engines (a raw double Σ over ~80 distinct chars would be
+# accumulation-order dependent). entropy = log2(n) − S/(n·1e6).
+_CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch GROUP BY doc_id, ch
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(c * log2(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS term_fx,
+         CAST(COUNT(*) AS BIGINT) AS alphabet
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars, alphabet,
+       round(log2(CAST(n AS DOUBLE))
+             - term_fx / (CAST(n AS DOUBLE) * 1000000.0), 6) AS entropy_bits
+FROM s
+"""
+
+
+@register("text_char_entropy", oracle=_CHAR_ENTROPY_ORACLE)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    base64-blob / key-dump screen: natural prose sits ~4–4.5 bits,
+    uniform random base64 ≈ 6, single-char spam ≈ 0. Alphabet size
+    rides along as the secondary signal.
+
+    Scale: explode ∝ characters but collapses immediately to
+    (doc, char-class) counts (≤ alphabet rows per doc) in a map-side-
+    combining hash agg; the entropy reduction is a second tiny agg.
+    The c·log2(c) terms are fixed-point-quantized before summation so
+    the result is accumulation-order-proof (see module doctrine).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term_fx = F.floor(
+        F.col("c") * F.log2(F.col("c").cast("double")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    s = cc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(term_fx).alias("term_fx"),
+        F.count(F.lit(1)).alias("alphabet"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "alphabet",
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - F.col("term_fx") / (F.col("n").cast("double") * 1000000.0),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+# --- LSH banding audit (portable MinHash) ------------------------------------
+
+_AUDIT_SALTS = 8       # 8 hash functions = 4 bands x 2 rows
+_AUDIT_BANDS = 4
+_AUDIT_T = 0.6
+
+# Portable MinHash: signature_k(doc) = lexicographic MIN over the doc's
+# shingles of md5(k || ':' || shingle) — pure digest math, so Spark and
+# DuckDB compute IDENTICAL signatures (contrast dedup_minhash, whose
+# MLlib signatures are engine-internal and auditable only through the
+# recall argument). Band key = concat of the band's two signatures.
+_LSH_AUDIT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> text[i : i + 4])) AS shingles
+  FROM documents
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT inter.a, inter.b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = inter.a
+  JOIN sz sb ON sb.doc_id = inter.b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {_AUDIT_T}
+),
+sig AS (
+  SELECT doc_id, salt, MIN(md5(salt || ':' || s)) AS sig
+  FROM tok CROSS JOIN (SELECT unnest(range({_AUDIT_SALTS})) AS salt)
+  GROUP BY doc_id, salt
+),
+bandkey AS (
+  SELECT doc_id, salt // 2 AS band,
+         MAX(CASE WHEN salt % 2 = 0 THEN sig END)
+         || MAX(CASE WHEN salt % 2 = 1 THEN sig END) AS bkey
+  FROM sig GROUP BY doc_id, salt // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT c.a, c.b FROM cand c JOIN truth t ON t.a = c.a AND t.b = c.b
+)
+SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)
+             / greatest(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 1.0), 6)
+           AS precision,
+       round((SELECT COUNT(*) FROM hits)
+             / greatest(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 1.0), 6)
+           AS recall
+"""
+
+
+@register("dedup_lsh_audit", oracle=_LSH_AUDIT_ORACLE)
+def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of MinHash-LSH banding quality: build PORTABLE
+    digest-based MinHash signatures ({salts} hashes = {bands} bands × 2
+    rows), generate band-collision candidates, and score them against
+    the exact-Jaccard(≥{t}) truth set — one row of candidate count,
+    truth count, hits, precision, recall. This is the tuning loop for
+    every banded dedup in the engine ([[dedup_minhash]],
+    [[dedup_simhash]]): it turns "we think 4×2 banding is enough" into
+    measured precision/recall.
+
+    Scale: signatures and candidates are the REAL LSH path (hash agg +
+    band equi-join, shuffle ∝ collisions). The truth side is the audit
+    overhead — it equi-joins on shared shingles (never a cartesian),
+    which is O(corpus) only on a bounded audit SAMPLE at 100 TB; run it
+    over a hash-sampled slice there, exactly like [[sample_hash_stratified]].
+    """
+    from random_forest_using_hadoop_spark.operators.dedup_lsh import (
+        _docs_with_shingles,
+    )
+
+    d = _docs_with_shingles(spark, sf_dir)
+    sz = d.select("doc_id", F.size("shingles").alias("n"))
+    tok = d.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("a"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("b"))
+        .filter(
+            F.col("i")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+            >= _AUDIT_T
+        )
+        .select("a", "b")
+    )
+    salts = spark.range(_AUDIT_SALTS).select(
+        F.col("id").cast("int").alias("salt")
+    )
+    sig = (
+        tok.crossJoin(F.broadcast(salts))
+        .groupBy("doc_id", "salt")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), "s"))
+            ).alias("sig")
+        )
+    )
+    bandkey = sig.groupBy(
+        "doc_id", (F.col("salt") / 2).cast("int").alias("band")
+    ).agg(
+        F.concat(
+            F.max(F.when(F.col("salt") % 2 == 0, F.col("sig"))),
+            F.max(F.when(F.col("salt") % 2 == 1, F.col("sig"))),
+        ).alias("bkey")
+    )
+    cand = (
+        bandkey.alias("x")
+        .join(
+            bandkey.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    hits = cand.join(truth, ["a", "b"])
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        F.round(
+            F.col("n_hits")
+            / F.greatest(F.col("n_candidates").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("n_hits")
+            / F.greatest(F.col("n_true_pairs").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )
+
+
+# --- matryoshka truncation recall --------------------------------------------
+
+_MATRYOSHKA_DIMS = 16
+
+_MATRYOSHKA_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+fullp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(q.ve, c.ve)
+               / (sqrt(list_inner_product(q.ve, q.ve))
+                  * sqrt(list_inner_product(c.ve, c.ve))), 6) AS cos_sim
+  FROM v q JOIN v c ON c.vec_id >= 5
+  WHERE q.vec_id < 5
+),
+truncp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(list_slice(q.ve, 1, {_MATRYOSHKA_DIMS}),
+                                  list_slice(c.ve, 1, {_MATRYOSHKA_DIMS}))
+               / (sqrt(list_inner_product(list_slice(q.ve, 1, {_MATRYOSHKA_DIMS}),
+                                          list_slice(q.ve, 1, {_MATRYOSHKA_DIMS})))
+                  * sqrt(list_inner_product(list_slice(c.ve, 1, {_MATRYOSHKA_DIMS}),
+                                            list_slice(c.ve, 1, {_MATRYOSHKA_DIMS})))),
+               6) AS cos_sim
+  FROM v q JOIN v c ON c.vec_id >= 5
+  WHERE q.vec_id < 5
+),
+fr AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+    FROM fullp) WHERE rk <= 10
+),
+tr AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+    FROM truncp) WHERE rk <= 10
+),
+ov AS (
+  SELECT fr.query_id, CAST(COUNT(tr.corpus_id) AS BIGINT) AS n_overlap
+  FROM fr LEFT JOIN tr
+    ON tr.query_id = fr.query_id AND tr.corpus_id = fr.corpus_id
+  GROUP BY fr.query_id
+)
+SELECT query_id, n_overlap,
+       round(n_overlap / 10.0, 6) AS recall_at_10
+FROM ov
+"""
+
+
+@register("emb_matryoshka_recall", oracle=_MATRYOSHKA_ORACLE)
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022): how much of
+    the full-dimension top-10 neighbor set survives when embeddings are
+    truncated to their first {dims} of 64 dims — the measurement that
+    decides whether a cheap low-dim prefilter (4× less IO and compute
+    per comparison) is safe as the first stage of [[sim_query_topk]].
+
+    Scale: both rankings are the broadcast-queries × corpus-stream
+    shape of [[sim_cosine_topk]] (5-row build side, no shuffle of the
+    corpus); the overlap join is on (query, corpus) keys of two
+    top-10·|queries| frames — trivially small at any corpus size.
+    """
+    from random_forest_using_hadoop_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _cosine,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qv")
+    )
+    c = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv")
+    )
+
+    def _topk(qcol, ccol) -> DataFrame:
+        pairs = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "corpus_id",
+            F.round(_cosine(qcol, ccol), 6).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), "corpus_id"
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "corpus_id")
+        )
+
+    full = _topk(F.col("qv"), F.col("cv"))
+    trunc = _topk(
+        F.slice(F.col("qv"), 1, _MATRYOSHKA_DIMS),
+        F.slice(F.col("cv"), 1, _MATRYOSHKA_DIMS),
+    )
+    ov = (
+        full.join(
+            trunc.withColumn("hit", F.lit(1)), ["query_id", "corpus_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_overlap"))
+    )
+    return ov.select(
+        "query_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / float(TOP_K), 6).alias("recall_at_10"),
+    )
+
+
+# --- triangle counting -------------------------------------------------------
+
+_TRI_MIN_SHARED = 3
+
+_TRIANGLE_ORACLE = f"""
+WITH slot AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM slot a JOIN slot b
+    ON a.event_type = b.event_type AND a.hr = b.hr
+   AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+),
+tri AS (
+  SELECT 1 FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT user_id FROM (SELECT a AS user_id FROM e
+                       UNION SELECT b FROM e)
+)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the user co-activity graph
+    (edge = two users sharing ≥{k} (event-type, hour) activity slots) —
+    the clustering-coefficient numerator behind community/bot-ring
+    detection, and with [[graph_pagerank]] the second classic graph
+    kernel on the engine.
+
+    Scale: edges come from a slot equi-join on already-DISTINCT
+    (user, type, hour) rows — shuffle ∝ Σ slot²-per-key, never user².
+    The count joins each wedge (e1.b=e2.a, id-ordered a<b<c so every
+    triangle is built exactly once) against the closing edge — the
+    standard compact-forward/node-iterator shape; at 100 TB orient
+    edges by (degree, id) instead of raw id so wedge counts are bounded
+    by m^1.5 even on skewed degree distributions (the id-ordering here
+    is the same join plan with a different orientation key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slot = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    e = (
+        slot.alias("x")
+        .join(
+            slot.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.hr") == F.col("y.hr"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(
+            F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("a", "b")
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.lit(1).alias("one"))
+    )
+    nodes = e.select(F.col("a").alias("u")).union(
+        e.select(F.col("b").alias("u"))
+    ).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )

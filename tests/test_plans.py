@@ -679,3 +679,33 @@ def test_pareto_no_global_window_over_user_frame(spark):
         assert "slice" in spec, (
             f"user-frame window lost its slice partitioning: {spec}"
         )
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["graph_triangle_count", "text_pmi_collocations", "dedup_lsh_audit"],
+)
+def test_r5_pair_generators_stay_equi_join(spark, key):
+    """The r5 pair-generating operators (wedge joins, positional bigram
+    self-join, LSH band/shingle joins) must never degrade to a
+    CartesianProduct or un-broadcast nested loop — their whole design is
+    candidate generation through hash equi-joins."""
+    plan = _formatted_plan(spark, key)
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin only with a bounded build side (the 1-row
+    # count stitches / 7-row lag spine); a non-broadcast NLJ never
+    assert "NestedLoopJoin" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_snapshot_timetravel_v1_read_excludes_append(spark):
+    """sink_snapshot_timetravel: the two versioned reads must go through
+    explicit manifest file lists, and v1's row count must be strictly
+    below v2's (the append is invisible to the pinned manifest)."""
+    rows = {
+        r["version"]: r
+        for r in engine.REGISTRY["sink_snapshot_timetravel"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {1, 2}
+    assert 0 < rows[1]["n_rows"] < rows[2]["n_rows"]
