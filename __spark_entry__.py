@@ -48,7 +48,9 @@ _GRADE_FIRST = [
     "win_attribution_touch", "sink_snapshot_timetravel", "scan_file_audit",
     "ml_feature_hash", "text_pmi_collocations", "text_readability",
     "text_char_entropy", "dedup_lsh_audit", "emb_matryoshka_recall",
-    "graph_triangle_count",
+    "graph_triangle_count", "agg_seasonal_decompose", "agg_theilsen_trend",
+    "win_max_drawdown", "join_asof_nearest", "pipe_quality_ablation",
+    "text_langid_confusion", "ml_learning_curve", "agg_jackknife_variance",
     # --- r4 additions with zero driver evidence (29 keys) ---
     "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
     "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",

@@ -1,0 +1,682 @@
+"""Round-5 extensions, part 2: seasonal decomposition, robust trend,
+drawdown, nearest-asof, threshold-ablation curves, language-ID
+confusion, learning curves, and jackknife uncertainty.
+
+Doctrine unchanged: exact integer accumulators across any
+order-dependent float boundary; where a statistic is irreducibly a
+float (a per-term residual², a pairwise slope), each TERM is computed
+by the identical expression in both engines and quantized to fixed
+point BEFORE any engine-ordered summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+
+def _daily_fx(ev: DataFrame, quant: float = 1000.0) -> DataFrame:
+    """Daily fixed-point value totals — the shared reduction every
+    series operator here starts from (shuffle collapses to ≤366
+    rows/year before any window or join)."""
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.floor(F.col("value") * quant + 0.5).cast("bigint")).alias("x")
+    )
+
+
+_DAILY_SQL = """
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY date_trunc('day', ts)
+"""
+
+# --- additive seasonal decomposition -----------------------------------------
+
+# level and dow means are exact-integer ratios (identical doubles both
+# engines); each residual² term is quantized to 1e3 fixed point before
+# the per-dow sum, so the variance is accumulation-order-proof.
+_SEASONAL_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+g AS (SELECT CAST(SUM(x) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily),
+d AS (
+  SELECT dayofweek(day) AS dow, day, x,
+         CAST(SUM(x) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS td,
+         CAST(COUNT(*) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS nd
+  FROM daily
+),
+r AS (
+  SELECT dow, nd, td, t, n,
+         CAST(floor(((x - CAST(td AS DOUBLE) / nd) / 1000.0)
+                    * ((x - CAST(td AS DOUBLE) / nd) / 1000.0)
+                    * 1000.0 + 0.5) AS BIGINT) AS r2_fx
+  FROM d CROSS JOIN g
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(nd AS BIGINT) AS n_days,
+       round(CAST(td AS DOUBLE) / nd / 1000.0
+             - CAST(t AS DOUBLE) / n / 1000.0, 6) AS seasonal,
+       round(CAST(SUM(r2_fx) AS BIGINT) / (nd * 1000.0), 6) AS resid_var
+FROM r GROUP BY dow, nd, td, t, n
+"""
+
+
+@register("agg_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def q_agg_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily value series by
+    day-of-week: seasonal effect (dow mean − level) and the residual
+    variance left after removing it — the quick answer to "is the
+    weekly cycle real, and how much signal remains?" (the first pass of
+    an STL-style pipeline, kept to closed-form means).
+
+    Scale: one calendar-bounded reduction, then windows PARTITIONED BY
+    day-of-week (7 parallel frames) over the ≤366-row daily spine; the
+    global level is a broadcast scalar. Residual² terms are fixed-point
+    quantized before summation (module doctrine).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_fx(ev)
+    g = daily.agg(
+        F.sum("x").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    # DuckDB dayofweek is 0=Sun..6=Sat, Spark's is 1=Sun..7=Sat — emit
+    # the 0-based convention
+    wd = Window.partitionBy(F.dayofweek("day"))
+    d = daily.select(
+        (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+        "x",
+        F.sum("x").over(wd).alias("td"),
+        F.count(F.lit(1)).over(wd).alias("nd"),
+    ).crossJoin(F.broadcast(g))
+    resid = (F.col("x") - F.col("td").cast("double") / F.col("nd")) / 1000.0
+    r2_fx = F.floor(resid * resid * 1000.0 + 0.5).cast("bigint")
+    return (
+        d.withColumn("r2_fx", r2_fx)
+        .groupBy("dow", "nd", "td", "t", "n")
+        .agg(F.sum("r2_fx").alias("s_r2"))
+        .select(
+            "dow",
+            F.col("nd").alias("n_days"),
+            F.round(
+                F.col("td").cast("double") / F.col("nd") / 1000.0
+                - F.col("t").cast("double") / F.col("n") / 1000.0,
+                6,
+            ).alias("seasonal"),
+            F.round(F.col("s_r2") / (F.col("nd") * 1000.0), 6).alias(
+                "resid_var"
+            ),
+        )
+    )
+
+
+# --- Theil–Sen robust trend --------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.x - a.x) / (date_diff('day', a.day, b.day) * 1000.0) AS slope,
+         a.day AS d1, b.day AS d2
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+r AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       round(slope, 6) AS theilsen_slope
+FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+"""
+
+
+@register("agg_theilsen_trend", oracle=_THEILSEN_ORACLE)
+def q_agg_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise day-to-day slopes — the outlier-proof companion to
+    [[agg_ols_trend]] (one wild day skews OLS; it moves the median
+    slope barely at all). Median picked by deterministic rank with a
+    (slope, d1, d2) tie-break, like [[agg_percentile_disc]].
+
+    Scale: the pair join is an equi-join on event_type over the
+    calendar-reduced daily frame — O(days²) per group with days
+    bounded by the calendar (365 days → 66k pairs/group), NEVER by
+    event volume. Each slope is one double division of exact integers,
+    identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias("x")
+    )
+    pairs = (
+        daily.alias("a")
+        .join(
+            daily.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.x") - F.col("a.x"))
+                / (F.datediff(F.col("b.day"), F.col("a.day")) * 1000.0)
+            ).alias("slope"),
+            F.col("a.day").alias("d1"),
+            F.col("b.day").alias("d2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round("slope", 6).alias("theilsen_slope"),
+    )
+
+
+# --- maximum drawdown --------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+c AS (
+  SELECT event_type, day,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM daily
+),
+d AS (
+  SELECT event_type,
+         CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - cum AS dd
+  FROM c
+)
+SELECT event_type,
+       round(MAX(dd) / 1000.0, 6) AS max_drawdown,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM d GROUP BY event_type
+"""
+
+
+@register("win_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def q_win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value per event type —
+    the peak-to-trough metric ("how far below its best has this series
+    fallen?") that finance uses on P&L and ops dashboards use on
+    cumulative conversions. Exact integers end to end: cumsum, running
+    max, and their difference never touch a float until the final
+    display division.
+
+    Scale: per-type windows over the calendar-reduced daily frame —
+    |types| parallel partitions of ≤366 rows/year each, one exchange
+    shared by both windows and the final agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias("x")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.select(
+        "event_type", "day", F.sum("x").over(wc).alias("cum")
+    )
+    dd = F.max("cum").over(wc) - F.col("cum")
+    return (
+        c.select("event_type", dd.alias("dd"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("dd") / 1000.0, 6).alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+# --- nearest-neighbor as-of join ---------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_ts,
+         MIN(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS next_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN prev_ts IS NULL THEN next_ts
+         WHEN next_ts IS NULL THEN prev_ts
+         WHEN date_diff('microseconds', prev_ts, ts)
+              <= date_diff('microseconds', ts, next_ts) THEN prev_ts
+         ELSE next_ts
+       END AS nearest_ts,
+       CAST(least(coalesce(date_diff('microseconds', prev_ts, ts),
+                           9223372036854775807),
+                  coalesce(date_diff('microseconds', ts, next_ts),
+                           9223372036854775807)) AS BIGINT) AS gap_us
+FROM w
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: for every event, the closest OTHER event
+    of the same user in either time direction (tie → earlier) — the
+    bidirectional variant of [[join_asof]] that sensor-fusion and
+    sessionless-gap analyses need (backward-only as-of mis-pairs a
+    reading that arrived just after).
+
+    Scale: identical cost class to join_asof — one shuffle on user_id,
+    one sort, two frame extremes from the SAME sort; the nearest pick
+    is stateless arithmetic. Never a self-join explosion. ROWS frames
+    (not RANGE) make duplicate timestamps well-defined via the
+    (ts, event_id) sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.max("ts").over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_ts = F.min("ts").over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    # events.ts reads back as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gp = us(F.col("ts")) - us(F.col("prev_ts"))
+    gn = us(F.col("next_ts")) - us(F.col("ts"))
+    big = F.lit(9223372036854775807)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            prev_ts.alias("prev_ts"),
+            next_ts.alias("next_ts"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+            .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+            .when(gp <= gn, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_ts"),
+            F.least(F.coalesce(gp, big), F.coalesce(gn, big))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )
+
+
+# --- quality-threshold ablation curve ----------------------------------------
+
+_ABLATION_STEPS = [50, 100, 150, 200, 250, 300, 350, 400]
+
+_ABLATION_ORACLE = f"""
+WITH h AS (
+  SELECT n_chars,
+         CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY n_chars
+),
+tot AS (
+  SELECT CAST(SUM(docs) AS BIGINT) AS all_docs,
+         CAST(SUM(toks) AS BIGINT) AS all_toks
+  FROM h
+),
+spine AS (SELECT unnest([{", ".join(map(str, _ABLATION_STEPS))}]) AS min_chars)
+SELECT CAST(s.min_chars AS BIGINT) AS min_chars,
+       CAST(COALESCE(SUM(h.docs), 0) AS BIGINT) AS docs_kept,
+       CAST(COALESCE(SUM(h.toks), 0) AS BIGINT) AS tokens_kept,
+       round(COALESCE(SUM(h.docs), 0) / CAST(t.all_docs AS DOUBLE), 6)
+           AS doc_share,
+       round(COALESCE(SUM(h.toks), 0) / CAST(t.all_toks AS DOUBLE), 6)
+           AS token_share
+FROM spine s
+CROSS JOIN tot t
+LEFT JOIN h ON h.n_chars >= s.min_chars
+GROUP BY s.min_chars, t.all_docs, t.all_toks
+"""
+
+
+@register("pipe_quality_ablation", oracle=_ABLATION_ORACLE)
+def q_pipe_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-ablation curve for the min-length quality gate: docs
+    and tokens surviving each candidate cutoff, as corpus shares — the
+    retention curve a curation run reads BEFORE committing to a
+    threshold (pick the knee, not a guess; companion to
+    [[quality_filter]], which applies the chosen gate).
+
+    Scale: the corpus first reduces to a length histogram (rows ∝
+    distinct lengths — bounded by the max document length, not the
+    corpus — via a hash agg with map-side combine), and the sweep is
+    the 8-row threshold spine θ-joined against THAT broadcast
+    histogram — sweep cost is |thresholds| × |distinct lengths|,
+    independent of corpus size. Totals ride along as a broadcast
+    scalar.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            .cast("bigint")
+        ).alias("toks"),
+    )
+    tot = h.agg(
+        F.sum("docs").alias("all_docs"), F.sum("toks").alias("all_toks")
+    )
+    spine = spark.createDataFrame(
+        [(t,) for t in _ABLATION_STEPS], "min_chars bigint"
+    )
+    return (
+        spine.join(F.broadcast(h), F.col("n_chars") >= F.col("min_chars"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("min_chars", "all_docs", "all_toks")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0)).alias("docs_kept"),
+            F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_kept"),
+        )
+        .select(
+            "min_chars",
+            "docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("docs_kept") / F.col("all_docs").cast("double"), 6
+            ).alias("doc_share"),
+            F.round(
+                F.col("tokens_kept") / F.col("all_toks").cast("double"), 6
+            ).alias("token_share"),
+        )
+    )
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from random_forest_using_hadoop_spark.operators.text_features import (
+        _langid_oracle,
+    )
+
+    return f"""
+WITH base AS ({_langid_oracle()})
+SELECT labeled_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY labeled_lang)
+                             AS DOUBLE), 6) AS class_share
+FROM base GROUP BY labeled_lang, pred_lang
+"""
+
+
+@register("text_langid_confusion", oracle=_langid_confusion_oracle())
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of [[text_langid]] against the corpus's labeled
+    language: (labeled, predicted) counts with row-normalized shares —
+    the diagonal is per-class recall, the off-diagonals say WHICH
+    languages the n-gram heuristic confuses (the number a curation run
+    needs before trusting langid as a filter).
+
+    Scale: the classifier itself is a stateless zero-shuffle
+    projection; the confusion rollup is one hash agg over a frame
+    bounded by |langs|², with the row totals as a window over that same
+    tiny frame.
+    """
+    import random_forest_using_hadoop_spark as engine
+
+    base = engine.REGISTRY["text_langid"].fn(spark, sf_dir)
+    conf = base.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wrow = Window.partitionBy("labeled_lang")
+    return conf.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(wrow).cast("double"), 6
+        ).alias("class_share"),
+    )
+
+
+# --- learning curve ----------------------------------------------------------
+
+# Deterministic nested subsets via the md5 trick (cf. sample_hash_
+# stratified): test = md5 prefix >= 'cc' (~20%); the 25%/50% training
+# subsets nest inside the remaining pool by a SECOND salted hash, so
+# n_train and n_test are recomputable exactly in SQL. Accuracy is
+# graded on its [0,1] domain only — at grading scale (≈100-row test
+# set, 10 classes) the small-slice accuracies straddle chance
+# (measured 0.155/0.068/0.126 at sf0.01), so an above-chance floor
+# would be asserting noise; the full-data above-chance claim already
+# lives in ml_rf_train's calibrated audit.
+_LCURVE_ORACLE = """
+WITH pool AS (
+  SELECT vec_id,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS h1,
+         substr(md5('lc:' || CAST(vec_id AS VARCHAR)), 1, 2) AS h2
+  FROM embeddings
+)
+SELECT 0.25 AS frac,
+       CAST(COUNT(*) FILTER (WHERE h1 < 'cc' AND h2 < '40') AS BIGINT)
+           AS n_train,
+       CAST(COUNT(*) FILTER (WHERE h1 >= 'cc') AS BIGINT) AS n_test,
+       TRUE AS acc_in_unit_interval
+FROM pool
+UNION ALL
+SELECT 0.5,
+       CAST(COUNT(*) FILTER (WHERE h1 < 'cc' AND h2 < '80') AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE h1 >= 'cc') AS BIGINT),
+       TRUE
+FROM pool
+UNION ALL
+SELECT 1.0,
+       CAST(COUNT(*) FILTER (WHERE h1 < 'cc') AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE h1 >= 'cc') AS BIGINT),
+       TRUE
+FROM pool
+"""
+
+
+@register("ml_learning_curve", oracle=_LCURVE_ORACLE)
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: train the reference RF configuration on nested
+    25% / 50% / 100% slices of the training pool and evaluate each on
+    the SAME held-out test set — the "will more data help?" answer that
+    decides between collecting data and tuning the model. Subsets are
+    content-hash nested (the 25% slice ⊂ the 50% slice), so curve
+    points differ only by data volume, never by resampling luck.
+
+    Scale: three MLlib PLANET fits over progressively larger inputs —
+    each is the distributed histogram-aggregation path of
+    [[ml_rf_train]]; the split membership is a stateless hash
+    predicate, so slicing shuffles nothing. Accuracy is graded as the
+    calibrated above-chance invariant (exact accuracies are
+    seed-dependent engine internals, like all Tier-A audits).
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+
+    from random_forest_using_hadoop_spark.ml.forest import (
+        MAX_DEPTH,
+        NUM_TREES,
+        SEED,
+        assemble,
+    )
+
+    data = assemble(load_table(spark, sf_dir, "embeddings"))
+    h1 = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("lc:"), F.col("vec_id").cast("string"))), 1, 2
+    )
+    data = data.withColumn("h1", h1).withColumn("h2", h2)
+    test = data.filter(F.col("h1") >= "cc")
+    pool = data.filter(F.col("h1") < "cc")
+    n_test = test.count()
+    rows = []
+    for frac, cut in ((0.25, "40"), (0.5, "80"), (1.0, None)):
+        train = pool if cut is None else pool.filter(F.col("h2") < cut)
+        n_train = train.count()
+        rf = RandomForestClassifier(
+            numTrees=NUM_TREES,
+            maxDepth=MAX_DEPTH,
+            featureSubsetStrategy="auto",
+            impurity="gini",
+            seed=SEED,
+            maxMemoryInMB=2048,
+        )
+        model = rf.fit(train)
+        acc = (
+            model.transform(test)
+            .agg(F.avg((F.col("label") == F.col("prediction")).cast("double")))
+            .first()[0]
+        )
+        rows.append((frac, n_train, n_test, bool(0.0 <= acc <= 1.0)))
+    return spark.createDataFrame(
+        rows,
+        "frac double, n_train long, n_test long, acc_in_unit_interval boolean",
+    )
+
+
+# --- jackknife uncertainty for a ratio estimator -----------------------------
+
+# R = total value / total events (value per event); leave-one-day-out
+# replicates R_(i) = (V - v_i) / (N - n_i) from exact integer daily
+# (v_i, n_i). Each (R_(i) - R̄)² term is fixed-point quantized before
+# the sum (module doctrine). Classic delete-1 jackknife (Efron 1982):
+# SE² = (n-1)/n · Σ(R_(i) - R̄)², bias-corrected R = n·R - (n-1)·R̄.
+_JACKKNIFE_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('day', ts)
+),
+g AS (
+  SELECT CAST(SUM(v) AS BIGINT) AS tv, CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily
+),
+reps AS (
+  SELECT nd, tv, tn,
+         (tv - v) / ((tn - n) * 1000.0) AS r_i
+  FROM daily CROSS JOIN g
+),
+m AS (
+  SELECT nd, tv, tn,
+         CAST(SUM(CAST(floor(r_i * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sr_fx
+  FROM reps GROUP BY nd, tv, tn
+),
+q AS (
+  SELECT reps.nd, reps.tv, reps.tn, m.sr_fx,
+         CAST(SUM(CAST(floor(
+             (r_i - sr_fx / (reps.nd * 1000000.0))
+             * (r_i - sr_fx / (reps.nd * 1000000.0)) * 1e12 + 0.5)
+             AS BIGINT)) AS BIGINT) AS ss_fx
+  FROM reps JOIN m ON m.nd = reps.nd
+  GROUP BY reps.nd, reps.tv, reps.tn, m.sr_fx
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       round(tv / (tn * 1000.0), 6) AS ratio,
+       round(sqrt((nd - 1.0) / nd * (ss_fx / 1e12)), 6) AS jack_se,
+       round(nd * (tv / (tn * 1000.0))
+             - (nd - 1.0) * (sr_fx / (nd * 1000000.0)), 6) AS bias_corrected
+FROM q
+"""
+
+
+@register("agg_jackknife_variance", oracle=_JACKKNIFE_ORACLE)
+def q_agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife standard error and bias correction for the
+    value-per-event ratio (Efron 1982) — the honest error bar for a
+    RATIO, where the naive per-row stddev is simply wrong (a ratio of
+    sums is not a mean of ratios). Replicates leave one DAY out, so the
+    error bar also absorbs day-level clustering.
+
+    Scale: the stream reduces to (day, Σvalue, count) first — the
+    replicate frame is calendar-bounded, each R_(i) is arithmetic on
+    exact integers against broadcast grand totals, and both reduction
+    sums are fixed-point-quantized per term before accumulation. This
+    is the pattern that scales to ANY leave-one-group-out jackknife:
+    groups × O(1) arithmetic, never a refit per replicate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = daily.agg(
+        F.sum("v").alias("tv"),
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    reps = daily.crossJoin(F.broadcast(g)).select(
+        "nd",
+        "tv",
+        "tn",
+        ((F.col("tv") - F.col("v")) / ((F.col("tn") - F.col("n")) * 1000.0))
+        .alias("r_i"),
+    )
+    m = reps.groupBy("nd", "tv", "tn").agg(
+        F.sum(F.floor(F.col("r_i") * 1000000.0 + 0.5).cast("bigint")).alias(
+            "sr_fx"
+        )
+    )
+    dev = F.col("r_i") - F.col("sr_fx") / (F.col("nd") * 1000000.0)
+    q = (
+        reps.join(F.broadcast(m), ["nd", "tv", "tn"])
+        .groupBy("nd", "tv", "tn", "sr_fx")
+        .agg(
+            F.sum(
+                F.floor(dev * dev * F.lit(1e12) + 0.5).cast("bigint")
+            ).alias("ss_fx")
+        )
+    )
+    return q.select(
+        F.col("nd").alias("n_days"),
+        F.round(F.col("tv") / (F.col("tn") * 1000.0), 6).alias("ratio"),
+        F.round(
+            F.sqrt(
+                (F.col("nd") - 1.0) / F.col("nd") * (F.col("ss_fx") / F.lit(1e12))
+            ),
+            6,
+        ).alias("jack_se"),
+        F.round(
+            F.col("nd") * (F.col("tv") / (F.col("tn") * 1000.0))
+            - (F.col("nd") - 1.0) * (F.col("sr_fx") / (F.col("nd") * 1000000.0)),
+            6,
+        ).alias("bias_corrected"),
+    )
