@@ -94,3 +94,63 @@ def salted_agg(df, keys, salt_col, aggs, n_salts: int = 16):
             for name, (_, fn2) in aggs.items()
         ]
     )
+
+
+def dist_row_number(
+    df, order_cols, out: str = "rn", n_parts: int = 32
+):
+    """Distributed global ROW_NUMBER over a total order — the
+    scale-safe replacement for ``row_number().over(Window.orderBy(...))``,
+    whose un-partitioned WindowExec funnels the whole frame through ONE
+    task (SinglePartition exchange) at 100 TB.
+
+    Mechanics (classic two-pass rank): range-repartition on the sort
+    key (Spark's RangePartitioner samples the key distribution, so
+    near-even splits even under value skew), sort within partitions,
+    count rows per range slice, broadcast the ≤``n_parts`` prefix
+    offsets back, and add them to a per-slice ``row_number``. The
+    driver collects only ``n_parts`` (pid, count) rows — bounded
+    scheduler-class metadata, not data.
+
+    ``order_cols`` must be a TOTAL order (include a unique tie-break
+    column): rows equal on the full sort key could otherwise straddle a
+    range boundary and the per-slice window would rank them
+    arbitrarily. Ascending/descending is expressed in the Column
+    expressions (e.g. ``F.col("v").desc()``).
+
+    The partitioned frame is cached before the counts action:
+    RangePartitioner derives its boundaries from a seeded sample keyed
+    to the instantiated RDD lineage, so pinning ONE InMemoryRelation
+    guarantees the offsets job and the caller's final job see identical
+    slice assignment (an evicted block recomputes through the same
+    lineage, hence the same boundaries). Released via the engine-wide
+    release_caches() hook.
+    """
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_rn_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = dict(
+        part.groupBy("_rn_pid").count().collect()
+    )  # ≤ n_parts rows
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_rn_pid").orderBy(*order_cols)
+    off = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]
+        ),
+        F.col("_rn_pid"),
+    )
+    return part.withColumn(
+        out, (F.row_number().over(w) + off).cast("bigint")
+    ).drop("_rn_pid")

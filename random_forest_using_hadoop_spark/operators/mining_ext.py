@@ -447,11 +447,15 @@ def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     never floating dollars.
 
     Scale: the per-customer rollup partial-aggs on the natural key.
-    The three NTILEs are global sorts of the CUSTOMER frame (already
-    reduced ~100:1 from orders); at larger scale each becomes a
-    2-pass percentile-cut (approx quantile thresholds broadcast back,
-    agg_quantile_rollup's doctrine) with identical downstream shape.
+    Each NTILE derives from a DISTRIBUTED global row_number
+    (helpers.dist_row_number: range-repartition on the sort key,
+    per-slice rank + broadcast prefix offsets) via the exact identity
+    ntile_k(rn, n) = ((rn−1)·k) div n + 1 — never an un-partitioned
+    WindowExec funneling the customer frame through one task
+    (plan-gated in tests/test_plans.py).
     """
+    from random_forest_using_hadoop_spark.helpers import dist_row_number
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -460,18 +464,24 @@ def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
         ).alias("monetary_cents"),
     )
-    scored = base.select(
-        "o_custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-        .alias("m_score"),
+    base = base.cache()  # three rank passes read it; released engine-wide
+    n_tot = base.count()
+
+    def quintile(src: DataFrame, order_cols, out: str) -> DataFrame:
+        ranked = dist_row_number(src, order_cols, out="_rn")
+        return ranked.select(
+            "o_custkey",
+            (F.expr(f"((_rn - 1) * 5) div {n_tot}") + 1)  # exact int div
+            .cast("int")
+            .alias(out),
+        )
+
+    r = quintile(base, [F.col("last_order").desc(), F.col("o_custkey")], "r_score")
+    f = quintile(base, [F.col("frequency").desc(), F.col("o_custkey")], "f_score")
+    m = quintile(
+        base, [F.col("monetary_cents").desc(), F.col("o_custkey")], "m_score"
     )
+    scored = r.join(f, "o_custkey").join(m, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -709,3 +709,32 @@ def test_snapshot_timetravel_v1_read_excludes_append(spark):
     }
     assert set(rows) == {1, 2}
     assert 0 < rows[1]["n_rows"] < rows[2]["n_rows"]
+
+
+def test_rfm_no_global_window_over_customer_frame(spark):
+    """agg_rfm_segmentation: every NTILE must derive from the
+    distributed two-pass rank (helpers.dist_row_number) — each window
+    spec partitioned by the range-slice id, never an un-partitioned
+    WindowExec pulling the whole customer frame through one task."""
+    import re
+
+    plan = _executed_plan(spark, "agg_rfm_segmentation")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, "expected rank windows in the RFM plan"
+    for spec in win_specs:
+        assert "_rn_pid" in spec, (
+            f"RFM rank window lost its slice partitioning: {spec}"
+        )
+
+
+def test_minhash_verify_is_broadcast_bitmap_join(spark):
+    """dedup_minhash: the band self-join must be a hash equi-join (the
+    no-Cartesian sweep covers the negative), and the exact-Jaccard
+    verify must attach the per-doc bitmap encodings via broadcast hash
+    joins — candidates stream past the small build side, never a
+    shuffle of the candidate pairs against the corpus."""
+    plan = _formatted_plan(spark, "dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "bit_count" in plan  # bitmap verify, not array_intersect
