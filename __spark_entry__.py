@@ -70,6 +70,9 @@ _GRADE_FIRST = [
     "agg_grouping_sets", "join_bucketed_colocated", "agg_stats",
     "win_rank", "scan_prune_pushdown", "sink_parquet_part",
     "join_semi", "join_anti",                         # = key #50 (pre-r5)
+    # --- late-r5 additions: first in line once the 50-key window of
+    # never-graded keys above clears (they head the r6 rotation) ---
+    "agg_countmin_heavy", "agg_bloom_membership", "sink_incremental_diff",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

@@ -27,3 +27,4 @@ import random_forest_using_hadoop_spark.operators.sessions_fuzzy  # noqa: F401
 import random_forest_using_hadoop_spark.operators.iterative  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r5  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r5b  # noqa: F401
+import random_forest_using_hadoop_spark.operators.sketches  # noqa: F401

@@ -680,3 +680,125 @@ def q_agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bias_corrected"),
     )
+
+
+# --- snapshot incremental diff (CDC read between table versions) -------------
+
+_DIFF_CUT = "1997-07-01"
+_DIFF_END = "1998-01-01"
+
+_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < DATE '{_DIFF_CUT}'
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice
+           + CASE WHEN o_custkey % 89 = 0 THEN 10.0 ELSE 0.0 END
+           AS o_totalprice
+  FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_custkey % 97 = 0)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders
+  WHERE o_orderdate >= DATE '{_DIFF_CUT}'
+    AND o_orderdate < DATE '{_DIFF_END}'
+),
+j AS (
+  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+              WHEN v2.o_orderkey IS NULL THEN 'delete'
+              WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update'
+         END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM j WHERE change_type IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("sink_incremental_diff", oracle=_DIFF_ORACLE)
+def q_sink_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between two table snapshots — the CDC primitive
+    lake formats expose as "give me the changes from v1 to v2". Two
+    versions of an orders table are committed as immutable parquet +
+    JSON manifests (sink_snapshot_timetravel's layer): v2 applies
+    deletes (finished orders of custkey % 97 = 0), updates (+10.00 on
+    custkey % 89 = 0), and appends H2-1997 orders. The diff reads BOTH
+    versions back through their manifests and classifies every changed
+    key with ONE full-outer hash join on the table key, reporting
+    per-change-type row counts and a key checksum. The oracle rebuilds
+    both versions logically — value parity proves the staged round trip
+    (write, manifest, versioned read, diff) lost nothing.
+
+    Scale: change capture via key-partitioned full outer join is the
+    shuffle-on-key pattern — cost ∝ the two snapshots, zero driver
+    state; with both snapshots bucketed by key the join is
+    co-partitioned and shuffle-free. Real formats shortcut further by
+    diffing at the data-file level first (manifest set difference) and
+    only row-diffing files present in both — the manifest layer here is
+    exactly the metadata that enables it.
+    """
+    import json
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit(_DIFF_CUT).cast("date")
+    end = F.lit(_DIFF_END).cast("date")
+    v1 = o.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    v2 = v1.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 97 == 0))
+    ).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_custkey") % 89 == 0, F.lit(10.0)).otherwise(0.0),
+    ).unionByName(
+        o.filter((F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < end))
+        .drop("o_orderdate")
+    )
+
+    root = _tmp(sf_dir, "incr_diff")
+    snaps = {}
+    for ver, df in ((1, v1), (2, v2)):
+        data_dir = os.path.join(root, f"v{ver}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        with open(os.path.join(root, f"manifest_v{ver}.json"), "w") as fh:
+            json.dump({"version": ver, "files": files}, fh)
+        snaps[ver] = files
+
+    def read_version(ver: int) -> DataFrame:
+        with open(os.path.join(root, f"manifest_v{ver}.json")) as fh:
+            return spark.read.parquet(*json.load(fh)["files"])
+
+    a = read_version(1).alias("a")
+    b = read_version(2).alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "update")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+    )

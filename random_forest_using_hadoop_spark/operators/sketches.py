@@ -1,0 +1,313 @@
+"""Portable probabilistic sketches with exact cross-engine parity.
+
+The engine already ships Spark's Datasketches HLL (agg_sketch_rollup)
+with an accuracy-audit oracle, because Datasketches estimates can't be
+recomputed in SQL. The sketches here take the opposite trade: the hash
+family is md5-derived and therefore computable bit-for-bit in BOTH
+engines, so the DuckDB oracle reproduces the *estimates themselves* —
+the sketch math (mergeability, overcount guarantees, false-positive
+behavior) is verified exactly, not just bounded.
+
+Why this matters at 100 TB: Count-Min and Bloom structures are the
+mergeable-state primitives behind streaming heavy-hitter monitors and
+join pre-filters. Both sketches here build via map-side-combinable
+hash aggregations (a CMS is literally a groupBy(row, bucket) count;
+a Bloom filter is a bit_or over hashed positions), so they scale the
+same way any partial-aggregate does, and their merged state is bytes,
+not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- Count-Min sketch heavy-hitter audit -------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOPN = 10
+
+
+def _cms_bucket_spark(row: int, key):
+    # identical in DuckDB: ('0x' || substr(md5(r || ':' || k), 1, 15))::BIGINT % W
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), key)), 1, 15), 16, 10
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def _cms_oracle() -> str:
+    def bucket(r: int, k: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{r}:' || {k}), 1, 15))::BIGINT % {_CMS_W})"
+        )
+
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS r_ix, {bucket(r, 'CAST(l_partkey AS VARCHAR)')} AS bucket,"
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2"
+        for r in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT l_partkey, {r} AS r_ix,"
+        f" {bucket(r, 'CAST(l_partkey AS VARCHAR)')} AS bucket FROM topk"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH sketch AS ({cells}),
+exact AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY 1
+),
+topk AS (
+  SELECT l_partkey, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, l_partkey LIMIT {_CMS_TOPN}
+),
+probe AS ({probes})
+SELECT t.l_partkey,
+       t.exact_cnt,
+       MIN(s.cnt) AS est_cnt,
+       MIN(s.cnt) - t.exact_cnt AS overcount
+FROM topk t
+JOIN probe p ON p.l_partkey = t.l_partkey
+JOIN sketch s ON s.r_ix = p.r_ix AND s.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
+@register("agg_countmin_heavy", oracle=_cms_oracle())
+def q_agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    audit: build a {d}×{w} CMS over lineitem part keys, then report the
+    top-{n} parts' estimated vs exact counts and the overcount (always
+    ≥ 0 — CMS never undercounts; the oracle recomputes the identical
+    sketch, so the estimates match bit-for-bit, collisions included).
+
+    Scale: the sketch IS a groupBy(row, bucket) count — map-side
+    partial aggregation compresses each executor's stream to ≤ d·w
+    cells before any shuffle, and two sketches merge by cell-wise add
+    (order-insensitive), which is why CMS works on unbounded streams.
+    The probe side broadcasts the ≤ d·w-cell sketch to the key list.
+    The md5-derived bucket hash is the portability device; a production
+    deployment would use xxhash64 seeds (cf. dedup_lsh's banding).
+    """.format(d=_CMS_D, w=_CMS_W, n=_CMS_TOPN)
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_partkey").cast("string")
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r_ix"),
+                        _cms_bucket_spark(r, key).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = cells.groupBy("c.r_ix", "c.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(
+        _CMS_TOPN
+    )
+    pk = F.col("l_partkey").cast("string")
+    probe = top.select(
+        "l_partkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r_ix"),
+                        _cms_bucket_spark(r, pk).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probe.join(
+            F.broadcast(sketch),
+            (F.col("p.r_ix") == F.col("r_ix")) & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+# --- Bloom-filter membership audit -------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_YEAR = 1998  # member set: customers active in this year
+
+
+def _bloom_pos_spark(j: int, key):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 15), 16, 10
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+def _bloom_oracle() -> str:
+    def pos(j: int, k: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}:' || {k}), 1, 15))::BIGINT % {_BLOOM_M})"
+        )
+
+    mem_pos = " UNION ALL ".join(
+        f"SELECT {pos(j, 'CAST(c_custkey AS VARCHAR)')} AS p FROM members"
+        for j in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT c_custkey, {pos(j, 'CAST(c_custkey AS VARCHAR)')} AS p"
+        " FROM customer"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey FROM customer
+  JOIN orders ON o_custkey = c_custkey
+  WHERE EXTRACT(year FROM o_orderdate) = {_BLOOM_YEAR}
+),
+bits AS (SELECT DISTINCT p FROM ({mem_pos})),
+probe AS ({probe_pos}),
+hits AS (
+  SELECT probe.c_custkey,
+         CAST(COUNT(*) FILTER (WHERE bits.p IS NOT NULL) AS BIGINT) AS set_bits
+  FROM probe LEFT JOIN bits ON bits.p = probe.p
+  GROUP BY 1
+),
+flags AS (
+  SELECT h.c_custkey,
+         h.set_bits = {_BLOOM_K} AS bloom_pos,
+         m.c_custkey IS NOT NULL AS is_member
+  FROM hits h LEFT JOIN members m ON m.c_custkey = h.c_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(COUNT(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+       CAST(COUNT(*) FILTER (WHERE bloom_pos) AS BIGINT) AS n_bloom_positive,
+       CAST(COUNT(*) FILTER (WHERE bloom_pos AND NOT is_member) AS BIGINT)
+           AS n_false_positives,
+       round(COUNT(*) FILTER (WHERE bloom_pos AND NOT is_member)
+             / greatest(CAST(COUNT(*) FILTER (WHERE NOT is_member) AS DOUBLE),
+                        1.0), 6) AS measured_fpr
+FROM flags
+"""
+
+
+@register("agg_bloom_membership", oracle=_bloom_oracle())
+def q_agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build an m={m}, k={k} filter over
+    the customers active in {y} (one bit_or aggregation - the filter is
+    {words} longs), broadcast it, probe EVERY customer with plain bit
+    arithmetic, and score the filter against exact membership: probe
+    count, true members, Bloom positives, false positives, measured
+    FPR. No false negatives is a structural guarantee (every member's
+    bits are set), and the oracle reproduces the identical filter, so
+    even the false-positive SET matches, not just its size.
+
+    Scale: this is the explicit-state cousin of join_runtime_bloomfilter
+    (where Spark injects the filter itself). Building is a map-side
+    bit_or partial agg -> {words} longs of state regardless of member
+    count; probing is a broadcast of those longs past the probe stream -
+    the pattern that turns a 100 TB anti-join into a scan + KB-size
+    broadcast when the FPR budget allows it.
+    """.format(
+        m=_BLOOM_M, k=_BLOOM_K, y=_BLOOM_YEAR, words=_BLOOM_M // 64
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    members = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(F.year("o_orderdate") == _BLOOM_YEAR)
+        .select("c_custkey")
+        .distinct()
+    )
+    ckey = F.col("c_custkey").cast("string")
+    pos = members.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(j, ckey) for j in range(_BLOOM_K)])
+        ).alias("p")
+    )
+    # filter state: one long per 64-bit word, built by bit_or partials
+    words = pos.groupBy(F.expr("p div 64").cast("int").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        ).alias("wv")
+    )
+    filt = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("wv")))
+        ).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M // 64 - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("wm"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+    def _bit_set(j: int):
+        # p_j = md5-derived position; bit test via shift on the
+        # broadcast word array (all-SQL so the shift amount can be an
+        # expression; pyspark's shiftrightunsigned only takes literals)
+        pj = (
+            f"(CAST(conv(substring(md5(concat('{j}:', "
+            f"CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_BLOOM_M})"
+        )
+        return F.expr(
+            f"(shiftrightunsigned(element_at(bloom, "
+            f"CAST({pj} div 64 AS INT) + 1), CAST({pj} % 64 AS INT))"
+            f" & CAST(1 AS BIGINT)) = 1"
+        )
+
+    bloom_pos = _bit_set(0)
+    for j in range(1, _BLOOM_K):
+        bloom_pos = bloom_pos & _bit_set(j)
+    flags = (
+        c.select("c_custkey")
+        .crossJoin(F.broadcast(filt))
+        .join(
+            members.withColumn("is_member", F.lit(True)), "c_custkey", "left"
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            bloom_pos.alias("bloom_pos"),
+        )
+    )
+    nonmember = ~F.col("is_member")
+    fp = F.col("bloom_pos") & nonmember
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("is_member").cast("bigint")).alias("n_members"),
+        F.sum(F.col("bloom_pos").cast("bigint")).alias("n_bloom_positive"),
+        F.sum(fp.cast("bigint")).alias("n_false_positives"),
+        F.round(
+            F.sum(fp.cast("bigint"))
+            / F.greatest(
+                F.sum(nonmember.cast("bigint")).cast("double"), F.lit(1.0)
+            ),
+            6,
+        ).alias("measured_fpr"),
+    )

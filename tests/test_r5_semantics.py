@@ -120,3 +120,32 @@ def test_learning_curve_counts_nest(spark):
     assert [r["frac"] for r in rows] == [0.25, 0.5, 1.0]
     assert rows[0]["n_train"] < rows[1]["n_train"] < rows[2]["n_train"]
     assert len({r["n_test"] for r in rows}) == 1
+
+
+def test_countmin_never_undercounts(spark):
+    rows = engine.REGISTRY["agg_countmin_heavy"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # the CMS structural guarantee: est >= exact, always
+        assert r["overcount"] >= 0
+        assert r["est_cnt"] == r["exact_cnt"] + r["overcount"]
+
+
+def test_bloom_has_no_false_negatives(spark):
+    r = engine.REGISTRY["agg_bloom_membership"].fn(spark, SF_DIR).collect()[0]
+    # every member must test positive, so positives >= members and
+    # positives - members == false positives exactly
+    assert r["n_bloom_positive"] >= r["n_members"]
+    assert r["n_bloom_positive"] - r["n_members"] == r["n_false_positives"]
+    assert 0 <= r["measured_fpr"] <= 1.0
+    assert r["n_members"] > 0
+
+
+def test_incremental_diff_classifies_all_three(spark):
+    rows = {
+        r["change_type"]: r
+        for r in engine.REGISTRY["sink_incremental_diff"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"insert", "update", "delete"}
+    for r in rows.values():
+        assert r["n_rows"] > 0 and r["key_checksum"] > 0
