@@ -696,3 +696,66 @@ def q_src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_urgent"),
         (F.sum(fx) / 1000000.0).alias("total_spend"),
     )
+
+
+# --- XML source (Spark 4 built-in) -------------------------------------------
+
+_XML_ORACLE = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(n.n_nationkey) AS BIGINT) AS key_checksum
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1
+"""
+
+
+@register("src_xml", oracle=_XML_ORACLE)
+def q_src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's BUILT-IN xml data source (the
+    spark-xml package was merged into core in 4.0): stage nation as
+    <row> elements, read it back with a DECLARED schema (no inference
+    pass, exact int/string fidelity), broadcast-join region, and audit
+    counts + key checksums per region against the parquet-sourced
+    truth.
+
+    Scale: XML is a config/feed interchange format, not an analytics
+    layout — rowTag parsing is record-at-a-time with no pushdown,
+    pruning, or stats, so the operator's doctrine matches src_orc_text:
+    land it once, rewrite columnar immediately. Declaring the schema
+    matters even at ingest scale — inference is a full extra pass over
+    every byte.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    path = _tmp(sf_dir, "xml_nation")
+    n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+    )
+    return (
+        back.join(F.broadcast(r), back.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_checksum"),
+        )
+    )
