@@ -939,3 +939,113 @@ def q_pipe_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum(F.when(any_hit, 1).otherwise(0)).alias("docs_flagged"),
     )
+
+
+# --- deterministic epoch shuffle + contiguous sharding -----------------------
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+_SHUF_MOD = 1_000_000_007
+
+
+def _epoch_shuffle_oracle() -> str:
+    per_epoch = " UNION ALL ".join(
+        f"""
+SELECT {e} AS epoch, doc_id, n_chars,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('{e}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS rn
+FROM documents"""
+        for e in range(_SHUF_EPOCHS)
+    )
+    return f"""
+WITH ranked AS ({per_epoch}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+sharded AS (
+  SELECT epoch,
+         CAST(((rn - 1) * {_SHUF_SHARDS}) // tot.n AS INT) AS shard,
+         doc_id, n_chars, rn
+  FROM ranked, tot
+),
+disp AS (
+  SELECT round(AVG(ABS(a.rn - b.rn)), 6) AS mean_displacement
+  FROM sharded a JOIN sharded b ON a.doc_id = b.doc_id
+  WHERE a.epoch = 0 AND b.epoch = 1
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM((rn * doc_id) % {_SHUF_MOD}) AS BIGINT) AS order_checksum,
+       disp.mean_displacement
+FROM sharded, disp
+GROUP BY 1, 2, 6
+"""
+
+
+@register("pipe_epoch_shuffle", oracle=_epoch_shuffle_oracle())
+def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling + contiguous sharding — the
+    data-loading primitive under every large-scale training run: each
+    epoch e defines a total order by md5(e:doc_id) (reshufflable,
+    reproducible, no RNG state), the order is split into {s} contiguous
+    shards whose sizes differ by at most one BY CONSTRUCTION
+    (shard = ((rn−1)·{s}) div n), and per (epoch, shard) the operator
+    reports size, byte budget, and a modular position checksum that
+    pins the exact within-shard order. `mean_displacement` — the mean
+    |rank₀ − rank₁| across epochs, ≈ n/3 for independent permutations —
+    proves successive epochs are genuinely re-shuffled, not rotated.
+
+    Scale: the global rank per epoch is helpers.dist_row_number
+    (range-repartition on the md5 sort key + per-slice rank + broadcast
+    prefix offsets — the md5 key is uniform, so range slices are even
+    by construction and the rank never funnels through one task; the
+    oracle's single-node ROW_NUMBER is the same function). Checksums
+    are per-term modular so they cannot overflow at corpus scale.
+    """.format(s=_SHUF_SHARDS)
+    from random_forest_using_hadoop_spark.helpers import dist_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_tot = d.count()
+
+    def ranked_epoch(e: int) -> DataFrame:
+        keyed = d.withColumn(
+            "_k", F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
+        )
+        r = dist_row_number(keyed, [F.col("_k"), F.col("doc_id")], out="rn")
+        return r.select(
+            F.lit(e).alias("epoch"),
+            "doc_id",
+            "n_chars",
+            "rn",
+            F.expr(f"CAST(((rn - 1) * {_SHUF_SHARDS}) div {n_tot} AS INT)").alias(
+                "shard"
+            ),
+        )
+
+    sharded = ranked_epoch(0).unionByName(ranked_epoch(1))
+    disp = (
+        sharded.filter(F.col("epoch") == 0)
+        .select("doc_id", F.col("rn").alias("r0"))
+        .join(
+            sharded.filter(F.col("epoch") == 1).select(
+                "doc_id", F.col("rn").alias("r1")
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.round(F.avg(F.abs(F.col("r0") - F.col("r1"))), 6).alias(
+                "mean_displacement"
+            )
+        )
+    )
+    return (
+        sharded.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.expr(f"(rn * doc_id) % {_SHUF_MOD}"))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .crossJoin(F.broadcast(disp))
+    )

@@ -167,3 +167,20 @@ def test_hll_portable_regime_and_error(spark):
 def test_src_xml_round_trip_counts(spark):
     rows = engine.REGISTRY["src_xml"].fn(spark, SF_DIR).collect()
     assert sum(r["n_nations"] for r in rows) == 25  # TPC-H nation count
+
+
+def test_epoch_shuffle_balance_and_independence(spark):
+    rows = engine.REGISTRY["pipe_epoch_shuffle"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 16  # 2 epochs x 8 shards
+    n = sum(r["n_docs"] for r in rows) // 2
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # contiguous split balance
+    # independent permutations displace by ~n/3 on average; a rotation
+    # or identity would sit far outside [n/6, n/2]
+    disp = rows[0]["mean_displacement"]
+    assert n / 6 < disp < n / 2, (disp, n)
+    # epochs must produce different orders: checksums differ per shard
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r["order_checksum"])
+    assert sorted(by_epoch[0]) != sorted(by_epoch[1])
