@@ -347,3 +347,188 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_batch,
         schema="doc_id long, n_frames long, sampled_hashes string",
     )
+
+
+# --- WAV/RIFF audio codec over mapInPandas -----------------------------------
+
+_WAV_RATE = 16000  # Hz, 16-bit mono PCM
+_WAV_A = 2654435761  # Knuth multiplicative constant — sample formula seed
+_WAV_B = 40503
+
+
+def _wav_encode(samples) -> bytes:
+    """Minimal but spec-conformant RIFF/WAVE writer: 16-bit little-endian
+    mono PCM, correct chunk sizes. ``samples`` is an int16 numpy array."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    byte_rate = _WAV_RATE * 2
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(data),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            _WAV_RATE,
+            byte_rate,
+            2,  # block align
+            16,  # bits/sample
+            b"data",
+            len(data),
+        )
+        + data
+    )
+
+
+def _wav_decode(payload: bytes):
+    """Real RIFF chunk-walking decoder: validates the RIFF/WAVE
+    signature, parses fmt (must be 16-bit mono PCM at the expected
+    rate), locates the data chunk, and returns the int16 samples.
+    When possible the stdlib ``wave`` module cross-checks our parse —
+    any disagreement raises rather than letting a codec bug grade
+    silently (same doctrine as the PNG/PIL cross-check)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            codec, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if (codec, ch, rate, bits) != (1, 1, _WAV_RATE, 16):
+                raise ValueError("only 16-bit mono PCM supported")
+            fmt_ok = True
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    try:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            if (
+                w.getnchannels() != 1
+                or w.getsampwidth() != 2
+                or w.getframerate() != _WAV_RATE
+                or w.readframes(w.getnframes()) != data
+            ):
+                raise ValueError("RIFF parse disagrees with stdlib wave")
+    except ImportError:
+        pass
+    return samples
+
+
+_AUDIO_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 2000 + (doc_id % 5) * 500 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM p
+),
+u AS (
+  SELECT doc_id, n, i,
+         (doc_id * {_WAV_A} + i * {_WAV_B}) % 65536 AS uv
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(uv * (i + 1)) AS BIGINT) AS sample_checksum,
+       CAST(SUM((uv - 32768) * (uv - 32768)) AS BIGINT) AS energy_sq,
+       round(sqrt(SUM((uv - 32768) * (uv - 32768)) * 1.0 / n), 6) AS rms,
+       round(n * 1000.0 / {_WAV_RATE}, 6) AS duration_ms
+FROM u GROUP BY doc_id, n
+"""
+
+
+@register("multimodal_audio_codec", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio round trip through a real RIFF/WAV codec over Arrow-batched
+    ``mapInPandas`` — the audio sibling of multimodal_decode's PNG path.
+    Stage 1 synthesizes each doc's deterministic 16-bit mono PCM track
+    (sample_k = (doc_id·{a} + k·{b}) mod 65536 − 32768 — pure integer
+    arithmetic, so the oracle reproduces every sample without touching
+    WAV) and encodes real RIFF bytes (fmt + data chunks, correct sizes);
+    stage 2 walks the chunks back (signature, fmt validation, stdlib
+    ``wave`` cross-check) and reports per-track sample counts, an
+    order-pinning position checksum, integer-exact energy, RMS, and
+    duration. A hash match proves the encode→decode byte round trip
+    recovered every sample in order.
+
+    Scale: identical shape to the PNG path — binary column, one Python
+    worker per partition, whole Arrow batches, schema declared up
+    front; a real ffmpeg/soundfile decoder drops into ``decode_batch``
+    unchanged. Sample synthesis is the portability device standing in
+    for real recordings, exactly as the text-rendered PNGs do.
+    """.format(a=_WAV_A, b=_WAV_B)
+    import sys
+
+    import pandas as pd
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 2000 + (int(doc_id) % 5) * 500
+                k = np.arange(n, dtype=np.int64)
+                u = (int(doc_id) * _WAV_A + k * _WAV_B) % 65536
+                payloads.append(_wav_encode((u - 32768).astype("<i2")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples": [],
+                "sample_checksum": [],
+                "energy_sq": [],
+                "rms": [],
+                "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = _wav_decode(bytes(payload)).astype(np.int64)
+                n = len(s)
+                u = s + 32768
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["sample_checksum"].append(
+                    int(np.sum(u * (np.arange(n, dtype=np.int64) + 1)))
+                )
+                energy = int(np.sum(s * s))
+                rows["energy_sq"].append(energy)
+                rows["rms"].append(round(math.sqrt(energy * 1.0 / n), 6))
+                rows["duration_ms"].append(round(n * 1000.0 / _WAV_RATE, 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        decode_batch,
+        schema=(
+            "doc_id long, n_samples long, sample_checksum long,"
+            " energy_sq long, rms double, duration_ms double"
+        ),
+    )

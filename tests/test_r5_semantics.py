@@ -184,3 +184,15 @@ def test_epoch_shuffle_balance_and_independence(spark):
     for r in rows:
         by_epoch.setdefault(r["epoch"], []).append(r["order_checksum"])
     assert sorted(by_epoch[0]) != sorted(by_epoch[1])
+
+
+def test_audio_codec_round_trip_physics(spark):
+    rows = engine.REGISTRY["multimodal_audio_codec"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 500  # one track per doc at sf0.01
+    for r in rows[:50]:
+        assert r["n_samples"] in {2000, 2500, 3000, 3500, 4000}
+        assert abs(r["duration_ms"] - r["n_samples"] * 1000.0 / 16000) < 1e-9
+        # samples are ~uniform over the int16 range, so RMS must sit
+        # near 65536/sqrt(12) ~ 18919 — a decode that dropped bytes or
+        # mis-parsed endianness lands far outside this band
+        assert 17000 < r["rms"] < 21000, r
