@@ -802,3 +802,63 @@ def q_sink_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("key_checksum"),
         )
     )
+
+
+# --- exact sliding-window median ---------------------------------------------
+
+_SLIDE_MED_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+       round(median(x) OVER w / 1000.0, 6) AS median_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_sliding_median", oracle=_SLIDE_MED_ORACLE)
+def q_win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day median of the daily value series — the
+    robust-smoothing window a noisy operational series needs where a
+    trailing MEAN (win_moving_rows) chases outliers. Spark has no
+    windowed median, so the frame's values ride a windowed
+    collect_list → array_sort and the median is picked positionally:
+    lo = (n+1) div 2, hi = n div 2 + 1, median = (lo + hi)/2 — the
+    even-count interpolation DuckDB's window median applies, exact here
+    because the values are fixed-point BIGINTs whose pairwise sums stay
+    far under 2⁵³.
+
+    Scale: the window runs over the DAY-aggregated spine (≤366 rows per
+    year regardless of event volume — the events shuffle collapses in
+    the groupBy below it), and the collected frame is ≤7 values, so the
+    un-partitioned window is safe by construction (the bounded-frame
+    doctrine of agg_changepoint_cusum; contrast agg_pareto_point's
+    sliced rewrite for data-proportional frames).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_fx(ev)
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("x").over(w))
+    return (
+        daily.select(
+            "day",
+            arr.alias("_arr"),
+        )
+        .select(
+            "day",
+            F.size("_arr").cast("bigint").alias("n_in_frame"),
+            F.round(
+                (
+                    F.element_at(
+                        F.col("_arr"), F.expr("CAST((size(_arr) + 1) div 2 AS INT)")
+                    )
+                    + F.element_at(
+                        F.col("_arr"), F.expr("CAST(size(_arr) div 2 AS INT) + 1")
+                    )
+                )
+                / 2.0
+                / 1000.0,
+                6,
+            ).alias("median_7d"),
+        )
+    )

@@ -738,3 +738,29 @@ def test_minhash_verify_is_broadcast_bitmap_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "bit_count" in plan  # bitmap verify, not array_intersect
+
+
+def test_epoch_shuffle_rank_windows_are_sliced(spark):
+    """pipe_epoch_shuffle: both per-epoch global ranks must come from
+    the distributed two-pass rank — every window spec partitioned by
+    the range-slice id, never an un-partitioned WindowExec over the
+    corpus."""
+    import re
+
+    plan = _executed_plan(spark, "pipe_epoch_shuffle")
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, "expected rank windows in the epoch-shuffle plan"
+    for spec in win_specs:
+        assert "_rn_pid" in spec, (
+            f"epoch-shuffle rank window lost its slice partitioning: {spec}"
+        )
+
+
+def test_countmin_probe_broadcasts_sketch(spark):
+    """agg_countmin_heavy: the probe side must broadcast the <=d*w-cell
+    sketch (KB-size mergeable state), never shuffle the key list
+    against it; and the whole plan stays equi-join shaped."""
+    plan = _formatted_plan(spark, "agg_countmin_heavy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
