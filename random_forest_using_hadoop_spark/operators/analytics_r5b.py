@@ -862,3 +862,166 @@ def q_win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_7d"),
         )
     )
+
+
+# --- OHLC candle resample ----------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH r AS (
+  SELECT date_trunc('day', ts) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM r GROUP BY day
+"""
+
+
+@register("win_ohlc_candles", oracle=_OHLC_ORACLE)
+def q_win_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling — the canonical time-series downsample:
+    per day, the first (open) and last (close) value in strict
+    (ts, event_id) order plus the high/low extremes and tick volume.
+    First/last are picked by per-day ROW_NUMBERs with the unique
+    event_id tie-break, so same-timestamp ticks resolve identically in
+    both engines; open/close/high/low compare raw doubles exactly (no
+    arithmetic, so no accumulation-order hazard).
+
+    Scale: both window passes and the final agg share ONE hash
+    partitioning on day — a single shuffle keyed by the resample
+    bucket, each frame bounded by a day's tick count. The same shape
+    resamples to any granularity by swapping the date_trunc unit
+    (cf. agg_time_ladder for the cascading rollup).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(day, "value", "ts", "event_id").select(
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+# --- Welch two-sample t-test -------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH v AS (
+  SELECT user_id % 2 AS cohort,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+  FROM events
+),
+s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+    CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+    CAST(SUM(vf) FILTER (WHERE cohort = 0) AS BIGINT) AS s1_a,
+    CAST(SUM(vf) FILTER (WHERE cohort = 1) AS BIGINT) AS s1_b,
+    CAST(SUM(vf * vf) FILTER (WHERE cohort = 0) AS BIGINT) AS s2_a,
+    CAST(SUM(vf * vf) FILTER (WHERE cohort = 1) AS BIGINT) AS s2_b
+  FROM v
+)
+SELECT n_a, n_b,
+       round(s1_a / 100.0 / n_a, 6) AS mean_a,
+       round(s1_b / 100.0 / n_b, 6) AS mean_b,
+       round(
+         (s1_a / 100.0 / n_a - s1_b / 100.0 / n_b)
+         / sqrt(((s2_a / 10000.0 - n_a * (s1_a / 100.0 / n_a)
+                                       * (s1_a / 100.0 / n_a)) / (n_a - 1)) / n_a
+              + ((s2_b / 10000.0 - n_b * (s1_b / 100.0 / n_b)
+                                       * (s1_b / 100.0 / n_b)) / (n_b - 1)) / n_b),
+         6) AS t_stat,
+       round(
+         pow(((s2_a / 10000.0 - n_a * (s1_a / 100.0 / n_a)
+                                    * (s1_a / 100.0 / n_a)) / (n_a - 1)) / n_a
+           + ((s2_b / 10000.0 - n_b * (s1_b / 100.0 / n_b)
+                                    * (s1_b / 100.0 / n_b)) / (n_b - 1)) / n_b, 2)
+         / (pow(((s2_a / 10000.0 - n_a * (s1_a / 100.0 / n_a)
+                                      * (s1_a / 100.0 / n_a)) / (n_a - 1)) / n_a, 2)
+              / (n_a - 1)
+          + pow(((s2_b / 10000.0 - n_b * (s1_b / 100.0 / n_b)
+                                      * (s1_b / 100.0 / n_b)) / (n_b - 1)) / n_b, 2)
+              / (n_b - 1)),
+         6) AS welch_dof
+FROM s
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_ORACLE)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on event value between the even/
+    odd user cohorts, with the Welch–Satterthwaite degrees of freedom —
+    the continuous-metric companion to agg_ab_ztest's proportion test.
+    All six sufficient statistics (n, Σv, Σv²) accumulate as exact
+    BIGINTs at 1e2 fixed point (Σv² envelope: v ≤ 2e2 ⇒ vf² ≤ 4e8 ⇒
+    safe past 1e10 rows; 1e6-point quantization would overflow Σv² at
+    ~2e5× this corpus — scale chosen for the 100 TB envelope, per the
+    helpers.py doctrine); the t statistic and dof are each ONE double
+    expression over those ints, written identically in both engines.
+
+    Scale: a single partial-aggregating scan into one row — the
+    cheapest possible distributed shape for any sufficient-statistic
+    test; adding metrics or cohorts adds columns, not passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("vf"),
+    )
+    a = lambda c: F.col("cohort") == c  # noqa: E731
+    s = v.agg(
+        F.count(F.when(a(0), 1)).alias("n_a"),
+        F.count(F.when(a(1), 1)).alias("n_b"),
+        F.sum(F.when(a(0), F.col("vf"))).cast("bigint").alias("s1_a"),
+        F.sum(F.when(a(1), F.col("vf"))).cast("bigint").alias("s1_b"),
+        F.sum(F.when(a(0), F.col("vf") * F.col("vf"))).cast("bigint").alias("s2_a"),
+        F.sum(F.when(a(1), F.col("vf") * F.col("vf"))).cast("bigint").alias("s2_b"),
+    )
+    mean = lambda s1, n: F.col(s1) / 100.0 / F.col(n)  # noqa: E731
+    var_over_n = (
+        lambda s1, s2, n: (
+            (
+                F.col(s2) / 10000.0
+                - F.col(n) * mean(s1, n) * mean(s1, n)
+            )
+            / (F.col(n) - 1)
+        )
+        / F.col(n)
+    )  # noqa: E731
+    va, vb = var_over_n("s1_a", "s2_a", "n_a"), var_over_n("s1_b", "s2_b", "n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(mean("s1_a", "n_a"), 6).alias("mean_a"),
+        F.round(mean("s1_b", "n_b"), 6).alias("mean_b"),
+        F.round(
+            (mean("s1_a", "n_a") - mean("s1_b", "n_b")) / F.sqrt(va + vb), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(va + vb, 2)
+            / (
+                F.pow(va, 2) / (F.col("n_a") - 1)
+                + F.pow(vb, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )

@@ -196,3 +196,20 @@ def test_audio_codec_round_trip_physics(spark):
         # near 65536/sqrt(12) ~ 18919 — a decode that dropped bytes or
         # mis-parsed endianness lands far outside this band
         assert 17000 < r["rms"] < 21000, r
+
+
+def test_ohlc_candle_invariants(spark):
+    rows = engine.REGISTRY["win_ohlc_candles"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["volume"] > 0
+
+
+def test_welch_ttest_dof_bounds(spark):
+    r = engine.REGISTRY["agg_welch_ttest"].fn(spark, SF_DIR).collect()[0]
+    # Welch dof lies between min(n)-1 and n_a+n_b-2
+    assert min(r["n_a"], r["n_b"]) - 1 <= r["welch_dof"] <= r["n_a"] + r["n_b"] - 2
+    # even/odd cohorts of the same process: means close, |t| modest
+    assert abs(r["t_stat"]) < 10
