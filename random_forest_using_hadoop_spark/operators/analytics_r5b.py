@@ -1025,3 +1025,213 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_dof"),
     )
+
+
+# --- rank statistics via value-histogram reduction ---------------------------
+
+# Shared doctrine for the two tests below: classic rank statistics are
+# defined over a GLOBAL SORT of the pooled sample — a non-starter at
+# 100 TB. Both reduce instead to the value HISTOGRAM (one hash agg on
+# the 1e2-fixed-point value: ≤ ~20k rows bounded by the VALUE DOMAIN,
+# not the corpus), from which rank sums and ECDFs follow by a cumulative
+# window over that bounded frame. All accumulators are exact BIGINTs;
+# the statistic is one double expression at the end.
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT user_id % 2 AS cohort,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+  FROM events
+),
+h AS (
+  SELECT vf,
+         CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS cb
+  FROM v GROUP BY vf
+),
+c AS (
+  SELECT vf, ca, cb, ca + cb AS ct,
+         CAST(coalesce(SUM(ca + cb) OVER
+              (ORDER BY vf ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+  FROM h
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * cum0 + ct + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS ties
+  FROM c
+)
+SELECT n_a, n_b,
+       round((r2_a - n_a * (n_a + 1)) / 2.0, 6) AS u_a,
+       round(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+             / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                    * ((n_a + n_b + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))),
+             6) AS z_stat
+FROM s
+"""
+
+
+@register("agg_mannwhitney_u", oracle=_MWU_ORACLE)
+def q_agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the even/odd user
+    cohorts with midrank tie handling and the tie-corrected normal
+    approximation — the nonparametric companion to agg_welch_ttest.
+    The doubled rank sum 2R_a = Σ c_a·(2·cum_before + t + 1) is exact
+    BIGINT (midranks are half-integers, so doubling keeps integers);
+    the tie term Σ(t³−t) is exact while the per-value tie count t stays
+    under ~2×10⁶ (t³ < 2⁶³) — beyond that, aggregate t in 1e-k coarser
+    value bins first.
+
+    Scale: one hash agg events→histogram (partial agg does the heavy
+    lifting map-side), one cumulative window over the ≤20k-row value
+    domain (bounded-frame doctrine), one row out. No global sort of
+    raw rows anywhere — the rank sums come from counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("vf"),
+    )
+    h = v.groupBy("vf").agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("cb"),
+    )
+    wcum = Window.orderBy("vf").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.select(
+        "vf",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("ct"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wcum), F.lit(0)
+        ).cast("bigint").alias("cum0"),
+    )
+    s = c.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cum0") + F.col("ct") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    u_a = (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)) / 2.0
+    n, na, nb = (
+        F.col("n_a") + F.col("n_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+    var = (na.cast("double") * nb / 12.0) * (
+        (n + 1) - F.col("ties").cast("double") / (n * (n - 1).cast("double"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round((u_a - na * nb / 2.0) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT user_id % 2 AS cohort,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+  FROM events
+),
+h AS (
+  SELECT vf,
+         CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS cb
+  FROM v GROUP BY vf
+),
+c AS (
+  SELECT vf,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+  FROM h
+  WINDOW w AS (ORDER BY vf ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+),
+t AS (SELECT CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b
+      FROM v),
+d AS (
+  SELECT CAST(MAX(ABS(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS dmax
+  FROM c, t
+)
+SELECT t.n_a, t.n_b,
+       round(CAST(d.dmax AS DOUBLE) / (t.n_a * t.n_b), 6) AS ks_d,
+       round((CAST(d.dmax AS DOUBLE) / (t.n_a * t.n_b))
+             * sqrt(CAST(t.n_a AS DOUBLE) * t.n_b / (t.n_a + t.n_b)),
+             6) AS ks_stat
+FROM d, t
+"""
+
+
+@register("agg_ks_test", oracle=_KS_ORACLE)
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov: D = max |ECDF_a − ECDF_b| between
+    the even/odd user cohorts, with the √(n_a·n_b/n) normalization —
+    the distribution-drift detector (cf. emb_drift_monitor for the
+    embedding-space analog). The ECDF gap is maximized as the exact
+    INTEGER |cum_a·n_b − cum_b·n_a| (cross-multiplied to dodge float
+    comparison at the argmax), and divided out once at the end.
+
+    Scale: same value-histogram reduction as agg_mannwhitney_u — hash
+    agg to the bounded value domain, one cumulative window there, one
+    row out. The integer envelope is cum·n ≤ N² = 10¹² at sf0.1;
+    beyond ~3×10⁹ rows, divide per-cohort first (two doubles) and
+    accept ulp-level argmax ambiguity, or rescale counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("vf"),
+    )
+    h = v.groupBy("vf").agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("cb"),
+    )
+    wcum = Window.orderBy("vf").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        F.sum("ca").over(wcum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(wcum).cast("bigint").alias("cum_b"),
+    )
+    t = v.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("n_b"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("dmax")
+        )
+    )
+    ks_d = F.col("dmax").cast("double") / (F.col("n_a") * F.col("n_b"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "n_a",
+        "n_b",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(
+            ks_d
+            * F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                / (F.col("n_a") + F.col("n_b"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -213,3 +213,15 @@ def test_welch_ttest_dof_bounds(spark):
     assert min(r["n_a"], r["n_b"]) - 1 <= r["welch_dof"] <= r["n_a"] + r["n_b"] - 2
     # even/odd cohorts of the same process: means close, |t| modest
     assert abs(r["t_stat"]) < 10
+
+
+def test_rank_stats_consistency(spark):
+    mwu = engine.REGISTRY["agg_mannwhitney_u"].fn(spark, SF_DIR).collect()[0]
+    ks = engine.REGISTRY["agg_ks_test"].fn(spark, SF_DIR).collect()[0]
+    # U is bounded by n_a * n_b
+    assert 0 <= mwu["u_a"] <= mwu["n_a"] * mwu["n_b"]
+    # same process in both cohorts: tests should not scream
+    assert abs(mwu["z_stat"]) < 10
+    assert 0 <= ks["ks_d"] <= 1
+    # the two operators see the identical pooled sample
+    assert (mwu["n_a"], mwu["n_b"]) == (ks["n_a"], ks["n_b"])
