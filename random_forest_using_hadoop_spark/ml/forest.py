@@ -637,3 +637,93 @@ def q_ml_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, k long, var_in_01 boolean, var_sorted_desc boolean, "
         "projected_arity_ok boolean",
     )
+
+
+# --- exact AUC via rank-sum histogram reduction ------------------------------
+
+_AUC_ORACLE = """
+WITH v AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+h AS (
+  SELECT score,
+         CAST(COUNT(*) FILTER (WHERE pos = 1) AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE pos = 0) AS BIGINT) AS cb
+  FROM v GROUP BY score
+),
+c AS (
+  SELECT ca, cb, ca + cb AS ct,
+         CAST(coalesce(SUM(ca + cb) OVER
+              (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+  FROM h
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+         CAST(SUM(cb) AS BIGINT) AS n_neg,
+         CAST(SUM(ca * (2 * cum0 + ct + 1)) AS BIGINT) AS r2_pos
+  FROM c
+)
+SELECT n_pos, n_neg,
+       round((r2_pos - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 6) AS auc,
+       round((r2_pos - n_pos * (n_pos + 1))
+             / (1.0 * n_pos * n_neg) - 1.0, 6) AS gini
+FROM s
+"""
+
+
+@register("ml_auc_exact", oracle=_AUC_ORACLE)
+def q_ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (and Gini = 2·AUC − 1) of a deterministic scorer —
+    document length as a predictor of lang='en' — via the rank-sum
+    identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midrank tie
+    handling, the evaluation-side twin of agg_mannwhitney_u. No
+    per-threshold sweep, no sampling: the full ROC integral from one
+    pass. Plugging in a model score column (ml_rf_predict's
+    probability) instead of the proxy changes one SELECT.
+
+    Scale: identical value-histogram reduction — scores hash-agg to
+    their distinct-value frame (bounded by score cardinality; bucket
+    continuous scores to fixed precision first, which changes AUC by
+    at most the bucket width), one cumulative window there, one row
+    out. This is how AUC stays computable on a billion-row eval set
+    without ever sorting it globally.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    h = v.groupBy("score").agg(
+        F.count(F.when(F.col("pos") == 1, 1)).alias("ca"),
+        F.count(F.when(F.col("pos") == 0, 1)).alias("cb"),
+    )
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("ct"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("cum0"),
+    )
+    s = c.agg(
+        F.sum("ca").cast("bigint").alias("n_pos"),
+        F.sum("cb").cast("bigint").alias("n_neg"),
+        F.sum(F.col("ca") * (2 * F.col("cum0") + F.col("ct") + 1))
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.col("n_pos") * F.col("n_neg")
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(num / (2.0 * den), 6).alias("auc"),
+        F.round(num / (1.0 * den) - 1.0, 6).alias("gini"),
+    )

@@ -1049,3 +1049,79 @@ def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(disp))
     )
+
+
+# --- tokenizer vocabulary coverage / OOV -------------------------------------
+
+_VOCAB_K = 256
+
+_VOCAB_COV_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE t <> '' GROUP BY t
+),
+vocab AS (
+  SELECT t FROM freq ORDER BY c DESC, t LIMIT {_VOCAB_K}
+),
+cov AS (
+  SELECT tok.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (WHERE vocab.t IS NOT NULL) AS BIGINT)
+             AS n_covered
+  FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+  WHERE tok.t <> ''
+  GROUP BY 1
+)
+SELECT source, n_tokens, n_covered,
+       round(CAST(n_covered AS DOUBLE) / n_tokens, 6) AS coverage,
+       round(1.0 - CAST(n_covered AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM cov
+"""
+
+
+@register("pipe_vocab_coverage", oracle=_VOCAB_COV_ORACLE)
+def q_pipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design metric: induce a top-{k} vocabulary from global
+    term frequencies (deterministic count-then-term tie-break) and
+    report per-source token coverage and OOV rate — the number that
+    decides whether a vocabulary budget fits a corpus slice before any
+    tokenizer training run.
+
+    Scale: token stream → hash-agg frequencies (map-side combine), a
+    TakeOrderedAndProject for the top-{k} (never a global sort), and a
+    BROADCAST left join of the ≤{k}-term vocab against the token
+    stream — the probe never shuffles. Adding sources or corpus volume
+    changes executor count, not plan shape.
+    """.format(k=_VOCAB_K)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(_VOCAB_K)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    cov = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(False)).cast("bigint")).alias(
+                "n_covered"
+            ),
+        )
+    )
+    ratio = F.col("n_covered").cast("double") / F.col("n_tokens")
+    return cov.select(
+        "source",
+        "n_tokens",
+        "n_covered",
+        F.round(ratio, 6).alias("coverage"),
+        F.round(1.0 - ratio, 6).alias("oov_rate"),
+    )

@@ -225,3 +225,30 @@ def test_rank_stats_consistency(spark):
     assert 0 <= ks["ks_d"] <= 1
     # the two operators see the identical pooled sample
     assert (mwu["n_a"], mwu["n_b"]) == (ks["n_a"], ks["n_b"])
+
+
+def test_vocab_coverage_bounds(spark):
+    rows = engine.REGISTRY["pipe_vocab_coverage"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20  # src0..src19
+    for r in rows:
+        assert 0 < r["coverage"] <= 1
+        assert abs(r["coverage"] + r["oov_rate"] - 1.0) < 1e-9
+        assert r["n_covered"] <= r["n_tokens"]
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """The rank-sum AUC must equal the definitional P(score_pos >
+    score_neg) + 0.5 P(tie), computed by brute force on a sample."""
+    import itertools
+
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    r = engine.REGISTRY["ml_auc_exact"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= r["auc"] <= 1
+    assert abs(r["gini"] - (2 * r["auc"] - 1)) < 1e-5
+    d = load_table(spark, SF_DIR, "documents").select("n_chars", "lang").collect()
+    pos = [x["n_chars"] for x in d if x["lang"] == "en"]
+    neg = [x["n_chars"] for x in d if x["lang"] != "en"]
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0)
+               for p, n in itertools.product(pos, neg))
+    assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-6
