@@ -1235,3 +1235,80 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# --- Spearman rank correlation -----------------------------------------------
+
+_SPEARMAN_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS nx,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vy
+  FROM events GROUP BY date_trunc('day', ts)
+),
+r AS (
+  SELECT
+    2 * RANK() OVER (ORDER BY nx) + COUNT(*) OVER (PARTITION BY nx) - 1 AS dx,
+    2 * RANK() OVER (ORDER BY vy) + COUNT(*) OVER (PARTITION BY vy) - 1 AS dy
+  FROM daily
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM r
+)
+SELECT n,
+       round((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+FROM s
+"""
+
+
+@register("agg_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def q_agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    value total, with proper midrank tie handling — the monotonic-
+    association companion to agg_corr_powersum's Pearson. Doubled
+    midranks (2·RANK + tie_count − 1) stay integers, so all six
+    sufficient statistics are exact BIGINTs and ρ is one double
+    expression — Pearson applied to ranks, which IS Spearman's
+    definition.
+
+    Scale: ranks live on the DAY-aggregated spine (≤366 rows/year, the
+    bounded-frame doctrine) after the events shuffle collapses in the
+    groupBy; for a data-proportional frame the ranks would come from
+    helpers.dist_row_number plus a tie-count join instead — same
+    downstream algebra.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("nx"),
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias("vy"),
+    )
+    def dmid(c: str):
+        return (
+            2 * F.rank().over(Window.orderBy(c))
+            + F.count(F.lit(1)).over(Window.partitionBy(c))
+            - 1
+        ).cast("bigint")
+
+    r = daily.select(dmid("nx").alias("dx"), dmid("vy").alias("dy"))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("n", F.round(num / den, 6).alias("spearman_rho"))

@@ -252,3 +252,10 @@ def test_auc_matches_pairwise_definition(spark):
     wins = sum(1.0 if p > n else (0.5 if p == n else 0.0)
                for p, n in itertools.product(pos, neg))
     assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_spearman_in_range(spark):
+    r = engine.REGISTRY["agg_spearman_corr"].fn(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+    # daily volume and daily value total are strongly coupled
+    assert r["spearman_rho"] > 0.5, r
