@@ -1312,3 +1312,117 @@ def q_agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+# --- technical indicators on the daily series --------------------------------
+
+_BOLL_W = 20  # trailing window (days)
+
+_BOLL_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+       round(SUM(x) OVER w / 1000.0 / (COUNT(*) OVER w), 6) AS sma,
+       round(sqrt(greatest(
+           (SUM(x * x) OVER w) / 1000000.0 / (COUNT(*) OVER w)
+           - (SUM(x) OVER w / 1000.0 / (COUNT(*) OVER w))
+             * (SUM(x) OVER w / 1000.0 / (COUNT(*) OVER w)), 0.0)), 6)
+           AS sigma,
+       CAST(x > 0 AS BOOLEAN) AS valid
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN {_BOLL_W - 1} PRECEDING
+                                   AND CURRENT ROW)
+"""
+
+
+@register("win_bollinger_bands", oracle=_BOLL_ORACLE)
+def q_win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-style moving mean and population σ over a trailing
+    {w}-day frame of the daily value series. Both moments derive from
+    the SAME windowed integer power sums (Σx, Σx² as exact BIGINTs at
+    1e3 fixed point), so mean and σ are each one double expression —
+    no per-frame re-aggregation, no float accumulation hazard. The
+    expanding head frames (< {w} days) report their true frame count.
+
+    Scale: windowed sums over the day-aggregated spine (bounded-frame
+    doctrine); the frame algebra is identical at minute/hour grain —
+    swap the date_trunc unit, the power-sum trick is grain-free.
+    """.format(w=_BOLL_W)
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_fx(ev)
+    w = Window.orderBy("day").rowsBetween(-(_BOLL_W - 1), 0)
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("x").over(w)
+    s2 = F.sum(F.col("x") * F.col("x")).over(w)
+    mean = s1 / 1000.0 / cnt
+    var = F.greatest(s2 / 1000000.0 / cnt - mean * mean, F.lit(0.0))
+    return daily.select(
+        "day",
+        cnt.cast("bigint").alias("n_in_frame"),
+        F.round(mean, 6).alias("sma"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        (F.col("x") > 0).alias("valid"),
+    )
+
+
+_RSI_W = 14
+
+_RSI_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+d AS (
+  SELECT day,
+         x - LAG(x) OVER (ORDER BY day) AS delta
+  FROM daily
+),
+g AS (
+  SELECT day,
+         CAST(greatest(delta, 0) AS BIGINT) AS gain,
+         CAST(greatest(-delta, 0) AS BIGINT) AS loss
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT day,
+       round(CASE WHEN SUM(loss) OVER w = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + CAST(SUM(gain) OVER w AS DOUBLE)
+                                              / (SUM(loss) OVER w))
+             END, 6) AS rsi,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_deltas
+FROM g
+WINDOW w AS (ORDER BY day ROWS BETWEEN {_RSI_W - 1} PRECEDING
+                                   AND CURRENT ROW)
+"""
+
+
+@register("win_rsi_indicator", oracle=_RSI_ORACLE)
+def q_win_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index over a trailing {w}-delta frame (the
+    frame-exact simple-average variant; Wilder's recursive smoothing is
+    a recurrence — use the cumulative-window EWMA shape of
+    agg_decay_weighted for that). Day-over-day deltas split into
+    integer gain/loss streams; RS = Σgain/Σloss over the frame and
+    RSI = 100 − 100/(1+RS), with the all-gain frame pinned to 100
+    exactly. Every accumulator is an exact BIGINT.
+
+    Scale: LAG + two windowed sums on the bounded day spine; one sort
+    per partition of a ≤366-row frame.
+    """.format(w=_RSI_W)
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_fx(ev)
+    wl = Window.orderBy("day")
+    d = daily.select(
+        "day", (F.col("x") - F.lag("x").over(wl)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    g = d.select(
+        "day",
+        F.greatest(F.col("delta"), F.lit(0)).cast("bigint").alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0)).cast("bigint").alias("loss"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RSI_W - 1), 0)
+    sg, sl = F.sum("gain").over(w), F.sum("loss").over(w)
+    rsi = F.when(sl == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + sg.cast("double") / sl)
+    )
+    return g.select(
+        "day",
+        F.round(rsi, 6).alias("rsi"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_deltas"),
+    )

@@ -259,3 +259,18 @@ def test_spearman_in_range(spark):
     assert -1.0 <= r["spearman_rho"] <= 1.0
     # daily volume and daily value total are strongly coupled
     assert r["spearman_rho"] > 0.5, r
+
+
+def test_bollinger_sigma_nonneg_and_frames(spark):
+    rows = engine.REGISTRY["win_bollinger_bands"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["sigma"] >= 0
+        assert 1 <= r["n_in_frame"] <= 20
+
+
+def test_rsi_bounds(spark):
+    rows = engine.REGISTRY["win_rsi_indicator"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rsi"] <= 100.0
