@@ -77,7 +77,7 @@ _GRADE_FIRST = [
     "multimodal_audio_codec", "win_sliding_median",
     "win_ohlc_candles", "agg_welch_ttest", "agg_mannwhitney_u", "agg_ks_test",
     "pipe_vocab_coverage", "ml_auc_exact", "agg_spearman_corr",
-    "win_bollinger_bands", "win_rsi_indicator",
+    "win_bollinger_bands", "win_rsi_indicator", "scan_agg_pushdown", "sink_dictionary_encode",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

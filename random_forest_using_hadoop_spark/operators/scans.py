@@ -759,3 +759,160 @@ def q_src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("bigint").alias("key_checksum"),
         )
     )
+
+
+# --- metadata-only aggregates (parquet aggregate pushdown) -------------------
+
+_AGG_PUSH_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_custkey) AS BIGINT) AS custkey_lo,
+       CAST(MAX(o_custkey) AS BIGINT) AS custkey_hi,
+       CAST(MIN(o_orderkey) AS BIGINT) AS orderkey_lo,
+       CAST(MAX(o_orderkey) AS BIGINT) AS orderkey_hi,
+       TRUE AS agg_pushed
+"""
+
+
+@register("scan_agg_pushdown", oracle=_AGG_PUSH_ORACLE + "FROM orders")
+def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: COUNT/MIN/MAX answered from parquet
+    FOOTER STATISTICS via Spark's v2 aggregate pushdown
+    (spark.sql.parquet.aggregatePushdown) — at 100 TB these queries
+    return in milliseconds because no data page is ever decoded; the
+    scan reads row-group metadata only. The operator flips the v2
+    reader + pushdown confs, runs the aggregate EAGERLY (one bounded
+    row), asserts from its own executed plan that `PushedAggregation`
+    actually engaged — reported as the graded `agg_pushed` column, so
+    a silent fallback to a full scan FAILS the oracle — and restores
+    both confs in a finally (the v2 reader must not leak into other
+    operators' plan shapes mid-session).
+
+    Scale note: pushdown requires stats-complete footers and bails on
+    nullable-edge cases and post-scan filters; the plan column, not
+    wall clock, is the honest detector.
+    """
+    import os
+
+    keys = ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    # Bare conf.get returns the session DEFAULT for unset keys, and a
+    # string sentinel default trips type validation on boolean confs —
+    # so ask the RuntimeConfig directly whether each key is EXPLICITLY
+    # set (guarded: on any internal-API failure, degrade to restoring
+    # an explicit value, never to an error). Unset what was unset.
+    def _explicit(k: str) -> bool:
+        try:
+            return bool(spark._jsparkSession.conf().contains(k))
+        except Exception:
+            return True
+
+    old = {k: (spark.conf.get(k) if _explicit(k) else None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        agg = o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").cast("bigint").alias("custkey_lo"),
+            F.max("o_custkey").cast("bigint").alias("custkey_hi"),
+            F.min("o_orderkey").cast("bigint").alias("orderkey_lo"),
+            F.max("o_orderkey").cast("bigint").alias("orderkey_hi"),
+        )
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pushed = "PushedAggregation: [COUNT(*)" in plan
+    finally:
+        for k in keys:
+            if old[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old[k])
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["custkey_lo"],
+                row["custkey_hi"],
+                row["orderkey_lo"],
+                row["orderkey_hi"],
+                bool(pushed),
+            )
+        ],
+        "n_rows long, custkey_lo long, custkey_hi long,"
+        " orderkey_lo long, orderkey_hi long, agg_pushed boolean",
+    )
+
+
+# --- dictionary encode/decode round trip -------------------------------------
+
+_DICT_ORACLE = """
+WITH dict AS (
+  SELECT o_orderpriority AS v,
+         ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS id
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+),
+enc AS (
+  SELECT o.o_orderkey, d.id
+  FROM orders o JOIN dict d ON d.v = o.o_orderpriority
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM dict) AS BIGINT) AS n_dict,
+       CAST(SUM(id) AS BIGINT) AS id_checksum,
+       CAST(0 AS BIGINT) AS n_roundtrip_mismatch
+FROM enc
+"""
+
+
+@register("sink_dictionary_encode", oracle=_DICT_ORACLE)
+def q_sink_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding as an ENGINE-level layout operation: build a
+    deterministic value→id dictionary (rank over the distinct values —
+    bounded by column cardinality), rewrite the fact column as ids,
+    stage encoded + dictionary as separate parquet, then read back,
+    decode via a broadcast dictionary join, and count round-trip
+    mismatches against the original column (graded as exactly 0, with
+    an id checksum pinning the dictionary assignment). Parquet already
+    dictionary-encodes strings *inside* a column chunk; the engine-level
+    version is what normalizes a low-cardinality join/group key across
+    TABLES — grouping and joining on 4-byte ids instead of strings is
+    the classic star-schema surrogate-key move (cf. fn_surrogate_key).
+
+    Scale: dictionary build is a distinct + rank on ≤|cardinality|
+    rows; encode and decode are broadcast hash joins against that
+    dictionary — the fact table never shuffles.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    dic = (
+        o.select(F.col("o_orderpriority").alias("v"))
+        .distinct()
+        .select(
+            "v", F.row_number().over(Window.orderBy("v")).alias("id")
+        )
+    )
+    enc = o.join(F.broadcast(dic), o.o_orderpriority == dic.v).select(
+        "o_orderkey", "id"
+    )
+    root = _tmp(sf_dir, "dict_enc")
+    enc.write.mode("overwrite").parquet(os.path.join(root, "encoded"))
+    dic.write.mode("overwrite").parquet(os.path.join(root, "dict"))
+
+    enc_back = spark.read.parquet(os.path.join(root, "encoded"))
+    dic_back = spark.read.parquet(os.path.join(root, "dict"))
+    decoded = enc_back.join(F.broadcast(dic_back), "id").select(
+        "o_orderkey", F.col("v").alias("decoded"), "id"
+    )
+    joined = decoded.join(o, "o_orderkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").cast("bigint").alias("id_checksum"),
+        F.sum(
+            (F.col("decoded") != F.col("o_orderpriority")).cast("bigint")
+        ).alias("n_roundtrip_mismatch"),
+    ).crossJoin(
+        F.broadcast(dic_back.agg(F.count(F.lit(1)).alias("n_dict")))
+    )

@@ -274,3 +274,19 @@ def test_rsi_bounds(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r["rsi"] <= 100.0
+
+
+def test_agg_pushdown_engaged_and_conf_restored(spark):
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", "__unset__")
+    r = engine.REGISTRY["scan_agg_pushdown"].fn(spark, SF_DIR).collect()[0]
+    assert r["agg_pushed"] is True  # metadata-only path really engaged
+    assert r["custkey_lo"] >= 0 and r["custkey_hi"] > r["custkey_lo"]
+    after = spark.conf.get("spark.sql.sources.useV1SourceList", "__unset__")
+    assert before == after  # the v2-reader conf must not leak
+
+
+def test_dictionary_round_trip_lossless(spark):
+    r = engine.REGISTRY["sink_dictionary_encode"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_roundtrip_mismatch"] == 0
+    assert r["n_dict"] == 5  # orders has five priorities
+    assert r["n_rows"] > 0
