@@ -78,6 +78,7 @@ _GRADE_FIRST = [
     "win_ohlc_candles", "agg_welch_ttest", "agg_mannwhitney_u", "agg_ks_test",
     "pipe_vocab_coverage", "ml_auc_exact", "agg_spearman_corr",
     "win_bollinger_bands", "win_rsi_indicator", "scan_agg_pushdown", "sink_dictionary_encode",
+    "agg_kmv_theta_setops", "agg_log2_histogram",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

@@ -431,3 +431,201 @@ def q_agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err"),
         "n_zero_registers",
     )
+
+
+# --- KMV (theta-style) sketch set algebra ------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # md5-derived 60-bit hash space
+
+
+def _kmv_oracle() -> str:
+    h = "(('0x' || substr(md5('v:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+WITH pv AS (
+  SELECT DISTINCT 'purchase' AS s, {h} AS h FROM events
+  WHERE event_type = 'purchase'
+  UNION
+  SELECT DISTINCT 'view' AS s, {h} AS h FROM events
+  WHERE event_type = 'view'
+),
+sk AS (
+  SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+  FROM pv
+),
+kept AS (SELECT s, h, rn FROM sk WHERE rn <= {_KMV_K}),
+theta AS (
+  SELECT MIN(kmax) AS th FROM (
+    SELECT s, MAX(h) AS kmax FROM kept GROUP BY s
+  )
+),
+est AS (
+  SELECT
+    (SELECT ({_KMV_K} - 1) * {_KMV_SPACE} / MAX(h)
+     FROM kept WHERE s = 'purchase') AS est_a,
+    (SELECT ({_KMV_K} - 1) * {_KMV_SPACE} / MAX(h)
+     FROM kept WHERE s = 'view') AS est_b,
+    (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM kept, theta
+     WHERE h < theta.th) AS n_union_below,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       (SELECT h FROM kept WHERE s = 'purchase'
+        INTERSECT SELECT h FROM kept WHERE s = 'view') i, theta
+     WHERE i.h < theta.th) AS n_inter_below,
+    (SELECT th FROM theta) AS th
+),
+exact AS (
+  SELECT
+    CAST(COUNT(DISTINCT user_id)
+         FILTER (WHERE event_type = 'purchase') AS BIGINT) AS exact_a,
+    CAST(COUNT(DISTINCT user_id)
+         FILTER (WHERE event_type = 'view') AS BIGINT) AS exact_b
+  FROM events
+)
+SELECT round(est.est_a, 6) AS est_purchasers,
+       round(est.est_b, 6) AS est_viewers,
+       round(est.n_union_below * {_KMV_SPACE} / est.th, 6) AS est_union,
+       round(est.n_inter_below * {_KMV_SPACE} / est.th, 6) AS est_intersection,
+       exact.exact_a AS exact_purchasers,
+       exact.exact_b AS exact_viewers
+FROM est, exact
+"""
+
+
+@register("agg_kmv_theta_setops", oracle=_kmv_oracle())
+def q_agg_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on K-Minimum-Values (theta) sketches — the
+    Datasketches trick that HLL cannot do: estimate the UNION and
+    INTERSECTION cardinalities of two distinct-user sets (purchasers ∩
+    viewers) from two k={k} sketches, no re-scan. Each set keeps its k
+    smallest md5-derived hash values; |A| ≈ (k−1)·H/h_(k); θ = min of
+    the two kth values, and union/intersection estimates count (shared)
+    retained hashes below θ, scaled by H/θ — the standard theta-sketch
+    estimator. Every retained value is deterministic, so the oracle
+    rebuilds the identical sketches and matches the estimates exactly.
+
+    Scale: a KMV sketch is a bounded top-k-by-hash aggregation —
+    per-partition k-minimums merge associatively (keep k smallest of
+    the union), exactly like any partial agg; state is k longs per set
+    regardless of cardinality. The set algebra then runs on sketches
+    alone — the "how many users did A and B share last quarter" query
+    answered without touching last quarter's data again.
+    """.format(k=_KMV_K)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("v:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pv = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .select(F.col("event_type").alias("s"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    kept = pv.select("s", "h", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _KMV_K
+    )
+    kmax = kept.groupBy("s").agg(F.max("h").alias("kmax"))
+    theta = kmax.agg(F.min("kmax").alias("th"))
+    a = kept.filter(F.col("s") == "purchase").select(F.col("h").alias("ha"))
+    b = kept.filter(F.col("s") == "view").select(F.col("h").alias("hb"))
+    est_ab = kmax.groupBy().pivot("s", ["purchase", "view"]).agg(
+        F.first(F.lit(_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kmax"))
+    )
+    union_below = (
+        kept.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_union_below"))
+    )
+    inter_below = (
+        a.join(b, a.ha == b.hb)
+        .select(F.col("ha").alias("h"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_inter_below"))
+    )
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchasers"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_viewers"),
+    )
+    return (
+        est_ab.crossJoin(F.broadcast(union_below))
+        .crossJoin(F.broadcast(inter_below))
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.round(F.col("purchase"), 6).alias("est_purchasers"),
+            F.round(F.col("view"), 6).alias("est_viewers"),
+            F.round(
+                F.col("n_union_below") * F.lit(_KMV_SPACE) / F.col("th"), 6
+            ).alias("est_union"),
+            F.round(
+                F.col("n_inter_below") * F.lit(_KMV_SPACE) / F.col("th"), 6
+            ).alias("est_intersection"),
+            "exact_purchasers",
+            "exact_viewers",
+        )
+    )
+
+
+# --- power-of-two (HdrHistogram-style) latency buckets -----------------------
+
+_LOG2_ORACLE = """
+WITH v AS (
+  SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vf FROM events
+  WHERE value > 0
+),
+b AS (
+  SELECT length(bin(vf)) AS bucket, vf FROM v
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS lo,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vf) AS BIGINT) AS sum_fx
+FROM b GROUP BY bucket
+"""
+
+
+@register("agg_log2_histogram", oracle=_LOG2_ORACLE)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two bucketed histogram of the (fixed-point) value
+    stream — the HdrHistogram/latency-SLO shape: bucket = position of
+    the highest set bit, computed EXACTLY as length(bin(v)) (string
+    length of the binary representation — pure integer semantics in
+    both engines, no floor(log2()) float hazard at power-of-two
+    boundaries). Each bucket row carries its [2^(b−1), 2^b) range,
+    count, and exact sum.
+
+    Scale: a plain hash agg on ~40 possible buckets — map-side combine
+    collapses any stream to ≤64 cells per task, and bucket histograms
+    merge by cell-wise add, making this the mergeable shape for
+    latency percentile monitoring (exact within a factor-2 band) on
+    unbounded streams.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value") > 0).select(
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("vf")
+    )
+    b = v.select("vf", F.length(F.bin("vf")).alias("bucket"))
+    one = F.lit(1).cast("bigint")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vf").cast("bigint").alias("sum_fx"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket - 1) AS BIGINT)").alias("lo"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) - 1 AS BIGINT)").alias("hi"),
+        "n",
+        "sum_fx",
+    )

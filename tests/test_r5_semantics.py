@@ -290,3 +290,28 @@ def test_dictionary_round_trip_lossless(spark):
     assert r["n_roundtrip_mismatch"] == 0
     assert r["n_dict"] == 5  # orders has five priorities
     assert r["n_rows"] > 0
+
+
+def test_kmv_estimates_sane(spark):
+    r = engine.REGISTRY["agg_kmv_theta_setops"].fn(spark, SF_DIR).collect()[0]
+    # KMV with k=64 has rsd ~ 1/sqrt(k-2) ~ 13%; allow 5 sigma
+    for est, exact in [
+        (r["est_purchasers"], r["exact_purchasers"]),
+        (r["est_viewers"], r["exact_viewers"]),
+    ]:
+        assert abs(est - exact) / exact < 0.65, (est, exact)
+    # set-algebra consistency: |A∪B| >= max single set est; inclusion-
+    # exclusion roughly holds on the sketch estimates
+    assert r["est_union"] >= max(r["est_purchasers"], r["est_viewers"]) * 0.8
+    assert r["est_intersection"] <= r["est_union"]
+
+
+def test_log2_histogram_partitions_rows(spark):
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    rows = engine.REGISTRY["agg_log2_histogram"].fn(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "events").filter("value > 0").count()
+    assert sum(r["n"] for r in rows) == total  # buckets partition rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert r["lo"] * 2 > r["hi"]  # factor-2 band
