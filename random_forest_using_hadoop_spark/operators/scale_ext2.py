@@ -801,3 +801,168 @@ def q_join_runtime_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(path)
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&id=1'
+           WHEN 1 THEN 'https://www.example.com/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '/?id=1'
+           WHEN 2 THEN 'https://www.example.com/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '?id=1&utm_campaign=x'
+           ELSE 'https://www.example.com/docs/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '?id=1'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), ':443/', '/'),
+               'utm_[a-z]+=[^&]*&?', ''),
+             '[?&]$', ''),
+           '/\\?', '?') AS cu
+  FROM raw
+),
+norm AS (
+  SELECT doc_id,
+         CASE WHEN cu LIKE '%/' THEN substr(cu, 1, length(cu) - 1) ELSE cu END
+             AS curl
+  FROM canon
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS n_dup_removed
+FROM norm
+"""
+
+
+@register("pipe_url_canonical_dedup", oracle=_URL_CANON_ORACLE)
+def q_pipe_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier step that
+    collapses scheme/host case, default ports, tracking parameters
+    (utm_*), and trailing slashes before content is ever fetched. Four
+    synthetic variants per canonical URL (uppercase host + :443,
+    trailing slash, utm decoration, clean) are normalized by a chain of
+    deterministic regex rewrites shared verbatim with the oracle; the
+    graded projection proves every variant group collapses to one
+    canonical form (n_dup_removed = 3/4 of the corpus).
+
+    Scale: stateless projection + one distinct-count — the dedup
+    itself is the exact content-hash pattern (dedup_exact) applied to
+    the canonical URL; at crawl scale the canonical form is the
+    partition key of the frontier store.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = F.concat(F.lit("www.example.com/docs/"),
+                    (F.col("doc_id") / 4).cast("bigint").cast("string"))
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW.Example.COM:443/docs/"),
+                     (F.col("doc_id") / 4).cast("bigint").cast("string"),
+                     F.lit("?utm_source=feed&id=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://"), base, F.lit("/?id=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), base, F.lit("?id=1&utm_campaign=x")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?id=1")))
+        .alias("url"),
+    )
+    cu = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), ":443/", "/"),
+                "utm_[a-z]+=[^&]*&?",
+                "",
+            ),
+            "[?&]$",
+            "",
+        ),
+        "/\\?",
+        "?",
+    )
+    norm = raw.select(cu.alias("cu")).select(
+        F.regexp_replace(F.col("cu"), "/$", "").alias("curl")
+    )
+    return norm.agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("curl").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.count_distinct("curl")).alias("n_dup_removed"),
+    )
+
+
+# --- user path-pattern mining ------------------------------------------------
+
+_PATH_TOPN = 20
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS path
+  FROM events GROUP BY user_id
+),
+pre AS (
+  SELECT substr(path, 1, 5) AS path5, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM seq GROUP BY 1
+)
+SELECT path5, n_users FROM pre
+ORDER BY n_users DESC, path5 LIMIT {_PATH_TOPN}
+"""
+
+
+@register("agg_user_path_patterns", oracle=_PATH_ORACLE)
+def q_agg_user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — the product-analytics query behind every Sankey
+    funnel diagram: encode each user's event stream as an ordered
+    symbol string (first letter of event_type, strictly ordered by
+    (ts, event_id)), truncate to the first five steps, and rank the
+    top-{n} entry paths by user count. Ordering inside the aggregation
+    is explicit on both engines (sort_array of (ts, event_id, symbol)
+    structs here; string_agg ORDER BY there), so the path strings are
+    deterministic, not shuffle-order artifacts.
+
+    Scale: one shuffle keyed by user (the sequence build — bounded by
+    per-user event counts), one hash agg on the ≤5-symbol prefix
+    (tiny domain), and a TakeOrderedAndProject for the top-{n} —
+    never a global sort of users or events.
+    """.format(n=_PATH_TOPN)
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+            ).alias("path")
+        )
+    )
+    pre = seq.select(F.substring("path", 1, 5).alias("path5"))
+    return (
+        pre.groupBy("path5")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path5")
+        .limit(_PATH_TOPN)
+    )

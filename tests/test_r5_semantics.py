@@ -315,3 +315,20 @@ def test_log2_histogram_partitions_rows(spark):
     for r in rows:
         assert r["lo"] <= r["hi"]
         assert r["lo"] * 2 > r["hi"]  # factor-2 band
+
+
+def test_url_canonical_collapses_variant_groups(spark):
+    r = engine.REGISTRY["pipe_url_canonical_dedup"].fn(spark, SF_DIR).collect()[0]
+    # doc_ids 0..n-1 in groups of 4 decorated variants per canonical
+    # URL: every group must collapse to exactly one canonical form
+    assert r["n_canonical"] == (r["n_urls"] + 3) // 4
+    assert r["n_dup_removed"] == r["n_urls"] - r["n_canonical"]
+
+
+def test_user_paths_deterministic_and_ranked(spark):
+    rows = engine.REGISTRY["agg_user_path_patterns"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert set(r["path5"]) <= set("cvpse")  # click/view/purchase/signup/error
