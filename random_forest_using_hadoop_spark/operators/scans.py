@@ -916,3 +916,69 @@ def q_sink_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(dic_back.agg(F.count(F.lit(1)).alias("n_dict")))
     )
+
+
+# --- runtime missing-file resilience -----------------------------------------
+
+_MISSING_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+FROM lineitem WHERE l_returnflag <> 'R'
+GROUP BY 1
+"""
+
+
+@register("scan_missing_file_resilient", oracle=_MISSING_ORACLE)
+def q_scan_missing_file_resilient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime missing-file tolerance: a 100 TB scan lists its files
+    once, then reads for minutes-to-hours — files compacted or expired
+    mid-flight raise FileNotFound and kill the job unless
+    spark.sql.files.ignoreMissingFiles is on. Staged here exactly as
+    the race happens: write lineitem partitioned by l_returnflag, LET
+    THE READER LIST the directory (DataFrame creation pins the file
+    index), then delete the 'R' partition from under it; the
+    subsequent aggregation must return precisely the surviving
+    partitions' rows — the oracle states them — instead of erroring.
+    The conf flips inside try/finally and is restored to its prior
+    state (unset stays unset).
+
+    Scale note: ignoreMissingFiles trades fail-stop for partial reads;
+    production pairs it with manifest-pinned snapshots
+    (sink_snapshot_timetravel) so readers never race compaction at
+    all — this operator demonstrates the failure mode the manifest
+    layer exists to prevent.
+    """
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    path = _tmp(sf_dir, "missing_file")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+
+    def _explicit(k: str) -> bool:
+        try:
+            return bool(spark._jsparkSession.conf().contains(k))
+        except Exception:
+            return True
+
+    key = "spark.sql.files.ignoreMissingFiles"
+    old = spark.conf.get(key) if _explicit(key) else None
+    try:
+        spark.conf.set(key, "true")
+        back = spark.read.parquet(path)  # file index pinned HERE
+        shutil.rmtree(os.path.join(path, "l_returnflag=R"), ignore_errors=True)
+        out = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        rows = out.collect()  # eager: the conf must be live during read
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n long, key_checksum long"
+    )

@@ -332,3 +332,38 @@ def test_user_paths_deterministic_and_ranked(spark):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert set(r["path5"]) <= set("cvpse")  # click/view/purchase/signup/error
+
+
+def test_missing_file_resilience_is_genuine(spark):
+    """The staged race must actually trip the missing-file path: the
+    same read WITHOUT ignoreMissingFiles must fail, and the operator's
+    tolerant read must return exactly the surviving partitions."""
+    import os
+    import shutil
+
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    rows = engine.REGISTRY["scan_missing_file_resilient"].fn(spark, SF_DIR).collect()
+    assert sorted(r["l_returnflag"] for r in rows) == ["A", "N"]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exp = {
+        r["l_returnflag"]: r["n"]
+        for r in li.filter("l_returnflag <> 'R'")
+        .groupBy("l_returnflag")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {r["l_returnflag"]: r["n"] for r in rows} == exp
+    # negative control: the identical race without the conf must throw
+    path = _tmp(SF_DIR, "missing_file_neg")
+    li.select("l_orderkey", "l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    shutil.rmtree(os.path.join(path, "l_returnflag=R"), ignore_errors=True)
+    with pytest.raises(Exception, match="FILE_NOT_EXIST|FileNotFound"):
+        back.count()
