@@ -1426,3 +1426,128 @@ def q_win_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rsi, 6).alias("rsi"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_deltas"),
     )
+
+
+# --- linear-interpolation gap fill -------------------------------------------
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vf
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+spine AS (
+  SELECT user_id, CAST(unnest(range(0, CAST(d1 - d0 AS BIGINT) + 1)) AS BIGINT)
+             AS off, d0
+  FROM span
+),
+grid AS (
+  SELECT s.user_id, s.d0 + CAST(s.off AS INTEGER) AS day
+  FROM spine s
+),
+j AS (
+  SELECT g.user_id, g.day, o.vf,
+         last_value(o.vf IGNORE NULLS) OVER w_b AS pv,
+         last_value(CASE WHEN o.vf IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER w_b AS pd,
+         first_value(o.vf IGNORE NULLS) OVER w_f AS nv,
+         first_value(CASE WHEN o.vf IS NOT NULL THEN g.day END IGNORE NULLS)
+             OVER w_f AS nd
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day
+  WINDOW w_b AS (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_f AS (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       round(CASE WHEN vf IS NOT NULL THEN vf
+                  ELSE pv + (nv - pv) * (day - pd) * 1.0
+                            / (nd - pd)
+             END / 1000.0, 6) AS value_interp,
+       vf IS NULL AS is_interpolated
+FROM j
+"""
+
+
+@register("win_gap_fill_interpolate", oracle=_INTERP_ORACLE)
+def q_win_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the numeric sibling of
+    win_forward_fill (LOCF) and agg_timeseries_densify (zero fill): on
+    each user's purchase-day span, missing days take the straight line
+    between the surrounding observations,
+    v = v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev).
+    Both neighbors come from one backward and one forward IGNORE NULLS
+    ordered frame carrying (value, day) pairs; the interpolation is an
+    exact integer expression until the single final division.
+
+    Scale: per-user spine generation bounded by each user's own span
+    (densify's doctrine), two ordered frames per user partition, no
+    self-joins — gap filling stays linear in output rows at any
+    corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint")).alias(
+                "vf"
+            )
+        )
+    )
+    span = (
+        obs.groupBy("user_id")
+        .agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.count(F.lit(1)).alias("nobs"),
+        )
+        .filter(F.col("nobs") >= 2)
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = grid.join(obs, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("vf").isNotNull(), F.col("day"))
+    withn = j.select(
+        "user_id",
+        "day",
+        "vf",
+        F.last("vf", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("vf", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    num_days = F.datediff(F.col("day"), F.col("pd")).cast("bigint")
+    den_days = F.datediff(F.col("nd"), F.col("pd")).cast("bigint")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * num_days * 1.0 / den_days
+    return withn.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("vf").isNotNull(), F.col("vf").cast("double"))
+            .otherwise(interp)
+            / 1000.0,
+            6,
+        ).alias("value_interp"),
+        F.col("vf").isNull().alias("is_interpolated"),
+    )

@@ -367,3 +367,29 @@ def test_missing_file_resilience_is_genuine(spark):
     shutil.rmtree(os.path.join(path, "l_returnflag=R"), ignore_errors=True)
     with pytest.raises(Exception, match="FILE_NOT_EXIST|FileNotFound"):
         back.count()
+
+
+def test_interpolation_lies_between_neighbors(spark):
+    rows = (
+        engine.REGISTRY["win_gap_fill_interpolate"]
+        .fn(spark, SF_DIR)
+        .orderBy("user_id", "day")
+        .collect()
+    )
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for seq in by_user.values():
+        # spine is contiguous daily; interpolated values must lie in
+        # the closed interval of the surrounding observed values
+        obs_idx = [i for i, r in enumerate(seq) if not r["is_interpolated"]]
+        assert obs_idx[0] == 0 and obs_idx[-1] == len(seq) - 1
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(seq[a]["value_interp"], seq[b]["value_interp"])
+            hi = max(seq[a]["value_interp"], seq[b]["value_interp"])
+            for i in range(a + 1, b):
+                assert lo - 1e-6 <= seq[i]["value_interp"] <= hi + 1e-6
+                checked += 1
+    assert checked > 100
