@@ -80,7 +80,7 @@ _GRADE_FIRST = [
     "win_bollinger_bands", "win_rsi_indicator", "scan_agg_pushdown", "sink_dictionary_encode",
     "agg_kmv_theta_setops", "agg_log2_histogram",
     "pipe_url_canonical_dedup", "agg_user_path_patterns", "scan_missing_file_resilient",
-    "win_gap_fill_interpolate",
+    "win_gap_fill_interpolate", "agg_percentile_histogram",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

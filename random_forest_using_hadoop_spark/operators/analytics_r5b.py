@@ -1551,3 +1551,86 @@ def q_win_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_interp"),
         F.col("vf").isNull().alias("is_interpolated"),
     )
+
+
+# --- exact percentiles from the value histogram ------------------------------
+
+_PCTL_HIST_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY vf) / 100.0, 6) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY vf) / 100.0, 6) AS p90,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY vf) / 100.0, 6) AS p99
+FROM v GROUP BY event_type
+"""
+
+
+@register("agg_percentile_histogram", oracle=_PCTL_HIST_ORACLE)
+def q_agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT from the value HISTOGRAM — the
+    100 TB-shaped order statistic: where agg_percentile_cont buffers
+    every value into Spark's exact percentile aggregate (per-group
+    memory ∝ rows), this derives the identical interpolated
+    percentiles from cumulative counts over the fixed-point value
+    domain (state ∝ distinct values, mergeable like any histogram).
+    For each p, rank r = (n−1)·p; the values at 0-indexed positions
+    ⌊r⌋ and ⌈r⌉ are the histogram rows whose [cum, cum+c) span covers
+    them, and the interpolation v_lo + (r−⌊r⌋)(v_hi−v_lo) matches the
+    definitional PERCENTILE_CONT the oracle runs on raw values — the
+    hash match PROVES the histogram derivation equivalent.
+
+    Scale: one hash agg to (group, value) cells with map-side combine,
+    one cumulative window over each group's bounded value domain, one
+    conditional-agg pass — no per-group value buffering anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("vf"),
+    )
+    h = v.groupBy("event_type", "vf").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vf")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    hh = h.select(
+        "event_type",
+        "vf",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("cum0"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    cols = [F.max("n").cast("bigint").alias("n")]
+    outs = []
+    for name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        r = (F.col("n") - 1).cast("double") * F.lit(p)
+        k_lo = F.floor(r).cast("bigint")
+        k_hi = F.ceil(r).cast("bigint")
+        covers = lambda k: (F.col("cum0") <= k) & (k < F.col("cum0") + F.col("c"))  # noqa: E731
+        cols.append(
+            F.max(F.when(covers(k_lo), F.col("vf"))).alias(f"_{name}_lo")
+        )
+        cols.append(
+            F.max(F.when(covers(k_hi), F.col("vf"))).alias(f"_{name}_hi")
+        )
+        cols.append(F.max(r).alias(f"_{name}_r"))
+        frac = F.col(f"_{name}_r") - F.floor(F.col(f"_{name}_r"))
+        outs.append(
+            F.round(
+                (
+                    F.col(f"_{name}_lo")
+                    + frac * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo"))
+                )
+                / 100.0,
+                6,
+            ).alias(name)
+        )
+    g = hh.groupBy("event_type").agg(*cols)
+    return g.select("event_type", "n", *outs)

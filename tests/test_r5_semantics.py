@@ -393,3 +393,26 @@ def test_interpolation_lies_between_neighbors(spark):
                 assert lo - 1e-6 <= seq[i]["value_interp"] <= hi + 1e-6
                 checked += 1
     assert checked > 100
+
+
+def test_histogram_percentiles_match_buffered_exact(spark):
+    """The histogram derivation must agree with Spark's own exact
+    buffered percentile aggregate on the same quantized values."""
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in engine.REGISTRY["agg_percentile_histogram"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("vf"),
+    )
+    pct = F.percentile("vf", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    ref = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type").agg(pct.alias("p")).collect()
+    }
+    for t, r in got.items():
+        for i, name in enumerate(["p50", "p90", "p99"]):
+            assert abs(r[name] - ref[t]["p"][i] / 100.0) < 1e-6, (t, name)
