@@ -455,3 +455,76 @@ def q_join_null_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unmatched"),
     )
+
+
+# --- as-of join with tolerance -----------------------------------------------
+
+_ASOF_TOL_MIN = 30  # only match a prior purchase within this many minutes
+
+_ASOF_TOL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts, MAX(p.pts) AS prev_purchase_ts
+  FROM e LEFT JOIN p
+    ON p.user_id = e.user_id
+   AND p.pts < e.ts
+   AND p.pts >= e.ts - INTERVAL {_ASOF_TOL_MIN} MINUTE
+  GROUP BY 1, 2, 3
+)
+SELECT event_id, user_id, ts, prev_purchase_ts,
+       prev_purchase_ts IS NOT NULL AS matched
+FROM m
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=`` semantics): each click matches the latest strictly
+    earlier purchase by the same user, but only within {m} minutes —
+    beyond the window the match is NULL rather than an arbitrarily
+    stale row, which is what makes as-of features safe for
+    time-decaying signals. Same RANGE-frame shape as join_asof with the
+    frame's lower bound finite: [−{m} min, −1 µs) in epoch-µs space, so
+    the tolerance is enforced by the frame itself, not a post-filter.
+
+    Scale: one shuffle on user_id + per-user ordered frame — cost
+    identical to the unbounded as-of; the oracle's definitional
+    bounded theta-join is what this plan avoids.
+    """.format(m=_ASOF_TOL_MIN)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+    )
+    both = clicks.unionByName(purch)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-_ASOF_TOL_MIN * 60 * 1_000_000, -1)
+    )
+    prev = F.max(F.when(F.col("is_p") == 1, ts_us)).over(w)
+    return (
+        both.withColumn("_prev", prev)
+        .filter(F.col("is_p") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.timestamp_micros(F.col("_prev"))
+            .cast("timestamp_ntz")
+            .alias("prev_purchase_ts"),
+            F.col("_prev").isNotNull().alias("matched"),
+        )
+    )

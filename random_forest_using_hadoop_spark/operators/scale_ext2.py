@@ -966,3 +966,71 @@ def q_agg_user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path5")
         .limit(_PATH_TOPN)
     )
+
+
+# --- IPv4 subnet rollup ------------------------------------------------------
+
+_IP_ORACLE = """
+WITH ip AS (
+  SELECT user_id,
+         (user_id * 2654435761) % 16777216 AS host24
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+oct AS (
+  SELECT user_id,
+         10 AS o1,
+         host24 // 65536 AS o2,
+         (host24 // 256) % 256 AS o3,
+         host24 % 256 AS o4
+  FROM ip
+)
+SELECT '10.' || CAST(o2 AS VARCHAR) || '.0.0/16' AS subnet,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(MIN(o3 * 256 + o4) AS BIGINT) AS min_host_part,
+       CAST(MAX(o3 * 256 + o4) AS BIGINT) AS max_host_part
+FROM oct
+GROUP BY 1
+"""
+
+
+@register("fn_ipv4_subnet", oracle=_IP_ORACLE)
+def q_fn_ipv4_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address synthesis + /16 subnet rollup — the network-log
+    aggregation shape (hosts per subnet, address-range audit): each
+    user gets a deterministic 10.0.0.0/8 address from a Knuth
+    multiplicative hash of its id (pure integer div/mod octet math,
+    identical in both engines), then hosts roll up to /16 prefixes.
+    CIDR prefix aggregation is integer prefix arithmetic, not string
+    parsing — the same div/mod ladder handles any prefix length.
+
+    Scale: distinct users → stateless octet projection → one hash agg
+    on the subnet prefix; at flow-log scale the /16 key is deliberately
+    low-cardinality, so map-side combine collapses each task to ≤256
+    cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ip = ev.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % 16777216).alias("host24"),
+    )
+    oct_ = ip.select(
+        F.expr("host24 div 65536").alias("o2"),
+        (F.expr("host24 div 256") % 256).alias("o3"),
+        (F.col("host24") % 256).alias("o4"),
+    )
+    return (
+        oct_.groupBy(
+            F.concat(F.lit("10."), F.col("o2").cast("string"), F.lit(".0.0/16")).alias(
+                "subnet"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.min(F.col("o3") * 256 + F.col("o4")).cast("bigint").alias(
+                "min_host_part"
+            ),
+            F.max(F.col("o3") * 256 + F.col("o4")).cast("bigint").alias(
+                "max_host_part"
+            ),
+        )
+    )

@@ -416,3 +416,29 @@ def test_histogram_percentiles_match_buffered_exact(spark):
     for t, r in got.items():
         for i, name in enumerate(["p50", "p90", "p99"]):
             assert abs(r[name] - ref[t]["p"][i] / 100.0) < 1e-6, (t, name)
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    rows = (
+        engine.REGISTRY["join_asof_tolerance"]
+        .fn(spark, SF_DIR)
+        .filter("matched")
+        .limit(300)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        gap = (r["ts"] - r["prev_purchase_ts"]).total_seconds()
+        assert 0 < gap <= 30 * 60  # strictly earlier, within tolerance
+
+
+def test_ipv4_subnets_partition_users(spark):
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    rows = engine.REGISTRY["fn_ipv4_subnet"].fn(spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_hosts"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["min_host_part"] <= r["max_host_part"] <= 65535
