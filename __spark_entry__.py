@@ -81,7 +81,7 @@ _GRADE_FIRST = [
     "agg_kmv_theta_setops", "agg_log2_histogram",
     "pipe_url_canonical_dedup", "agg_user_path_patterns", "scan_missing_file_resilient",
     "win_gap_fill_interpolate", "agg_percentile_histogram",
-    "join_asof_tolerance", "fn_ipv4_subnet",
+    "join_asof_tolerance", "fn_ipv4_subnet", "agg_srm_guard", "ml_decile_lift",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

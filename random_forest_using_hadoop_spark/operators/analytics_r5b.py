@@ -1634,3 +1634,164 @@ def q_agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     g = hh.groupBy("event_type").agg(*cols)
     return g.select("event_type", "n", *outs)
+
+
+# --- sample-ratio-mismatch guard ---------------------------------------------
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS cohort FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       round(((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0))
+             / ((n_a + n_b) / 2.0)
+           + ((n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0))
+             / ((n_a + n_b) / 2.0), 6) AS chi2,
+       ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0))
+             / ((n_a + n_b) / 2.0)
+           + ((n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0))
+             / ((n_a + n_b) / 2.0) > 10.828 AS srm_alarm
+FROM s
+"""
+
+
+@register("agg_srm_guard", oracle=_SRM_ORACLE)
+def q_agg_srm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch guard — the first gate every experiment
+    readout must pass before agg_ab_ztest's effect estimate means
+    anything: a 1-dof chi-square of the observed cohort split against
+    the designed 50/50, alarming at the p < 0.001 critical value
+    (10.828). An SRM alarm means assignment or logging is broken and
+    the experiment is invalid regardless of its lift. Exact integer
+    counts; the statistic is one double expression.
+
+    Scale: the same shrinking two-shuffle shape as the z-test — per-
+    user reduction then two global counters. Checking more designed
+    ratios (90/10 holdouts, multi-arm) changes constants, not passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", (F.col("user_id") % 2).alias("cohort")).distinct()
+    s = u.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 10.828).alias("srm_alarm"),
+    )
+
+
+# --- decile lift / gains table -----------------------------------------------
+
+_LIFT_ORACLE = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         doc_id
+  FROM documents
+),
+ranked AS (
+  SELECT pos,
+         NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS total_pos,
+         CAST(COUNT(*) AS BIGINT) AS total_n
+  FROM ranked
+),
+d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+),
+c AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pos,
+         CAST(SUM(n) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_n
+  FROM d
+)
+SELECT c.decile, c.n, c.n_pos,
+       round(CAST(c.cum_pos AS DOUBLE) / tot.total_pos, 6) AS cum_capture,
+       round((CAST(c.cum_pos AS DOUBLE) / c.cum_n)
+             / (CAST(tot.total_pos AS DOUBLE) / tot.total_n), 6) AS cum_lift
+FROM c, tot
+"""
+
+
+@register("ml_decile_lift", oracle=_LIFT_ORACLE)
+def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the campaign-targeting readout next
+    to ml_auc_exact: rank the population by score (document length as
+    the lang='en' scorer, deterministic doc_id tie-break), cut into
+    NTILE(10) deciles via the exact ntile identity over
+    helpers.dist_row_number (never an un-partitioned window), and
+    report per decile the positives, cumulative capture rate, and
+    cumulative lift over the base rate. A useful scorer shows top-decile
+    lift > 1 and capture concentating early; the bottom decile's
+    cum_lift is exactly 1 by construction.
+
+    Scale: the distributed rank is the only ordered pass (range-
+    partitioned two-phase); everything after is a 10-row frame.
+    """
+    from random_forest_using_hadoop_spark.helpers import dist_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        "doc_id",
+    )
+    n_tot = d.count()
+    ranked = dist_row_number(
+        d, [F.col("score").desc(), F.col("doc_id")], out="rn"
+    ).select(
+        "pos",
+        (F.expr(f"((rn - 1) * 10) div {n_tot}") + 1).cast("int").alias("decile"),
+    )
+    dd = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = dd.agg(
+        F.sum("n_pos").cast("bigint").alias("total_pos"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )
+    c = dd.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wcum).cast("bigint").alias("cum_n"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("total_pos"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("total_pos").cast("double") / F.col("total_n")),
+            6,
+        ).alias("cum_lift"),
+    )

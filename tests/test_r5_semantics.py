@@ -442,3 +442,23 @@ def test_ipv4_subnets_partition_users(spark):
     assert sum(r["n_hosts"] for r in rows) == n_users
     for r in rows:
         assert 0 <= r["min_host_part"] <= r["max_host_part"] <= 65535
+
+
+def test_srm_no_alarm_on_hash_split(spark):
+    r = engine.REGISTRY["agg_srm_guard"].fn(spark, SF_DIR).collect()[0]
+    # even/odd id split is a true 50/50 design: chi2 small, no alarm
+    assert r["srm_alarm"] is False
+    assert r["chi2"] < 10.828
+    assert abs(r["n_a"] - r["n_b"]) < (r["n_a"] + r["n_b"]) / 4
+
+
+def test_decile_lift_structure(spark):
+    rows = sorted(
+        engine.REGISTRY["ml_decile_lift"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)  # capture is cumulative
+    assert abs(caps[-1] - 1.0) < 1e-9  # all positives captured by D10
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9  # full-pop lift is 1
