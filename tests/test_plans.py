@@ -711,19 +711,26 @@ def test_snapshot_timetravel_v1_read_excludes_append(spark):
     assert 0 < rows[1]["n_rows"] < rows[2]["n_rows"]
 
 
-def test_rfm_no_global_window_over_customer_frame(spark):
-    """agg_rfm_segmentation: every NTILE must derive from the
-    distributed two-pass rank (helpers.dist_row_number) — each window
-    spec partitioned by the range-slice id, never an un-partitioned
-    WindowExec pulling the whole customer frame through one task."""
+@pytest.mark.parametrize(
+    "key", ["agg_rfm_segmentation", "ml_decile_lift"]
+)
+def test_rfm_no_global_window_over_customer_frame(spark, key):
+    """Every NTILE/decile must derive from the distributed two-pass
+    rank (helpers.dist_row_number) — each window spec partitioned by
+    the range-slice id, never an un-partitioned WindowExec pulling the
+    whole ranked frame through one task."""
     import re
 
-    plan = _executed_plan(spark, "agg_rfm_segmentation")
+    plan = _executed_plan(spark, key)
     win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert win_specs, "expected rank windows in the RFM plan"
+    assert win_specs, "expected rank windows in the plan"
+    sliced = [w for w in win_specs if "_rn_pid" in w]
+    assert sliced, "expected at least one slice-partitioned rank window"
     for spec in win_specs:
-        assert "_rn_pid" in spec, (
-            f"RFM rank window lost its slice partitioning: {spec}"
+        # the only un-partitioned windows allowed are cumulative frames
+        # over the <=10-row decile summary, bounded by construction
+        assert "_rn_pid" in spec or "decile" in spec, (
+            f"rank window lost its slice partitioning: {spec}"
         )
 
 
