@@ -154,3 +154,33 @@ def dist_row_number(
     return part.withColumn(
         out, (F.row_number().over(w) + off).cast("bigint")
     ).drop("_rn_pid")
+
+
+def ntile_from_rn(rn_col: str, n: int, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` bucket from a 1-based global row number.
+
+    SQL NTILE front-loads the ``n mod k`` remainder rows: the first
+    ``e = n mod k`` buckets get ``q+1`` rows (``q = n div k``), the
+    rest get ``q``. The naive identity ``((rn−1)·k) div n + 1`` is NOT
+    equivalent — it spreads the remainder (e.g. n=7, k=5 gives bucket
+    sizes 2,1,2,1,1 vs NTILE's 2,2,1,1,1) — so any oracle written with
+    NTILE() would hash-mismatch whenever ``n mod k ∉ {0, k−1}``. This
+    computes the true assignment:
+
+        bucket = (rn−1) div (q+1) + 1                    if rn ≤ e·(q+1)
+               = e + (rn − e·(q+1) − 1) div q + 1        otherwise
+
+    Pure integer arithmetic on the already-distributed ``rn`` from
+    :func:`dist_row_number` — no window, no shuffle, scale-free.
+    Degenerate ``n ≤ k`` (q = 0: every row its own bucket) falls out of
+    the first branch because then e = n and all rows satisfy rn ≤ e·1.
+    """
+    q, e = n // k, n % k
+    rn = F.col(rn_col)
+    # exact BIGINT `div` (not double `/`, which loses precision > 2^53)
+    head = F.expr(f"(({rn_col} - 1) div {q + 1}) + 1")
+    if q == 0:
+        return head.cast("int")
+    cut = e * (q + 1)
+    tail = F.expr(f"{e} + (({rn_col} - {cut} - 1) div {q}) + 1")
+    return F.when(rn <= cut, head).otherwise(tail).cast("int")
