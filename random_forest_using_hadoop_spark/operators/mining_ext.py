@@ -449,12 +449,18 @@ def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-customer rollup partial-aggs on the natural key.
     Each NTILE derives from a DISTRIBUTED global row_number
     (helpers.dist_row_number: range-repartition on the sort key,
-    per-slice rank + broadcast prefix offsets) via the exact identity
-    ntile_k(rn, n) = ((rn−1)·k) div n + 1 — never an un-partitioned
-    WindowExec funneling the customer frame through one task
-    (plan-gated in tests/test_plans.py).
+    per-slice rank + broadcast prefix offsets) fed through
+    helpers.ntile_from_rn — the EXACT SQL NTILE assignment, which
+    front-loads the n mod k remainder (the naive
+    ((rn−1)·k) div n + 1 identity spreads it and diverges whenever
+    n mod k ∉ {0, k−1}) — never an un-partitioned WindowExec funneling
+    the customer frame through one task (plan-gated in
+    tests/test_plans.py).
     """
-    from random_forest_using_hadoop_spark.helpers import dist_row_number
+    from random_forest_using_hadoop_spark.helpers import (
+        dist_row_number,
+        ntile_from_rn,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
@@ -470,10 +476,7 @@ def q_agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def quintile(src: DataFrame, order_cols, out: str) -> DataFrame:
         ranked = dist_row_number(src, order_cols, out="_rn")
         return ranked.select(
-            "o_custkey",
-            (F.expr(f"((_rn - 1) * 5) div {n_tot}") + 1)  # exact int div
-            .cast("int")
-            .alias(out),
+            "o_custkey", ntile_from_rn("_rn", n_tot, 5).alias(out)
         )
 
     r = quintile(base, [F.col("last_order").desc(), F.col("o_custkey")], "r_score")

@@ -818,8 +818,23 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("orderkey_hi"),
         )
         row = agg.collect()[0]
-        plan = agg._jdf.queryExecution().executedPlan().toString()
-        pushed = "PushedAggregation: [COUNT(*)" in plan
+        # Loose, version-tolerant pushdown detection: any non-empty
+        # PushedAggregation list in the executed plan counts (the exact
+        # "[COUNT(*)" spelling drifts across Spark minors); fall back to
+        # the formatted explain text if the private plan accessor moves.
+        import contextlib
+        import io
+        import re
+
+        try:
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agg.explain("formatted")
+            plan = buf.getvalue()
+        m = re.search(r"PushedAggregation:?\s*\[([^\]]*)\]", plan, re.IGNORECASE)
+        pushed = bool(m and m.group(1).strip())
     finally:
         for k in keys:
             if old[k] is None:

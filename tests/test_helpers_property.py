@@ -204,3 +204,49 @@ def test_interval_overlap_day_bin_cover_is_lossless(s0, slen, ic):
     span_day = s_start // day
     inc_days = range(i_start // day, i_end // day + 1)
     assert span_day in inc_days
+
+
+# --- ntile_from_rn ≡ SQL NTILE ----------------------------------------------
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [(7, 5), (7, 10), (3, 5), (500, 5), (503, 5), (503, 10), (5002, 10)],
+)
+def test_ntile_from_rn_matches_sql_ntile(spark, n, k):
+    """The helper must reproduce SQL NTILE(k) exactly — including the
+    front-loaded n mod k remainder where the naive ((rn−1)·k) div n + 1
+    identity diverges (e.g. n=7, k=5: sizes 2,2,1,1,1 not 2,1,2,1,1) —
+    for k|n, n mod k ∈ (0, k−1), and the degenerate n < k case."""
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.helpers import ntile_from_rn
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = {
+        r["rn"]: r["b"]
+        for r in df.select("rn", ntile_from_rn("rn", n, k).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT rn, NTILE({k}) OVER (ORDER BY rn) "
+            f"FROM range(1, {n + 1}) t(rn)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ntile_from_rn_quotes_nonidentifier_columns(spark):
+    """Column names with spaces/keywords must bind via backtick quoting."""
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.helpers import ntile_from_rn
+
+    df = spark.range(1, 8).select(F.col("id").alias("row n"))
+    got = sorted(
+        r["b"] for r in df.select(ntile_from_rn("row n", 7, 5).alias("b")).collect()
+    )
+    assert got == [1, 1, 2, 2, 3, 4, 5]
