@@ -146,7 +146,11 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     open-vocabulary shingle spaces fall back to sorted-array
     intersection — the banded candidate stage is unchanged either way.
     """
-    cand = _minhash_band_candidates(d)
+    # the band join is the expensive candidate stage and is read twice
+    # below (candidate-doc pruning + the verify join); cached past
+    # return because the returned plan reads it — MEMORY_AND_DISK + LRU
+    # bounds the cost (worst case it recomputes from parquet)
+    cand = _minhash_band_candidates(d).cache()
     vocab = d.select(F.explode("shingles").alias("s")).distinct()
     n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
     n_words = (n_vocab + 63) // 64
@@ -194,9 +198,30 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, el: acc + el,
     )
+    # Prune the bitmap table to docs that actually APPEAR in a candidate
+    # pair before shipping it anywhere: broadcasting the full `enc` puts
+    # every document's ceil(|V|/64)-long bitmap on every executor — a
+    # guaranteed broadcast OOM as the corpus grows, and wasted transfer
+    # even when it fits, since banding touches a small doc fraction.
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    enc_p = enc.join(ids, "doc_id", "left_semi").cache()
+    # Broadcast only while the pruned side provably fits (per row:
+    # n_words packed longs + key/struct overhead); above the threshold
+    # fall back to a shuffle hash join keyed on doc_id — identical
+    # values, memory bounded by a partition instead of the whole table.
+    est_bytes = enc_p.count() * (n_words * 8 + 48)
+    if est_bytes <= (64 << 20):
+        ea, eb = F.broadcast(enc_p.alias("ea")), F.broadcast(enc_p.alias("eb"))
+    else:
+        ea = enc_p.alias("ea").hint("SHUFFLE_HASH")
+        eb = enc_p.alias("eb").hint("SHUFFLE_HASH")
     return (
-        cand.join(F.broadcast(enc.alias("ea")), F.col("a") == F.col("ea.doc_id"))
-        .join(F.broadcast(enc.alias("eb")), F.col("b") == F.col("eb.doc_id"))
+        cand.join(ea, F.col("a") == F.col("ea.doc_id"))
+        .join(eb, F.col("b") == F.col("eb.doc_id"))
         .select(
             "a",
             "b",

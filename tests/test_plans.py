@@ -124,6 +124,20 @@ def test_headline_plans_stay_codegen(spark, key):
     assert "*(" in plan, f"no codegen stage in final plan:\n{plan[:800]}"
 
 
+def test_dedup_verify_broadcasts_pruned_bitmaps_not_full_table(spark):
+    """r7 gate for the verdict's scale-killer: the exact-Jaccard verify
+    must prune the per-doc bitmap table to candidate doc ids (a LeftSemi
+    join against the band-collision pairs) BEFORE broadcasting it —
+    broadcasting the full table puts every document's bitmap on every
+    executor, an OOM at corpus scale. Removing the prune removes every
+    LeftSemi from this plan."""
+    for key in ("dedup_minhash", "dedup_connected_components"):
+        plan = _formatted_plan(spark, key)
+        assert "LeftSemi" in plan, f"{key}: bitmap prune missing"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_embedding_is_bucketed_not_allpairs(spark):
     """r2 gate for the verdict's perf-weak flag: near-dup candidates must
     come from the LSH bucket equi-join — the O(n²) theta join may never

@@ -462,3 +462,47 @@ def test_decile_lift_structure(spark):
     assert caps == sorted(caps)  # capture is cumulative
     assert abs(caps[-1] - 1.0) < 1e-9  # all positives captured by D10
     assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9  # full-pop lift is 1
+
+
+def test_minhash_banding_recall_total_on_truth_set(spark):
+    """Recall gate (r7): the PRODUCTION 8-band × 2-row xxhash banding
+    must emit a candidate for EVERY pair at or above the 0.6 decision
+    threshold on the test corpus — the measured backstop for the
+    probabilistic (1−J²)⁸ miss-rate argument in
+    _minhash_band_candidates. A banding-parameter change that silently
+    drops a qualifying pair fails here before it ships."""
+    from random_forest_using_hadoop_spark.operators.dedup_lsh import (
+        _JACCARD_T,
+        _docs_with_shingles,
+        _minhash_band_candidates,
+    )
+
+    d = _docs_with_shingles(spark, SF_DIR).cache()
+    cand = _minhash_band_candidates(d)
+    sz = d.select("doc_id", F.size("shingles").alias("n"))
+    tok = d.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sz.alias("sa"), F.col("sa.doc_id") == F.col("a"))
+        .join(sz.alias("sb"), F.col("sb.doc_id") == F.col("b"))
+        .filter(
+            F.col("i")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+            >= _JACCARD_T
+        )
+        .select("a", "b")
+    )
+    n_truth = truth.count()
+    assert n_truth > 0  # planted dup groups exist [FIXTURES]
+    missed = truth.join(cand, ["a", "b"], "left_anti").count()
+    assert missed == 0, f"banding lost {missed}/{n_truth} qualifying pairs"
+    d.unpersist()
