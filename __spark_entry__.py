@@ -44,6 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local parity clone each pytest run). Every key appears once.
 _GRADE_FIRST = [
     # --- new-in-r7 keys: inserted here, position 1, as they land ---
+    "agg_winsorized_mean", "agg_ols_multi", "agg_kaplan_meier",
+    "win_ewma_crossover", "ml_pr_curve", "pipe_bpe_pair_stats",
     # --- late-r5 additions with zero driver evidence (30 keys) ---
     "src_xml", "agg_hll_portable", "agg_countmin_heavy",
     "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",

@@ -1,0 +1,649 @@
+"""Round-7 analytics additions: robust statistics, multivariate
+regression, survival analysis, exponential smoothing, classifier
+evaluation, and tokenizer-induction statistics.
+
+Everything follows the engine's fixed-point doctrine (helpers.py):
+float aggregation is quantized to 1e6 and summed as BIGINT so the
+DuckDB oracle hash-matches bit-for-bit regardless of accumulation
+order; ln/exp/pow enter only where the house precedent already trusts
+them (agg_entropy, text_bigram_lm) and always on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- winsorized / trimmed mean -----------------------------------------------
+
+# Exact rank selection (percentile_disc convention: value at rank
+# ceil(p·n) under the total order (value, key)), then clamp / drop.
+_WINSOR_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+cuts AS (
+  SELECT o_orderpriority,
+         MAX(n) AS n,
+         MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p05,
+         MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p95
+  FROM r GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority,
+       CAST(MAX(cuts.n) AS BIGINT) AS n_orders,
+       MAX(cuts.p05) AS p05,
+       MAX(cuts.p95) AS p95,
+       round((CAST(SUM(CAST(floor(
+           least(greatest(r.o_totalprice, cuts.p05), cuts.p95)
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0)
+         / MAX(cuts.n), 6) AS winsor_mean,
+       round((CAST(SUM(CASE WHEN r.rn >= CAST(ceil(0.05 * cuts.n) AS BIGINT)
+                            AND r.rn <= CAST(ceil(0.95 * cuts.n) AS BIGINT)
+                  THEN CAST(floor(r.o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) / 1000000.0)
+         / SUM(CASE WHEN r.rn >= CAST(ceil(0.05 * cuts.n) AS BIGINT)
+                    AND r.rn <= CAST(ceil(0.95 * cuts.n) AS BIGINT)
+               THEN 1 ELSE 0 END), 6) AS trim_mean
+FROM r JOIN cuts USING (o_orderpriority)
+GROUP BY r.o_orderpriority
+"""
+
+
+@register("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamp to [p05, p95]) and trimmed (drop outside) means
+    of order totals per priority — the robust-location pair that
+    survives fat-tailed value columns where the plain mean is one whale
+    away from useless. Cut points are exact rank selections (value at
+    rank ceil(p·n) under the total order (value, orderkey)) so the
+    result is hash-exact, no interpolation.
+
+    Scale: one shuffle partitions by priority; rank, count, and both
+    sums share that sort. The group count is bounded (5 priorities), so
+    the per-group frames are partition-parallel; a skewed group pays
+    one sorted pass, same envelope as agg_percentile_disc.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rn = F.ceil(0.05 * F.col("n")).cast("bigint")
+    hi_rn = F.ceil(0.95 * F.col("n")).cast("bigint")
+    cuts = r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_g"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("o_totalprice"))).alias("p05"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("o_totalprice"))).alias("p95"),
+    )
+    j = r.join(F.broadcast(cuts), "o_orderpriority")
+    q = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    in_core = (F.col("rn") >= F.ceil(0.05 * F.col("n_g")).cast("bigint")) & (
+        F.col("rn") <= F.ceil(0.95 * F.col("n_g")).cast("bigint")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.max("n_g").cast("bigint").alias("n_orders"),
+        F.max("p05").alias("p05"),
+        F.max("p95").alias("p95"),
+        F.round(
+            (
+                F.sum(
+                    q(F.least(F.greatest("o_totalprice", F.col("p05")), F.col("p95")))
+                ).cast("bigint")
+                / 1000000.0
+            )
+            / F.max("n_g"),
+            6,
+        ).alias("winsor_mean"),
+        F.round(
+            (
+                F.sum(F.when(in_core, q(F.col("o_totalprice"))).otherwise(F.lit(0)))
+                .cast("bigint")
+                / 1000000.0
+            )
+            / F.sum(F.when(in_core, 1).otherwise(0)),
+            6,
+        ).alias("trim_mean"),
+    )
+
+
+# --- multivariate OLS (normal equations) -------------------------------------
+
+# y in k$ keeps the Σy² envelope inside BIGINT: |y| ≤ 105, y² ≤ 1.1e4,
+# quantized 1.1e10/row → 6.6e15 at sf0.1, far under 2^63. All nine
+# sufficient statistics are exact fixed-point BIGINT sums; the 3×3
+# Cramer solve and R² run in double on those exact inputs, identically
+# spelled on both engines, rounded to 6.
+_OLS3_SUMS = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(x1 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(floor(x2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(floor(y  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(floor(x1 * x1 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(SUM(CAST(floor(x2 * x2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(SUM(CAST(floor(x1 * x2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(SUM(CAST(floor(x1 * y * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1y,
+         CAST(SUM(CAST(floor(x2 * y * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2y,
+         CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM (SELECT l_quantity AS x1, l_discount AS x2,
+               l_extendedprice / 1000.0 AS y FROM lineitem)
+"""
+
+_OLS3_ORACLE = f"""
+WITH s AS ({_OLS3_SUMS}),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n,
+         s1 / 1000000.0 AS s1, s2 / 1000000.0 AS s2, sy / 1000000.0 AS sy,
+         s11 / 1000000.0 AS s11, s22 / 1000000.0 AS s22,
+         s12 / 1000000.0 AS s12, s1y / 1000000.0 AS s1y,
+         s2y / 1000000.0 AS s2y, syy / 1000000.0 AS syy
+  FROM s
+),
+m AS (
+  SELECT *,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(det0 / det, 6) AS b0,
+       round(det1 / det, 6) AS b1,
+       round(det2 / det, 6) AS b2,
+       round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                        - (det2 / det) * s2y)
+                 / (syy - sy * sy / n), 6) AS r2
+FROM m
+"""
+
+
+@register("agg_ols_multi", oracle=_OLS3_ORACLE)
+def q_agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS by the normal equations: fit
+    extended-price[k$] ~ b0 + b1·quantity + b2·discount over lineitem
+    and report coefficients + R². The entire regression reduces to nine
+    sufficient statistics (counts and fixed-point power sums), so the
+    fit is ONE map-combinable aggregation pass — the closed-form 3×3
+    Cramer solve runs on the single reduced row. Extends
+    [[agg_ols_trend]] (one regressor) to the multivariate case.
+
+    Scale: sufficient statistics are the canonical distributive
+    aggregate — partial-agg on every partition, one exchange of nine
+    numbers. No iteration, no driver math on data rows. The y/1000
+    rescale keeps Σy² inside the BIGINT fixed-point envelope
+    (helpers.py overflow note) at bench SF and far beyond.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    )
+    q = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q(F.col("x1"))).cast("bigint").alias("s1"),
+        F.sum(q(F.col("x2"))).cast("bigint").alias("s2"),
+        F.sum(q(F.col("y"))).cast("bigint").alias("sy"),
+        F.sum(q(F.col("x1") * F.col("x1"))).cast("bigint").alias("s11"),
+        F.sum(q(F.col("x2") * F.col("x2"))).cast("bigint").alias("s22"),
+        F.sum(q(F.col("x1") * F.col("x2"))).cast("bigint").alias("s12"),
+        F.sum(q(F.col("x1") * F.col("y"))).cast("bigint").alias("s1y"),
+        F.sum(q(F.col("x2") * F.col("y"))).cast("bigint").alias("s2y"),
+        F.sum(q(F.col("y") * F.col("y"))).cast("bigint").alias("syy"),
+    )
+    d = s.select(
+        F.col("n").cast("double").alias("nd"),
+        F.col("n"),
+        *[
+            (F.col(c) / 1000000.0).alias(c)
+            for c in ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+        ],
+    )
+    n, s1, s2, sy = F.col("nd"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    return d.select(
+        F.col("n").alias("n_rows"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(
+            1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --- Kaplan–Meier survival curve ---------------------------------------------
+
+_KM_HORIZON = 7  # administrative censoring: 7-day follow-up per user
+
+# Time-to-first-purchase from each user's first touch; users converting
+# after the horizon are right-censored at it. Survival is the K-M
+# product Π(1 − d/n), computed as exp of an exactly-summed quantized-ln
+# series (house ln precedent: agg_entropy / text_bigram_lm).
+_KM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)),
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END)) AS raw_t
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CASE WHEN raw_t IS NULL OR raw_t > {_KM_HORIZON}
+              THEN {_KM_HORIZON} ELSE raw_t END AS t,
+         CASE WHEN raw_t IS NOT NULL AND raw_t <= {_KM_HORIZON}
+              THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+agg AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(ev) AS BIGINT) AS d
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+           - CAST(COALESCE(SUM(n_at) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+  FROM agg
+),
+curve AS (
+  SELECT t, n_risk, d,
+         CAST(SUM(CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                             * 1000000.0 + 0.5) AS BIGINT))
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS lncum
+  FROM risk WHERE d > 0
+)
+SELECT t AS day, n_risk, d AS n_events,
+       round(exp(lncum / 1000000.0), 6) AS survival
+FROM curve
+"""
+
+
+@register("agg_kaplan_meier", oracle=_KM_ORACLE)
+def q_agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    right censoring at a 7-day follow-up horizon (_KM_HORIZON) — the
+    estimator that handles "hasn't converted YET" correctly where a
+    naive conversion rate silently drops censored users. Per event day:
+    the at-risk count, event count, and the K-M product-limit survival
+    estimate.
+
+    Scale: one per-user reduce (bounded by |users|), then everything —
+    risk sets, the ln-quantized cumulative product — lives on a frame
+    bounded by the horizon (≤ 8 rows). The single-partition windows are
+    metadata-sized by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("ts").cast("date")
+                )
+            ),
+            F.min(F.col("ts").cast("date")),
+        ).alias("raw_t")
+    )
+    h = F.lit(_KM_HORIZON)
+    obs = u.select(
+        F.when(F.col("raw_t").isNull() | (F.col("raw_t") > h), h)
+        .otherwise(F.col("raw_t"))
+        .alias("t"),
+        F.when(F.col("raw_t").isNotNull() & (F.col("raw_t") <= h), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    agg = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    total = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wprior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_at").over(wprior), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    lnq = F.floor(
+        F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    return risk.select(
+        F.col("t").cast("bigint").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.exp(F.sum(lnq).over(wcum).cast("bigint") / 1000000.0), 6
+        ).alias("survival"),
+    )
+
+
+# --- EWMA / SMA crossover ----------------------------------------------------
+
+# Decay 1/2: every weight 0.5^k is a power of two, so weight·x is an
+# EXACT double scaling (no rounding) and the quantized term sums are
+# engine-identical without trusting pow beyond dyadic arguments.
+_EWMA_ORACLE = """
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           / 1000000.0 AS rev
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, rev, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i FROM day
+),
+ew AS (
+  SELECT t.d, t.rev, t.i,
+         CAST(SUM(CAST(floor(s.rev * power(0.5, t.i - s.i)
+                             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS num_q,
+         CAST(SUM(CAST(floor(power(0.5, t.i - s.i) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS den_q
+  FROM idx t JOIN idx s ON s.i <= t.i
+  GROUP BY t.d, t.rev, t.i
+),
+sma AS (
+  SELECT d, i,
+         CAST(SUM(CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT))
+              OVER (ORDER BY i ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS sum_q,
+         CAST(COUNT(*) OVER (ORDER BY i ROWS BETWEEN 19 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cnt
+  FROM idx
+),
+sig AS (
+  SELECT ew.d, ew.rev,
+         round(CAST(ew.num_q AS DOUBLE) / ew.den_q, 6) AS ewma_fast,
+         round((sma.sum_q / 1000000.0) / sma.cnt, 6) AS sma20,
+         CAST(ew.num_q AS DOUBLE) / ew.den_q
+           > (sma.sum_q / 1000000.0) / sma.cnt AS above
+  FROM ew JOIN sma ON sma.d = ew.d
+)
+SELECT CAST(d AS VARCHAR) AS day, rev, ewma_fast, sma20, above,
+       COALESCE(above <> LAG(above) OVER (ORDER BY d), FALSE) AS crossover
+FROM sig
+"""
+
+
+@register("win_ewma_crossover", oracle=_EWMA_ORACLE)
+def q_win_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-EWMA vs 20-day-SMA crossover signal on the daily revenue
+    series — the classic trend-following readout next to
+    [[win_bollinger_bands]] / [[win_rsi_indicator]]. EWMA uses decay
+    1/2 with pandas adjust=True normalization (Σ wᵏ·x / Σ wᵏ over the
+    full history); every 0.5ᵏ weight is a power of two, so each
+    weighted term is an exact double scaling and the fixed-point sums
+    are engine-identical by construction, not by luck.
+
+    Scale: the raw stream reduces to one row per day first; the
+    EWMA self-join and SMA window run on that bounded day spine
+    (O(days²) pairs of metadata-sized rows). At an unbounded horizon,
+    cap the join at the ~60 days where 0.5ᵏ exceeds quantization
+    resolution — weights below 1e-6 contribute exactly 0 after
+    quantization anyway.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    day = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        (F.sum(q(F.col("value"))).cast("bigint") / 1000000.0).alias("rev")
+    )
+    idx = day.select(
+        "d", "rev", (F.row_number().over(Window.orderBy("d")) - 1).alias("i")
+    )
+    t, s = idx.alias("t"), idx.alias("s")
+    w = F.pow(F.lit(0.5), F.col("t.i") - F.col("s.i"))
+    ew = (
+        t.join(F.broadcast(s), F.col("s.i") <= F.col("t.i"))
+        .groupBy(F.col("t.d").alias("d"), F.col("t.rev").alias("rev"))
+        .agg(
+            F.sum(q(F.col("s.rev") * w)).cast("bigint").alias("num_q"),
+            F.sum(q(w)).cast("bigint").alias("den_q"),
+        )
+    )
+    w20 = Window.orderBy("i").rowsBetween(-19, Window.currentRow)
+    sma = idx.select(
+        "d",
+        F.sum(q(F.col("rev"))).over(w20).cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).over(w20).cast("bigint").alias("cnt"),
+    )
+    sig = ew.join(sma, "d").select(
+        "d",
+        "rev",
+        F.round(F.col("num_q").cast("double") / F.col("den_q"), 6).alias(
+            "ewma_fast"
+        ),
+        F.round((F.col("sum_q") / 1000000.0) / F.col("cnt"), 6).alias("sma20"),
+        (
+            F.col("num_q").cast("double") / F.col("den_q")
+            > (F.col("sum_q") / 1000000.0) / F.col("cnt")
+        ).alias("above"),
+    )
+    wlag = Window.orderBy("d")
+    return sig.select(
+        F.col("d").cast("string").alias("day"),
+        "rev",
+        "ewma_fast",
+        "sma20",
+        "above",
+        F.coalesce(
+            F.col("above") != F.lag("above").over(wlag), F.lit(False)
+        ).alias("crossover"),
+    )
+
+
+# --- precision / recall / F1 threshold sweep ---------------------------------
+
+_PR_ORACLE = """
+WITH scored AS (
+  SELECT CAST(n_chars AS DOUBLE) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+bounds AS (
+  SELECT MIN(score) AS lo, MAX(score) AS hi,
+         CAST(SUM(pos) AS BIGINT) AS total_pos
+  FROM scored
+),
+th AS (
+  SELECT k, lo + k * (hi - lo) / 10.0 AS tau, total_pos
+  FROM bounds CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+),
+cm AS (
+  SELECT th.k, th.tau, th.total_pos,
+         CAST(COUNT(*) FILTER (WHERE s.score >= th.tau) AS BIGINT) AS pp,
+         CAST(SUM(s.pos) FILTER (WHERE s.score >= th.tau) AS BIGINT) AS tp
+  FROM th CROSS JOIN scored s
+  GROUP BY th.k, th.tau, th.total_pos
+)
+SELECT CAST(k AS INT) AS k, round(tau, 6) AS threshold, pp, tp,
+       round(CAST(tp AS DOUBLE) / pp, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / total_pos, 6) AS recall,
+       round(2.0 * tp / (pp + total_pos), 6) AS f1
+FROM cm WHERE pp > 0
+"""
+
+
+@register("ml_pr_curve", oracle=_PR_ORACLE)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep over nine equal-width score thresholds
+    (score = document length, positive = lang 'en' — the same proxy
+    scorer as [[ml_auc_exact]] / [[ml_decile_lift]]). F1 uses the
+    identity 2·TP/(PP + P), which needs no per-threshold recall/
+    precision intermediates.
+
+    Scale: the corpus reduces to a (score → count, positives) histogram
+    bounded by the score domain; the 9-threshold sweep is a broadcast
+    cross join against that reduced frame, never against raw documents.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    hist = d.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    bounds = d.agg(
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+        F.sum("pos").cast("bigint").alias("total_pos"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("k"))
+    th = ks.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        (F.col("lo") + F.col("k") * (F.col("hi") - F.col("lo")) / 10.0).alias(
+            "tau"
+        ),
+        "total_pos",
+    )
+    cm = (
+        hist.crossJoin(F.broadcast(th))
+        .groupBy("k", "tau", "total_pos")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("tau"), F.col("cnt")))
+            .cast("bigint")
+            .alias("pp"),
+            F.sum(F.when(F.col("score") >= F.col("tau"), F.col("npos")))
+            .cast("bigint")
+            .alias("tp"),
+        )
+        .filter(F.col("pp") > 0)
+    )
+    return cm.select(
+        "k",
+        F.round("tau", 6).alias("threshold"),
+        "pp",
+        "tp",
+        F.round(F.col("tp").cast("double") / F.col("pp"), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("total_pos"), 6).alias(
+            "recall"
+        ),
+        F.round(2.0 * F.col("tp") / (F.col("pp") + F.col("total_pos")), 6).alias(
+            "f1"
+        ),
+    )
+
+
+# --- BPE merge-candidate pair statistics -------------------------------------
+
+_BPE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT tok, unnest(list_transform(range(1, length(tok)),
+                     i -> substring(tok, i, 2))) AS pair
+  FROM tok WHERE length(tok) >= 2
+)
+SELECT pair,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens
+FROM pairs
+GROUP BY pair
+ORDER BY n_occ DESC, pair
+LIMIT 20
+"""
+
+
+@register("pipe_bpe_pair_stats", oracle=_BPE_ORACLE)
+def q_pipe_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge scoreboard: frequency of every adjacent
+    character pair across the whitespace-tokenized corpus, top 20 with
+    deterministic ties (count desc, pair asc) — exactly the statistic a
+    byte-pair-encoding tokenizer trainer maximizes at each merge step,
+    plus the distinct-token support behind each pair.
+
+    Scale: one scan explodes tokens → pairs (stateless, pipelined);
+    both counts partial-agg on the pair key, whose cardinality is
+    bounded by the squared alphabet, so the shuffle is metadata-sized
+    no matter the corpus. The top-k is a TakeOrdered on the reduced
+    frame. Iterating merges re-runs this with a rewritten token column.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = toks.select(
+        "tok",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct("tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(20)
+    )
