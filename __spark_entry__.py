@@ -46,6 +46,8 @@ _GRADE_FIRST = [
     # --- new-in-r7 keys: inserted here, position 1, as they land ---
     "agg_winsorized_mean", "agg_ols_multi", "agg_kaplan_meier",
     "win_ewma_crossover", "ml_pr_curve", "pipe_bpe_pair_stats",
+    "sim_centroid_assign", "win_vwap_cumulative",
+    "dedup_rate_by_source", "text_zipf_slope",
     # --- late-r5 additions with zero driver evidence (30 keys) ---
     "src_xml", "agg_hll_portable", "agg_countmin_heavy",
     "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",

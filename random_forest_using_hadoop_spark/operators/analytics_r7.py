@@ -647,3 +647,307 @@ def q_pipe_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "pair")
         .limit(20)
     )
+
+
+# --- centroid assignment (IVF cell map) --------------------------------------
+
+_K_CENTROIDS = 8
+
+# Seed centroids = the first K vectors by vec_id (deterministic, the
+# k-means|| step-0 convention); distances via the shared left-fold dot
+# product (bit-identical to DuckDB's sequential list_inner_product).
+_CENTROID_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < {_K_CENTROIDS}),
+pairs AS (
+  SELECT v.vec_id, v.label, c.cid,
+         list_inner_product(v.ve, v.ve)
+           - 2.0 * list_inner_product(v.ve, c.ce)
+           + list_inner_product(c.ce, c.ce) AS dist2
+  FROM v JOIN c ON v.vec_id >= {_K_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, label, cid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rk
+  FROM pairs
+)
+SELECT cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       round((CAST(SUM(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) / 1000000.0) / COUNT(*), 6) AS avg_dist2,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+FROM assigned WHERE rk = 1
+GROUP BY cid
+"""
+
+
+@register("sim_centroid_assign", oracle=_CENTROID_ORACLE)
+def q_sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment as a standalone operator: map every corpus
+    vector to its nearest of K seed centroids (squared L2, centroid-id
+    tie-break) and report per-cell population, mean distance, and label
+    spread — the partitioning step that [[sim_ann_ivf]] probes, exposed
+    so a user can build/inspect the coarse quantizer directly.
+
+    Scale: centroids are a K-row broadcast; the corpus streams past
+    once producing K candidate rows per vector (never corpus×corpus),
+    and the argmin is a per-vector window over exactly K rows. This is
+    the canonical embarrassingly-parallel assignment pass of Lloyd's
+    algorithm — one shuffle, bounded by K·|corpus|.
+    """
+    from random_forest_using_hadoop_spark.operators.similarity import (
+        _dot,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir)
+    c = (
+        v.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
+    )
+    pairs = v.filter(F.col("vec_id") >= _K_CENTROIDS).join(F.broadcast(c))
+    dist2 = (
+        _dot(F.col("ve"), F.col("ve"))
+        - 2.0 * _dot(F.col("ve"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
+    )
+    scored = pairs.select("vec_id", "label", "cid", dist2.alias("dist2"))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    q = lambda col: F.floor(col * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(
+            (F.sum(q(F.col("dist2"))).cast("bigint") / 1000000.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dist2"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+    )
+
+
+# --- cumulative VWAP ---------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH day AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+           AS BIGINT) AS notional_q,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       round(notional_q / 1000000.0, 6) AS day_notional,
+       qty AS day_qty,
+       round((CAST(SUM(notional_q) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              / 1000000.0)
+             / CAST(SUM(qty) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+             6) AS vwap_cum
+FROM day
+"""
+
+
+@register("win_vwap_cumulative", oracle=_VWAP_ORACLE)
+def q_win_vwap_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative volume-weighted average price over the ship-date
+    calendar: Σnotional/Σquantity expanding from the first day —
+    completing the market-microstructure family next to
+    [[win_ohlc_candles]] / [[win_bollinger_bands]]. Integer cents-scale
+    numerators and integer quantity denominators end to end; the only
+    division is the final one.
+
+    Scale: the raw table reduces to one row per day first (partial-agg
+    on the scan); both running sums live on that bounded day spine, so
+    the unpartitioned window is metadata-sized. At multi-year × multi-
+    symbol scale, partition the window by symbol.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    day = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(q(F.col("l_extendedprice"))).cast("bigint").alias("notional_q"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return day.select(
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("notional_q") / 1000000.0, 6).alias("day_notional"),
+        F.col("qty").alias("day_qty"),
+        F.round(
+            (F.sum("notional_q").over(wcum).cast("bigint") / 1000000.0)
+            / F.sum("qty").over(wcum).cast("bigint"),
+            6,
+        ).alias("vwap_cum"),
+    )
+
+
+# --- per-source duplication rate ---------------------------------------------
+
+_DUPRATE_ORACLE = """
+WITH fp AS (
+  SELECT source, md5(text) AS h FROM documents
+),
+g AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fp GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_removable,
+       round(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_rate
+FROM g GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DUPRATE_ORACLE)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-dimension slice of
+    [[dedup_exact]] / [[dedup_cluster_histogram]] that a data-mix review
+    actually reads ("which feed is feeding us copies?"): docs, unique
+    contents, removable rows, and the dup fraction, keyed by source.
+
+    Scale: content hashes partial-agg on (source, md5) — the classic
+    two-level reduction whose shuffle carries one row per distinct
+    content per source, never per document. 100 TB-safe by the same
+    argument as dedup_exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+        ).alias("dup_rate"),
+    )
+
+
+# --- Zipf slope of the corpus vocabulary -------------------------------------
+
+_ZIPF_TOP = 100
+
+# OLS of ln(freq) on ln(rank) over the top-N vocabulary; every log term
+# quantized to 1e6 before the exact sums (house ln precedent), so the
+# regression inputs are BIGINT-identical across engines.
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+  FROM vocab
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS xq,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS yq
+  FROM ranked WHERE rk <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(CAST(floor((xq / 1000000.0) * (xq / 1000000.0)
+              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(floor((xq / 1000000.0) * (yq / 1000000.0)
+              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(floor((yq / 1000000.0) * (yq / 1000000.0)
+              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE) * (sxy / 1000000.0)
+              - (sx / 1000000.0) * (sy / 1000000.0))
+           / (CAST(n AS DOUBLE) * (sxx / 1000000.0)
+              - (sx / 1000000.0) * (sx / 1000000.0)), 6) AS zipf_slope,
+       round(((sy / 1000000.0)
+              - ((CAST(n AS DOUBLE) * (sxy / 1000000.0)
+                  - (sx / 1000000.0) * (sy / 1000000.0))
+                 / (CAST(n AS DOUBLE) * (sxx / 1000000.0)
+                    - (sx / 1000000.0) * (sx / 1000000.0)))
+                * (sx / 1000000.0)) / n, 6) AS intercept,
+       round(pow(CAST(n AS DOUBLE) * (sxy / 1000000.0)
+                 - (sx / 1000000.0) * (sy / 1000000.0), 2)
+           / ((CAST(n AS DOUBLE) * (sxx / 1000000.0)
+               - (sx / 1000000.0) * (sx / 1000000.0))
+              * (CAST(n AS DOUBLE) * (syy / 1000000.0)
+                 - (sy / 1000000.0) * (sy / 1000000.0))), 6) AS r2
+FROM s
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) for the top-100 terms, plus intercept and R². Natural
+    text sits near slope −1; a corpus drifting toward 0 (flat) or −2
+    (boilerplate-dominated) is a data-quality smell no single count
+    exposes — the corpus-level cousin of [[text_char_entropy]].
+
+    Scale: term counting partial-aggs on the token key (bounded by
+    vocabulary); ranking and the regression touch only the fixed top-N
+    frame, so everything past the vocab reduce is metadata-sized.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "token"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    qf = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    pts = ranked.select(
+        qf(F.log(F.col("rk").cast("double"))).alias("xq"),
+        qf(F.log(F.col("freq").cast("double"))).alias("yq"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(qf((F.col("xq") / 1000000.0) * (F.col("xq") / 1000000.0)))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(qf((F.col("xq") / 1000000.0) * (F.col("yq") / 1000000.0)))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(qf((F.col("yq") / 1000000.0) * (F.col("yq") / 1000000.0)))
+        .cast("bigint")
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / 1000000.0, F.col("sy") / 1000000.0
+    sxx, sxy = F.col("sxx") / 1000000.0, F.col("sxy") / 1000000.0
+    syy = F.col("syy") / 1000000.0
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
