@@ -70,6 +70,11 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SALTS = 16  # 16 portable hash fns = 8 bands × 2 rows
 _MH_BANDS = 8
 
+# Verify-stage bitmap table: broadcast only while the estimated size
+# (docs × exact per-row width, from metadata) stays under this; above
+# it the verify joins switch to shuffle-hash (see _exact_jaccard_pairs).
+_ENC_BCAST_LIMIT = 64 << 20
+
 
 def _minhash_band_candidates(d: DataFrame) -> DataFrame:
     """Near-dup candidate pairs via seeded-xxhash MinHash banding:
@@ -146,11 +151,7 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     open-vocabulary shingle spaces fall back to sorted-array
     intersection — the banded candidate stage is unchanged either way.
     """
-    # the band join is the expensive candidate stage and is read twice
-    # below (candidate-doc pruning + the verify join); cached past
-    # return because the returned plan reads it — MEMORY_AND_DISK + LRU
-    # bounds the cost (worst case it recomputes from parquet)
-    cand = _minhash_band_candidates(d).cache()
+    cand = _minhash_band_candidates(d)
     vocab = d.select(F.explode("shingles").alias("s")).distinct()
     n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
     n_words = (n_vocab + 63) // 64
@@ -198,27 +199,25 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, el: acc + el,
     )
-    # Prune the bitmap table to docs that actually APPEAR in a candidate
-    # pair before shipping it anywhere: broadcasting the full `enc` puts
-    # every document's ceil(|V|/64)-long bitmap on every executor — a
-    # guaranteed broadcast OOM as the corpus grows, and wasted transfer
-    # even when it fits, since banding touches a small doc fraction.
-    ids = (
-        cand.select(F.col("a").alias("doc_id"))
-        .unionByName(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    enc_p = enc.join(ids, "doc_id", "left_semi").cache()
-    # Broadcast only while the pruned side provably fits (per row:
-    # n_words packed longs + key/struct overhead); above the threshold
-    # fall back to a shuffle hash join keyed on doc_id — identical
-    # values, memory bounded by a partition instead of the whole table.
-    est_bytes = enc_p.count() * (n_words * 8 + 48)
-    if est_bytes <= (64 << 20):
-        ea, eb = F.broadcast(enc_p.alias("ea")), F.broadcast(enc_p.alias("eb"))
+    # Broadcasting `enc` unconditionally would put every document's
+    # ceil(|V|/64)-long bitmap on every executor — a guaranteed
+    # broadcast OOM as the corpus grows. Decide the join strategy from
+    # METADATA (doc count × exact per-row bitmap width — both already
+    # known, no extra job, no barrier): under the cap, broadcast the
+    # provably-bounded table and keep the whole verify one pipelined
+    # pass; over it, shuffle-hash joins keyed on doc_id — identical
+    # values, memory bounded by a partition instead of the whole table
+    # (and AQE still upgrades a side to broadcast if its shuffled size
+    # turns out tiny). The r7 first cut pruned `enc` to candidate doc
+    # ids instead; correct, but the semi-join forced the 4.4M-row band
+    # join to materialize behind a count barrier and tripled the
+    # sf0.1 bench — metadata beats measurement here.
+    est_bytes = d.count() * (n_words * 8 + 48)  # d cached by callers
+    if est_bytes <= _ENC_BCAST_LIMIT:
+        ea, eb = F.broadcast(enc.alias("ea")), F.broadcast(enc.alias("eb"))
     else:
-        ea = enc_p.alias("ea").hint("SHUFFLE_HASH")
-        eb = enc_p.alias("eb").hint("SHUFFLE_HASH")
+        ea = enc.alias("ea").hint("SHUFFLE_HASH")
+        eb = enc.alias("eb").hint("SHUFFLE_HASH")
     return (
         cand.join(ea, F.col("a") == F.col("ea.doc_id"))
         .join(eb, F.col("b") == F.col("eb.doc_id"))
@@ -602,7 +601,11 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in ≲2 rounds.
     """
     d = _docs_with_shingles(spark, sf_dir).cache()
-    pairs = _exact_jaccard_pairs(spark, d).select("a", "b")
+    # cache the (tiny) qualifying pair set BEFORE mirroring it: the
+    # union's two branches would otherwise each reference the full
+    # band+verify pipeline and recompute it when exchange reuse doesn't
+    # line up — one InMemoryRelation pins a single computation
+    pairs = _exact_jaccard_pairs(spark, d).select("a", "b").cache()
     # edges stays cached past the function's return: the returned plan
     # reads it (in_component below), so it cannot be unpersisted here.
     # MEMORY_AND_DISK + LRU eviction bounds the cost (worst case the

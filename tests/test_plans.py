@@ -124,18 +124,39 @@ def test_headline_plans_stay_codegen(spark, key):
     assert "*(" in plan, f"no codegen stage in final plan:\n{plan[:800]}"
 
 
-def test_dedup_verify_broadcasts_pruned_bitmaps_not_full_table(spark):
+def test_dedup_verify_bitmap_broadcast_is_size_gated(spark, monkeypatch):
     """r7 gate for the verdict's scale-killer: the exact-Jaccard verify
-    must prune the per-doc bitmap table to candidate doc ids (a LeftSemi
-    join against the band-collision pairs) BEFORE broadcasting it —
-    broadcasting the full table puts every document's bitmap on every
-    executor, an OOM at corpus scale. Removing the prune removes every
-    LeftSemi from this plan."""
+    may broadcast the per-doc bitmap table only while its
+    metadata-estimated size fits under _ENC_BCAST_LIMIT; past the cap
+    the verify joins must switch to shuffle-hash (memory bounded by a
+    partition, not the whole table). Forcing the cap to 0 simulates the
+    at-scale regime: the plan must show ShuffledHashJoin and no
+    broadcast of the bitmap table."""
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
+
     for key in ("dedup_minhash", "dedup_connected_components"):
-        plan = _formatted_plan(spark, key)
-        assert "LeftSemi" in plan, f"{key}: bitmap prune missing"
+        plan = _formatted_plan(spark, key)  # default: under the cap
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+    monkeypatch.setattr(dedup_lsh, "_ENC_BCAST_LIMIT", 0)
+    forced = _formatted_plan(spark, "dedup_minhash")
+    assert "ShuffledHashJoin" in forced, "over-cap path must not broadcast"
+
+
+def test_dedup_verify_shuffle_path_matches_broadcast_path(spark, monkeypatch):
+    """The two verify-join strategies must be value-identical: the
+    at-scale shuffle-hash plan returns exactly the broadcast plan's
+    qualifying pairs."""
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+    base = sorted(
+        map(tuple, engine.REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect())
+    )
+    monkeypatch.setattr(dedup_lsh, "_ENC_BCAST_LIMIT", 0)
+    forced = sorted(
+        map(tuple, engine.REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect())
+    )
+    assert base == forced
 
 
 def test_dedup_embedding_is_bucketed_not_allpairs(spark):
