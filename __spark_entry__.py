@@ -48,6 +48,8 @@ _GRADE_FIRST = [
     "win_ewma_crossover", "ml_pr_curve", "pipe_bpe_pair_stats",
     "sim_centroid_assign", "win_vwap_cumulative",
     "dedup_rate_by_source", "text_zipf_slope",
+    "agg_new_vs_returning", "agg_interorder_gaps",
+    "sql_cte_pipeline", "sink_json_gzip",
     # --- late-r5 additions with zero driver evidence (30 keys) ---
     "src_xml", "agg_hll_portable", "agg_countmin_heavy",
     "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",

@@ -911,12 +911,16 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
-    ranked = vocab.select(
+    # top-N via TakeOrdered (per-partition top-N + merge), THEN rank the
+    # N-row frame — never a global-sort window over the whole vocabulary,
+    # which grows with the corpus (Heaps' law)
+    top = vocab.orderBy(F.col("freq").desc(), "token").limit(_ZIPF_TOP)
+    ranked = top.select(
         "freq",
         F.row_number()
         .over(Window.orderBy(F.col("freq").desc(), "token"))
         .alias("rk"),
-    ).filter(F.col("rk") <= _ZIPF_TOP)
+    )
     qf = lambda c: F.floor(c * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
     pts = ranked.select(
         qf(F.log(F.col("rk").cast("double"))).alias("xq"),
@@ -950,4 +954,269 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
         ).alias("r2"),
+    )
+
+
+# --- new vs returning users --------------------------------------------------
+
+_NVR_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+fd AS (
+  SELECT user_id, MIN(d) AS first_d FROM du GROUP BY user_id
+)
+SELECT CAST(du.d AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN du.d = fd.first_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN du.d = fd.first_d THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_returning,
+       round(CAST(SUM(CASE WHEN du.d = fd.first_d THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS new_share
+FROM du JOIN fd USING (user_id)
+GROUP BY du.d
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NVR_ORACLE)
+def q_agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning — the
+    growth-accounting readout that [[agg_retention_cohort]]'s triangle
+    doesn't surface directly: per day, actives, news, returners, and
+    the new-user share.
+
+    Scale: the stream first reduces to distinct (day, user) rows, then
+    first-seen days reduce on user_id; the final join is an equi-join
+    on user_id between two already-reduced frames and the day rollup is
+    a bounded-cardinality hash agg. No windows, no per-event state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    fd = du.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    is_new = (F.col("d") == F.col("first_d")).cast("int")
+    return (
+        du.join(fd, "user_id")
+        .groupBy(F.col("d").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(is_new).cast("bigint").alias("n_new"),
+            F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+            F.round(F.sum(is_new).cast("double") / F.count(F.lit(1)), 6).alias(
+                "new_share"
+            ),
+        )
+    )
+
+
+# --- inter-order gap distribution --------------------------------------------
+
+_GAPS_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+),
+gaps AS (
+  SELECT CAST(date_diff('day', prev_d, o_orderdate) AS BIGINT) AS gap
+  FROM seq WHERE prev_d IS NOT NULL
+),
+h AS (
+  SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY gap
+),
+cum AS (
+  SELECT gap, c,
+         CAST(SUM(c) OVER (ORDER BY gap
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM h
+)
+SELECT MAX(n) AS n_gaps,
+       round((CAST(SUM(gap * c) AS BIGINT) * 1.0) / MAX(n), 6) AS mean_gap,
+       MIN(CASE WHEN cc >= CAST(ceil(0.5 * n) AS BIGINT) THEN gap END)
+         AS p50_gap,
+       MIN(CASE WHEN cc >= CAST(ceil(0.9 * n) AS BIGINT) THEN gap END)
+         AS p90_gap
+FROM cum
+"""
+
+
+@register("agg_interorder_gaps", oracle=_GAPS_ORACLE)
+def q_agg_interorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis of the order stream: the distribution of
+    day gaps between a customer's consecutive orders — count, mean, and
+    exact p50/p90 — the purchasing-cadence statistic behind reorder
+    prediction and churn cutoffs.
+
+    Scale: the per-customer LAG shares one shuffle partitioned by
+    custkey (partition-parallel, no global window). Exact percentiles
+    come from the integer gap HISTOGRAM (bounded by the calendar span),
+    cumulated on that metadata-sized frame — never a global sort of all
+    gaps, the same trick as [[agg_mannwhitney_u]] / [[ml_auc_exact]].
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderdate", F.lag("o_orderdate").over(w).alias("prev_d")
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        F.datediff("o_orderdate", "prev_d").cast("bigint").alias("gap")
+    )
+    h = gaps.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = h.select(
+        "gap",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cc"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    at = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("cc") >= F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("gap"),
+        )
+    )
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        F.round(
+            (F.sum(F.col("gap") * F.col("c")).cast("bigint") * 1.0)
+            / F.max("n"),
+            6,
+        ).alias("mean_gap"),
+        at(0.5).alias("p50_gap"),
+        at(0.9).alias("p90_gap"),
+    )
+
+
+# --- SQL API surface: multi-CTE pipeline over temp views ---------------------
+
+_SQLAPI_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM {o} o JOIN {c} c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+),
+named AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name, rev.cents
+  FROM rev
+  JOIN {n} n ON n.n_nationkey = rev.c_nationkey
+  JOIN {r} r ON r.r_regionkey = n.n_regionkey
+),
+ranked AS (
+  SELECT region_name, nation_name, cents,
+         ROW_NUMBER() OVER (PARTITION BY region_name
+                            ORDER BY cents DESC, nation_name) AS rk
+  FROM named
+)
+SELECT region_name, nation_name,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register(
+    "sql_cte_pipeline",
+    oracle=_SQLAPI_SQL.format(o="orders", c="customer", n="nation", r="region"),
+)
+def q_sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point exercised end to end: register temp views and
+    run a multi-CTE ANSI query (revenue rollup → dimension naming →
+    top-3 nations per region) through ``spark.sql`` — proving a user
+    can drive this engine with plain SQL text, not just the DataFrame
+    API. The statement is byte-shared with the oracle up to view names.
+
+    Scale: identical to the DataFrame plan Catalyst would build — the
+    fact rollup partial-aggs on custkey→nationkey, dims broadcast, the
+    rank runs per region on the ≤|nations| reduced frame. SQL text in,
+    same physical plan out.
+    """
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlapi_{t}")
+    return spark.sql(
+        _SQLAPI_SQL.format(
+            o="sqlapi_orders",
+            c="sqlapi_customer",
+            n="sqlapi_nation",
+            r="sqlapi_region",
+        )
+    )
+
+
+# --- gzip-JSON sink round trip ----------------------------------------------
+
+_JSONGZ_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(0 AS BIGINT) AS n_roundtrip_mismatch
+FROM documents
+"""
+
+
+@register("sink_json_gzip", oracle=_JSONGZ_ORACLE)
+def q_sink_json_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSON interchange round trip: stage the documents
+    metadata (with an md5 content fingerprint standing in for the body)
+    as gzip-compressed JSON lines, read it back under a DECLARED schema
+    (no inference — schema drift should fail loudly), and grade
+    totals plus an exact anti-join mismatch count of 0. JSONL+gzip is
+    the lingua franca for corpus interchange; this pins both codec
+    fidelity and schema round-tripping.
+
+    Scale: write and read are embarrassingly parallel per file; the
+    mismatch audit is an equi-join on doc_id between two scans. gzip is
+    non-splittable — per-file parallelism comes from the partition
+    count at write time, which is why the stage writes multiple parts.
+    """
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("fp")
+    )
+    root = _tmp(sf_dir, "json_gz")
+    out = os.path.join(root, "docs")
+    d.repartition(4).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint, fp string"
+    ).json(out)
+    mism = (
+        d.alias("a")
+        .join(back.alias("b"), "doc_id", "full_outer")
+        .filter(
+            (F.col("a.fp") != F.col("b.fp"))
+            | F.col("a.fp").isNull()
+            | F.col("b.fp").isNull()
+            | (F.col("a.n_chars") != F.col("b.n_chars"))
+            | (F.col("a.lang") != F.col("b.lang"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    stats = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return stats.crossJoin(F.broadcast(mism)).select(
+        "n_rows",
+        "n_docs",
+        "chars_total",
+        "n_langs",
+        F.col("m").alias("n_roundtrip_mismatch"),
     )
