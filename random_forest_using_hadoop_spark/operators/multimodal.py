@@ -532,3 +532,112 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             " energy_sq long, rms double, duration_ms double"
         ),
     )
+
+
+# --- nearest-neighbor resize through the real codec --------------------------
+
+# Downsampled grid keeps pixels at even (x, y); the oracle recomputes
+# each kept pixel straight from the text tiling pixel(i) = data[i mod n]
+# used by the encoder, so a hash match proves decode → resize →
+# re-encode → re-decode reproduced every kept pixel byte-for-byte.
+_RESIZE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_W_MOD} + {_W_OFF} AS w,
+         length(text) % {_H_MOD} + {_H_OFF} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, n, w,
+         CAST((w + 1) // 2 AS INTEGER) AS rw,
+         CAST((h + 1) // 2 AS INTEGER) AS rh
+  FROM p
+)
+SELECT doc_id,
+       rw AS width,
+       rh AS height,
+       CAST(list_sum(list_transform(
+           list_transform(range(0, rw * rh),
+                          j -> ((2 * (j // rw)) * w + 2 * (j % rw)) % n),
+           i -> ascii(text[i + 1 : i + 1]))) AS BIGINT) AS pixel_sum,
+       TRUE AS roundtrip_ok
+FROM r
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a distributed media transform: decode each
+    synthesized PNG with the real parser, nearest-neighbor downsample
+    2× (keep even-coordinate pixels), re-encode the SMALLER image
+    through the same spec-conformant writer, decode it again, and grade
+    the resized dimensions + pixel sum — with ``roundtrip_ok`` proving
+    the second decode reproduced the resized pixels exactly. This is
+    the missing third leg of the media pipeline next to
+    [[multimodal_decode]] (codec) and [[multimodal_framesample]]
+    (temporal sampling): a per-item geometric transform.
+
+    Scale: one Arrow-batched ``mapInPandas`` stage per hop, schema
+    declared up front, no per-row py4j traffic; resize is pure
+    per-payload CPU, embarrassingly parallel. A real lake swaps the
+    stdlib codec for libvips/PIL inside the same batch closure — the
+    Spark plumbing (binary column in, typed struct out) is unchanged.
+    """
+    import sys
+
+    import pandas as pd
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8")
+                n = len(data)
+                payloads.append(
+                    _png_encode(data, n % _W_MOD + _W_OFF, n % _H_MOD + _H_OFF)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, sums, oks = [], [], [], []
+            for p in pdf["payload"]:
+                w, h, px = _png_decode(bytes(p))
+                rw, rh = (w + 1) // 2, (h + 1) // 2
+                small = bytes(
+                    px[y * w + x]
+                    for y in range(0, h, 2)
+                    for x in range(0, w, 2)
+                )
+                # re-encode the resized image (tiling degenerates to
+                # identity: len(small) == rw*rh) and decode it back
+                w2, h2, px2 = _png_decode(_png_encode(small, rw, rh))
+                widths.append(w2)
+                heights.append(h2)
+                sums.append(sum(px2))
+                oks.append(w2 == rw and h2 == rh and px2 == small)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                    "roundtrip_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(
+        resize_batch,
+        schema=(
+            "doc_id long, width int, height int,"
+            " pixel_sum long, roundtrip_ok boolean"
+        ),
+    )
