@@ -163,3 +163,27 @@ def test_dedup_rate_by_source_consistency(spark):
         assert 0 < r["n_unique"] <= r["n_docs"]
         assert r["n_removable"] == r["n_docs"] - r["n_unique"]
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_multimodal_resize_halves_dimensions_exactly(spark):
+    from random_forest_using_hadoop_spark.operators.multimodal import (
+        _H_MOD,
+        _H_OFF,
+        _W_MOD,
+        _W_OFF,
+    )
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in engine.REGISTRY["multimodal_resize"].fn(spark, SF_DIR).collect()
+    }
+    src = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    ).collect()
+    for s in src:
+        r = rows[s["doc_id"]]
+        w, h = s["n"] % _W_MOD + _W_OFF, s["n"] % _H_MOD + _H_OFF
+        assert r["width"] == (w + 1) // 2 and r["height"] == (h + 1) // 2
+        assert r["roundtrip_ok"] is True  # re-decode reproduced the pixels
+        assert 0 <= r["pixel_sum"] <= 255 * r["width"] * r["height"]
