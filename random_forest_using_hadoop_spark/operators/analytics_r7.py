@@ -1220,3 +1220,291 @@ def q_sink_json_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         F.col("m").alias("n_roundtrip_mismatch"),
     )
+
+
+# --- BFS hop distance over the co-activity graph -----------------------------
+
+_BFS_SEED_LT = 5  # seed set: graph nodes with user_id < 5
+_BFS_MAX_HOPS = 4
+_BFS_MIN_SHARED = 3  # same edge rule as graph_triangle_count
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE slot AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM slot a JOIN slot b
+    ON a.event_type = b.event_type AND a.hr = b.hr
+   AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BFS_MIN_SHARED}
+),
+edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+nodes AS (SELECT DISTINCT a AS u FROM edges),
+walk(u, d) AS (
+  SELECT u, 0 FROM nodes WHERE u < {_BFS_SEED_LT}
+  UNION
+  SELECT e.b, w.d + 1
+  FROM walk w JOIN edges e ON e.a = w.u
+  WHERE w.d < {_BFS_MAX_HOPS}
+),
+dist AS (SELECT u, MIN(d) AS hops FROM walk GROUP BY u)
+SELECT CAST(hops AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM dist GROUP BY hops
+"""
+
+
+@register("graph_bfs_hops", oracle=_BFS_ORACLE)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the user co-activity graph (same edge
+    rule as [[graph_triangle_count]]): exact minimum hop distance from
+    a seed set, reported as users-per-hop — the reachability kernel
+    behind influence radius, contamination spread, and "within N
+    degrees" queries. The oracle is a recursive CTE, so the hash match
+    proves the iterative frontier expansion equals the declarative
+    transitive closure.
+
+    Scale: each round is one equi-join of the current distance frame
+    against the edge list plus a min-aggregate — the textbook
+    message-passing BFS, bounded at _BFS_MAX_HOPS rounds.
+    localCheckpoint truncates the growing plan per round exactly as in
+    [[dedup_connected_components]]; no driver-side graph state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slot = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    e = (
+        slot.alias("x")
+        .join(
+            slot.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.hr") == F.col("y.hr"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(F.col("x.user_id").alias("a"), F.col("y.user_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _BFS_MIN_SHARED)
+        .select("a", "b")
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    nodes = edges.select(F.col("a").alias("u")).distinct()
+    dist = nodes.select(
+        "u",
+        F.when(F.col("u") < _BFS_SEED_LT, 0).otherwise(F.lit(None)).alias("d"),
+    ).localCheckpoint()
+    for _ in range(_BFS_MAX_HOPS):
+        nbr = (
+            dist.filter(F.col("d").isNotNull())
+            .join(edges, F.col("u") == F.col("a"))
+            .groupBy(F.col("b").alias("u2"))
+            .agg(F.min(F.col("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(nbr, dist.u == nbr.u2, "left")
+            .select(
+                "u",
+                F.least(
+                    F.coalesce("d", F.lit(10**9)),
+                    F.coalesce("nd", F.lit(10**9)),
+                ).alias("d"),
+            )
+            .select(
+                "u",
+                F.when(F.col("d") < 10**9, F.col("d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("d").isNotNull())
+        .groupBy(F.col("d").cast("int").alias("hops"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# --- ABC (80/95) classification ----------------------------------------------
+
+_ABC_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+           AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot
+  FROM pr
+),
+cls AS (
+  SELECT CASE WHEN cum * 1.0 / tot <= 0.80 THEN 'A'
+              WHEN cum * 1.0 / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents, tot
+  FROM c
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       round(CAST(SUM(cents) AS DOUBLE) / MAX(tot), 6) AS revenue_share
+FROM cls GROUP BY abc_class
+"""
+
+
+@register("agg_abc_classification", oracle=_ABC_ORACLE)
+def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts covering the first 80% of
+    cumulative revenue are class A, the next 15% B, the tail C —
+    reported as per-class part counts, revenue, and share. The
+    full-curve generalization of [[agg_pareto_point]]'s single 80%
+    crossing.
+
+    Scale: per-part revenue reduces on the natural key, then the
+    cumulative sum uses the same distributed two-pass pattern as
+    agg_pareto_point — approx-percentile value slices, per-slice
+    windows in parallel, an un-partitioned window only over the ≤33-row
+    slice partials — so no WindowExec ever sees the full part frame.
+    Cumulative sums are exact integers: the 0.80/0.95 cuts are
+    deterministic, never a float-accumulation coin flip.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    n_slices = 32
+    pcts = [i / n_slices for i in range(1, n_slices)]
+    bounds = pr.agg(
+        F.percentile_approx("cents", F.array(*[F.lit(p) for p in pcts]), 2000)
+        .alias("bnds")
+    )
+    sliced = (
+        pr.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "slice", F.size(F.filter("bnds", lambda b: b > F.col("cents")))
+        )
+        .drop("bnds")
+    )
+    partials = sliced.groupBy("slice").agg(F.sum("cents").alias("psum"))
+    wp = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    prefix = partials.select(
+        "slice",
+        F.coalesce(F.sum("psum").over(wp), F.lit(0)).alias("pre_sum"),
+        F.sum("psum").over(wall).alias("tot"),
+    )
+    ws = Window.partitionBy("slice").orderBy(
+        F.col("cents").desc(), "l_partkey"
+    )
+    cum = (
+        sliced.withColumn(
+            "cum_loc",
+            F.sum("cents").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(F.broadcast(prefix), "slice")
+        .select(
+            "cents",
+            (F.col("pre_sum") + F.col("cum_loc")).cast("bigint").alias("cum"),
+            F.col("tot").cast("bigint").alias("tot"),
+        )
+    )
+    cls = cum.select(
+        F.when(F.col("cum") * 1.0 / F.col("tot") <= 0.80, "A")
+        .when(F.col("cum") * 1.0 / F.col("tot") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.round(F.sum("cents").cast("double") / F.max("tot"), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+# --- quoted / multiline CSV robustness ---------------------------------------
+
+_CSVQ_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         'pre,"' || substr(text, 1, 10) || '"' || chr(10) || 'post,' AS tricky
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(length(tricky)) AS BIGINT) AS len_total,
+       CAST(0 AS BIGINT) AS n_roundtrip_mismatch
+FROM t
+"""
+
+
+@register("scan_csv_quoted_multiline", oracle=_CSVQ_ORACLE)
+def q_scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV robustness round trip for the fields that break naive
+    parsers: values containing commas, double quotes, AND embedded
+    newlines. Build such a column, write CSV (writer quotes/escapes as
+    needed), read it back in multiLine mode, and grade totals plus an
+    exact zero-mismatch audit — proving the quote/escape/newline
+    round trip is lossless, not just that some rows came back.
+
+    Scale note: multiLine CSV parsing is NOT splittable (a record
+    boundary can't be found mid-file), so parallelism = file count —
+    which is why the stage writes multiple parts, and why columnar
+    formats win for anything beyond ingest. This operator exists to
+    pin the ingest edge case, not to recommend the format.
+    """
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('pre,"'),
+            F.substring("text", 1, 10),
+            F.lit('"\npost,'),
+        ).alias("tricky"),
+    )
+    root = _tmp(sf_dir, "csv_quoted")
+    out = os.path.join(root, "tricky")
+    d.repartition(4).write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id bigint, tricky string")
+        .csv(out)
+    )
+    mism = (
+        d.alias("a")
+        .join(back.alias("b"), "doc_id", "full_outer")
+        .filter(
+            F.col("a.tricky").isNull()
+            | F.col("b.tricky").isNull()
+            | (F.col("a.tricky") != F.col("b.tricky"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    stats = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.length("tricky")).cast("bigint").alias("len_total"),
+    )
+    return stats.crossJoin(F.broadcast(mism)).select(
+        "n_rows",
+        "n_docs",
+        "len_total",
+        F.col("m").alias("n_roundtrip_mismatch"),
+    )

@@ -187,3 +187,33 @@ def test_multimodal_resize_halves_dimensions_exactly(spark):
         assert r["width"] == (w + 1) // 2 and r["height"] == (h + 1) // 2
         assert r["roundtrip_ok"] is True  # re-decode reproduced the pixels
         assert 0 <= r["pixel_sum"] <= 255 * r["width"] * r["height"]
+
+
+def test_bfs_hops_bounded_and_seeded(spark):
+    from random_forest_using_hadoop_spark.operators.analytics_r7 import (
+        _BFS_MAX_HOPS,
+    )
+
+    rows = engine.REGISTRY["graph_bfs_hops"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hops"] <= _BFS_MAX_HOPS
+        assert r["n_users"] > 0
+    assert any(r["hops"] == 0 for r in rows)  # seeds exist in the graph
+
+
+def test_abc_classes_partition_revenue(spark):
+    rows = {
+        r["abc_class"]: r
+        for r in engine.REGISTRY["agg_abc_classification"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    if "C" in rows:  # A holds most revenue in fewest parts by construction
+        assert rows["A"]["revenue_share"] > rows["C"]["revenue_share"]
+
+
+def test_csv_quoted_multiline_lossless(spark):
+    r = engine.REGISTRY["scan_csv_quoted_multiline"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_roundtrip_mismatch"] == 0
+    assert r["n_rows"] == r["n_docs"]
