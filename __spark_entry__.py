@@ -51,6 +51,7 @@ _GRADE_FIRST = [
     "agg_new_vs_returning", "agg_interorder_gaps",
     "sql_cte_pipeline", "sink_json_gzip", "multimodal_resize",
     "graph_bfs_hops", "agg_abc_classification", "scan_csv_quoted_multiline",
+    "pipe_span_corruption", "text_keyword_tfidf_topk",
     # --- late-r5 additions with zero driver evidence (30 keys) ---
     "src_xml", "agg_hll_portable", "agg_countmin_heavy",
     "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",

@@ -1508,3 +1508,196 @@ def q_scan_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_total",
         F.col("m").alias("n_roundtrip_mismatch"),
     )
+
+
+# --- T5-style span-corruption manifest ---------------------------------------
+
+_SPAN_RATE = 15  # mask ~15% of token positions
+
+# Deterministic portable masking: position (doc_id, pos) is masked iff
+# md5-derived value mod 100 < rate — the same hash both engines compute
+# (idiom shared with the Count-Min / Bloom sketches). Span starts are
+# masked positions whose predecessor is unmasked.
+_SPANC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+                   % 100 < {_SPAN_RATE} THEN 1 ELSE 0 END AS msk
+  FROM tok
+),
+s AS (
+  SELECT doc_id, pos, msk,
+         CASE WHEN msk = 1 AND COALESCE(LAG(msk) OVER (
+                  PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS span_start
+  FROM m
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(msk) AS BIGINT) AS n_masked,
+       CAST(SUM(span_start) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN msk = 1 THEN pos ELSE 0 END) AS BIGINT)
+         AS mask_pos_checksum,
+       round(CAST(SUM(msk) AS DOUBLE) / COUNT(*), 6) AS mask_rate
+FROM s GROUP BY doc_id
+"""
+
+
+@register("pipe_span_corruption", oracle=_SPANC_ORACLE)
+def q_pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption manifest: deterministically mask ~15%
+    of token positions per document (portable md5 decision per
+    (doc, position)) and report tokens, masked count, SPAN count
+    (consecutive masked positions collapse into one sentinel — the
+    denoising objective's unit), a position checksum pinning exactly
+    which tokens were chosen, and the realized mask rate. Rerunnable
+    byte-identically on any cluster — the property a pretraining recipe
+    needs for resumable preprocessing.
+
+    Scale: tokenize-explode is stateless on the scan; the span-start
+    LAG partitions by doc_id (parallel, frame = one document); the
+    rollup partial-aggs on doc_id. Nothing global anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    msk = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < _SPAN_RATE
+    ).cast("int")
+    m = tok.select("doc_id", "pos", msk.alias("msk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    s = m.select(
+        "doc_id",
+        "pos",
+        "msk",
+        (
+            (F.col("msk") == 1)
+            & (F.coalesce(F.lag("msk").over(w), F.lit(0)) == 0)
+        )
+        .cast("int")
+        .alias("span_start"),
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("msk").cast("bigint").alias("n_masked"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("msk") == 1, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("mask_pos_checksum"),
+        F.round(F.sum("msk").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mask_rate"
+        ),
+    )
+
+
+# --- per-document TF-IDF keyword extraction ----------------------------------
+
+_KW_TOPK = 3
+
+_KW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id,
+       string_agg(tok, ',' ORDER BY rk) AS keywords
+FROM ranked WHERE rk <= {_KW_TOPK}
+GROUP BY doc_id
+"""
+
+
+@register("text_keyword_tfidf_topk", oracle=_KW_ORACLE)
+def q_text_keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by smoothed
+    TF-IDF (tf · (ln((N+1)/(df+1)) + 1), the classic sklearn smoothing
+    [[text_tokens_tfidf]] also uses), with deterministic (score, term)
+    tie-breaks, emitted as one ordered comma-joined keyword string per
+    document — the summarization/tagging primitive downstream search
+    and clustering both want.
+
+    Scale: term frequencies partial-agg on (doc, term); document
+    frequencies on term (bounded by vocabulary, broadcast back); the
+    rank window partitions by doc_id — frame = one document's distinct
+    terms, embarrassingly parallel. The only global value is the
+    single-row corpus count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KW_TOPK
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+            ",",
+        ).alias("keywords")
+    )
