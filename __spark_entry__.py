@@ -32,16 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Grading priority (round 7): the driver grades the FIRST 50 keys in
-# dict order. Cumulative r1∪…∪r6 evidence: 239/269 keys green (every
+# dict order. Cumulative r1∪…∪r6 evidence: 239/289 keys green (every
 # key green as of its latest grading); the 30 late-r5 additions never
 # got a driver row because the r6 window was not rotated. This round
-# puts those 30 FIRST (after any brand-new r7 keys, which by
-# convention enter at position 1 so no new key waits a round for
-# evidence), and backfills the window with the stalest r1-graded keys
-# so their evidence is refreshed under the current engine. Overflow =
-# the remaining r1-era keys (stalest first), then the r3/r4-graded
-# tail, then the keys freshly re-proven in r6 (all green, re-proven by
-# the local parity clone each pytest run). Every key appears once.
+# the window is EXACTLY the zero-evidence set: the 20 new-in-r7 keys
+# (position 1 by convention — no new key waits a round for evidence)
+# followed by those 30. r8 rotation plan: once CORRECTNESS_r07 lands
+# green, move the stalest r1-graded keys (the two blocks right below
+# the window) to the front so their evidence refreshes under the
+# current engine, then continue through the r3/r4-graded tail.
+# Overflow = r1-era keys stalest-first, then the r3/r4 tail, then the
+# keys freshly re-proven in r6 (all green, re-proven by the local
+# parity clone each pytest run). Every key appears at most once;
+# unlisted keys append in registration order.
 _GRADE_FIRST = [
     # --- new-in-r7 keys: inserted here, position 1, as they land ---
     "agg_winsorized_mean", "agg_ols_multi", "agg_kaplan_meier",
