@@ -128,6 +128,12 @@ def _minhash_band_candidates(d: DataFrame) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        # load-bearing distinct: the duplication factor is only 1.09×
+        # (a pair rarely collides in >1 band), so deferring the dedup
+        # to the verify's tiny output LOOKS like it should save this
+        # multi-million-row shuffle — measured instead 2.5× slower at
+        # sf0.1 (r7): the exchange is where AQE sees real sizes and
+        # re-plans/coalesces before the verify joins. Keep it.
         .distinct()
     )
 
