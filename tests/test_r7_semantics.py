@@ -217,3 +217,27 @@ def test_csv_quoted_multiline_lossless(spark):
     r = engine.REGISTRY["scan_csv_quoted_multiline"].fn(spark, SF_DIR).collect()[0]
     assert r["n_roundtrip_mismatch"] == 0
     assert r["n_rows"] == r["n_docs"]
+
+
+def test_span_corruption_rates_and_span_bounds(spark):
+    rows = engine.REGISTRY["pipe_span_corruption"].fn(spark, SF_DIR).collect()
+    assert rows
+    tot_tok = sum(r["n_tokens"] for r in rows)
+    tot_msk = sum(r["n_masked"] for r in rows)
+    # global realized rate concentrates near the 15% target
+    assert 0.10 < tot_msk / tot_tok < 0.20
+    for r in rows:
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        # every masked run contributes exactly one span
+        assert r["n_spans"] <= r["n_masked"]
+        assert (r["n_spans"] >= 1) == (r["n_masked"] >= 1)
+
+
+def test_keyword_extraction_shape(spark):
+    rows = engine.REGISTRY["text_keyword_tfidf_topk"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        kws = r["keywords"].split(",")
+        assert 1 <= len(kws) <= 3
+        assert all(k for k in kws)  # no empty keywords
+        assert len(set(kws)) == len(kws)  # distinct terms
