@@ -371,7 +371,9 @@ _Q11_FRACTION = 0.001
 
 _Q11_ORACLE = f"""
 WITH jv AS (
-  SELECT l.l_partkey AS partkey, {o_dsum('l.l_extendedprice')} AS value
+  SELECT l.l_partkey AS partkey, {o_dsum('l.l_extendedprice')} AS value,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 1000000.0 + 0.5)
+              AS BIGINT)) AS BIGINT) AS vq
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -381,7 +383,8 @@ WITH jv AS (
 )
 SELECT partkey, value
 FROM jv
-WHERE value > (SELECT {_Q11_FRACTION} * SUM(value) FROM jv)
+WHERE value > (SELECT {_Q11_FRACTION}
+               * (CAST(SUM(vq) AS BIGINT) / 1000000.0) FROM jv)
 """
 
 
@@ -398,9 +401,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin for the threshold compare: with a ONE-ROW
     build side that is the scalar-subquery execution shape (each
     partition tests its rows against one broadcast scalar — a filter,
-    not a quadratic join). Values are fixed-point (dsum): each is
-    an exact multiple of 1e-6 well under 2^53, so the double total is
-    order-independent and the threshold compare is deterministic.
+    not a quadratic join). The global total sums the QUANTIZED BIGINT
+    per-part values, not their /1e6 double quotients — q/1e6 is NOT an
+    exact binary double, so a double total would drift with
+    accumulation order at the ulp level and a part sitting within that
+    drift of the threshold could flip (the r7 latent-bug audit caught
+    exactly this; same class as the NTILE remainder bug). Both engines
+    now derive the threshold from the identical exact integer.
     Dimension chain broadcasts; one fact shuffle on partkey.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -415,9 +422,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     jv = (
         li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(dsum("l_extendedprice").alias("value"))
+        .agg(
+            dsum("l_extendedprice").alias("value"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("vq"),
+        )
     )
-    total = jv.agg((F.lit(_Q11_FRACTION) * F.sum("value")).alias("threshold"))
+    total = jv.agg(
+        (F.lit(_Q11_FRACTION) * (F.sum("vq").cast("bigint") / 1000000.0))
+        .alias("threshold")
+    )
     return (
         jv.join(F.broadcast(total), jv.value > F.col("threshold"))
         .select("partkey", "value")
