@@ -390,7 +390,9 @@ SELECT n.n_name AS nation,
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE c.c_acctbal > (
-        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+        SELECT (CAST(SUM(CAST(floor(c2.c_acctbal * 1000000.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
       )
   AND NOT EXISTS (
         SELECT 1 FROM orders o
@@ -416,17 +418,21 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the AVG is a one-row global aggregate, cross-joined in
     (broadcast of a single row) rather than collect()ed, so the plan
     stays fully lazy/distributed. The anti join probes the filtered
-    orders on o_custkey; nation broadcasts. AVG-threshold comparison
-    happens on the same IEEE double in both engines (single global
-    mean; min |c_acctbal − avg| ≥ 0.07 at all three SFs, measured, vs
-    ~1e-10 double noise).
+    orders on o_custkey; nation broadcasts. The AVG threshold is a
+    fixed-point mean (helpers.davg shape): a raw double AVG drifts with
+    accumulation order at the ulp level, and while the measured margin
+    here (min |c_acctbal − avg| ≥ 0.07 at all three SFs) dwarfs that
+    noise, the exact-integer form costs nothing and removes the
+    fixture dependence (r7 latent-bug audit, same class as Q11).
     """
+    from random_forest_using_hadoop_spark.helpers import davg
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     # Global mean of positive balances, kept as a (broadcast) 1-row frame.
     mean_row = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        davg(F.col("c_acctbal")).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(mean_row))
