@@ -300,7 +300,7 @@ curve AS (
                              * 1000000.0 + 0.5) AS BIGINT))
               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                     AND CURRENT ROW) AS BIGINT) AS lncum
-  FROM risk WHERE d > 0
+  FROM risk WHERE d > 0 AND d < n_risk
 )
 SELECT t AS day, n_risk, d AS n_events,
        round(exp(lncum / 1000000.0), 6) AS survival
@@ -315,7 +315,11 @@ def q_agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator that handles "hasn't converted YET" correctly where a
     naive conversion rate silently drops censored users. Per event day:
     the at-risk count, event count, and the K-M product-limit survival
-    estimate.
+    estimate. Terminal-day guard: a day where d == n_risk would put
+    ln(0) = -inf into the cumulative series (DuckDB errors on
+    CAST(floor(-inf) AS BIGINT); Spark silently overflows), so both
+    engines filter d < n_risk — the curve stops at the last day with
+    survivors, identically.
 
     Scale: one per-user reduce (bounded by |users|), then everything —
     risk sets, the ln-quantized cumulative product — lives on a frame
@@ -365,7 +369,7 @@ def q_agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_risk"),
         )
-        .filter(F.col("d") > 0)
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
     )
     lnq = F.floor(
         F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk"))

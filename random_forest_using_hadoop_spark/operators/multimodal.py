@@ -540,6 +540,13 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each kept pixel straight from the text tiling pixel(i) = data[i mod n]
 # used by the encoder, so a hash match proves decode → resize →
 # re-encode → re-decode reproduced every kept pixel byte-for-byte.
+# Cross-engine length contract (shared with multimodal_decode): the
+# oracle's length(text)/ascii() are CHARACTER-based while the Spark
+# encoder tiles utf-8 BYTES — identical only while document text is
+# pure ASCII, an invariant of the generated corpus PINNED by
+# tests/test_r8_semantics.py::test_documents_text_ascii_invariant
+# (octet_length == length for every doc). Non-ASCII corpora would
+# need byte-indexed oracles (encode()/blob slicing) on the DuckDB side.
 _RESIZE_ORACLE = f"""
 WITH p AS (
   SELECT doc_id, text, length(text) AS n,

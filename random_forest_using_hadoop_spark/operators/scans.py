@@ -818,10 +818,17 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("orderkey_hi"),
         )
         row = agg.collect()[0]
-        # Loose, version-tolerant pushdown detection: any non-empty
-        # PushedAggregation list in the executed plan counts (the exact
-        # "[COUNT(*)" spelling drifts across Spark minors); fall back to
-        # the formatted explain text if the private plan accessor moves.
+        # Pushdown detection, version-tolerant but SPECIFIC: require
+        # every aggregate this query computes (COUNT plus MIN/MAX of
+        # both columns) to appear inside the PushedAggregation list —
+        # a partial pushdown (e.g. MIN/MAX pushed, COUNT falling back
+        # to a scan) must grade false. Case-insensitive because the
+        # exact spelling drifts across Spark minors. A list whose
+        # closing ']' never appears (plan string truncated by
+        # spark.sql.debug.maxToStringFields) is matched on whatever
+        # prefix survived rather than auto-failed on a print limit.
+        # Falls back to the formatted explain text if the private plan
+        # accessor moves.
         import contextlib
         import io
         import re
@@ -833,8 +840,20 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             with contextlib.redirect_stdout(buf):
                 agg.explain("formatted")
             plan = buf.getvalue()
-        m = re.search(r"PushedAggregation:?\s*\[([^\]]*)\]", plan, re.IGNORECASE)
-        pushed = bool(m and m.group(1).strip())
+        m = re.search(
+            r"PushedAggregation:?\s*\[([^\]]*)(\]|$)", plan, re.IGNORECASE
+        )
+        items = (m.group(1) if m else "").lower()
+        pushed = all(
+            needle in items
+            for needle in (
+                "count(",
+                "min(o_custkey",
+                "max(o_custkey",
+                "min(o_orderkey",
+                "max(o_orderkey",
+            )
+        )
     finally:
         for k in keys:
             if old[k] is None:

@@ -424,6 +424,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             dsum("l_extendedprice").alias("value"),
+            # overflow envelope: vq rows are ~1e11 (price ~1e5 × 1e6
+            # quantum); the GLOBAL Σvq below crosses 2^63 around
+            # sf≈500 (~3e9 EU lineitems × 1e11 ≈ 3e20 > 9.2e18 at
+            # sf~500) — narrower than dsum's per-group envelope. Past
+            # that, requantize to cents (1e2) for the global total;
+            # the threshold compare only needs 2-decimal stability.
             F.sum(
                 F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast(
                     "bigint"

@@ -57,8 +57,10 @@ def release_caches(spark: SparkSession) -> None:
     non-recomputable; everything else just recomputes).
     """
     from random_forest_using_hadoop_spark.ml import forest
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
 
     forest._CACHE.clear()
+    dedup_lsh._PAIR_MEMO.clear()
     # all DataFrame/table-level caches (simhash `sh`, CC `edges`, ...)
     spark.catalog.clearCache()
     # RDD-level blocks clearCache can't see: localCheckpoints from the
