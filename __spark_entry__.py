@@ -45,7 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # once; unlisted keys append in registration order.
 _GRADE_FIRST = [
     # --- new-in-r8 keys: inserted here, position 1, as they land ---
-    "dedup_substring_winnow",
+    "dedup_substring_winnow", "dedup_canonical_keep",
+    "dedup_threshold_sweep", "dedup_chunk_exact",
+    "pipe_expectation_suite", "sink_mv_delta_maintenance",
+    "agg_table_checksum", "ml_calibration_bins",
     # --- r1-era keys (stalest driver evidence), re-graded under the
     # current engine (39 keys) ---
     "scan_parquet", "filter_basic", "project_expr", "limit_topk",

@@ -80,3 +80,116 @@ def test_substring_winnow_shrinks_join_input(spark):
         .collect()[0]
     )
     assert counts["s"] / counts["a"] < 0.35
+
+
+def test_canonical_keep_one_survivor_per_component(spark):
+    rows = engine.REGISTRY["dedup_canonical_keep"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    multi = 0
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, f"component {comp}: {len(keeps)} survivors"
+        assert keeps[0]["doc_id"] == keeps[0]["canonical_id"]
+        # every member points at the same canonical
+        assert len({r["canonical_id"] for r in members}) == 1
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0, "planted near-dup components exist [FIXTURES]"
+
+
+def test_threshold_sweep_is_monotone(spark):
+    rows = sorted(
+        engine.REGISTRY["dedup_threshold_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert rows and rows[0]["threshold"] == 0.6
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    # raising the cutoff can only shrink the pair set and its doc cover
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    for r in rows:
+        assert r["n_docs_affected"] <= 2 * r["n_pairs"]
+
+
+def test_chunk_dedup_fractions_and_planted_families(spark):
+    rows = engine.REGISTRY["dedup_chunk_exact"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 500  # one row per document
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_chunk_fraction"] <= 1.0
+    # planted shared-prefix families must surface as duplicated chunks
+    assert any(r["n_dup_chunks"] > 0 for r in rows)
+    # and most of the corpus is NOT chunk-duplicated
+    clean = sum(1 for r in rows if r["n_dup_chunks"] == 0)
+    assert clean > len(rows) // 2
+
+
+def test_expectation_suite_all_green_on_fixture(spark):
+    rows = engine.REGISTRY["pipe_expectation_suite"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    failed = [r["constraint_name"] for r in rows if not r["passed"]]
+    assert not failed, f"fixture violates constraints: {failed}"
+    assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_mv_delta_merge_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.helpers import dsum
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    merged = {
+        r["custkey"]: (r["order_count"], r["total_spend"])
+        for r in engine.REGISTRY["sink_mv_delta_maintenance"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    direct = {
+        r["custkey"]: (r["order_count"], r["total_spend"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .collect()
+    }
+    assert merged == direct  # increment ≡ recompute, bit-exact
+
+
+def test_table_checksum_is_order_independent(spark):
+    from pyspark.sql import functions as F
+
+    base = {
+        r["table_name"]: (r["n_rows"], r["checksum_xor"], r["checksum_summod"])
+        for r in engine.REGISTRY["agg_table_checksum"].fn(spark, SF_DIR).collect()
+    }
+    assert set(base) == {"lineitem", "orders"}
+    # recompute the lineitem checksum from a deliberately re-shuffled,
+    # reverse-sorted copy — all three numbers must be identical
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .orderBy(F.col("l_orderkey").desc(), F.col("l_linenumber").desc())
+        .repartition(7)
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber,"
+        " l_partkey, l_suppkey, cast(l_quantity as bigint), l_returnflag,"
+        " l_linestatus)), 1, 15), 16, 10) as bigint)"
+    )
+    r = (
+        li.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("bit_xor(h)").cast("bigint").alias("x"),
+            F.sum(F.col("h") % 1000003).cast("bigint").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert (r["n"], r["x"], r["s"]) == base["lineitem"]
