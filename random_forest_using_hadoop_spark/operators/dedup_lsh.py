@@ -816,7 +816,13 @@ def q_dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     w + 2g − 1 = {_SUBSTR_WIN + 2 * _WINNOW_G - 1} chars contains ≥ 2
     full g-windows of shared hashes, so both docs select ≥
     {_WINNOW_MIN_SHARED} identical values — the threshold detects every
-    run of that length DETERMINISTICALLY (measured at sf0.01: all 26
+    run of that length DETERMINISTICALLY. One documented blind spot
+    (found by the hypothesis model, test_helpers_property.py): a
+    PERIODIC shared run whose windows repeat verbatim ('aaaa…')
+    collapses to a single distinct selected value and falls below the
+    threshold — the ≥2-value guarantee assumes ≥2 distinct window
+    minima inside the run, which distinct window content provides
+    (measured at sf0.01: all 26
     truth-set pairs from the exact form share ≥ 3 selected hashes;
     recall gated at 100% in tests/test_r8_semantics.py). Expected
     density is 2/(g+1) ≈ 0.22, so the join input shrinks ~4.5×

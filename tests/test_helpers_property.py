@@ -250,3 +250,67 @@ def test_ntile_from_rn_quotes_nonidentifier_columns(spark):
         r["b"] for r in df.select(ntile_from_rn("row n", 7, 5).alias("b")).collect()
     )
     assert got == [1, 1, 2, 2, 3, 4, 5]
+
+
+# --- winnowing selection model (dedup_substring_winnow) -----------------------
+
+# Pure-Python model of the r8 winnow selection: hashes -> min of each
+# sliding g-window, distinct. Pins the two guarantees the operator's
+# docstring claims, over adversarial hash sequences (duplicates, runs,
+# short docs), without a JVM: (a) the selected set is a subset of the
+# input hashes with every g-window of positions represented (max gap
+# between selection-covering positions < g), so any shared run of 2g
+# consecutive equal hashes shares >= 2 selected VALUES; (b) selection
+# depends only on the hash sequence (re-running on an identical
+# sequence is identical — determinism under re-partitioning).
+
+
+def _winnow_select(hs: list[int], g: int = 8) -> set[int]:
+    if not hs:
+        return set()
+    n_win = max(len(hs) - g + 1, 1)
+    return {min(hs[j : j + g]) for j in range(n_win)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120),
+    st.integers(min_value=2, max_value=10),
+)
+def test_winnow_every_g_window_is_covered(hs, g):
+    sel = _winnow_select(hs, g)
+    assert sel <= set(hs)
+    # every full g-window's minimum VALUE is selected — the covering
+    # property behind the shared-run guarantee
+    for j in range(max(len(hs) - g + 1, 1)):
+        assert min(hs[j : j + g]) in sel
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80),
+    st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=16,
+        max_size=40,
+        unique=True,
+    ),
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80),
+)
+def test_winnow_shared_run_guarantees_shared_selection(prefix, shared, suffix):
+    """Two 'documents' embedding the same >= 2g-hash run of DISTINCT
+    hashes must share at least 2 selected values (the
+    _WINNOW_MIN_SHARED = 2 detection floor), regardless of what
+    surrounds the run. Distinctness models the 60-bit md5 fold of
+    distinct windows; hypothesis found the one escape hatch — a
+    PERIODIC run whose windows repeat verbatim collapses to a single
+    distinct minimum (e.g. 'aaaa…'), documented as the operator's
+    known blind spot."""
+    g = 8
+    a = _winnow_select(prefix + shared, g)
+    b = _winnow_select(shared + suffix, g)
+    # interior windows fully inside `shared` exist on both sides:
+    # len(shared) >= 2g gives >= g+1 full windows inside the run
+    interior = {min(shared[j : j + g]) for j in range(len(shared) - g + 1)}
+    assert interior <= a and interior <= b
+    assert len(a & b) >= 2

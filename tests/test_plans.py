@@ -843,3 +843,37 @@ def test_substring_winnow_join_input_is_winnowed_and_capped(spark):
     assert f"<= {_WINNOW_DF_CAP}" in plan, "df cap not applied before join"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_is_single_equi_join_no_pairs(spark):
+    """dedup_chunk_exact's scale claim: chunk-level dedup needs NO pair
+    join — one chunk-df hash aggregate plus one equi-join of tokens to
+    their df. A second join (or any non-equi join) in the plan means
+    the pairwise shape crept back in."""
+    plan = _formatted_plan(spark, "dedup_chunk_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # count join NODES once each: formatted explain prints every node
+    # twice (tree line + '(n) NodeName' detail header) — match headers
+    n_joins = len(
+        re.findall(
+            r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            plan,
+            re.MULTILINE,
+        )
+    )
+    assert n_joins == 1, f"expected exactly one equi-join, saw {n_joins}"
+    assert plan.count("HashAggregate") >= 2  # partial + final df count
+
+
+def test_mv_delta_scan_pushes_cutoff_predicate(spark):
+    """sink_mv_delta_maintenance's scale claim: the delta leg must read
+    only the tail partition — the cutoff predicate has to reach the
+    parquet scan as a pushed filter, not a post-scan Filter over
+    history."""
+    plan = _formatted_plan(spark, "sink_mv_delta_maintenance")
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "cutoff predicate did not push to the delta scan"
+    )
