@@ -49,6 +49,10 @@ _GRADE_FIRST = [
     "dedup_threshold_sweep", "dedup_chunk_exact",
     "pipe_expectation_suite", "sink_mv_delta_maintenance",
     "agg_table_checksum", "ml_calibration_bins",
+    "agg_join_skew_diagnostics", "pipe_dedup_stage_funnel",
+    "agg_data_freshness_sla",
+    # (11 new keys — the cap that keeps all 39 r1-era keys below
+    # inside the 50-key window)
     # --- r1-era keys (stalest driver evidence), re-graded under the
     # current engine (39 keys) ---
     "scan_parquet", "filter_basic", "project_expr", "limit_topk",

@@ -677,3 +677,306 @@ def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         " acc_in_01 boolean, conf_in_bin boolean,"
         " conf_at_least_uniform boolean",
     )
+
+
+# --- pre-join hot-key skew diagnostics ----------------------------------------
+
+_SKEW_ORACLE = """
+WITH stats AS (
+  SELECT 'lineitem.l_orderkey' AS join_key, l_orderkey AS k, COUNT(*) AS c
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey, COUNT(*) FROM orders GROUP BY 2
+),
+hist AS (
+  SELECT join_key, c, COUNT(*) AS nk FROM stats GROUP BY 1, 2
+),
+tot AS (
+  SELECT join_key, CAST(SUM(nk) AS BIGINT) AS n_keys,
+         CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM hist GROUP BY 1
+),
+cum AS (
+  SELECT join_key, c,
+         SUM(nk) OVER (PARTITION BY join_key ORDER BY c) AS cum_nk
+  FROM hist
+),
+p99 AS (
+  SELECT cum.join_key, CAST(MIN(cum.c) AS BIGINT) AS p99_rows
+  FROM cum JOIN tot ON tot.join_key = cum.join_key
+  WHERE cum.cum_nk * 100 >= tot.n_keys * 99
+  GROUP BY 1
+)
+SELECT tot.join_key, tot.n_keys, tot.n_rows, tot.max_rows, p99.p99_rows,
+       round(CAST(tot.n_rows AS DOUBLE) / tot.n_keys, 6) AS mean_rows,
+       round(CAST(tot.max_rows AS DOUBLE) * tot.n_keys / tot.n_rows, 6)
+         AS skew_ratio,
+       tot.max_rows * tot.n_keys > 10 * tot.n_rows AS salting_recommended
+FROM tot JOIN p99 USING (join_key)
+"""
+
+
+@register("agg_join_skew_diagnostics", oracle=_SKEW_ORACLE)
+def q_agg_join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join hot-key skew report — the diagnosis that decides whether
+    a join needs [[join_skew_salted]] treatment BEFORE burning a
+    cluster-hour discovering it: per candidate join key, the key count,
+    row count, max and exact-p99 rows-per-key, mean, the max/mean skew
+    ratio, and an exact-integer salting verdict (max > 10× mean tested
+    as max·n_keys > 10·n_rows — no float in the decision).
+
+    Scale: one hash groupBy per audited key (map-side combined), then
+    everything runs on the rows-per-key HISTOGRAM (distinct count
+    values — hundreds, not |keys|): the exact p99 is a cumulative sum
+    over that bounded frame, never a global sort of the key counts.
+    This is the same reduce-to-histogram doctrine as
+    agg_percentile_histogram / agg_interorder_gaps.
+    """
+    from pyspark.sql import Window
+
+    def per_key(df: DataFrame, key: str, label: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("nk"))
+            .select(F.lit(label).alias("join_key"), "c", "nk")
+        )
+
+    hist = per_key(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"
+    ).unionByName(
+        per_key(load_table(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
+    )
+    tot = hist.groupBy("join_key").agg(
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+    )
+    # the cumulative window runs on the bounded histogram (distinct
+    # count values per key), partitioned by join_key — metadata-sized
+    w = Window.partitionBy("join_key").orderBy("c")
+    cum = hist.select("join_key", "c", F.sum("nk").over(w).alias("cum_nk"))
+    p99 = (
+        cum.join(tot.select("join_key", "n_keys"), "join_key")
+        .filter(F.col("cum_nk") * 100 >= F.col("n_keys") * 99)
+        .groupBy("join_key")
+        .agg(F.min("c").cast("bigint").alias("p99_rows"))
+    )
+    return tot.join(p99, "join_key").select(
+        "join_key",
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        "p99_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+            "mean_rows"
+        ),
+        F.round(
+            F.col("max_rows").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_ratio"),
+        (F.col("max_rows") * F.col("n_keys") > 10 * F.col("n_rows")).alias(
+            "salting_recommended"
+        ),
+    )
+
+
+# --- staged dedup funnel (exact -> near-dup canonical) -------------------------
+
+_FUNNEL_ORACLE = """
+WITH RECURSIVE grp AS (
+  SELECT doc_id, n_chars, md5(text) AS h FROM documents
+),
+exact_surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM grp GROUP BY h
+),
+ex AS (
+  SELECT g.doc_id, g.n_chars, s.doc_id IS NOT NULL AS kept
+  FROM grp g LEFT JOIN exact_surv s ON s.doc_id = g.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> text[i : i + 4])) AS shingles
+  FROM documents
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT inter.a, inter.b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = inter.a
+  JOIN sz sb ON sb.doc_id = inter.b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(doc_id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.doc_id
+),
+comp AS (SELECT doc_id, MIN(root) AS component_id FROM walk GROUP BY doc_id),
+j AS (
+  SELECT c.doc_id, c.component_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+surv AS (
+  SELECT component_id, doc_id AS canonical_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j
+),
+canon AS (
+  SELECT j.doc_id, j.doc_id = s.canonical_id AS keep
+  FROM j JOIN (SELECT component_id, canonical_id FROM surv WHERE rn = 1) s
+    USING (component_id)
+)
+SELECT 'exact' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS docs_in,
+       CAST(COUNT(*) FILTER (ex.kept) AS BIGINT) AS docs_kept,
+       CAST(COUNT(*) FILTER (NOT ex.kept) AS BIGINT) AS docs_dropped,
+       CAST(COALESCE(SUM(ex.n_chars) FILTER (NOT ex.kept), 0) AS BIGINT)
+         AS chars_dropped
+FROM ex
+UNION ALL
+SELECT 'near_dup',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (canon.keep) AS BIGINT),
+       CAST(COUNT(*) FILTER (NOT canon.keep) AS BIGINT),
+       CAST(COALESCE(SUM(ex.n_chars) FILTER (NOT canon.keep), 0) AS BIGINT)
+FROM ex JOIN canon USING (doc_id)
+WHERE ex.kept
+"""
+
+
+@register("pipe_dedup_stage_funnel", oracle=_FUNNEL_ORACLE)
+def q_pipe_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL a corpus build publishes: stage-by-stage
+    accounting of what exact dedup and near-dup canonical selection
+    each removed — docs in/kept/dropped and characters reclaimed. Stage
+    composition is well-defined because the canonical survivor of any
+    component is itself an exact-dedup survivor (exact copies share
+    n_chars, so the (max n_chars, min doc_id) argmax lands on the
+    smallest doc_id of its identical-text group — the exact stage's
+    keep rule).
+
+    Spark side composes the already-registered stages: md5 groups for
+    the exact pass, [[dedup_canonical_keep]] (which rides the
+    session-memoized verified-pair stage) for the near-dup pass; this
+    key adds two aggregates and one join on doc_id. The oracle chains
+    the same logic through the recursive-CTE closure, so the hash match
+    proves the two stages COMPOSE correctly — not just that each works
+    alone.
+
+    Scale: exact pass is one hash groupBy on the content digest;
+    near-dup accounting joins two |docs|-row frames on doc_id. Nothing
+    here outlives the dedup passes it audits.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5("text").alias("h")
+    )
+    surv = docs.groupBy("h").agg(F.min("doc_id").alias("sdoc"))
+    ex = docs.join(
+        surv.select(F.col("sdoc").alias("doc_id")).withColumn(
+            "kept", F.lit(True)
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "n_chars", F.coalesce("kept", F.lit(False)).alias("kept")
+    )
+    stage1 = ex.agg(
+        F.lit("exact").alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_kept"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_dropped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("kept"), F.col("n_chars"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+    canon = q_dedup_canonical_keep(spark, sf_dir).select("doc_id", "keep")
+    stage2 = (
+        ex.filter(F.col("kept"))
+        .join(canon, "doc_id")
+        .agg(
+            F.lit("near_dup").alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_dropped"),
+            F.coalesce(
+                F.sum(F.when(~F.col("keep"), F.col("n_chars"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+    )
+    return stage1.unionByName(stage2)
+
+
+# --- data freshness SLA report --------------------------------------------------
+
+_FRESH_SLA_DAYS = 1
+
+_FRESH_ORACLE = f"""
+WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT per.event_type, per.n_events, per.last_ts,
+       CAST(date_diff('day', CAST(per.last_ts AS DATE),
+                      CAST(g.gmax AS DATE)) AS BIGINT) AS lag_days,
+       date_diff('day', CAST(per.last_ts AS DATE), CAST(g.gmax AS DATE))
+         <= {_FRESH_SLA_DAYS} AS fresh
+FROM per, g
+"""
+
+
+@register("agg_data_freshness_sla", oracle=_FRESH_ORACLE)
+def q_agg_data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness SLA report — the ops table a 100 TB ingest
+    publishes so consumers can gate on staleness: per event type, the
+    event count, the most recent event timestamp, its calendar-day lag
+    behind the freshest event anywhere in the table, and the SLA
+    verdict (lag ≤ {_FRESH_SLA_DAYS} day). Day-granularity lag is the
+    cross-engine-portable choice (datediff/date_diff on DATE both count
+    calendar boundaries; sub-day units disagree between engines on
+    boundary-crossing vs full-unit semantics).
+
+    Scale: one groupBy(event_type) with map-side combine + a broadcast
+    one-row global max — two aggregates over a single scan, no window,
+    no sort. The raw µs-timestamp column rides through the grading
+    canonicalizer as a native timestamp on both engines
+    (scan_events_nanos precedent).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    lag = F.datediff(F.to_date("gmax"), F.to_date("last_ts")).cast("bigint")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag.alias("lag_days"),
+        (lag <= _FRESH_SLA_DAYS).alias("fresh"),
+    )

@@ -193,3 +193,53 @@ def test_table_checksum_is_order_independent(spark):
         .collect()[0]
     )
     assert (r["n"], r["x"], r["s"]) == base["lineitem"]
+
+
+def test_skew_diagnostics_internal_consistency(spark):
+    rows = {
+        r["join_key"]: r
+        for r in engine.REGISTRY["agg_join_skew_diagnostics"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"lineitem.l_orderkey", "orders.o_custkey"}
+    for r in rows.values():
+        assert 1 <= r["p99_rows"] <= r["max_rows"]
+        assert r["mean_rows"] <= r["max_rows"]
+        assert r["skew_ratio"] >= 1.0
+        # integer-exact verdict agrees with the float ratio's meaning
+        assert r["salting_recommended"] == (
+            r["max_rows"] * r["n_keys"] > 10 * r["n_rows"]
+        )
+        assert abs(r["mean_rows"] * r["n_keys"] - r["n_rows"]) < 1e-3
+
+
+def test_dedup_funnel_stages_compose(spark):
+    rows = {
+        r["stage"]: r
+        for r in engine.REGISTRY["pipe_dedup_stage_funnel"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"exact", "near_dup"}
+    ex, nd = rows["exact"], rows["near_dup"]
+    assert ex["docs_in"] == 500
+    assert ex["docs_kept"] + ex["docs_dropped"] == ex["docs_in"]
+    # near-dup stage consumes exactly the exact stage's survivors
+    assert nd["docs_in"] == ex["docs_kept"]
+    assert nd["docs_kept"] + nd["docs_dropped"] == nd["docs_in"]
+    # the near-dup stage removes the planted families; the exact stage
+    # drops 0 at sf0.01 (measured — the generator plants NEAR dups, not
+    # byte-identical copies), which is itself worth pinning: a nonzero
+    # count here would mean the fixture changed under the oracles
+    assert ex["docs_dropped"] == 0 and ex["chars_dropped"] == 0
+    assert nd["docs_dropped"] > 0 and nd["chars_dropped"] > 0
+
+
+def test_freshness_report_covers_all_streams(spark):
+    rows = engine.REGISTRY["agg_data_freshness_sla"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per event type
+    assert any(r["lag_days"] == 0 for r in rows)  # freshest stream
+    for r in rows:
+        assert r["lag_days"] >= 0
+        assert r["fresh"] == (r["lag_days"] <= 1)
