@@ -72,6 +72,13 @@ def main() -> None:
         # its number is the label-propagation increment, while
         # dedup_minhash still pays the full band+verify pipeline.
         if key == "dedup_connected_components":
+            # keep the PAIR memo (the shared stage CC legitimately
+            # reuses) but drop the resolved-label memo, so each timed
+            # CC run honestly re-runs label propagation instead of
+            # returning the previous run's memoized labels
+            from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+            dedup_lsh._CC_MEMO.clear()
             return
         if key.startswith(("ml_", "dedup_", "sim_")):
             engine.release_caches(spark)

@@ -99,12 +99,10 @@ def q_dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component id).
     """
     from random_forest_using_hadoop_spark.operators.dedup_lsh import (
-        q_dedup_connected_components,
+        _component_labels,
     )
 
-    labels = q_dedup_connected_components(spark, sf_dir).select(
-        "doc_id", "component_id"
-    )
+    labels = _component_labels(spark, sf_dir)
     j = labels.join(
         load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
         "doc_id",

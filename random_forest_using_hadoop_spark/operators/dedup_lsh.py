@@ -617,43 +617,28 @@ GROUP BY doc_id
 """
 
 
-@register("dedup_connected_components", oracle=_CC_ORACLE)
-def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive closure of the near-dup relation: every doc labeled
-    with its component's canonical (minimum) doc_id — the step that
-    turns pairwise dedup output into keep/drop groups.
+# Session memo for the resolved component labels (doc_id →
+# component_id), sibling of _PAIR_MEMO: CC, the canonical survivor
+# pick, and the dedup funnel all need the same label frame, and the
+# propagation loop's localCheckpoints make it cheap to hold but
+# NON-recomputable once released — so the memo MUST be cleared
+# whenever release_caches unpersists the session's RDDs (session.py
+# clears both memos together; a stale entry here would be a frame
+# whose storage blocks no longer exist).
+_CC_MEMO: dict[str, DataFrame] = {}
 
-    Spark side: edges come from seeded-xxhash MinHash band candidates
-    (the shared `_minhash_band_candidates` stage — see its docstring for
-    why banding beats prefix filtering on this corpus's tiny shingle
-    vocabulary and for the completeness argument; the r4 prefix-filter
-    candidate join measured 10.7M candidate pairs ≈ all pairs at sf0.1
-    and dominated a 137 s runtime). Exact Jaccard verifies candidates
-    only, on dense shingle bitmaps (`_exact_jaccard_pairs`). Components then resolve by iterative min-label propagation
-    (labels ⋈ edges → min per neighbor → merge, loop to fixpoint) — the
-    standard O(graph-diameter)-round distributed CC; each round is one
-    hash join + partial agg, so it holds on a billion-edge graph where
-    any driver-side union-find dies. The oracle is a recursive CTE over
-    the brute-force edge set — a hash match proves the pruning lost
-    nothing. Near-dup cliques here have diameter ≤ 2, so the loop
-    converges in ≲2 rounds.
-    """
-    # the qualifying pair set comes from the session memo (cached there
-    # BEFORE mirroring — the union's two branches would otherwise each
-    # reference the full band+verify pipeline and recompute it when
-    # exchange reuse doesn't line up; one InMemoryRelation pins a
-    # single computation). When dedup_minhash already ran this session,
-    # the whole band+verify stage is free here — CC pays only label
-    # propagation, the production pipeline's cost split.
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, component_id) labels from min-label propagation
+    over the verified near-dup pair set."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    hit = _CC_MEMO.get(key)
+    if hit is not None:
+        return hit
     pairs = _verified_pairs(spark, sf_dir).select("a", "b")
-    # edges stays cached past the function's return: the returned plan
-    # reads it (in_component below), so it cannot be unpersisted here.
-    # MEMORY_AND_DISK + LRU eviction bounds the cost (worst case the
-    # candidate join recomputes from parquet).
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-
     labels = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("component_id")
     )
@@ -692,7 +677,45 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = merged
         if changed == 0:
             break
-    in_component = edges.select(F.col("a").alias("doc_id")).distinct()
+    _CC_MEMO[key] = labels
+    return labels
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: every doc labeled
+    with its component's canonical (minimum) doc_id — the step that
+    turns pairwise dedup output into keep/drop groups.
+
+    Spark side: edges come from seeded-xxhash MinHash band candidates
+    (the shared `_minhash_band_candidates` stage — see its docstring for
+    why banding beats prefix filtering on this corpus's tiny shingle
+    vocabulary and for the completeness argument; the r4 prefix-filter
+    candidate join measured 10.7M candidate pairs ≈ all pairs at sf0.1
+    and dominated a 137 s runtime). Exact Jaccard verifies candidates
+    only, on dense shingle bitmaps (`_exact_jaccard_pairs`). Components then resolve by iterative min-label propagation
+    (labels ⋈ edges → min per neighbor → merge, loop to fixpoint) — the
+    standard O(graph-diameter)-round distributed CC; each round is one
+    hash join + partial agg, so it holds on a billion-edge graph where
+    any driver-side union-find dies. The oracle is a recursive CTE over
+    the brute-force edge set — a hash match proves the pruning lost
+    nothing. Near-dup cliques here have diameter ≤ 2, so the loop
+    converges in ≲2 rounds.
+    """
+    # labels come from the session memo (`_component_labels`): the
+    # verified pair set computes once per session (shared with
+    # dedup_minhash / dedup_threshold_sweep), and the propagation
+    # loop's resolved label frame is itself shared with
+    # dedup_canonical_keep and pipe_dedup_stage_funnel — the
+    # production pipeline runs component resolution once and feeds
+    # every consumer, so the engine does too.
+    labels = _component_labels(spark, sf_dir)
+    pairs = _verified_pairs(spark, sf_dir).select("a", "b")
+    in_component = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
     return labels.join(in_component.withColumn("has_dups", F.lit(True)),
                        "doc_id", "left").select(
         "doc_id",
