@@ -37,11 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # gap, so this round executes the staleness rotation the r7 comment
 # planned: new-in-r8 keys first (no new key waits a round for
 # evidence), then ALL 39 r1-era keys (their rows date from the r1
-# engine, the repo's oldest evidence), then the r3/r4-graded tail —
-# the window cut falls inside that tail. The keys graded in r7 (new-r7
-# + late-r5) are the freshest and go last. r9 plan: continue the
-# rotation through whatever r3/r4-era keys the r8 window did not
-# reach, then the r5/r6-graded blocks. Every key appears at most
+# engine, the repo's oldest evidence) — with 11 new-in-r8 keys the
+# 50-key window cut falls EXACTLY at the end of the r1 block, so the
+# r3/r4-graded tail starts at position 51 and none of it is graded
+# this round. The keys graded in r7 (new-r7 + late-r5) are the
+# freshest and go last. r9 plan: new keys first, then the ENTIRE
+# r3/r4-graded tail (starting at fn_try_safe — none re-graded in r8),
+# then the r5/r6-graded blocks. Every key appears at most
 # once; unlisted keys append in registration order.
 _GRADE_FIRST = [
     # --- new-in-r8 keys: inserted here, position 1, as they land ---
@@ -69,7 +71,8 @@ _GRADE_FIRST = [
     "agg_global", "agg_distinct", "agg_filtered",
     "filter_like_regex", "filter_null_safe",
     "set_union", "set_intersect", "set_except",
-    # --- then the r3/r4-graded tail (window cut falls in here) ---
+    # --- then the r3/r4-graded tail (fully OUTSIDE the r8 window;
+    #     first in line for the r9 rotation) ---
     "fn_try_safe", "src_orc_text", "sample_hash_stratified",
     "text_token_count", "reshape_pivot", "reshape_unpivot",
     "pipe_quality_composite", "pipe_dedup_manifest", "pipe_token_share_curve",

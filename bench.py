@@ -78,6 +78,13 @@ def main() -> None:
             # returning the previous run's memoized labels
             from random_forest_using_hadoop_spark.operators import dedup_lsh
 
+            # free each memoized label frame's checkpoint blocks before
+            # dropping the reference — this branch skips release_caches
+            # (the only other sweep that unpersists them), and N timed
+            # runs would otherwise stack N dead checkpoint copies in the
+            # block manager for the rest of the bench
+            for frame in dedup_lsh._CC_MEMO.values():
+                dedup_lsh._free_local_checkpoint(frame)
             dedup_lsh._CC_MEMO.clear()
             return
         if key.startswith(("ml_", "dedup_", "sim_")):

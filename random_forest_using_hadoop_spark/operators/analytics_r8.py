@@ -48,7 +48,7 @@ pairs AS (
   FROM inter
   JOIN sz sa ON sa.doc_id = inter.a
   JOIN sz sb ON sb.doc_id = inter.b
-  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
 ),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
 walk(doc_id, root) AS (
@@ -147,7 +147,7 @@ pairs AS (
   FROM inter
   JOIN sz sa ON sa.doc_id = inter.a
   JOIN sz sb ON sb.doc_id = inter.b
-  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
 ),
 t AS (SELECT CAST(unnest([{", ".join(map(str, _SWEEP_TS))}]) AS DOUBLE) AS threshold),
 p AS (
@@ -811,7 +811,7 @@ pairs AS (
   FROM inter
   JOIN sz sa ON sa.doc_id = inter.a
   JOIN sz sb ON sb.doc_id = inter.b
-  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
 ),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
 walk(doc_id, root) AS (

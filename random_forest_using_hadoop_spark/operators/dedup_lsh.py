@@ -300,7 +300,7 @@ SELECT inter.a AS doc_id_a,
 FROM inter
 JOIN sz sa ON sa.doc_id = inter.a
 JOIN sz sb ON sb.doc_id = inter.b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_T}
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {_JACCARD_T}
 """
 
 
@@ -599,7 +599,7 @@ pairs AS (
   FROM inter
   JOIN sz sa ON sa.doc_id = inter.a
   JOIN sz sb ON sb.doc_id = inter.b
-  WHERE i * 1.0 / (sa.n + sb.n - i) >= {_JACCARD_T}
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {_JACCARD_T}
 ),
 edges AS (
   SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
@@ -790,6 +790,28 @@ _WINNOW_G = 8  # winnowing guarantee window (consecutive window hashes)
 _WINNOW_DF_CAP = 64  # drop windows appearing in more docs (boilerplate)
 _WINNOW_MIN_SHARED = 2
 
+
+def _winnow_hs_expr() -> str:
+    """Spark SQL for the per-doc window-hash array: md5 of every
+    20-char window folded to a 60-bit BIGINT. Shared by the operator
+    and the selection-regression test (tests/test_r8_semantics.py) so
+    the test exercises the SAME expression the operator runs, not a
+    copy that would keep passing after an operator-side typo."""
+    return (
+        f"transform(sequence(1, greatest(length(text) - {_SUBSTR_WIN - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {_SUBSTR_WIN})), 1, 15),"
+        f" 16, 10) as bigint))"
+    )
+
+
+def _winnow_sel_expr() -> str:
+    """Spark SQL for the winnowing selection over a column named `hs`:
+    distinct minima of every sliding g-hash window."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_G - 1}, 1)),"
+        f" j -> array_min(slice(hs, j, {_WINNOW_G}))))"
+    )
+
 # Oracle mirrors the EXACT same selection: md5 window hashes folded to
 # 60-bit BIGINTs (the simhash fold — '0x'||15 hex chars; long compares
 # in the slice-min are ~10× cheaper than 32-char hex strings in BOTH
@@ -874,15 +896,8 @@ def q_dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection would run three times (simhash's `sh` precedent;
     # MEMORY_AND_DISK, released via release_caches).
     d = load_table(spark, sf_dir, "documents").repartition(64, "doc_id")
-    hs = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {_SUBSTR_WIN - 1}, 1)),"
-        f" i -> cast(conv(substring(md5(substring(text, i, {_SUBSTR_WIN})), 1, 15),"
-        f" 16, 10) as bigint))"
-    )
-    sel = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_G - 1}, 1)),"
-        f" j -> array_min(slice(hs, j, {_WINNOW_G}))))"
-    )
+    hs = F.expr(_winnow_hs_expr())
+    sel = F.expr(_winnow_sel_expr())
     tok = (
         d.select("doc_id", hs.alias("hs"))
         .select("doc_id", F.explode(sel).alias("hw"))

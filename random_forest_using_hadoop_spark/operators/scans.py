@@ -841,7 +841,12 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg.explain("formatted")
             plan = buf.getvalue()
         m = re.search(
-            r"PushedAggregation:?\s*\[([^\]]*)(\]|$)", plan, re.IGNORECASE
+            # [^\]\n]* so the capture stops at end of line: a truncated
+            # list must not swallow later plan lines (whose aggregate
+            # spellings would fake a full pushdown)
+            r"PushedAggregation:?\s*\[([^\]\n]*)(\]|$)",
+            plan,
+            re.IGNORECASE | re.MULTILINE,
         )
         items = (m.group(1) if m else "").lower()
         pushed = all(

@@ -102,6 +102,11 @@ def test_no_cartesian_in_sql_oracle_queries(spark):
     similarity brute-force baselines are broadcast NLJs by design)."""
     allowed = {"join_cross", "sim_cosine_topk"}
     flagged = []
+    # start from a cold cache: the dedup-family keys otherwise plan as
+    # an InMemoryTableScan over the session pair/label memos and the
+    # sweep would not see their real join pipelines (the first key to
+    # rebuild each memo in this loop exposes the shared stage's plan)
+    engine.release_caches(spark)
     for key, spec in engine.REGISTRY.items():
         if spec.oracle is None or key in allowed:
             continue
@@ -134,27 +139,35 @@ def test_dedup_verify_bitmap_broadcast_is_size_gated(spark, monkeypatch):
     broadcast of the bitmap table."""
     from random_forest_using_hadoop_spark.operators import dedup_lsh
 
-    for key in ("dedup_minhash", "dedup_connected_components"):
-        plan = _formatted_plan(spark, key)  # default: under the cap
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+    def _verify_stage_plan() -> str:
+        # probe the verify stage directly: the registry keys return the
+        # session-memoized CACHED pair frame, whose explain shows only
+        # an InMemoryTableScan — the join strategy switch lives (and is
+        # only testable) in _exact_jaccard_pairs itself. Release caches
+        # first: CacheManager's sameResult ignores join hints AND would
+        # substitute the cached frame for a structurally-identical
+        # rebuild, making every assertion here vacuous.
+        engine.release_caches(spark)
+        df = dedup_lsh._exact_jaccard_pairs(
+            spark, dedup_lsh._docs_with_shingles(spark, SF_DIR)
+        )
+        jvm = spark._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    base = _verify_stage_plan()  # default: under the cap → broadcast
+    assert "CartesianProduct" not in base
+    assert "BroadcastNestedLoopJoin" not in base
+    assert "BroadcastHashJoin" in base
     monkeypatch.setattr(dedup_lsh, "_ENC_BCAST_LIMIT", 0)
-    # probe the verify stage directly: the registry key now returns the
-    # session-memoized CACHED pair frame, whose explain shows only an
-    # InMemoryTableScan — the join strategy switch lives (and is
-    # testable) in _exact_jaccard_pairs itself. Release caches first:
-    # join HINTS are ignored by CacheManager's sameResult matching, so
-    # the memo's cached broadcast-path plan would silently substitute
-    # for the hinted shuffle-path plan we want to inspect.
-    engine.release_caches(spark)
-    forced_df = dedup_lsh._exact_jaccard_pairs(
-        spark, dedup_lsh._docs_with_shingles(spark, SF_DIR)
-    )
-    jvm = spark._jvm
-    forced = forced_df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    forced = _verify_stage_plan()
     assert "ShuffledHashJoin" in forced, "over-cap path must not broadcast"
+    assert "CartesianProduct" not in forced
+    assert "BroadcastNestedLoopJoin" not in forced
+    engine.release_caches(spark)  # drop the forced-cap memo entry
 
 
 def test_dedup_verify_shuffle_path_matches_broadcast_path(spark, monkeypatch):

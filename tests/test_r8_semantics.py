@@ -55,21 +55,14 @@ def test_substring_winnow_shrinks_join_input(spark):
     from pyspark.sql import functions as F
 
     from random_forest_using_hadoop_spark.operators.dedup_lsh import (
-        _SUBSTR_WIN,
-        _WINNOW_G,
+        _winnow_hs_expr,
+        _winnow_sel_expr,
     )
     from random_forest_using_hadoop_spark.sources import load_table
 
     d = load_table(spark, SF_DIR, "documents")
-    hs = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {_SUBSTR_WIN - 1}, 1)),"
-        f" i -> cast(conv(substring(md5(substring(text, i, {_SUBSTR_WIN})), 1, 15),"
-        f" 16, 10) as bigint))"
-    )
-    sel = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_G - 1}, 1)),"
-        f" j -> array_min(slice(hs, j, {_WINNOW_G}))))"
-    )
+    hs = F.expr(_winnow_hs_expr())  # the operator's own expressions —
+    sel = F.expr(_winnow_sel_expr())  # a regression there fails HERE too
     counts = (
         d.select(F.col("doc_id"), hs.alias("hs"))
         .select(
