@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_connected_components",  # iterative min-label propagation
     "sim_ann_ivf",              # IVF cell equi-join ANN
     "stream_tumbling",          # Structured Streaming replay + sink
+    # r8 additions — the two new dedup shapes with their own plans
+    # (winnowed substring equi-join; chunk-df single-pass), tracked
+    # round-over-round like the r5 set:
+    "dedup_substring_winnow",
+    "dedup_chunk_exact",
 ]
 
 
