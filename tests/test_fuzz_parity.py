@@ -1,0 +1,134 @@
+"""Adversarial-fixture oracle parity (r8).
+
+The shipped fixture can hide boundary divergences — every recent ADVICE
+find was of this class (Kaplan-Meier terminal day, non-ASCII
+char-vs-byte indexing, Jaccard-threshold rounding). This module re-runs
+the text/dedup operator family against its own oracles on SYNTHETIC
+corpora built to hit the edges the generator never produces: periodic
+texts (the winnow blind spot's neighborhood), byte-identical exact
+duplicates, sub-window documents, whitespace runs, and single-family
+shared prefixes. Deterministic corpora (no random generation) so a
+divergence is a reproducible failure, not a flake.
+
+Each corpus is written as a real parquet `documents` table and graded
+through the SAME canonicalization path the driver uses
+(conftest.assert_parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import random_forest_using_hadoop_spark as engine
+from tests.conftest import assert_parity
+
+engine.load_all()
+
+_ROOT = "/tmp/rf_engine_fuzz_corpora"
+
+# name -> list of texts; doc_id = index, lang/source cycle, n_chars = len
+_CORPORA = {
+    # verbatim-repeating content: every window repeats, the winnow
+    # selection collapses to few distinct minima — both engines must
+    # collapse IDENTICALLY
+    "periodic": [
+        "ab" * 40,
+        "ab" * 40 + "tail one",
+        "a" * 60,
+        "abcabcabc" * 9,
+        "the quick brown fox jumps over the lazy dog again and again",
+    ],
+    # byte-identical copies (absent from the shipped sf0.01 fixture —
+    # pipe_dedup_stage_funnel pins that) plus one near-copy
+    "exact_dups": [
+        "identical content block for exact duplication testing purposes",
+        "identical content block for exact duplication testing purposes",
+        "identical content block for exact duplication testing purposes",
+        "identical content block for exact duplication testing xpurposes",
+        "entirely unrelated filler document with its own words here",
+    ],
+    # documents shorter than the 20-char substring window / 10-word
+    # chunk — every greatest(...,1) guard fires
+    "tiny_docs": [
+        "x",
+        "hello world",
+        "three token doc",
+        "exactly twenty chars",
+        "a slightly longer document that clears the window size",
+    ],
+    # whitespace runs → empty tokens in split(' '); both engines must
+    # tokenize identically
+    "whitespace": [
+        "a  b   c    d",
+        "lead and trail ",
+        " doubled  spaces  everywhere  in  this  document  body  here",
+        "normal single spaced words in this one document",
+        "normal single spaced words in this one document too",
+    ],
+    # one shared-prefix family + distinct tails (the planted-fixture
+    # shape, smaller and sharper)
+    "prefix_family": [
+        "shared leading boilerplate sentence that runs long enough to "
+        "cover many windows alpha tail",
+        "shared leading boilerplate sentence that runs long enough to "
+        "cover many windows beta tail words",
+        "shared leading boilerplate sentence that runs long enough to "
+        "cover many windows gamma",
+        "completely different document body with no overlap at all one",
+        "completely different document body with no overlap at all two",
+    ],
+}
+
+# SQL-graded keys whose oracles read ONLY the documents table and whose
+# semantics exercise windows/chunks/shingles/hashes
+_KEYS = [
+    "dedup_exact",
+    "dedup_substring",
+    "dedup_substring_winnow",
+    "dedup_chunk_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+]
+
+
+def _corpus_dir(spark, name: str) -> str:
+    path = os.path.join(_ROOT, name)
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        texts = _CORPORA[name]
+        rows = [
+            (i, t, ["en", "de"][i % 2], f"src{i % 3}", len(t))
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "documents.parquet")
+        )
+        open(marker, "w").close()
+    return path
+
+
+@pytest.mark.parametrize("corpus", sorted(_CORPORA))
+@pytest.mark.parametrize("key", _KEYS)
+def test_adversarial_corpus_parity(spark, corpus, key, request):
+    sf_dir = _corpus_dir(spark, corpus)
+    con = duckdb.connect()
+    try:
+        # Spark writes documents.parquet as a DIRECTORY of part files
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet/*.parquet'"
+        )
+        df = engine.REGISTRY[key].fn(spark, sf_dir)
+        assert_parity(df, engine.REGISTRY[key].oracle, con)
+    finally:
+        con.close()
+    # the dedup memos are keyed by sf_dir, so corpora don't collide;
+    # release at module end happens via the session-level cache hygiene
+    request.addfinalizer(lambda: None)
