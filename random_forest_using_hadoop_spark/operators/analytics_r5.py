@@ -703,7 +703,8 @@ s AS (
 )
 SELECT doc_id, n AS n_chars, alphabet,
        round(log2(CAST(n AS DOUBLE))
-             - term_fx / (CAST(n AS DOUBLE) * 1000000.0), 6) AS entropy_bits
+             - term_fx / (CAST(n AS DOUBLE) * 1000000.0), 6) + 0.0
+         AS entropy_bits
 FROM s
 """
 
@@ -739,10 +740,19 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").alias("n_chars"),
         "alphabet",
-        F.round(
-            F.log2(F.col("n").cast("double"))
-            - F.col("term_fx") / (F.col("n").cast("double") * 1000000.0),
-            6,
+        # + 0.0 normalizes IEEE negative zero: a single-character doc
+        # has entropy 0 up to the fixed-point remainder (±1e-9), and
+        # the two engines' round() keep OPPOSITE zero signs — repr'd
+        # '0.0' vs '-0.0' by the dtype-sensitive hash (found by
+        # tests/test_fuzz_parity.py's periodic corpus; -0.0 + 0.0 is
+        # +0.0 exactly, every other value is unchanged)
+        (
+            F.round(
+                F.log2(F.col("n").cast("double"))
+                - F.col("term_fx") / (F.col("n").cast("double") * 1000000.0),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("entropy_bits"),
     )
 

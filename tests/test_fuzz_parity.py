@@ -91,7 +91,17 @@ _KEYS = [
     "dedup_chunk_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "text_fingerprint",
+    "text_stats",
+    "text_normalize",
+    "quality_filter",
+    "text_langid",
+    "text_token_count",
+    "text_vocab_topk",
+    "text_char_entropy",
+    "pipe_length_histogram",
+    "pipe_repetition_score",
 ]
 
 
