@@ -195,11 +195,22 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run of letters, digits, or other non-space symbols.
 _BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
+# ASCII-only case fold via translate, NOT lower(): the engines' Unicode
+# case mappings disagree (Java lower('\u0130' dotted capital I) emits
+# i + combining dot, two codepoints; DuckDB's does not), which shifts
+# the BPE token segmentation on multilingual text — found by
+# tests/test_fuzz_parity.py's non_ascii corpus. translate is
+# codepoint-identical on both engines for ANY input and equals lower()
+# on ASCII, so the shipped-fixture results are unchanged.
+_AZ_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LO = "abcdefghijklmnopqrstuvwxyz"
+
 _TOKCOUNT_ORACLE = rf"""
 WITH t AS (
   SELECT lang, n_chars,
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
-         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe
+         len(regexp_extract_all(translate(text, '{_AZ_UP}', '{_AZ_LO}'),
+                                  '{_BPE_RE}')) AS bpe
   FROM documents
 )
 SELECT lang,
@@ -228,7 +239,9 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
     )
     bpe = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+        F.regexp_extract_all(
+            F.translate(F.col("text"), _AZ_UP, _AZ_LO), F.lit(_BPE_RE), F.lit(0)
+        )
     )
     return (
         d.select("lang", "n_chars", ws.alias("ws"), bpe.alias("bpe"))

@@ -68,6 +68,17 @@ _CORPORA = {
         "normal single spaced words in this one document",
         "normal single spaced words in this one document too",
     ],
+    # non-ASCII text: umlauts, ligatures, CJK, emoji, Turkish dotted
+    # capital I — the multilingual reality of a 100 TB corpus. Char
+    # semantics (length/substring/split) agree cross-engine; the risky
+    # surfaces are lower() locale rules and regex classes
+    "non_ascii": [
+        "Straße größer über schön müde käse für die wörter hier",
+        "İstanbul LIKES DOTTED CAPITALS AND ligatures ﬁne ﬂow",
+        "日本語のテキストと English mixed content document here",
+        "emoji laden doc 🎉🚀 with ascii words between 🌍 symbols",
+        "café naïve résumé coöperate soufflé crème brûlée déjà vu",
+    ],
     # one shared-prefix family + distinct tails (the planted-fixture
     # shape, smaller and sharper)
     "prefix_family": [
