@@ -877,20 +877,20 @@ s AS (
 SELECT n AS n_points,
        round((CAST(n AS DOUBLE) * (sxy / 1000000.0)
               - (sx / 1000000.0) * (sy / 1000000.0))
-           / (CAST(n AS DOUBLE) * (sxx / 1000000.0)
-              - (sx / 1000000.0) * (sx / 1000000.0)), 6) AS zipf_slope,
+           / NULLIF(CAST(n AS DOUBLE) * (sxx / 1000000.0)
+              - (sx / 1000000.0) * (sx / 1000000.0), 0), 6) AS zipf_slope,
        round(((sy / 1000000.0)
               - ((CAST(n AS DOUBLE) * (sxy / 1000000.0)
                   - (sx / 1000000.0) * (sy / 1000000.0))
-                 / (CAST(n AS DOUBLE) * (sxx / 1000000.0)
-                    - (sx / 1000000.0) * (sx / 1000000.0)))
-                * (sx / 1000000.0)) / n, 6) AS intercept,
+                 / NULLIF(CAST(n AS DOUBLE) * (sxx / 1000000.0)
+                    - (sx / 1000000.0) * (sx / 1000000.0), 0))
+                * (sx / 1000000.0)) / NULLIF(n, 0), 6) AS intercept,
        round(pow(CAST(n AS DOUBLE) * (sxy / 1000000.0)
                  - (sx / 1000000.0) * (sy / 1000000.0), 2)
-           / ((CAST(n AS DOUBLE) * (sxx / 1000000.0)
+           / NULLIF((CAST(n AS DOUBLE) * (sxx / 1000000.0)
                - (sx / 1000000.0) * (sx / 1000000.0))
               * (CAST(n AS DOUBLE) * (syy / 1000000.0)
-                 - (sy / 1000000.0) * (sy / 1000000.0))), 6) AS r2
+                 - (sy / 1000000.0) * (sy / 1000000.0)), 0), 6) AS r2
 FROM s
 """
 
@@ -948,14 +948,22 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx") / 1000000.0, F.col("sy") / 1000000.0
     sxx, sxy = F.col("sxx") / 1000000.0, F.col("sxy") / 1000000.0
     syy = F.col("syy") / 1000000.0
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide / NULLIF: a degenerate vocabulary (one term, or all
+    # frequencies tied so every ln(freq) is 0) zeroes the slope or R2
+    # denominator — NULL on both engines instead of an ANSI
+    # DIVIDE_BY_ZERO crash (found by tests/test_fuzz_parity.py)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         F.col("n").alias("n_points"),
         F.round(slope, 6).alias("zipf_slope"),
-        F.round((sy - slope * sx) / F.col("n"), 6).alias("intercept"),
+        F.round(F.try_divide(sy - slope * sx, F.col("n")), 6).alias(
+            "intercept"
+        ),
         F.round(
-            F.pow(n * sxy - sx * sy, F.lit(2))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.try_divide(
+                F.pow(n * sxy - sx * sy, F.lit(2)),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            ),
             6,
         ).alias("r2"),
     )

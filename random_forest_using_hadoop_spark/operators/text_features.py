@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
-_TOKS = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
-_O_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+# ASCII translate fold, not lower(): the engines' Unicode case
+# mappings disagree (see _AZ_UP note below) — identical to lower() on
+# the ASCII fixture, engine-identical on any input.
+_TOKS = "filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), x -> x != '')"
+_O_TOKS = ("list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),"
+           " '[^a-z]+'), x -> x <> '')")
 
 
 # --- C5: tokenize → TF-IDF ----------------------------------------------------

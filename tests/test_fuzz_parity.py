@@ -113,6 +113,18 @@ _KEYS = [
     "text_char_entropy",
     "pipe_length_histogram",
     "pipe_repetition_score",
+    "text_tokens_tfidf",
+    "text_zipf_slope",
+    "text_ttr",
+    "text_readability",
+    "text_bigram_lm",
+    "pipe_doc_chunk",
+    "pipe_token_rarity",
+    "pipe_quality_composite",
+    "pipe_secrets_scan",
+    "pipe_blocklist_filter",
+    "dedup_rate_by_source",
+    "pipe_dedup_manifest",
 ]
 
 
