@@ -125,6 +125,12 @@ _KEYS = [
     "pipe_blocklist_filter",
     "dedup_rate_by_source",
     "pipe_dedup_manifest",
+    "text_keyword_tfidf_topk",
+    "pipe_bpe_pair_stats",
+    "pipe_span_corruption",
+    "text_pmi_collocations",
+    "pipe_ngram_novelty",
+    "text_langid_confusion",
 ]
 
 
