@@ -296,10 +296,11 @@ WITH s AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n,
-       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_kprice,
-       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_kprice,
+       ROUND((sxx - sx * sx / n) / NULLIF(n - 1, 0), 6) AS var_kprice,
+       ROUND(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)), 6) AS stddev_kprice,
        ROUND((sxy - sx * sy / n) /
-             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_price_cust,
+             NULLIF(sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n), 0),
+             6) AS corr_price_cust,
        median_price
 FROM s
 """
@@ -326,14 +327,23 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    # try_divide / NULLIF: a single-order priority group zeroes the
+    # Bessel divisor (and a zero-variance side zeroes the corr
+    # denominator) — NULL on both engines instead of an ANSI
+    # DIVIDE_BY_ZERO crash (found by tests/test_fuzz_relational.py's
+    # micro warehouse; the shipped fixture has no 1-row group)
     return agg.select(
         "o_orderpriority",
         "n",
-        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_kprice"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_kprice"),
+        F.round(F.try_divide(sxx - sx * sx / n, n - 1), 6).alias("var_kprice"),
+        F.round(F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1)), 6).alias(
+            "stddev_kprice"
+        ),
         F.round(
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            F.try_divide(
+                sxy - sx * sy / n,
+                F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
+            ),
             6,
         ).alias("corr_price_cust"),
         "median_price",

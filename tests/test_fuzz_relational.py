@@ -1,0 +1,151 @@
+"""Adversarial micro-warehouse parity (r8) — relational sibling of
+test_fuzz_parity.py.
+
+A deterministic, 40-ish-row TPC-H-shaped warehouse built from edge
+shapes the generated fixture is too regular to produce: a region with
+no nations, a customer with no orders, an order with no lineitems, a
+part and a supplier no lineitem references, boundary quantities (1 and
+50), zero and maximum discounts, the exact MV cutoff timestamp, a
+0.01 total price, and negative account balances. Every SQL-graded
+relational key that doesn't need the events table is re-graded against
+its own oracle on this warehouse through the driver's canonicalization
+path — the degenerate-group / empty-join / zero-denominator edges that
+seven rounds of regular-fixture grading cannot reach.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import duckdb
+import pytest
+
+import random_forest_using_hadoop_spark as engine
+from tests.conftest import assert_parity
+
+engine.load_all()
+
+_WH = "/tmp/rf_engine_fuzz_warehouse"
+
+_TS = datetime  # brevity
+
+
+def _build(spark) -> str:
+    marker = os.path.join(_WH, "_built")
+    if os.path.exists(marker):
+        return _WH
+
+    def w(name: str, rows, schema: str):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_WH, f"{name}.parquet"))
+
+    w("region", [(0, "EUROPE"), (1, "ASIA"), (2, "AFRICA")],
+      "r_regionkey int, r_name string")  # AFRICA: no nations
+    w("nation",
+      [(0, "NATION_0", 0), (1, "NATION_1", 0), (2, "NATION_2", 1),
+       (3, "NATION_3", 1)],
+      "n_nationkey int, n_name string, n_regionkey int")
+    w("customer",
+      [(1, "Customer#1", 0, 1234.56, "BUILDING"),
+       (2, "Customer#2", 1, -99.99, "AUTOMOBILE"),
+       (3, "Customer#3", 2, 0.0, "MACHINERY"),
+       (4, "Customer#4", 3, 500.0, "BUILDING"),
+       (5, "Customer#5", 0, 10000.0, "HOUSEHOLD"),
+       (6, "Customer#6", 1, 42.42, "FURNITURE")],  # 6: no orders
+      "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+      " c_mktsegment string")
+    w("supplier",
+      [(1, "Supplier#1", 0, 100.0), (2, "Supplier#2", 1, -5.0),
+       (3, "Supplier#3", 2, 9999.0), (4, "Supplier#4", 3, 0.0)],
+      "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    w("part",
+      [(1, "part one", "Brand#1", "PROMO", 1, 901.0),
+       (2, "part two", "Brand#5", "STANDARD", 4, 100.5),
+       (3, "part three", "Brand#9", "ECONOMY", 9, 55.25),
+       (4, "part four", "Brand#13", "PROMO", 49, 12.0),
+       (5, "part five", "Brand#5", "LARGE", 50, 77777.77),
+       (6, "part six", "Brand#1", "SMALL", 36, 1.01)],  # 6: never sold
+      "p_partkey long, p_name string, p_brand string, p_type string,"
+      " p_size int, p_retailprice double")
+    w("orders",
+      [(100, 1, "O", 1000.0, _TS(1995, 3, 1), "1-URGENT"),
+       (101, 1, "F", 0.01, _TS(1996, 6, 15), "5-LOW"),
+       (102, 1, "P", 250000.0, _TS(1997, 1, 1), "2-HIGH"),
+       (103, 2, "O", 321.99, _TS(1998, 12, 31), "3-MEDIUM"),
+       (104, 3, "F", 45678.12, _TS(2000, 7, 4), "4-NOT SPECIFIED"),
+       (105, 4, "O", 88.88, _TS(2001, 1, 1), "1-URGENT"),  # MV cutoff
+       (106, 5, "F", 104997.88, _TS(2001, 11, 4), "2-HIGH"),
+       (107, 5, "O", 5.0, _TS(1995, 1, 2), "5-LOW")],  # no lineitems
+      "o_orderkey long, o_custkey long, o_orderstatus string,"
+      " o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    w("lineitem",
+      [(100, 1, 1, 1, 1.0, 901.82, 0.0, 0.0, "A", "F", _TS(1995, 1, 2)),
+       (100, 2, 2, 2, 50.0, 104997.88, 0.1, 0.08, "N", "O", _TS(1995, 4, 1)),
+       (100, 3, 1, 3, 25.0, 5000.0, 0.05, 0.02, "R", "F", _TS(1995, 5, 9)),
+       (101, 1, 3, 1, 2.0, 1803.64, 0.1, 0.0, "A", "F", _TS(1996, 7, 1)),
+       (102, 4, 4, 1, 49.0, 588.0, 0.0, 0.08, "N", "O", _TS(1997, 2, 2)),
+       (102, 4, 1, 2, 50.0, 600.0, 0.02, 0.01, "N", "O", _TS(1997, 2, 3)),
+       (103, 5, 2, 1, 10.0, 77777.7, 0.07, 0.04, "R", "F", _TS(1999, 1, 15)),
+       (104, 2, 2, 1, 30.0, 63000.0, 0.04, 0.06, "A", "F", _TS(2000, 8, 1)),
+       (104, 3, 3, 2, 3.0, 165.75, 0.0, 0.0, "N", "F", _TS(2000, 8, 2)),
+       (105, 1, 1, 1, 1.0, 901.82, 0.1, 0.08, "R", "O", _TS(2001, 1, 1)),
+       (106, 5, 4, 1, 47.0, 103654.9, 0.06, 0.03, "N", "O", _TS(2001, 11, 4)),
+       (106, 2, 2, 2, 8.0, 804.0, 0.0, 0.05, "A", "F", _TS(2001, 11, 4))],
+      "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+      " l_quantity double, l_extendedprice double, l_discount double,"
+      " l_tax double, l_returnflag string, l_linestatus string,"
+      " l_shipdate timestamp")
+    w("documents",
+      [(0, "tiny fuzz document one", "en", "src0", 22),
+       (1, "tiny fuzz document two", "de", "src1", 22)],
+      "doc_id long, text string, lang string, source string, n_chars long")
+    # 64-dim like the real fixture: the UDF surface's query vector is
+    # fixture-dimension-bound by contract (udfs._QUERY_DIM), and prices
+    # stay within the documented ~1e5 fixed-point envelope — the
+    # battery probes edge SHAPES inside the documented domain, not
+    # out-of-domain magnitudes
+    w("embeddings",
+      [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(64)], i % 3)
+       for i in range(24)],
+      "vec_id long, embedding array<float>, label int")
+    open(marker, "w").close()
+    return _WH
+
+
+# Keys covered elsewhere or needing tables/scales this warehouse can't
+# model: events (nanos parquet — unsynthesizable from Spark), the
+# documents battery's families, ML/stream/similarity scale assumptions.
+_SKIP_PREFIX = (
+    "ml_", "stream_", "multimodal_", "sim_", "emb_",
+    "dedup_", "text_", "pipe_", "quality_",
+)
+
+
+def _keys() -> list[str]:
+    out = []
+    for key, spec in engine.REGISTRY.items():
+        if spec.oracle is None or key.startswith(_SKIP_PREFIX):
+            continue
+        if "events" in spec.oracle:
+            continue
+        out.append(key)
+    return out
+
+
+@pytest.mark.parametrize("key", _keys())
+def test_micro_warehouse_parity(spark, key):
+    sf_dir = _build(spark)
+    con = duckdb.connect()
+    try:
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet/*.parquet'"
+            )
+        df = engine.REGISTRY[key].fn(spark, sf_dir)
+        assert_parity(df, engine.REGISTRY[key].oracle, con)
+    finally:
+        con.close()
