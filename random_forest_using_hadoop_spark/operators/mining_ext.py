@@ -42,9 +42,9 @@ s AS (
   FROM q GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_rows,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000.0, 6)
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) / 1000.0, 6)
            AS slope_per_hour,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+       round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
              / n / 1000.0, 6) AS intercept
 FROM s
 """
@@ -81,7 +81,10 @@ def q_agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide / NULLIF: one point (or all x equal) zeroes the OLS
+    # denominator — slope undefined, NULL on both engines (found by
+    # tests/test_fuzz_relational.py's micro events stream)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         "event_type",
         n.cast("bigint").alias("n_rows"),

@@ -135,11 +135,25 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact95 = F.percentile(F.col("value"), F.lit(0.95))
     approx50 = F.expr("approx_percentile(value, 0.5, 10000)")
     spread = F.max("value") - F.min("value")
+    # the 1%-of-spread audit is a LARGE-SAMPLE property: Greenwald-
+    # Khanna guarantees rank error <= eps*n, so under ~100 samples it
+    # only promises an order statistic adjacent to the true rank —
+    # while the exact percentile INTERPOLATES between order stats, the
+    # gap between which can be any fraction of the spread (a 2-row
+    # group puts them spread/2 apart; found by
+    # tests/test_fuzz_relational.py's micro events stream). Small
+    # groups audit the sketch's actual small-n guarantee instead:
+    # the estimate is one of the group's values (within [min, max]).
+    n = F.count(F.lit(1))
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        n.alias("n"),
         F.round(exact50, 6).alias("p50"),
         F.round(exact95, 6).alias("p95"),
-        (F.abs(approx50 - exact50) <= spread * 0.01).alias("approx_ok"),
+        F.when(n >= 100, F.abs(approx50 - exact50) <= spread * 0.01)
+        .otherwise(
+            (approx50 >= F.min("value")) & (approx50 <= F.max("value"))
+        )
+        .alias("approx_ok"),
     )
 
 

@@ -346,7 +346,8 @@ WITH s AS (
 z AS (
   SELECT e.event_type, e.event_id,
          (e.value - s.s1 / s.n)
-             / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+             / NULLIF(sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 0)
+           AS zscore
   FROM events e JOIN s ON e.event_type = s.event_type
 )
 SELECT event_type,
@@ -378,10 +379,13 @@ def q_win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # try_divide: a zero-variance group (all values equal) has std 0 —
+    # NULL z on both engines (oracle: NULLIF) instead of an ANSI crash
+    # (found by tests/test_fuzz_relational.py's micro events stream)
     z = ev.join(F.broadcast(s), "event_type").select(
         "event_type",
         "event_id",
-        ((F.col("value") - mean) / std).alias("zscore"),
+        F.try_divide(F.col("value") - mean, std).alias("zscore"),
     )
     return z.groupBy("event_type").agg(
         F.count(F.when(F.abs(F.col("zscore")) > 1.8, 1)).alias("n_outliers"),
@@ -552,10 +556,10 @@ m AS (
   FROM s
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_rows,
-       round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (sqrt(v) * v), 6)
-           AS skewness,
+       round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+             / NULLIF(sqrt(v) * v, 0), 6) AS skewness,
        round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
-             / (v * v) - 3.0, 6) AS excess_kurtosis
+             / NULLIF(v * v, 0) - 3.0, 6) AS excess_kurtosis
 FROM m
 """
 
@@ -589,15 +593,20 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 = F.col("s3") / n
     r4 = F.col("s4") / n
     v = r2 - m1 * m1
+    # try_divide / NULLIF: a zero-variance group zeroes both moment
+    # denominators — skewness/kurtosis are undefined there, NULL on
+    # both engines (found by tests/test_fuzz_relational.py)
     return s.select(
         "event_type",
         n.cast("bigint").alias("n_rows"),
-        F.round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (F.sqrt(v) * v), 6).alias(
-            "skewness"
-        ),
         F.round(
-            (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
-            / (v * v)
+            F.try_divide(r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1, F.sqrt(v) * v), 6
+        ).alias("skewness"),
+        F.round(
+            F.try_divide(
+                r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1,
+                v * v,
+            )
             - 3.0,
             6,
         ).alias("excess_kurtosis"),

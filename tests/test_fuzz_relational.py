@@ -110,6 +110,32 @@ def _build(spark) -> str:
       [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(64)], i % 3)
        for i in range(24)],
       "vec_id long, embedding array<float>, label int")
+    # events: adversarial micro-stream. Written as plain microsecond
+    # timestamps (DuckDB/Spark both read them natively; load_table's
+    # nanos rebuild only engages on BIGINT-typed ts, so a us file rides
+    # through untouched — the nanos INGEST path itself is covered by
+    # the real fixture). Shapes: EVERY user converts inside the KM
+    # horizon (the d == n_risk terminal day the r8 guard handles), a
+    # purchase-first user (raw_t = 0), two events on an identical
+    # timestamp (tie-breaks), a single-event user, quiet gap days, and
+    # boundary-of-day timestamps.
+    w("events",
+      [(1, _TS(2024, 1, 1, 10, 0, 0), 1, "view", 10.0, '{"k": 1}'),
+       (2, _TS(2024, 1, 1, 11, 0, 0), 1, "purchase", 99.99, '{"k": 2}'),
+       (3, _TS(2024, 1, 3, 9, 30, 0), 1, "click", 0.01, '{"k": 3}'),
+       (4, _TS(2024, 1, 1, 0, 0, 0), 2, "signup", 5.0, '{"k": 4}'),
+       (5, _TS(2024, 1, 6, 23, 59, 59), 2, "purchase", 250.5, '{"k": 5}'),
+       (6, _TS(2024, 1, 2, 12, 0, 0), 3, "view", 7.25, '{"k": 6}'),
+       (7, _TS(2024, 1, 2, 12, 0, 0), 3, "click", 7.25, '{"k": 7}'),
+       (8, _TS(2024, 1, 4, 8, 15, 0), 3, "purchase", 42.0, '{"k": 8}'),
+       (9, _TS(2024, 1, 5, 14, 0, 0), 4, "purchase", 490.02, '{"k": 9}'),
+       (10, _TS(2024, 1, 5, 15, 0, 0), 4, "view", 1.0, '{"k": 10}'),
+       (11, _TS(2024, 1, 10, 6, 45, 30), 5, "signup", 3.5, '{"k": 11}'),
+       (12, _TS(2024, 1, 11, 7, 0, 0), 5, "error", 0.5, '{"k": 12}'),
+       (13, _TS(2024, 1, 12, 7, 30, 0), 5, "purchase", 60.0, '{"k": 13}'),
+       (14, _TS(2024, 1, 8, 20, 0, 0), 6, "purchase", 15.75, '{"k": 14}')],
+      "event_id long, ts timestamp, user_id long, event_type string,"
+      " value double, props string")
     open(marker, "w").close()
     return _WH
 
@@ -132,6 +158,41 @@ def _keys() -> list[str]:
             continue
         out.append(key)
     return out
+
+
+def _event_keys() -> list[str]:
+    out = []
+    for key, spec in engine.REGISTRY.items():
+        if spec.oracle is None or key.startswith(_SKIP_PREFIX):
+            continue
+        if key.startswith("stream_"):
+            continue
+        if "events" in spec.oracle:
+            out.append(key)
+    return out
+
+
+@pytest.mark.parametrize("key", _event_keys())
+def test_micro_events_parity(spark, key):
+    """Events-reading keys on the adversarial micro-stream — notably
+    agg_kaplan_meier on a corpus where EVERY user converts inside the
+    horizon, so the final risk row has d == n_risk: the exact
+    terminal-day divergence the r8 guard closed (DuckDB would error on
+    CAST(floor(ln(0)) AS BIGINT) while Spark silently overflowed)."""
+    sf_dir = _build(spark)
+    con = duckdb.connect()
+    try:
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings",
+                  "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet/*.parquet'"
+            )
+        df = engine.REGISTRY[key].fn(spark, sf_dir)
+        assert_parity(df, engine.REGISTRY[key].oracle, con)
+    finally:
+        con.close()
 
 
 @pytest.mark.parametrize("key", _keys())
