@@ -58,7 +58,13 @@ def _events_stream(spark: SparkSession, path: str) -> DataFrame:
     # be the first events read of the whole session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    if not path.endswith("*.parquet"):
+    if not path.endswith("*.parquet") and not Path(path).is_dir():
+        # the driver testdata ships events.parquet as a single FILE,
+        # which a file-stream source can't take directly — stage it
+        # behind a directory. A DIRECTORY table (standard Spark write
+        # layout, e.g. the fuzz batteries' synthetic events) streams
+        # as-is; staging it would symlink a dir inside a dir and the
+        # non-recursive file listing would see zero rows.
         path = _staged_dir(path)
     df = spark.readStream.schema(schema).parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
@@ -355,9 +361,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same parquet file staged twice) — the deduped stream must equal
     the original table, checked via counts per event_type."""
     tmp = Path(tempfile.mkdtemp(prefix="dedup_replay_"))
-    src_file = f"{sf_dir}/events.parquet"
-    shutil.copy(src_file, tmp / "copy1.parquet")
-    shutil.copy(src_file, tmp / "copy2.parquet")
+    src_file = Path(f"{sf_dir}/events.parquet")
+    if src_file.is_dir():
+        # directory-layout events (standard Spark write, e.g. the fuzz
+        # batteries) — replay each part file twice; the driver testdata
+        # ships a single file and takes the copy path below
+        for i, part in enumerate(sorted(src_file.glob("*.parquet"))):
+            shutil.copy(part, tmp / f"copy1_{i}.parquet")
+            shutil.copy(part, tmp / f"copy2_{i}.parquet")
+    else:
+        shutil.copy(src_file, tmp / "copy1.parquet")
+        shutil.copy(src_file, tmp / "copy2.parquet")
     src = _events_stream(spark, str(tmp / "*.parquet"))
     agg = (
         src.dropDuplicates(["event_id"])

@@ -144,7 +144,7 @@ def _build(spark) -> str:
 # model: events (nanos parquet — unsynthesizable from Spark), the
 # documents battery's families, ML/stream/similarity scale assumptions.
 _SKIP_PREFIX = (
-    "ml_", "stream_", "multimodal_", "sim_", "emb_",
+    "ml_", "multimodal_", "sim_", "emb_",
     "dedup_", "text_", "pipe_", "quality_",
 )
 
@@ -164,8 +164,6 @@ def _event_keys() -> list[str]:
     out = []
     for key, spec in engine.REGISTRY.items():
         if spec.oracle is None or key.startswith(_SKIP_PREFIX):
-            continue
-        if key.startswith("stream_"):
             continue
         if "events" in spec.oracle:
             out.append(key)
