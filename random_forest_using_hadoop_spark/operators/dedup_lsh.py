@@ -354,7 +354,8 @@ def _simhash_oracle() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
-  FROM (SELECT doc_id, unnest({_O_SHINGLES}) AS s FROM documents) u
+  FROM (SELECT doc_id, unnest({_O_SHINGLES}) AS s FROM documents
+        WHERE text IS NOT NULL) u
 ),
 bits AS (
   SELECT doc_id,
@@ -417,7 +418,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join SHAPE here is exactly that production shape, and the plan gate
     (tests/test_plans.py) pins it to hash equi-join, no BNLJ/Cartesian.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs carry no content and must not participate in
+    # pairing on EITHER engine — without the filter the engines'
+    # greatest(NULL, 1) semantics diverge (Spark skips NULLs, DuckDB
+    # propagates) and a NULL doc gets an all-zero simhash on one side
+    # only (found by the null_text fuzz corpus)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     tok = d.select(
         "doc_id", F.explode(F.expr(_SHINGLES)).alias("s")
     ).withColumn(

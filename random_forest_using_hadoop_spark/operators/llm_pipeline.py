@@ -705,6 +705,7 @@ _CHUNK_STRIDE = 24  # overlap = size - stride = 8 tokens
 _CHUNK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ),
 n AS (
   SELECT doc_id, toks, len(toks) AS nt,
@@ -742,7 +743,12 @@ def q_pipe_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no float division at the boundary).
     """
     size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
-    d = load_table(spark, sf_dir, "documents").select(
+    # a NULL document yields no chunks, enforced identically on both
+    # engines (greatest(NULL, 1) otherwise diverges: Spark skips the
+    # NULL and manufactures one phantom chunk; null_text fuzz corpus)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     n_chunks = F.greatest(

@@ -170,6 +170,7 @@ SELECT doc_id,
          range(1, greatest(length(text) - 7, 1) + 1),
          i -> md5(text[i : i + 7])))[1] AS min_hash
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -180,7 +181,12 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     edits elsewhere in the doc). Pure per-row array math, no shuffle;
     md5-hex ordering is engine-independent. The sketch is serialized
     comma-joined (array cells crash the driver's pandas canonicalizer)."""
-    d = load_table(spark, sf_dir, "documents")
+    # no content, no fingerprint row — filtered identically on both
+    # engines (Spark's concat_ws would otherwise render a NULL sketch
+    # as '' while DuckDB keeps NULL; null_text fuzz corpus)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     hashes = F.expr(
         "array_sort(transform(sequence(1, greatest(length(text) - 7, 1)),"
         " i -> md5(substring(text, i, 8))))"

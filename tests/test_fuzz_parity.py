@@ -79,6 +79,17 @@ _CORPORA = {
         "emoji laden doc 🎉🚀 with ascii words between 🌍 symbols",
         "café naïve résumé coöperate soufflé crème brûlée déjà vu",
     ],
+    # NULL text rows — production corpora have them; the engine policy
+    # is "no content, no content-derived row", enforced identically on
+    # both engines (Spark and DuckDB disagree on greatest(NULL, 1) and
+    # on rendering NULL sketches, so an unguarded op diverges)
+    "null_text": [
+        None,
+        "a normal document with several words inside it",
+        "another ordinary document body for company here",
+        None,
+        "third real document text that is long enough to window",
+    ],
     # one shared-prefix family + distinct tails (the planted-fixture
     # shape, smaller and sharper)
     "prefix_family": [
@@ -140,7 +151,8 @@ def _corpus_dir(spark, name: str) -> str:
     if not os.path.exists(marker):
         texts = _CORPORA[name]
         rows = [
-            (i, t, ["en", "de"][i % 2], f"src{i % 3}", len(t))
+            (i, t, ["en", "de"][i % 2], f"src{i % 3}",
+             len(t) if t is not None else 0)
             for i, t in enumerate(texts)
         ]
         df = spark.createDataFrame(
