@@ -106,9 +106,18 @@ def _build(spark) -> str:
     # stay within the documented ~1e5 fixed-point envelope — the
     # battery probes edge SHAPES inside the documented domain, not
     # out-of-domain magnitudes
+    # 200 learnable rows: vectors cluster by label (dimension blocks
+    # keyed by label), so the ML audit claims (accuracy above chance,
+    # RMSE below label stddev) hold on the micro fixture the way they
+    # hold on the real one; the deterministic wiggle keeps every
+    # vector distinct for the similarity keys
     w("embeddings",
-      [(i, [((i * 37 + d * 11) % 97) / 48.5 - 1.0 for d in range(64)], i % 3)
-       for i in range(24)],
+      [(i,
+        [(1.5 if d % 3 == i % 3 else -0.5)
+         + ((i * 37 + d * 11) % 97) / 970.0
+         for d in range(64)],
+        i % 3)
+       for i in range(200)],
       "vec_id long, embedding array<float>, label int")
     # events: adversarial micro-stream. Written as plain microsecond
     # timestamps (DuckDB/Spark both read them natively; load_table's
@@ -143,14 +152,14 @@ def _build(spark) -> str:
 # Keys covered elsewhere or needing tables/scales this warehouse can't
 # model: events (nanos parquet — unsynthesizable from Spark), the
 # documents battery's families, ML/stream/similarity scale assumptions.
-# ml_: audit oracles carry fixture-SCALE claims (accuracy above chance
-# needs a real train set). sim_ann_lsh / sim_ann_ivf likewise grade a
-# recall-floor audit calibrated to the real corpus (and fit MLlib
-# models whose hyperparameters assume its diversity) — the rest of the
-# sim_/emb_ family IS battery-graded. dedup_/text_/pipe_/quality_ are
-# covered by the documents battery (test_fuzz_parity.py).
+# sim_ann_lsh / sim_ann_ivf grade a recall-floor audit calibrated to
+# the real corpus (and fit MLlib models whose hyperparameters assume
+# its diversity) — every other sim_/emb_/ml_ key IS battery-graded
+# (the micro embeddings are label-clustered so the ML audit claims
+# hold). dedup_/text_/pipe_/quality_ are covered by the documents
+# battery (test_fuzz_parity.py).
 _SKIP_PREFIX = (
-    "ml_", "multimodal_", "dedup_", "text_", "pipe_", "quality_",
+    "dedup_", "text_", "pipe_", "quality_",
 )
 _SKIP_KEYS = {"sim_ann_lsh", "sim_ann_ivf"}
 
