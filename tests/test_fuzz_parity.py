@@ -142,6 +142,14 @@ _KEYS = [
     "text_pmi_collocations",
     "pipe_ngram_novelty",
     "text_langid_confusion",
+    # component resolution / production dedup pipeline — the exact_dups
+    # corpus gives them byte-identical J=1.0 components, null_text a
+    # contentless doc, periodic a degenerate shingle space
+    "dedup_connected_components",
+    "dedup_canonical_keep",
+    "dedup_threshold_sweep",
+    "pipe_dedup_stage_funnel",
+    "dedup_incremental",
 ]
 
 
@@ -151,7 +159,9 @@ def _corpus_dir(spark, name: str) -> str:
     if not os.path.exists(marker):
         texts = _CORPORA[name]
         rows = [
-            (i, t, ["en", "de"][i % 2], f"src{i % 3}",
+            # sources span the dedup_incremental split (src0-9 index,
+            # src10+ incoming) so the asymmetric pass is non-vacuous
+            (i, t, ["en", "de"][i % 2], f"src{(i * 7) % 20}",
              len(t) if t is not None else 0)
             for i, t in enumerate(texts)
         ]
