@@ -297,9 +297,11 @@ WITH s AS (
 )
 SELECT o_orderpriority, n,
        ROUND((sxx - sx * sx / n) / NULLIF(n - 1, 0), 6) AS var_kprice,
-       ROUND(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)), 6) AS stddev_kprice,
+       ROUND(sqrt(greatest((sxx - sx * sx / n) / NULLIF(n - 1, 0), 0)), 6)
+         AS stddev_kprice,
        ROUND((sxy - sx * sy / n) /
-             NULLIF(sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n), 0),
+             NULLIF(sqrt(greatest(sxx - sx * sx / n, 0))
+                    * sqrt(greatest(syy - sy * sy / n, 0)), 0),
              6) AS corr_price_cust,
        median_price
 FROM s
@@ -336,13 +338,21 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         F.round(F.try_divide(sxx - sx * sx / n, n - 1), 6).alias("var_kprice"),
-        F.round(F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1)), 6).alias(
-            "stddev_kprice"
-        ),
+        # greatest(·, 0) before each sqrt: DECIMAL(30,6) per-row
+        # rounding can leave sxx - sx²/n a tiny negative for a
+        # constant-value group — DuckDB sqrt(negative) hard-errors,
+        # Spark yields NaN; clamp identically on both engines
+        F.round(
+            F.sqrt(
+                F.greatest(F.try_divide(sxx - sx * sx / n, n - 1), F.lit(0.0))
+            ),
+            6,
+        ).alias("stddev_kprice"),
         F.round(
             F.try_divide(
                 sxy - sx * sy / n,
-                F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
+                F.sqrt(F.greatest(sxx - sx * sx / n, F.lit(0.0)))
+                * F.sqrt(F.greatest(syy - sy * sy / n, F.lit(0.0))),
             ),
             6,
         ).alias("corr_price_cust"),

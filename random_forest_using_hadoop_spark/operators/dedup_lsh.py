@@ -515,7 +515,8 @@ _O_BIGRAMS = (
 _NGRAM_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, n_chars,
-         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         list_filter(string_split_regex(
+             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -552,8 +553,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Plan-gated no-BNLJ/no-Cartesian in tests/test_plans.py.
     """
     d = load_table(spark, sf_dir, "documents")
+    # ASCII translate fold, not lower(): the engines' Unicode case
+    # mappings diverge (U+0130; same fix as text_features._TOKS) and
+    # would shift the bigram sets of multilingual near-dup pairs
     toks = F.expr(
-        "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+        "filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),"
+        " x -> x != '')"
     )
     bigrams = F.expr(
         "case when size(toks) < 2 then cast(array() as array<string>) else"

@@ -134,26 +134,43 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact50 = F.percentile(F.col("value"), F.lit(0.5))
     exact95 = F.percentile(F.col("value"), F.lit(0.95))
     approx50 = F.expr("approx_percentile(value, 0.5, 10000)")
-    spread = F.max("value") - F.min("value")
-    # the 1%-of-spread audit is a LARGE-SAMPLE property: Greenwald-
-    # Khanna guarantees rank error <= eps*n, so under ~100 samples it
-    # only promises an order statistic adjacent to the true rank —
-    # while the exact percentile INTERPOLATES between order stats, the
-    # gap between which can be any fraction of the spread (a 2-row
-    # group puts them spread/2 apart; found by
-    # tests/test_fuzz_relational.py's micro events stream). Small
-    # groups audit the sketch's actual small-n guarantee instead:
-    # the estimate is one of the group's values (within [min, max]).
-    n = F.count(F.lit(1))
-    return ev.groupBy("event_type").agg(
-        n.alias("n"),
+    # audit the sketch against its ACTUAL contract — Greenwald-Khanna
+    # promises the returned element's RANK lies within eps*n of the
+    # target rank (eps = 1/accuracy) — not against a value-space error
+    # bound: any value-distance claim (the old 1%-of-spread test)
+    # silently assumes the order-statistic gaps near the median are
+    # small, which no n guarantees (a 100-row group of 50 zeros and 50
+    # ones puts the exact interpolated median spread/2 from every
+    # element). The rank check needs a second pass counting values on
+    # each side of the estimate: a broadcast join of the 5-row stats
+    # frame back onto the stream plus one more map-side-combined agg —
+    # the honest price of auditing a rank contract.
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
         F.round(exact50, 6).alias("p50"),
         F.round(exact95, 6).alias("p95"),
-        F.when(n >= 100, F.abs(approx50 - exact50) <= spread * 0.01)
-        .otherwise(
-            (approx50 >= F.min("value")) & (approx50 <= F.max("value"))
+        approx50.alias("approx50"),
+    )
+    eps = 1.0 / 10000
+    rank = (
+        ev.join(F.broadcast(stats.select("event_type", "approx50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("approx50"), 1).otherwise(0))
+            .alias("n_below"),
+            F.sum(F.when(F.col("value") <= F.col("approx50"), 1).otherwise(0))
+            .alias("n_at_most"),
         )
-        .alias("approx_ok"),
+    )
+    return stats.join(rank, "event_type").select(
+        "event_type",
+        "n",
+        "p50",
+        "p95",
+        (
+            (F.col("n_below") <= 0.5 * F.col("n") + eps * F.col("n") + 1)
+            & (F.col("n_at_most") >= 0.5 * F.col("n") - eps * F.col("n") - 1)
+        ).alias("approx_ok"),
     )
 
 

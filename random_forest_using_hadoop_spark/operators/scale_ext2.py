@@ -346,7 +346,8 @@ WITH s AS (
 z AS (
   SELECT e.event_type, e.event_id,
          (e.value - s.s1 / s.n)
-             / NULLIF(sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 0)
+             / NULLIF(sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n),
+                                    0)), 0)
            AS zscore
   FROM events e JOIN s ON e.event_type = s.event_type
 )
@@ -378,7 +379,13 @@ def q_win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(fx * fx).cast("double") / 1000000.0).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # greatest(·, 0): cancellation leaves a tiny NEGATIVE for a
+    # zero-variance group with non-dyadic values (v = s2/n - mean²
+    # ≈ -1e-18) — DuckDB sqrt(negative) hard-errors while Spark
+    # returns NaN, so both engines clamp before the root
+    std = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    )
     # try_divide: a zero-variance group (all values equal) has std 0 —
     # NULL z on both engines (oracle: NULLIF) instead of an ANSI crash
     # (found by tests/test_fuzz_relational.py's micro events stream)

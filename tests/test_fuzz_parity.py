@@ -154,8 +154,13 @@ _KEYS = [
 
 
 def _corpus_dir(spark, name: str) -> str:
+    import hashlib
+
     path = os.path.join(_ROOT, name)
-    marker = os.path.join(path, "_built")
+    # marker keyed on the corpus DEFINITION: editing _CORPORA must
+    # rebuild, or the battery silently grades stale parquet
+    fp = hashlib.md5(repr(_CORPORA[name]).encode()).hexdigest()[:10]
+    marker = os.path.join(path, f"_built_{fp}")
     if not os.path.exists(marker):
         texts = _CORPORA[name]
         rows = [
@@ -177,7 +182,7 @@ def _corpus_dir(spark, name: str) -> str:
 
 @pytest.mark.parametrize("corpus", sorted(_CORPORA))
 @pytest.mark.parametrize("key", _KEYS)
-def test_adversarial_corpus_parity(spark, corpus, key, request):
+def test_adversarial_corpus_parity(spark, corpus, key):
     sf_dir = _corpus_dir(spark, corpus)
     con = duckdb.connect()
     try:
@@ -190,6 +195,3 @@ def test_adversarial_corpus_parity(spark, corpus, key, request):
         assert_parity(df, engine.REGISTRY[key].oracle, con)
     finally:
         con.close()
-    # the dedup memos are keyed by sf_dir, so corpora don't collide;
-    # release at module end happens via the session-level cache hygiene
-    request.addfinalizer(lambda: None)

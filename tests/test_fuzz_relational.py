@@ -31,8 +31,13 @@ _WH = "/tmp/rf_engine_fuzz_warehouse"
 _TS = datetime  # brevity
 
 
+_WH_FINGERPRINT = "r8e"  # bump on any _build data change: the marker
+# below is keyed on it so edits rebuild instead of silently grading
+# stale parquet
+
+
 def _build(spark) -> str:
-    marker = os.path.join(_WH, "_built")
+    marker = os.path.join(_WH, f"_built_{_WH_FINGERPRINT}")
     if os.path.exists(marker):
         return _WH
 
@@ -154,22 +159,21 @@ def _build(spark) -> str:
 # documents battery's families, ML/stream/similarity scale assumptions.
 # sim_ann_lsh / sim_ann_ivf grade a recall-floor audit calibrated to
 # the real corpus (and fit MLlib models whose hyperparameters assume
-# its diversity) — every other sim_/emb_/ml_ key IS battery-graded
-# (the micro embeddings are label-clustered so the ML audit claims
-# hold). dedup_/text_/pipe_/quality_ are covered by the documents
-# battery (test_fuzz_parity.py).
-_SKIP_PREFIX = (
-    "dedup_", "text_", "pipe_", "quality_",
-)
+# its diversity) — EVERY other SQL-graded key is battery-graded: the
+# split is computed from the documents battery's explicit key list so
+# a key missing from both batteries cannot exist silently (r8 review
+# found fifteen keys falling between the prefix-based cracks).
+from tests.test_fuzz_parity import _KEYS as _PARITY_KEYS  # noqa: E402
+
 _SKIP_KEYS = {"sim_ann_lsh", "sim_ann_ivf"}
 
 
 def _keys() -> list[str]:
     out = []
     for key, spec in engine.REGISTRY.items():
-        if spec.oracle is None or key.startswith(_SKIP_PREFIX):
+        if spec.oracle is None or key in _SKIP_KEYS or key in _PARITY_KEYS:
             continue
-        if key in _SKIP_KEYS or "events" in spec.oracle:
+        if "events" in spec.oracle:
             continue
         out.append(key)
     return out
@@ -178,13 +182,23 @@ def _keys() -> list[str]:
 def _event_keys() -> list[str]:
     out = []
     for key, spec in engine.REGISTRY.items():
-        if spec.oracle is None or key.startswith(_SKIP_PREFIX):
-            continue
-        if key in _SKIP_KEYS:
+        if spec.oracle is None or key in _SKIP_KEYS or key in _PARITY_KEYS:
             continue
         if "events" in spec.oracle:
             out.append(key)
     return out
+
+
+def test_every_sql_key_is_battery_covered():
+    """The two batteries plus the documented ANN exclusions must tile
+    the full SQL-graded registry — a key missing from both is a silent
+    coverage hole (the r8 review found fifteen)."""
+    covered = set(_PARITY_KEYS) | set(_keys()) | set(_event_keys()) | _SKIP_KEYS
+    missing = [
+        k for k, spec in engine.REGISTRY.items()
+        if spec.oracle is not None and k not in covered
+    ]
+    assert not missing, f"keys in no battery: {missing}"
 
 
 @pytest.mark.parametrize("key", _event_keys())
