@@ -183,8 +183,16 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B48: JSON extraction ----------------------------------------------------
 
+# json_valid guard + ->> (unquoting extract) + TRY_CAST mirror Spark's
+# get_json_object + try_cast semantics on ADVERSARIAL payloads, not
+# just the fixture's '{"k": <int>}': malformed JSON → NULL (DuckDB's
+# json_extract would hard-error), string-typed "12" → 12 (->> unquotes
+# where json_extract keeps the quotes and the cast dies), nested
+# object → NULL on both. Found by an r8 fuzz probe — the previous
+# plain cast was an ANSI CAST_INVALID_INPUT crash on any non-scalar k.
 _B48_ORACLE = """
-SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+SELECT CASE WHEN json_valid(props)
+            THEN TRY_CAST(props ->> '$.k' AS INTEGER) END AS k,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
@@ -194,12 +202,16 @@ GROUP BY 1
 
 @register("fn_json", oracle=_B48_ORACLE)
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B48: get_json_object over the events.props JSON strings
-    (shape '{"k": <int>}' — FIXTURES), grouped to a small result."""
+    """B48: get_json_object over the events.props JSON strings,
+    grouped to a small result. Robust to real-world payloads: a
+    malformed document, a string-typed "12", or a nested object under
+    $.k all land where the oracle lands them (NULL / 12 / NULL) —
+    see the oracle comment for the dialect mapping."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("int").alias("k"), "user_id"
+            F.expr("try_cast(get_json_object(props, '$.k') as int)").alias("k"),
+            "user_id",
         )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))

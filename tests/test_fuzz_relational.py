@@ -31,7 +31,7 @@ _WH = "/tmp/rf_engine_fuzz_warehouse"
 _TS = datetime  # brevity
 
 
-_WH_FINGERPRINT = "r8e"  # bump on any _build data change: the marker
+_WH_FINGERPRINT = "r8f"  # bump on any _build data change: the marker
 # below is keyed on it so edits rebuild instead of silently grading
 # stale parquet
 
@@ -147,7 +147,14 @@ def _build(spark) -> str:
        (11, _TS(2024, 1, 10, 6, 45, 30), 5, "signup", 3.5, '{"k": 11}'),
        (12, _TS(2024, 1, 11, 7, 0, 0), 5, "error", 0.5, '{"k": 12}'),
        (13, _TS(2024, 1, 12, 7, 30, 0), 5, "purchase", 60.0, '{"k": 13}'),
-       (14, _TS(2024, 1, 8, 20, 0, 0), 6, "purchase", 15.75, '{"k": 14}')],
+       (14, _TS(2024, 1, 8, 20, 0, 0), 6, "purchase", 15.75, '{"k": 14}'),
+       # adversarial props: malformed JSON, string-typed k, nested k,
+       # NULL — fn_json must land them identically on both engines
+       (15, _TS(2024, 1, 8, 21, 0, 0), 6, "view", 1.0, "not json at all"),
+       (16, _TS(2024, 1, 8, 22, 0, 0), 6, "view", 1.0, '{"k": "12"}'),
+       (17, _TS(2024, 1, 8, 23, 0, 0), 6, "view", 1.0,
+        '{"k": {"nested": 1}, "u": "k\u00e4se"}'),
+       (18, _TS(2024, 1, 9, 1, 0, 0), 6, "view", 1.0, None)],
       "event_id long, ts timestamp, user_id long, event_type string,"
       " value double, props string")
     open(marker, "w").close()
