@@ -889,13 +889,17 @@ def q_pipe_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_chars", F.coalesce("kept", F.lit(False)).alias("kept")
     )
+    # coalesce(·, 0) on the conditional sums: a global agg over an
+    # EMPTY corpus yields one row with NULL sums while the oracle's
+    # COUNT(*) FILTER yields 0 — an empty input partition must report
+    # zeros, not NULLs (empty-table fuzz probe)
     stage1 = ex.agg(
         F.lit("exact").alias("stage"),
         F.count(F.lit(1)).cast("bigint").alias("docs_in"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("kept"), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("docs_kept"),
-        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(~F.col("kept"), 1).otherwise(0)), F.lit(0))
         .cast("bigint")
         .alias("docs_dropped"),
         F.coalesce(
@@ -911,10 +915,14 @@ def q_pipe_dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit("near_dup").alias("stage"),
             F.count(F.lit(1)).cast("bigint").alias("docs_in"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("docs_kept"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("docs_dropped"),
             F.coalesce(

@@ -79,6 +79,9 @@ _CORPORA = {
         "emoji laden doc 🎉🚀 with ascii words between 🌍 symbols",
         "café naïve résumé coöperate soufflé crème brûlée déjà vu",
     ],
+    # the empty partition — a corpus slice with zero documents must
+    # report zeros/empties, never NULL aggregates or crashes
+    "empty": [],
     # NULL text rows — production corpora have them; the engine policy
     # is "no content, no content-derived row", enforced identically on
     # both engines (Spark and DuckDB disagree on greatest(NULL, 1) and
