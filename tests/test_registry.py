@@ -59,20 +59,34 @@ def test_queries_and_oracles_cover_registry():
     )
 
 
-def test_grade_window_holds_zero_evidence_keys_first():
-    """The first 50 keys (the driver's grading window) must contain every
-    key that has never appeared in a CORRECTNESS_r*.json — new keys must
-    not linger ungraded behind already-graded ones."""
-    import json
+def test_grade_order_is_oldest_evidence_first():
+    """r8-verdict task 1: the grading order must be a non-decreasing
+    sweep of latest-driver-grade (never-graded keys treated as oldest),
+    after the manual-pin prefix. This makes the 50-key window always
+    hold the stalest evidence in the repo — the r8 window missed the
+    true stalest block because the hand-maintained list drifted."""
+    latest = entrymod._latest_grade()
+    if not latest:  # fresh clone without driver artifacts
+        return
+    ordered = entrymod._ordered_keys()
+    tail = ordered[len([k for k in entrymod._GRADE_FIRST
+                        if k in engine.REGISTRY]):]
+    grades = [latest.get(k, -1) for k in tail]
+    assert grades == sorted(grades), (
+        "grading order is not oldest-evidence-first: first inversion at "
+        f"{next((tail[i], tail[i + 1]) for i in range(len(grades) - 1) if grades[i] > grades[i + 1])}"
+    )
 
-    repo = Path(__file__).resolve().parent.parent
-    graded: set[str] = set()
-    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
-        graded.update(json.load(open(f)))
-    if not graded:  # fresh clone without driver artifacts
+
+def test_grade_window_holds_zero_evidence_keys_first():
+    """New keys (no CORRECTNESS evidence yet) must lead the 50-key
+    grading window — a consequence of oldest-evidence-first, kept as an
+    explicit tripwire for the never-graded class."""
+    latest = entrymod._latest_grade()
+    if not latest:  # fresh clone without driver artifacts
         return
     window = entrymod._ordered_keys()[:50]
-    never = [k for k in engine.REGISTRY if k not in graded]
+    never = [k for k in engine.REGISTRY if k not in latest]
     overflow = [k for k in never if k not in window]
     assert len(never) > 50 or overflow == [], (
         f"zero-evidence keys outside the 50-key grading window: {overflow}"
