@@ -480,8 +480,13 @@ def q_sink_mv_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp(sf_dir, "mv_cust_orders")
     base.write.mode("overwrite").parquet(path)
     mv = spark.read.parquet(path)
+    # The base/delta split must be EXHAUSTIVE: a NULL o_orderdate fails
+    # both `< cutoff` and `>= cutoff`, so route nulls into the delta leg
+    # or the merged MV silently loses those orders vs the full recompute.
     delta = (
-        orders.filter(F.col("o_orderdate") >= cutoff)
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        )
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("order_count"),
@@ -511,15 +516,22 @@ def q_sink_mv_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CKSUM_ORACLE = """
 WITH l AS (
   SELECT ('0x' || substr(md5(
-           l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' ||
-           l_suppkey || '|' || CAST(l_quantity AS BIGINT) || '|' ||
-           l_returnflag || '|' || l_linestatus), 1, 15))::BIGINT AS h
+           coalesce(CAST(l_orderkey AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(CAST(l_linenumber AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(CAST(l_partkey AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(CAST(l_suppkey AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+                    '^^NULL^^') || '|' ||
+           coalesce(l_returnflag, '^^NULL^^') || '|' ||
+           coalesce(l_linestatus, '^^NULL^^')), 1, 15))::BIGINT AS h
   FROM lineitem
 ),
 o AS (
   SELECT ('0x' || substr(md5(
-           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
-           o_orderpriority), 1, 15))::BIGINT AS h
+           coalesce(CAST(o_orderkey AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(CAST(o_custkey AS VARCHAR), '^^NULL^^') || '|' ||
+           coalesce(o_orderstatus, '^^NULL^^') || '|' ||
+           coalesce(o_orderpriority, '^^NULL^^')), 1, 15))::BIGINT AS h
   FROM orders
 )
 SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -546,18 +558,29 @@ def q_agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     no collect, one pass.
 
     Determinism notes: the canonical string uses exact-typed columns
-    only (keys, integer-valued quantity cast BIGINT, flag/mode codes) —
-    '|'-joined so field boundaries can't alias; Spark CONCAT of bigints
-    renders digits identically to DuckDB's || coercion. XOR is
-    overflow-free; the mod-1000003 sum stays under 2^63 to ~9e12 rows.
+    only (keys, quantity through floor() — identical on both engines,
+    unlike a raw BIGINT cast, which truncates in Spark but rounds in
+    DuckDB — and flag/mode codes), each field coalesced to an explicit
+    '^^NULL^^' sentinel so a NULL hashes deterministically and
+    identically on both engines (Spark concat_ws SKIPS null fields
+    while DuckDB '||' nulls the whole string — and a skipped field can
+    alias a different row's canonical form); '|'-joined so field
+    boundaries can't alias. XOR is overflow-free; the mod-1000003 sum
+    stays under 2^63 to ~9e12 rows.
 
     Scale: map-side fold + a single partial-aggregated reduce per
     table; shuffle is one row per partition.
     """
     def fold(cols: list) -> F.Column:
+        # coalesce each field to the sentinel BEFORE concat_ws: concat_ws
+        # silently drops nulls, which both diverges from the oracle's
+        # null-propagating '||' and lets a 6-field row alias a 7-field one.
+        safe = [
+            "coalesce(cast((" + c + ") as string), '^^NULL^^')" for c in cols
+        ]
         return F.expr(
             "cast(conv(substring(md5(" + "concat_ws('|', "
-            + ", ".join(cols)
+            + ", ".join(safe)
             + ")), 1, 15), 16, 10) as bigint)"
         )
 
@@ -568,7 +591,7 @@ def q_agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_linenumber",
                 "l_partkey",
                 "l_suppkey",
-                "cast(l_quantity as bigint)",
+                "cast(floor(l_quantity) as bigint)",
                 "l_returnflag",
                 "l_linestatus",
             ]
@@ -655,8 +678,12 @@ def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins_ok = all(0 <= r["bin"] <= 9 for r in binned)
     coverage = sum(r["n"] for r in binned) == n_test
     acc_ok = all(0 <= r["n_correct"] <= r["n"] for r in binned)
+    # Tolerance on BOTH bounds: F.floor(conf*10) can round a product up
+    # across an integer boundary, putting conf infinitesimally below
+    # bin/10 — mirror the upper bound's epsilon on the lower bound.
     conf_in_bin = all(
-        r["bin"] / 10.0 <= r["conf_lo"] and r["conf_hi"] <= (r["bin"] + 1) / 10.0 + 1e-12
+        r["bin"] / 10.0 - 1e-12 <= r["conf_lo"]
+        and r["conf_hi"] <= (r["bin"] + 1) / 10.0 + 1e-12
         for r in binned
     )
     conf_uniform = all(r["conf_lo"] >= 1.0 / n_classes - 1e-12 for r in binned)

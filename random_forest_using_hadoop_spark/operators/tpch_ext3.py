@@ -372,8 +372,8 @@ _Q11_FRACTION = 0.001
 _Q11_ORACLE = f"""
 WITH jv AS (
   SELECT l.l_partkey AS partkey, {o_dsum('l.l_extendedprice')} AS value,
-         CAST(SUM(CAST(floor(l.l_extendedprice * 1000000.0 + 0.5)
-              AS BIGINT)) AS BIGINT) AS vq
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+              AS BIGINT)) AS BIGINT) AS vc
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -384,7 +384,7 @@ WITH jv AS (
 SELECT partkey, value
 FROM jv
 WHERE value > (SELECT {_Q11_FRACTION}
-               * (CAST(SUM(vq) AS BIGINT) / 1000000.0) FROM jv)
+               * (CAST(SUM(vc) AS BIGINT) / 100.0) FROM jv)
 """
 
 
@@ -424,23 +424,22 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             dsum("l_extendedprice").alias("value"),
-            # overflow envelope: vq rows are ~1e11 (price ~1e5 × 1e6
-            # quantum); the GLOBAL Σvq below crosses 2^63 around
-            # sf≈500 (~3e9 EU lineitems × 1e11 ≈ 3e20 > 9.2e18 at
-            # sf~500) — narrower than dsum's per-group envelope. Past
-            # that, requantize to cents (1e2) for the global total;
-            # the threshold compare only needs 2-decimal stability.
+            # The global-total leg quantizes to CENTS (1e2), not the
+            # 1e6 micro-quantum dsum uses per group: prices are exact
+            # 2-decimal values, so the cent sum is still exact, and the
+            # BIGINT envelope for the GLOBAL Σ moves from sf≈500
+            # (~3e9 EU lineitems × 1e11/row ≈ 3e20 > 2^63) out to
+            # sf≈5e5 — matching the dsum convention's headroom. The
+            # threshold compare only needs 2-decimal stability.
             F.sum(
-                F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast(
-                    "bigint"
-                )
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
             )
             .cast("bigint")
-            .alias("vq"),
+            .alias("vc"),
         )
     )
     total = jv.agg(
-        (F.lit(_Q11_FRACTION) * (F.sum("vq").cast("bigint") / 1000000.0))
+        (F.lit(_Q11_FRACTION) * (F.sum("vc").cast("bigint") / 100.0))
         .alias("threshold")
     )
     return (

@@ -231,6 +231,55 @@ def test_micro_events_parity(spark, key):
         con.close()
 
 
+def test_q11_threshold_exact_boundary(spark):
+    """r9 (verdict task 3): tpch_q11_value_share's global threshold is
+    now derived from an exact CENT sum (BIGINT envelope sf≈5e5, vs
+    sf≈500 for the old 1e6 quantum). This case pins the exactness the
+    quantization buys: one part's value sits EXACTLY on the
+    0.001×total threshold (1.00 of 1000.00), so a double-accumulated
+    total drifting by one ulp in either engine would flip its strict->
+    comparison and diverge. Both engines must derive the identical
+    exact threshold and exclude the boundary part."""
+    wh = "/tmp/rf_engine_fuzz_q11_boundary"
+    marker = os.path.join(wh, "_built_r9a")
+    if not os.path.exists(marker):
+        def w(name: str, rows, schema: str):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(wh, f"{name}.parquet"))
+
+        w("region", [(0, "EUROPE")], "r_regionkey int, r_name string")
+        w("nation", [(0, "NATION_0", 0)],
+          "n_nationkey int, n_name string, n_regionkey int")
+        w("supplier", [(1, "Supplier#1", 0, 100.0)],
+          "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+        # total = 1000.00 → threshold = 0.001 × 1000.00 = 1.0 exactly;
+        # part 1's value is exactly 1.0 → strict > must EXCLUDE it.
+        w("lineitem",
+          [(100, 1, 1, 1, 1.0, 1.00),
+           (100, 2, 1, 2, 1.0, 500.00),
+           (101, 3, 1, 1, 1.0, 499.00)],
+          "l_orderkey long, l_partkey long, l_suppkey long,"
+          " l_linenumber int, l_quantity double, l_extendedprice double")
+        open(marker, "w").close()
+    con = duckdb.connect()
+    try:
+        for t in ("region", "nation", "supplier", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{wh}/{t}.parquet/*.parquet'"
+            )
+        spec = engine.REGISTRY["tpch_q11_value_share"]
+        df = spec.fn(spark, wh)
+        assert_parity(df, spec.oracle, con)
+        keys = {r["partkey"] for r in df.collect()}
+        assert keys == {2, 3}, (
+            f"boundary part leaked through the strict threshold: {keys}"
+        )
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("key", _keys())
 def test_micro_warehouse_parity(spark, key):
     sf_dir = _build(spark)
