@@ -39,9 +39,11 @@ HEADLINE = [
     "dedup_exact",        # md5 distinct on documents   (BASELINE q_docs_dedup)
     "sim_cosine_topk",    # top-k cosine pairs          (BASELINE q_emb_knn)
     "ml_rf_train",        # MLlib RF train+predict      (BASELINE rf_train_predict)
-    # r5 additions — one per expensive family with no BASELINE row, so a
-    # perf regression in the repo's most differentiated operators shows
-    # up round-over-round (compare BENCH_r{N} to BENCH_r{N-1}):
+    # r5 additions — one per expensive family; since r9 these ALSO have
+    # fixed BASELINE.md anchors (the † rows: local[4] warm min-of-3,
+    # measured 2026-08-15), so the 2× criterion is decidable for them
+    # and regressions compare against a fixed number instead of the
+    # ±30% round-over-round noise band:
     "dedup_minhash",            # MinHash-LSH band join + Jaccard verify
     "dedup_connected_components",  # iterative min-label propagation
     "sim_ann_ivf",              # IVF cell equi-join ANN
@@ -91,6 +93,15 @@ def main() -> None:
             for frame in dedup_lsh._CC_MEMO.values():
                 dedup_lsh._free_local_checkpoint(frame)
             dedup_lsh._CC_MEMO.clear()
+            # also drop the evicted entries' pinned edge caches, so N
+            # timed runs don't stack N dead edge-list copies
+            for frames in dedup_lsh._CC_PINS.values():
+                for frame in frames:
+                    try:
+                        frame.unpersist()
+                    except Exception:
+                        pass
+            dedup_lsh._CC_PINS.clear()
             return
         if key.startswith(("ml_", "dedup_", "sim_")):
             engine.release_caches(spark)

@@ -46,8 +46,22 @@ MAX_DEPTH = 8
 
 # Per-process cache of (sf_dir → fitted artifacts): the driver calls each
 # queries() entry separately; training once per sf_dir keeps A5–A10 from
-# refitting the same forest ten times.
+# refitting the same forest ten times. LRU-bounded to _CACHE_KEEP dirs
+# (r8 verdict task 6): a session sweeping many corpus dirs unpersists
+# the oldest dir's train/pred caches instead of accumulating them.
 _CACHE: dict[str, dict] = {}
+_CACHE_KEEP = 2
+
+
+def _cache_insert(sf_dir: str, art: dict) -> None:
+    _CACHE[sf_dir] = art
+    while len(_CACHE) > _CACHE_KEEP:
+        stale = _CACHE.pop(next(iter(_CACHE)))  # insertion order = LRU
+        for name in ("train", "pred"):
+            try:
+                stale[name].unpersist()
+            except Exception:
+                pass
 
 
 def assemble(df: DataFrame) -> DataFrame:
@@ -81,7 +95,9 @@ def _fitted(spark: SparkSession, sf_dir: str) -> dict:
     )
     model = rf.fit(train)
     pred = model.transform(test).cache()
-    _CACHE[sf_dir] = {"train": train, "test": test, "model": model, "pred": pred}
+    _cache_insert(
+        sf_dir, {"train": train, "test": test, "model": model, "pred": pred}
+    )
     return _CACHE[sf_dir]
 
 

@@ -151,6 +151,47 @@ def _minhash_band_candidates(d: DataFrame) -> DataFrame:
 # pipeline cost split.
 _PAIR_MEMO: dict[str, DataFrame] = {}
 
+# LRU bound (r8 verdict task 6): a long driver session sweeping many
+# corpus dirs must not hold one cached frame per (appId, sf_dir)
+# forever — keep the last _MEMO_KEEP dirs per memo and unpersist the
+# evicted entry's storage eagerly. 2 covers every real access pattern
+# here (grading runs one dir; tests interleave at most the fixture and
+# one micro-corpus). Eviction is safe at entry-insertion time for the
+# same reason release_caches is safe at module boundaries: a third
+# corpus only appears after all plans over the first are collected.
+_MEMO_KEEP = 2
+_PAIR_PINS: dict[str, list] = {}  # key → extra cached frames to drop
+_CC_PINS: dict[str, list] = {}
+
+
+def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
+                 pins: tuple = (), checkpointed: bool = False) -> None:
+    """Insert into a session memo, evicting LRU entries past the bound.
+
+    ``pins`` are additional cached frames the entry's plan pinned (e.g.
+    the shingled-docs frame feeding the pair set); they are unpersisted
+    with the entry. ``checkpointed`` entries release their (non-
+    recomputable) localCheckpoint blocks instead of a cache unpersist.
+    """
+    memo[key] = frame
+    if pins:
+        pins_map[key] = list(pins)
+    while len(memo) > _MEMO_KEEP:
+        old_key = next(iter(memo))  # dict preserves insertion order
+        stale = memo.pop(old_key)
+        for f in pins_map.pop(old_key, []):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        if checkpointed:
+            _free_local_checkpoint(stale)
+        else:
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
+
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (a, b, jaccard) verified pair set for a corpus dir."""
@@ -160,7 +201,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     d = _docs_with_shingles(spark, sf_dir).cache()
     pairs = _exact_jaccard_pairs(spark, d).cache()
-    _PAIR_MEMO[key] = pairs
+    _memo_insert(_PAIR_MEMO, _PAIR_PINS, key, pairs, pins=(d,))
     return pairs
 
 
@@ -706,7 +747,8 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = merged
         if changed == 0:
             break
-    _CC_MEMO[key] = labels
+    _memo_insert(_CC_MEMO, _CC_PINS, key, labels, pins=(edges,),
+                 checkpointed=True)
     return labels
 
 

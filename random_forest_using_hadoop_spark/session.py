@@ -61,10 +61,12 @@ def release_caches(spark: SparkSession) -> None:
 
     forest._CACHE.clear()
     dedup_lsh._PAIR_MEMO.clear()
+    dedup_lsh._PAIR_PINS.clear()
     # _CC_MEMO holds localCheckpoint-backed label frames — once the
     # RDD sweep below unpersists their blocks they are NON-recomputable,
     # so the memo must never outlive this call
     dedup_lsh._CC_MEMO.clear()
+    dedup_lsh._CC_PINS.clear()
     # all DataFrame/table-level caches (simhash `sh`, CC `edges`, ...)
     spark.catalog.clearCache()
     # RDD-level blocks clearCache can't see: localCheckpoints from the

@@ -24,6 +24,10 @@ import pytest
 import random_forest_using_hadoop_spark as engine
 from tests.conftest import assert_parity
 
+# Heaviest suite tier: deselect with -m "not battery" for a fast dev
+# loop; CI and round-close always run the full suite (pytest.ini).
+pytestmark = pytest.mark.battery
+
 engine.load_all()
 
 _WH = "/tmp/rf_engine_fuzz_warehouse"

@@ -45,3 +45,52 @@ def test_cache_hygiene_releases_everything(spark):
     engine.release_caches(spark)
     n = engine.cached_block_count(spark)
     assert n == 0, f"{n} persistent RDDs survived release_caches()"
+
+
+def test_session_memos_are_lru_bounded(spark):
+    """r8 verdict task 6: the engine's session memos must evict (and
+    unpersist) beyond their keep-last-2 bound, so a driver session
+    sweeping many corpus dirs cannot accumulate one cached frame per
+    dir."""
+    from random_forest_using_hadoop_spark.ml import forest
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+    # generic memo helper: third insert evicts the first entry AND its
+    # pinned frame, unpersisting both
+    memo: dict = {}
+    pins: dict = {}
+    frames = []
+    for i in range(3):
+        f = spark.range(10 + i).cache()
+        p = spark.range(100 + i).cache()
+        f.count(), p.count()
+        frames.append((f, p))
+        dedup_lsh._memo_insert(memo, pins, f"dir{i}", f, pins=(p,))
+    assert len(memo) == dedup_lsh._MEMO_KEEP == 2
+    assert "dir0" not in memo and "dir0" not in pins
+    assert not frames[0][0].storageLevel.useMemory, "evicted memo entry still cached"
+    assert not frames[0][1].storageLevel.useMemory, "evicted pin still cached"
+    assert frames[2][0].storageLevel.useMemory, "live memo entry lost its cache"
+    for f, p in frames[1:]:
+        f.unpersist(), p.unpersist()
+
+    # ML artifact cache: same bound, evicting train/pred storage
+    saved = dict(forest._CACHE)
+    forest._CACHE.clear()
+    try:
+        arts = []
+        for i in range(3):
+            t = spark.range(20 + i).cache()
+            pr = spark.range(200 + i).cache()
+            t.count(), pr.count()
+            arts.append({"train": t, "test": None, "model": None, "pred": pr})
+            forest._cache_insert(f"dir{i}", arts[-1])
+        assert len(forest._CACHE) == forest._CACHE_KEEP == 2
+        assert "dir0" not in forest._CACHE
+        assert not arts[0]["train"].storageLevel.useMemory
+        assert not arts[0]["pred"].storageLevel.useMemory
+        for a in arts[1:]:
+            a["train"].unpersist(), a["pred"].unpersist()
+    finally:
+        forest._CACHE.clear()
+        forest._CACHE.update(saved)
