@@ -229,7 +229,8 @@ SELECT doc_id,
        CAST(n_chars AS DOUBLE) AS chars_dbl,
        CAST(floor(n_chars / 100.0) AS BIGINT) AS chars_century,
        md5(text) AS text_md5,
-       md5(concat(lang, ':', CAST(doc_id AS VARCHAR))) AS key_md5
+       md5(concat(coalesce(lang, '^^NULL^^'), ':',
+                  CAST(doc_id AS VARCHAR))) AS key_md5
 FROM documents
 """
 
@@ -245,7 +246,17 @@ def q_fn_cast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("chars_dbl"),
         F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("chars_century"),
         F.md5("text").alias("text_md5"),
-        F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))).alias("key_md5"),
+        # coalesce BEFORE the join: Spark concat_ws silently skips a
+        # NULL lang (→ "7") while DuckDB's concat renders it empty
+        # (→ ":7") — sentinel-coalescing on both engines keys the hash
+        # identically (same class as the agg_table_checksum r9 fix)
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("lang"), F.lit("^^NULL^^")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("key_md5"),
     )
 
 

@@ -97,6 +97,22 @@ _CORPORA = {
         None,
         "third real document text that is long enough to window",
     ],
+    # NULL metadata (r9): real text but NULL lang / NULL source — the
+    # metadata sibling of null_text. Production corpora carry them, and
+    # the engines diverge on NULL-keyed string builds (concat_ws skips
+    # vs concat renders empty — the fn_cast_hash class) while agreeing
+    # on NULL group keys; rows are full 5-tuples, see _corpus_dir.
+    "null_meta": [
+        (0, "a perfectly ordinary document body with enough words here",
+         None, "src1", 56),
+        (1, "another regular document with its own distinct content",
+         "en", None, 54),
+        (2, "third document body with both metadata fields present ok",
+         "de", "src2", 56),
+        (3, None, None, None, 0),
+        (4, "fifth document with null language but a real source tag",
+         None, "src1", 55),
+    ],
     # one shared-prefix family + distinct tails (the planted-fixture
     # shape, smaller and sharper)
     "prefix_family": [
@@ -157,6 +173,9 @@ _KEYS = [
     "dedup_threshold_sweep",
     "pipe_dedup_stage_funnel",
     "dedup_incremental",
+    # r9: documents-only scalar key moved here from the relational
+    # battery so the null_meta corpus exercises its NULL-lang hash path
+    "fn_cast_hash",
 ]
 
 
@@ -170,13 +189,16 @@ def _corpus_dir(spark, name: str) -> str:
     marker = os.path.join(path, f"_built_{fp}")
     if not os.path.exists(marker):
         texts = _CORPORA[name]
-        rows = [
-            # sources span the dedup_incremental split (src0-9 index,
-            # src10+ incoming) so the asymmetric pass is non-vacuous
-            (i, t, ["en", "de"][i % 2], f"src{(i * 7) % 20}",
-             len(t) if t is not None else 0)
-            for i, t in enumerate(texts)
-        ]
+        if texts and isinstance(texts[0], tuple):
+            rows = list(texts)  # full (doc_id, text, lang, source, n_chars)
+        else:
+            rows = [
+                # sources span the dedup_incremental split (src0-9 index,
+                # src10+ incoming) so the asymmetric pass is non-vacuous
+                (i, t, ["en", "de"][i % 2], f"src{(i * 7) % 20}",
+                 len(t) if t is not None else 0)
+                for i, t in enumerate(texts)
+            ]
         df = spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars long"
         )
