@@ -96,26 +96,66 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
 
 
+# The engine's ENTIRE Python-evaluation surface, pinned (r9): the four
+# keys that ARE the UDF demo surface (B58-B61) plus the codec/BLAS
+# mapInPandas blocks where vectorized Python is the right tool. A key
+# appearing here without being on this list means an operator silently
+# fell off the JVM fast path (e.g. an expression rewritten through a
+# Python lambda instead of pyspark.sql.functions).
+_PYTHON_EVAL_ALLOWED = {
+    "udf_scalar": {"BatchEvalPython"},        # row-UDF surface by design
+    "udtf_explode": {"BatchEvalPython"},      # UDTF surface by design
+    "udf_pandas": {"ArrowEvalPython"},
+    "udf_broadcast_lookup": {"ArrowEvalPython"},
+    "udaf_grouped": {"FlatMapGroupsInPandas"},
+    "multimodal_decode": {"MapInPandas"},     # PNG codec
+    "multimodal_resize": {"MapInPandas"},
+    "multimodal_framesample": {"MapInPandas"},
+    "multimodal_audio_codec": {"MapInPandas"},  # RIFF/WAV codec
+    "sim_query_topk": {"MapInPandas"},        # BLAS batch-prune
+}
+_PYTHON_EVAL_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+)
+
+
 def test_no_cartesian_in_sql_oracle_queries(spark):
-    """No SQL-graded relational query may plan a CartesianProduct —
-    cross-join semantics must come from join_cross only (and the
-    similarity brute-force baselines are broadcast NLJs by design)."""
+    """Registry-wide plan-hygiene sweep (one pass over every SQL-graded
+    non-stream/ml plan): (1) no CartesianProduct — cross-join semantics
+    must come from join_cross only (and the similarity brute-force
+    baselines are broadcast NLJs by design); (2) no Python evaluation
+    node outside the pinned _PYTHON_EVAL_ALLOWED surface — everything
+    else must stay on the JVM fast path, and the designated keys may
+    not silently degrade (e.g. a pandas UDF falling back to
+    row-at-a-time pickling)."""
     allowed = {"join_cross", "sim_cosine_topk"}
     flagged = []
+    py_flagged = []
     # start from a cold cache: the dedup-family keys otherwise plan as
     # an InMemoryTableScan over the session pair/label memos and the
     # sweep would not see their real join pipelines (the first key to
     # rebuild each memo in this loop exposes the shared stage's plan)
     engine.release_caches(spark)
     for key, spec in engine.REGISTRY.items():
-        if spec.oracle is None or key in allowed:
+        if spec.oracle is None:
             continue
         if key.startswith(("stream_", "ml_")):
             continue  # streaming plans materialize through sinks
         plan = _formatted_plan(spark, key)
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan and key not in allowed:
             flagged.append(key)
+        found = {m for m in _PYTHON_EVAL_MARKERS if m in plan}
+        if found != _PYTHON_EVAL_ALLOWED.get(key, set()):
+            py_flagged.append((key, sorted(found)))
     assert not flagged, f"unexpected cartesian joins in: {flagged}"
+    assert not py_flagged, (
+        "Python-eval surface drifted from _PYTHON_EVAL_ALLOWED: "
+        f"{py_flagged}"
+    )
 
 
 @pytest.mark.parametrize(
