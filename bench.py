@@ -56,6 +56,48 @@ HEADLINE = [
 ]
 
 
+def clear_ml_cache(spark, key: str) -> None:
+    # the engine memoizes fitted models per sf_dir and several heavy
+    # operators deliberately cache intermediates (simhash
+    # fingerprints, CC edges) — release everything so each timed run
+    # honestly pays the full computation, like BASELINE's numbers.
+    # EXCEPTION: dedup_connected_components consumes the verified
+    # pair set the dedup_minhash key (timed just before it) computes
+    # — the engine memoizes that shared stage per session exactly
+    # like a production pipeline runs it once for both the pair
+    # report and the component resolution — so CC keeps the memo and
+    # its number is the label-propagation increment, while
+    # dedup_minhash still pays the full band+verify pipeline.
+    # (module-level so scaling_probe.py shares the exact protocol)
+    if key == "dedup_connected_components":
+        # keep the PAIR memo (the shared stage CC legitimately
+        # reuses) but drop the resolved-label memo, so each timed
+        # CC run honestly re-runs label propagation instead of
+        # returning the previous run's memoized labels
+        from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+        # free each memoized label frame's checkpoint blocks before
+        # dropping the reference — this branch skips release_caches
+        # (the only other sweep that unpersists them), and N timed
+        # runs would otherwise stack N dead checkpoint copies in the
+        # block manager for the rest of the bench
+        for frame in dedup_lsh._CC_MEMO.values():
+            dedup_lsh._free_local_checkpoint(frame)
+        dedup_lsh._CC_MEMO.clear()
+        # also drop the evicted entries' pinned edge caches, so N
+        # timed runs don't stack N dead edge-list copies
+        for frames in dedup_lsh._CC_PINS.values():
+            for frame in frames:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+        dedup_lsh._CC_PINS.clear()
+        return
+    if key.startswith(("ml_", "dedup_", "sim_")):
+        engine.release_caches(spark)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=3,
@@ -66,49 +108,9 @@ def main() -> None:
     engine.load_all()
     spark = get_spark("rf_engine_bench")
 
-    def clear_ml_cache(key: str) -> None:
-        # the engine memoizes fitted models per sf_dir and several heavy
-        # operators deliberately cache intermediates (simhash
-        # fingerprints, CC edges) — release everything so each timed run
-        # honestly pays the full computation, like BASELINE's numbers.
-        # EXCEPTION: dedup_connected_components consumes the verified
-        # pair set the dedup_minhash key (timed just before it) computes
-        # — the engine memoizes that shared stage per session exactly
-        # like a production pipeline runs it once for both the pair
-        # report and the component resolution — so CC keeps the memo and
-        # its number is the label-propagation increment, while
-        # dedup_minhash still pays the full band+verify pipeline.
-        if key == "dedup_connected_components":
-            # keep the PAIR memo (the shared stage CC legitimately
-            # reuses) but drop the resolved-label memo, so each timed
-            # CC run honestly re-runs label propagation instead of
-            # returning the previous run's memoized labels
-            from random_forest_using_hadoop_spark.operators import dedup_lsh
-
-            # free each memoized label frame's checkpoint blocks before
-            # dropping the reference — this branch skips release_caches
-            # (the only other sweep that unpersists them), and N timed
-            # runs would otherwise stack N dead checkpoint copies in the
-            # block manager for the rest of the bench
-            for frame in dedup_lsh._CC_MEMO.values():
-                dedup_lsh._free_local_checkpoint(frame)
-            dedup_lsh._CC_MEMO.clear()
-            # also drop the evicted entries' pinned edge caches, so N
-            # timed runs don't stack N dead edge-list copies
-            for frames in dedup_lsh._CC_PINS.values():
-                for frame in frames:
-                    try:
-                        frame.unpersist()
-                    except Exception:
-                        pass
-            dedup_lsh._CC_PINS.clear()
-            return
-        if key.startswith(("ml_", "dedup_", "sim_")):
-            engine.release_caches(spark)
-
     active = [k for k in HEADLINE if k in engine.REGISTRY]
     for key in active:  # untimed warmup pass: BASELINE.md records *warm*
-        clear_ml_cache(key)  # runs, and the first execution of each plan
+        clear_ml_cache(spark, key)  # runs; first execution of each plan
         engine.REGISTRY[key].fn(spark, sf_dir).collect()  # pays JIT/codegen
 
     timings: dict[str, float] = {}
@@ -116,7 +118,7 @@ def main() -> None:
     for key in active:
         samples = []
         for _ in range(max(1, opts.repeat)):  # fresh plan per run (no
-            clear_ml_cache(key)               # stage-reuse flattery)
+            clear_ml_cache(spark, key)        # stage-reuse flattery)
             t0 = time.perf_counter()
             engine.REGISTRY[key].fn(spark, sf_dir).collect()
             samples.append(round(time.perf_counter() - t0, 4))

@@ -1,0 +1,126 @@
+"""Empirical scale-behavior probe (NOT a driver contract — bench.py is).
+
+Runs the heavy/headline operators at sf0.001 → sf0.01 → sf0.1 and
+reports, per key, the wall-time growth across each 10× data step. The
+point is to replace "this plan should scale" docstring claims with a
+measured number: an operator whose cost is ~linear in data shows a
+10×-step ratio ≲ 10 (usually well under, because per-query fixed cost —
+planning, codegen, task launch on 32 threads — doesn't grow with data);
+an accidentally quadratic candidate-pair stage shows ratios racing past
+10 and would be DOA at 100 TB.
+
+Two ratios are reported for the 0.01→0.1 step:
+
+- ``raw``  = t(0.1) / t(0.01) — what a reader reproduces directly;
+- ``adj``  = (t(0.1) − t(0.001)) / max(t(0.01) − t(0.001), 0.02) —
+  the same step with the per-query fixed floor subtracted, using
+  t(0.001) as the floor estimate (at sf0.001 every table is ≤ ~600
+  rows, so data cost is ≈ 0 and wall time IS the fixed cost). ``adj``
+  is the better exponent estimate; it is clamped-noisy when
+  t(0.01) ≈ floor (tiny numerator/denominator), so read it together
+  with the raw times. alpha = log10(adj) is the fitted scaling
+  exponent for the decade (1.0 = linear).
+
+Protocol matches bench.py: per SF, one untimed warm pass per key, then
+min-of-``--repeat`` timed runs with the same memo-clearing rules
+(bench.clear_ml_cache), CC timed as the pipeline increment after
+dedup_minhash. Results go to stderr as a markdown table and stdout as
+one JSON line; COVERAGE.md records the committed table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import random_forest_using_hadoop_spark as engine
+from random_forest_using_hadoop_spark.session import get_spark
+
+import bench
+
+# bench.HEADLINE (already ordered so CC follows dedup_minhash and keeps
+# the shared pair memo) plus the operators whose *shape* carries
+# superlinear risk and therefore most needs a measured number:
+# candidate-pair dedups, iterative graph ops, and the self-join text
+# statistics. dedup_substring is the documented Σdf² truth-set baseline
+# — measured here precisely so the winnowed sibling's contrast is a
+# number, not an assertion.
+EXTRA = [
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring",
+    "dedup_embedding",
+    "sim_query_topk",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "text_pmi_collocations",
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="timed runs per (key, sf); reported value is the min")
+    ap.add_argument("--keys", nargs="*", default=None,
+                    help="override the probed key set")
+    opts = ap.parse_args()
+
+    engine.load_all()
+    keys = opts.keys or [k for k in bench.HEADLINE + EXTRA
+                         if k in engine.REGISTRY]
+    spark = get_spark("rf_engine_scaling_probe")
+
+    times: dict[str, dict[str, float]] = {k: {} for k in keys}
+    for sf_dir in SF_DIRS:
+        sf = sf_dir.rsplit("sf", 1)[-1]
+        for key in keys:  # untimed warm pass (JIT/codegen, like bench)
+            bench.clear_ml_cache(spark, key)
+            engine.REGISTRY[key].fn(spark, sf_dir).collect()
+        for key in keys:
+            samples = []
+            for _ in range(max(1, opts.repeat)):
+                bench.clear_ml_cache(spark, key)
+                t0 = time.perf_counter()
+                engine.REGISTRY[key].fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            times[key][sf] = round(min(samples), 4)
+            print(f"  probe {key} sf{sf}: {times[key][sf]:.3f}s",
+                  file=sys.stderr, flush=True)
+
+    rows = []
+    for key in keys:
+        t0, t1, t2 = (times[key][s] for s in ("0.001", "0.01", "0.1"))
+        raw = t2 / max(t1, 1e-9)
+        adj = (t2 - t0) / max(t1 - t0, 0.02)
+        alpha = math.log10(adj) if adj > 0 else float("nan")
+        rows.append({"key": key, "t_sf0.001": t0, "t_sf0.01": t1,
+                     "t_sf0.1": t2, "raw_10x": round(raw, 2),
+                     "adj_10x": round(adj, 2), "alpha": round(alpha, 2)})
+
+    print("\n| key | sf0.001 | sf0.01 | sf0.1 | raw 10× | adj 10× | alpha |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['key']} | {r['t_sf0.001']:.2f} | {r['t_sf0.01']:.2f} "
+              f"| {r['t_sf0.1']:.2f} | {r['raw_10x']:.2f} | "
+              f"{r['adj_10x']:.2f} | {r['alpha']:.2f} |", file=sys.stderr)
+
+    print(json.dumps({"metric": "scaling_10x_step", "unit": "ratio",
+                      "repeat": max(1, opts.repeat), "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
