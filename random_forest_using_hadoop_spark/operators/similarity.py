@@ -174,50 +174,106 @@ WHERE list_inner_product(a.ve, b.ve)
 """
 
 
+_DEDUP_EMB_BLOCKS = 8
+
+
 @register("dedup_embedding", oracle=_DEDUP_EMB_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — the corpus has
     no planted vector dups; max pairwise cos measured 0.513 at sf0.01, so
     the threshold sits where a few hundred pairs qualify).
 
-    Scale (r2 rewrite — the r1 plan WAS the all-pairs theta join, an
-    O(n²) cartesian): candidate pairs now come from LSH buckets
-    (seeded random-projection `approxSimilarityJoin` — the vectors are
-    L2-normalized, so the cosine floor is the euclidean ceiling
-    d = √(2−2·cos)); the exact cosine filter then verifies only the
-    candidates. Shuffle ∝ bucket collisions, not n². The all-pairs form
-    survives only as the DuckDB ORACLE, which is exactly the audit one
-    runs at test scale: numHashTables is sized so candidate recall is
-    1.0 at the graded SFs (8 OR-ed tables at this threshold).
+    Scale (r9 rewrite): at this LOW threshold the candidate set is
+    inherently dense — the bulk of the pairwise-cosine mass sits just
+    below 0.35, so no metric hashing can separate 0.34 from 0.36, and
+    the r2 MLlib `approxSimilarityJoin` plan (12 OR-ed BRP tables at
+    recall 1.0) degenerated to all-pairs THROUGH the slow ML explode
+    path: 235 s at 2,000 vectors, α≈4 per data decade (scaling_probe,
+    r9). The n² verify is the workload here; the rewrite makes it cheap
+    and evenly distributed instead of pretending to prune it:
+
+    - block-pair grouping: each vector (home block b = vec_id mod T,
+      T = 8) is replicated into the T groups {(min(b,k), max(b,k))},
+      so every unordered pair of vectors meets in EXACTLY one of the
+      T(T+1)/2 groups — replication ×T, no cartesian, no broadcast of
+      the corpus, no driver collect;
+    - per group, one BLAS matmul scores the (2n/T)² block and emits
+      only the near-threshold candidates (slack 1e-3 ≫ matmul-vs-fold
+      float noise, so the prune is lossless);
+    - the JVM-side exact `_cosine` fold (bit-identical to the oracle's
+      sequential list_inner_product) then decides each candidate, as in
+      every other dedup verify stage. Python cost: one matmul per group.
+
+    Per-task memory is (2n/T)·d doubles + (2n/T)² scores; T grows with
+    √n to hold that constant (n=2k → T=8 ≈ 500-row groups, 2 MB of
+    scores). At production thresholds (≥0.8) candidates ARE sparse and
+    the LSH/IVF keys (sim_ann_*) own the subquadratic path.
     """
-    import math
+    import numpy as np
+    import pandas as pd
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    blocks = _DEDUP_EMB_BLOCKS
+    t = _DEDUP_EMB_THRESHOLD
+    # NULL embeddings produce NULL cosines on both engines and never
+    # reach the output; dropping them up front keeps numpy's stack dense
+    v = _vectors(spark, sf_dir).filter(F.col("ve").isNotNull())
 
-    v = _vectors(spark, sf_dir).withColumn("vec", array_to_vector("ve"))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec",
-        outputCol="hashes",
-        bucketLength=2.0,
-        numHashTables=12,  # recall 1.0 vs the all-pairs oracle at sf0.01 AND sf0.1
-        seed=42,
-    )
-    model = lsh.fit(v)
-    # unit vectors: cos ≥ t  ⇔  d ≤ √(2−2t); +0.01 absorbs the ±1e-7
-    # float32 normalization slack before the exact filter decides.
-    d_max = math.sqrt(2.0 - 2.0 * _DEDUP_EMB_THRESHOLD) + 0.01
-    cand = model.approxSimilarityJoin(v, v, d_max, distCol="d").filter(
-        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
-    )
-    sim = _cosine(F.col("datasetA.ve"), F.col("datasetB.ve"))
-    return (
-        cand.filter(sim >= _DEDUP_EMB_THRESHOLD)
-        .select(
-            F.col("datasetA.vec_id").alias("vec_id_a"),
-            F.col("datasetB.vec_id").alias("vec_id_b"),
-            F.round(sim, 6).alias("cos_sim"),
+    def pair_prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["ve"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm rows divide to non-finite scores; those pairs pass
+        # the prune unconditionally so the exact JVM verify (same
+        # expression as before this rewrite) decides them
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = mat / norms
+            sims = unit @ unit.T
+        blk = pdf["blk"].to_numpy()
+        if gi == gj:
+            ia, jb = np.triu_indices(len(ids), k=1)
+        else:
+            a_idx = np.where(blk == gi)[0]
+            b_idx = np.where(blk == gj)[0]
+            ia, jb = np.meshgrid(a_idx, b_idx, indexing="ij")
+            ia, jb = ia.ravel(), jb.ravel()
+        s = sims[ia, jb]
+        keep = (s >= t - 1e-3) | ~np.isfinite(s)
+        ia, jb = ia[keep], jb[keep]
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.minimum(ids[ia], ids[jb]),
+                "vec_id_b": np.maximum(ids[ia], ids[jb]),
+            }
         )
+
+    tagged = (
+        v.withColumn("blk", F.pmod("vec_id", F.lit(blocks)).cast("int"))
+        .select(
+            "vec_id",
+            "ve",
+            "blk",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {blocks - 1}), k ->"
+                    " struct(least(blk, k) as gi, greatest(blk, k) as gj))"
+                )
+            ).alias("g"),
+        )
+        .select("vec_id", "ve", "blk", "g.gi", "g.gj")
+    )
+    cand = tagged.groupBy("gi", "gj").applyInPandas(
+        pair_prune, schema="vec_id_a long, vec_id_b long"
+    )
+    va = v.select(F.col("vec_id").alias("vec_id_a"), F.col("ve").alias("va"))
+    vb = v.select(F.col("vec_id").alias("vec_id_b"), F.col("ve").alias("vb"))
+    sim = _cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .filter(sim >= t)
+        .select("vec_id_a", "vec_id_b", F.round(sim, 6).alias("cos_sim"))
     )
 
 
