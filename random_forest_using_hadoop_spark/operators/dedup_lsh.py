@@ -10,8 +10,9 @@ char-5-gram Jaccard is ≥0.93 inside the planted shared-prefix groups and
 Scale doctrine (100 TB): never a global cross join. MinHash candidates
 come from an LSH band-bucket equi-join (shuffle ∝ bucket collisions);
 SimHash pairs would come from a band-partitioned self-join on hash
-prefixes; n-gram Jaccard blocks on a length band first. Exact similarity
-math runs only inside the pruned candidate sets.
+prefixes; n-gram Jaccard joins on (rarest-prefix token, length bin)
+keys with PPJoin positional/size residuals. Exact similarity math runs
+only inside the pruned candidate sets, over packed-long set bitmaps.
 """
 
 from __future__ import annotations
@@ -214,6 +215,56 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _bitmap_encode(d: DataFrame, set_col: str) -> tuple[DataFrame, int]:
+    """Encode each doc's ``set_col`` (a distinct string array) as dense
+    packed-long bitmaps: returns (enc(doc_id, n, bm), n_words). Dense
+    ids come from a rank over the distinct-element list — the single-
+    partition window is ∝ vocabulary (2,041 shingles / 931 bigrams
+    here), never corpus; at larger (still bounded) vocabularies use a
+    range-partitioned rank. Shared by the minhash shingle verify and
+    the n-gram bigram verify — |A∩B| is then one zip_with bit_count
+    fold and |A∪B| = n_a + n_b − |A∩B|, identical integers to
+    array_intersect / the oracles' unnest-joins."""
+    from pyspark.sql import Window
+
+    vocab = d.select(F.explode(set_col).alias("s")).distinct()
+    n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
+    n_words = (n_vocab + 63) // 64
+    sid = vocab.select(
+        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
+    )
+    tok = d.select("doc_id", F.explode(set_col).alias("s")).join(
+        F.broadcast(sid), "s"
+    )
+    words = tok.groupBy(
+        "doc_id", (F.col("sid") / 64).cast("int").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))")
+        ).alias("wv")
+    )
+    bm = words.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("wv")))
+        ).alias("wm")
+    )
+    enc = (
+        d.select("doc_id", F.size(set_col).alias("n"))
+        .join(bm, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("wm"), w), F.lit(0).cast("long")
+                ),
+            ).alias("bm"),
+        )
+    )
+    return enc, n_words
+
+
 def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     """(a, b, jaccard) for every banded candidate pair, with the EXACT
     Jaccard computed over dense shingle-set BITMAPS instead of string
@@ -241,46 +292,7 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         # not turn a future caller into a failure.
         d = d.cache()
     cand = _minhash_band_candidates(d)
-    vocab = d.select(F.explode("shingles").alias("s")).distinct()
-    n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
-    n_words = (n_vocab + 63) // 64
-    # dense ids: a rank over the distinct-shingle list. The single
-    #-partition window is ∝ vocab (2,041 rows here); at larger (still
-    # bounded) vocabularies use a range-partitioned rank.
-    from pyspark.sql import Window
-
-    sid = vocab.select(
-        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
-    )
-    tok = d.select("doc_id", F.explode("shingles").alias("s")).join(
-        F.broadcast(sid), "s"
-    )
-    words = tok.groupBy(
-        "doc_id", (F.col("sid") / 64).cast("int").alias("w")
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))")
-        ).alias("wv")
-    )
-    bm = words.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("w"), F.col("wv")))
-        ).alias("wm")
-    )
-    enc = (
-        d.select("doc_id", F.size("shingles").alias("n"))
-        .join(bm, "doc_id")
-        .select(
-            "doc_id",
-            "n",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda w: F.coalesce(
-                    F.element_at(F.col("wm"), w), F.lit(0).cast("long")
-                ),
-            ).alias("bm"),
-        )
-    )
+    enc, n_words = _bitmap_encode(d, "shingles")
     inter = F.aggregate(
         F.zip_with(
             F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
@@ -588,20 +600,36 @@ WHERE CAST(len(list_intersect(a.bigrams, b.bigrams)) AS DOUBLE)
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup pairs (≥0.5), blocked on a ±20-char
-    length band — bigrams (unlike unigrams) capture word order, which is
+    """Word-bigram Jaccard near-dup pairs (≥0.5, plus a ±20-char length
+    residual) — bigrams (unlike unigrams) capture word order, which is
     what distinguishes the near-dups in this tiny-vocabulary corpus.
 
-    Scale: length blocking runs as a bucketed EQUI-join, never a
-    non-equi scan: n_chars is binned at width 20, each doc is exploded
-    to (bin, bin+1), and pairs join on the shared bin — any pair within
-    ±20 chars lands in adjacent-or-equal bins, so the bucket cover is
-    lossless, while the planner gets a hash-partitionable key (2 rows
-    per doc, shuffle ∝ corpus). The `bin == greatest(bin_a, bin_b)`
-    residual keeps exactly one collision per pair, so no distinct over
-    array columns is needed. Exact ±20 + Jaccard run on candidates
-    only. Plan-gated no-BNLJ/no-Cartesian in tests/test_plans.py.
+    Scale (r9 rewrite): the r3 plan blocked ONLY on a width-20 length
+    bin, and docs-per-bin grows linearly with the corpus (5k docs spread
+    over ~27 bins at sf0.1), so candidates grew quadratically — the
+    scaling probe measured 0.63 s → 26.1 s across one 10× step (α≈3).
+    Candidates now come from PREFIX FILTERING (Chaudhuri et al. 2006 /
+    Bayardo et al. WWW'07 AllPairs / Xiao et al. PPJoin): under any
+    global total order of bigram tokens, two sets with J ≥ t MUST share
+    a token among each set's first |x| − ⌈t·|x|⌉ + 1 tokens (pigeonhole
+    on the smallest shared token — o ≥ ⌈t·|x|⌉ shared tokens can't all
+    hide in a suffix of length ⌈t·|x|⌉ − 1). The order is (global df
+    ASC, token) so prefix join keys are the RAREST bigrams; the join key
+    is the COMPOSITE (prefix token, width-20 length bin) with both sides
+    exploded to {bin, bin+1} (the r3 bin-cover argument), so collisions
+    need a shared rare token AND compatible length. Join residuals then
+    apply the size-ratio bound (min ≥ t·max) and PPJoin's positional
+    filter (overlap ≤ min(sz−pos)+1 must reach α = ⌈t/(1+t)·(sz_a+sz_b)⌉
+    — lossless, because the smallest-shared-token collision always
+    passes) — on an open-vocabulary corpus the prefix keys alone are
+    selective, and on THIS tiny-vocabulary fixture (931 distinct bigrams
+    at sf0.1, every token df≈140) the positional+bin cuts do the work.
+    The exact Jaccard verify joins the bigram arrays back BY doc_id, so
+    the array payload is never replicated per prefix token. Plan-gated
+    no-BNLJ/no-Cartesian in tests/test_plans.py.
     """
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     # ASCII translate fold, not lower(): the engines' Unicode case
     # mappings diverge (U+0130; same fix as text_features._TOKS) and
@@ -615,44 +643,131 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " array_distinct(transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) end"
     )
-    bg = d.select("doc_id", "n_chars", toks.alias("toks")).select(
-        "doc_id",
-        "n_chars",
-        bigrams.alias("bigrams"),
-        F.floor(F.col("n_chars") / 20).alias("bin0"),
+    # cache(): the bigram frame feeds the prefix emit AND both verify
+    # join-backs below (same lifecycle note as the simhash `sh` cache:
+    # MEMORY_AND_DISK blocks, LRU-evictable, owned by the caller's
+    # action at production scale)
+    bg = (
+        d.select("doc_id", "n_chars", toks.alias("toks"))
+        .select("doc_id", "n_chars", bigrams.alias("bigrams"))
+        .withColumn("sz", F.size("bigrams"))
+        .cache()
     )
-    a = bg.select(
+    # global document frequency per bigram (bigram sets are distinct per
+    # doc, so COUNT(*) over occurrences IS df); the (df ASC, token)
+    # order makes every doc's prefix its rarest bigrams
+    occ = bg.select(
+        "doc_id", "n_chars", "sz", F.explode("bigrams").alias("tok")
+    )
+    df_tok = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    prefix = (
+        occ.join(df_tok, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(_BIGRAM_T)) + 1
+        )
+        # both sides explode to {bin, bin+1}: any pair within ±20 chars
+        # has home bins differing by ≤1, so the two 2-bin covers always
+        # intersect (the r3 bin-cover argument, now composed with the
+        # prefix token into one join key)
+        .select(
+            "tok",
+            "doc_id",
+            "n_chars",
+            "sz",
+            "rnk",
+            F.explode(
+                F.array(
+                    F.floor(F.col("n_chars") / 20),
+                    F.floor(F.col("n_chars") / 20) + 1,
+                )
+            ).alias("bin"),
+        )
+    )
+    a = prefix.select(
+        "tok",
+        "bin",
         F.col("doc_id").alias("doc_id_a"),
         F.col("n_chars").alias("nc_a"),
-        F.col("bigrams").alias("bg_a"),
-        F.col("bin0").alias("bin_a"),
-        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
+        F.col("sz").alias("sz_a"),
+        F.col("rnk").alias("pos_a"),
     )
-    b = bg.select(
+    b = prefix.select(
+        "tok",
+        "bin",
         F.col("doc_id").alias("doc_id_b"),
         F.col("n_chars").alias("nc_b"),
-        F.col("bigrams").alias("bg_b"),
-        F.col("bin0").alias("bin_b"),
-        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
+        F.col("sz").alias("sz_b"),
+        F.col("rnk").alias("pos_b"),
     )
-    # try_divide: two empty bigram sets (both docs <2 tokens) make the
-    # union 0 — NULL on both engines (oracle: NULLIF), which the
-    # threshold filter excludes identically; a plain division is an
-    # ANSI DIVIDE_BY_ZERO crash (tests/test_fuzz_parity.py, periodic
-    # corpus). Catalyst may reorder conjunctive predicates, so guarding
-    # with a separate union>0 filter would not be safe.
-    jac = F.try_divide(
-        F.size(F.array_intersect("bg_a", "bg_b")),
-        F.size(F.array_union("bg_a", "bg_b")).cast("double"),
+    # PPJoin positional filter: for the SMALLEST shared token of a
+    # qualifying pair (positions i, j in the df-ordered sets), every
+    # shared token sits at ≥ those positions, so the overlap is at most
+    # min(sz_a − i, sz_b − j) + 1; a qualifying pair needs overlap
+    # α = ⌈t/(1+t)·(sz_a+sz_b)⌉. Pruning every collision by this bound
+    # is lossless because the smallest-shared-token collision always
+    # passes; it is what kills the hot-token collisions (df-ascending
+    # order puts hot tokens LAST in each prefix, where the bound is
+    # tightest) on tiny-vocabulary corpora like this fixture.
+    alpha = F.ceil(
+        (F.col("sz_a") + F.col("sz_b"))
+        * F.lit(_BIGRAM_T / (1.0 + _BIGRAM_T))
+        - F.lit(1e-9)  # guard: ceil of an exactly-integral product
     )
-    return (
-        a.join(b, "bin")
+    cand = (
+        a.join(b, ["tok", "bin"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .filter(F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
-        # adjacent-or-equal bins collide once or twice; keeping only the
-        # collision at the larger home bin makes each pair appear exactly
-        # once without a distinct()
-        .filter(F.col("bin") == F.greatest(F.col("bin_a"), F.col("bin_b")))
+        # size residual: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.greatest("sz_a", "sz_b") * F.lit(_BIGRAM_T)
+        )
+        .filter(
+            F.least(
+                F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+            )
+            + 1
+            >= alpha
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()  # a pair may share several (prefix token, bin) keys
+    )
+    # exact verify over packed-long bitmaps (shared _bitmap_encode, same
+    # trade as the minhash verify): joining two ~50-element string
+    # arrays into each candidate row moved ~10× the bytes and built two
+    # hash sets per pair; bitmaps carry ⌈|V|/64⌉ longs and one
+    # bit_count fold. |A∩B| and |A∪B| = n_a + n_b − |A∩B| are the same
+    # integers as array_intersect/array_union, so parity is unchanged.
+    # try_divide: empty-bigram docs emit no prefix rows so a 0 union
+    # can't reach the division — the guard stays for plan-reorder
+    # safety (the oracle's NULLIF form).
+    enc, n_words = _bitmap_encode(bg.select("doc_id", "bigrams"), "bigrams")
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+        ),
+        F.lit(0),
+        lambda acc, el: acc + el,
+    )
+    jac = F.try_divide(
+        inter, (F.col("ea.n") + F.col("eb.n") - inter).cast("double")
+    )
+    # same metadata-decided join strategy as the minhash verify: under
+    # the cap broadcast the bounded bitmap table, over it shuffle-hash
+    est_bytes = bg.count() * (n_words * 8 + 48)  # bg cached above
+    if est_bytes <= _ENC_BCAST_LIMIT:
+        ea, eb = F.broadcast(enc.alias("ea")), F.broadcast(enc.alias("eb"))
+    else:
+        ea = enc.alias("ea").hint("SHUFFLE_HASH")
+        eb = enc.alias("eb").hint("SHUFFLE_HASH")
+    return (
+        cand.join(ea, F.col("doc_id_a") == F.col("ea.doc_id"))
+        .join(eb, F.col("doc_id_b") == F.col("eb.doc_id"))
         .filter(jac >= _BIGRAM_T)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )

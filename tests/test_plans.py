@@ -475,13 +475,18 @@ def test_pagerank_never_broadcasts_ranks(spark):
 
 
 def test_ngram_jaccard_is_binned_equi_join(spark):
-    """r3 gate: length blocking must ride the exploded width-20 bin as a
-    hash equi-join — the non-equi |nc_a − nc_b| ≤ 20 predicate alone
-    (BNLJ) may never reappear."""
+    """r3 gate, amended r9: candidates must ride the (prefix token,
+    length bin) composite key as a hash equi-join — the non-equi
+    |nc_a − nc_b| ≤ 20 predicate alone (BNLJ) may never reappear, and
+    the length-bin-only key (docs-per-bin is ∝ corpus, so candidates
+    grew quadratically: 26 s at sf0.1, scaling_probe r9) may not
+    either: the join must carry a string key (the prefix token), not
+    just the numeric bin."""
     plan = _formatted_plan(spark, "dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "tok" in plan
 
 
 def test_quality_composite_is_pure_projection(spark):
