@@ -53,6 +53,12 @@ HEADLINE = [
     # round-over-round like the r5 set:
     "dedup_substring_winnow",
     "dedup_chunk_exact",
+    # r9 additions — the two operators the scaling probe caught
+    # superlinear and this round rewrote (block-pair BLAS prune;
+    # PPJoin prefix filter + bitmap verify), tracked so a regression
+    # back toward the old shapes is visible round-over-round:
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -60,6 +60,18 @@ EXTRA = [
     "graph_pagerank",
     "graph_triangle_count",
     "text_pmi_collocations",
+    # second sweep (r9): the remaining self-join / blocked-candidate /
+    # iterative shapes not covered above
+    "join_fuzzy_levenshtein",
+    "dedup_incremental",
+    "dedup_lsh_audit",
+    "graph_bfs_hops",
+    "agg_user_path_patterns",
+    "agg_basket_pairs",
+    "join_interval_overlap",
+    "join_spatial_grid",
+    "agg_sliding_distinct",
+    "pipe_contamination_ngram",
 ]
 
 SF_DIRS = [
