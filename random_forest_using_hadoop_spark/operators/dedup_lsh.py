@@ -1156,15 +1156,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_minhash et al.) the existing side is an index that never
     joins against itself — cost scales with the batch, not the corpus².
 
-    Scale: prefix filtering (SSJoin/PPJoin, as in
-    dedup_connected_components): under a global rarest-first shingle
-    order, two sets with J ≥ t MUST collide inside their first
-    ⌊(1-t)·|A|⌋+1 shingles, so candidates come from an equi-join of the
-    two sides' prefixes — lossless, shuffle ∝ prefix postings, never
-    |inc|×|ex|. Exact Jaccard verifies candidates only; the final
-    verdict is a left join of the batch onto its own match counts.
-    Document frequencies for the rarest-first order come from the union
-    corpus (index + batch), the order any incremental indexer maintains.
+    Scale (residuals + bitmap verify added r9): prefix filtering
+    (SSJoin/PPJoin, as in dedup_ngram_jaccard): under a global
+    rarest-first shingle order, two sets with J ≥ t MUST collide inside
+    their first ⌊(1-t)·|A|⌋+1 shingles, so candidates come from an
+    equi-join of the two sides' prefixes — lossless, shuffle ∝ prefix
+    postings, never |inc|×|ex|. On this fixture's CLOSED 2,041-shingle
+    vocabulary the prefix postings alone are fat (df ∝ corpus — the
+    scaling probe measured 9.4 s even at sf0.001 and 51.8 s at sf0.1),
+    so the join residuals now also apply the size-ratio bound
+    (min ≥ t·max) and PPJoin's positional filter (remaining-overlap
+    ≥ α = ⌈t/(1+t)·(sz_a+sz_b)⌉), the verify runs over packed-long
+    bitmaps (shared _bitmap_encode) instead of joining 250-element
+    string arrays per candidate, and the shingled frame is cached (it
+    feeds five plan branches). Exact Jaccard decides candidates only;
+    the final verdict is a left join of the batch onto its own match
+    counts. Document frequencies for the rarest-first order come from
+    the union corpus (index + batch), the order any incremental indexer
+    maintains.
     """
     from pyspark.sql import Window
 
@@ -1174,7 +1183,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("CAST(substring(source, 4, 10) AS INT)") < _INC_SPLIT
         ).alias("is_existing"),
-    )
+    ).cache()
     tok = d.select("doc_id", "is_existing", F.explode("shingles").alias("sh"))
     dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     prefix = (
@@ -1187,27 +1196,65 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(d.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
         .filter(F.col("rn") <= F.floor((1.0 - _JACCARD_T) * F.col("sz")) + 1)
-        .select("doc_id", "is_existing", "sh")
+        .select("doc_id", "is_existing", "sh", "rn", "sz")
+    )
+    alpha = F.ceil(
+        (F.col("sz_a") + F.col("sz_b"))
+        * F.lit(_JACCARD_T / (1.0 + _JACCARD_T))
+        - F.lit(1e-9)  # guard: ceil of an exactly-integral product
     )
     cand = (
         prefix.filter(~F.col("is_existing"))
-        .select(F.col("doc_id").alias("inc_id"), "sh")
+        .select(
+            F.col("doc_id").alias("inc_id"),
+            "sh",
+            F.col("rn").alias("rn_a"),
+            F.col("sz").alias("sz_a"),
+        )
         .join(
             prefix.filter(F.col("is_existing")).select(
-                F.col("doc_id").alias("ex_id"), "sh"
+                F.col("doc_id").alias("ex_id"),
+                "sh",
+                F.col("rn").alias("rn_b"),
+                F.col("sz").alias("sz_b"),
             ),
             "sh",
+        )
+        # size residual: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.greatest("sz_a", "sz_b") * F.lit(_JACCARD_T)
+        )
+        # positional filter (lossless — the smallest shared shingle's
+        # collision always passes, see dedup_ngram_jaccard)
+        .filter(
+            F.least(
+                F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+            )
+            + 1
+            >= alpha
         )
         .select("inc_id", "ex_id")
         .distinct()
     )
-    a_sh, b_sh = F.col("si.shingles"), F.col("se.shingles")
-    jac = F.size(F.array_intersect(a_sh, b_sh)) / F.size(
-        F.array_union(a_sh, b_sh)
-    ).cast("double")
+    enc, n_words = _bitmap_encode(d.select("doc_id", "shingles"), "shingles")
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+        ),
+        F.lit(0),
+        lambda acc, el: acc + el,
+    )
+    jac = inter / (F.col("ea.n") + F.col("eb.n") - inter).cast("double")
+    est_bytes = d.count() * (n_words * 8 + 48)  # d cached above
+    if est_bytes <= _ENC_BCAST_LIMIT:
+        ea, eb = F.broadcast(enc.alias("ea")), F.broadcast(enc.alias("eb"))
+    else:
+        ea = enc.alias("ea").hint("SHUFFLE_HASH")
+        eb = enc.alias("eb").hint("SHUFFLE_HASH")
     matches = (
-        cand.join(d.alias("si"), F.col("inc_id") == F.col("si.doc_id"))
-        .join(d.alias("se"), F.col("ex_id") == F.col("se.doc_id"))
+        cand.join(ea, F.col("inc_id") == F.col("ea.doc_id"))
+        .join(eb, F.col("ex_id") == F.col("eb.doc_id"))
         .filter(jac >= _JACCARD_T)
         .groupBy(F.col("inc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))

@@ -23,13 +23,16 @@ from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
 
-def _guarded_ngram_expr(n: int) -> str:
+def _guarded_ngram_expr(n: int, tok_expr: str = "split(text, ' ')") -> str:
     """Spark SQL for the distinct word n-grams of `text`, empty for docs
     with < n tokens. The guard matters: Spark's sequence(1, 0) yields a
     DESCENDING [1, 0] and slice(..., 0, n) then throws, while DuckDB's
     generate_series(1, 0) is simply empty — so every n-gram site must
-    branch before building the sequence."""
-    t = "split(text, ' ')"
+    branch before building the sequence. Pass ``tok_expr`` naming a
+    precomputed token-array column when the caller scans large corpora
+    — the default re-splits `text` at each of its four mentions, which
+    the r9 profile measured as the contamination scan's dominant cost."""
+    t = tok_expr
     return (
         f"CASE WHEN size({t}) >= {n} THEN"
         f" array_distinct(transform(sequence(1, size({t}) - {n - 1}),"
@@ -91,9 +94,11 @@ def q_pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     with_ngrams = d.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         "source",
-        F.expr(_guarded_ngram_expr(4)).alias("grams"),
+        F.expr(_guarded_ngram_expr(4, tok_expr="toks")).alias("grams"),
     )
     bench = (
         with_ngrams.filter(F.col("source").isin(*_BENCH_SOURCES))
@@ -869,7 +874,11 @@ def q_pipe_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     ngr = (
-        d.select("doc_id", F.expr(_guarded_ngram_expr(8)).alias("grams"))
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(_guarded_ngram_expr(8, tok_expr="toks")).alias("grams"),
+        )
         .select("doc_id", F.explode("grams").alias("g"))
     )
     freq = ngr.groupBy("g").agg(F.count(F.lit(1)).alias("doc_count"))

@@ -200,36 +200,71 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only generated within a block (shared trailing noun), never
     across the whole catalog.
 
-    Scale: the block key turns an O(n²) all-pairs edit-distance scan
-    into Σ O(|block|²); at 100 TB you widen the key (noun + length
-    band + first-char) until blocks fit a task, and salt any mega-
-    block. levenshtein() runs JVM-side (codegen) on both engines with
-    identical standard semantics; the p1 < p2 canonical order halves
-    the pair space and makes output keys deterministic.
+    Scale (key widened r9): the block key turns an O(n²) all-pairs
+    edit-distance scan into Σ O(|block|²) — but the noun alone draws
+    from TPC-H's ~92-word palette, so noun blocks are ∝ catalog and
+    pairs quadratic (the scaling probe measured 0.80 s → 53.0 s across
+    one 10× step). The join key is now the COMPOSITE (noun, width-2
+    length bin), both sides exploded to {bin, bin+1}: edit distance ≤ 2
+    forces |Δlen| ≤ 2, and lengths within 2 always land in adjacent-or-
+    equal width-2 bins, so the cover is lossless while collisions need
+    a shared noun AND compatible length. The |Δlen| ≤ 2 residual then
+    pre-prunes before the DP; at 100 TB keep widening (second noun,
+    salt any mega-block) until blocks fit a task. levenshtein() runs
+    JVM-side (codegen) on both engines with identical standard
+    semantics; the p1 < p2 canonical order halves the pair space and
+    makes output keys deterministic; the keep-once bin residual leaves
+    exactly one collision per pair, so no distinct is needed.
+
+    Output-growth regime (measured, r9): TPC-H part names draw from a
+    finite word palette, so near-identical names — the ANSWER — grow
+    quadratically: 21,847 pairs at sf0.01 → 2,392,052 at sf0.1 (×109).
+    The plan is within ~10× of output-bound (25M candidates for 2.4M
+    output rows at sf0.1); a PassJoin segment key could close most of
+    that gap but cannot change the Θ(n²) answer on this fixture. On a
+    real catalog (open name space, near-dup rate ~constant) the same
+    plan is linear.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+        F.floor(F.length("p_name") / 2).alias("lbin0"),
     )
     a = p.select(
         F.col("p_partkey").alias("p1_key"),
         F.col("p_name").alias("name1"),
         "noun",
+        F.col("lbin0").alias("lbin_a"),
+        F.explode(F.array(F.col("lbin0"), F.col("lbin0") + 1)).alias("lbin"),
     )
     b = p.select(
         F.col("p_partkey").alias("p2_key"),
         F.col("p_name").alias("name2"),
         "noun",
+        F.col("lbin0").alias("lbin_b"),
+        F.explode(F.array(F.col("lbin0"), F.col("lbin0") + 1)).alias("lbin"),
     )
     return (
-        a.join(b, "noun")
+        a.join(b, ["noun", "lbin"])
         .filter(F.col("p1_key") < F.col("p2_key"))
-        .filter(F.col("name1") != F.col("name2"))
-        .withColumn(
-            "edit_dist", F.levenshtein(F.col("name1"), F.col("name2")).cast("bigint")
+        # keep exactly one collision per pair (the larger home bin) —
+        # same keep-once residual as the r3 length-bin cover, so no
+        # distinct over the output is needed
+        .filter(F.col("lbin") == F.greatest(F.col("lbin_a"), F.col("lbin_b")))
+        .filter(
+            F.abs(F.length("name1") - F.length("name2")) <= 2
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("name1") != F.col("name2"))
+        # bounded levenshtein (Spark 3.5+): banded DP costs O(k·len)
+        # instead of O(len²) and returns -1 above the threshold — the
+        # kept rows carry the true distance, so parity with the
+        # oracle's unbounded levenshtein() ≤ 2 filter is unchanged
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name1"), F.col("name2"), 2).cast("bigint"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
         .select("p1_key", "p2_key", "name1", "name2", "edit_dist")
     )
 

@@ -114,6 +114,7 @@ _PYTHON_EVAL_ALLOWED = {
     "multimodal_audio_codec": {"MapInPandas"},  # RIFF/WAV codec
     "sim_query_topk": {"MapInPandas"},        # BLAS batch-prune
     "dedup_embedding": {"FlatMapGroupsInPandas"},  # block-pair BLAS prune
+    "dedup_lsh_audit": {"FlatMapGroupsInPandas"},  # block-pair bitmap truth
 }
 _PYTHON_EVAL_MARKERS = (
     "BatchEvalPython",
