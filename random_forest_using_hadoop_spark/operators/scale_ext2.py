@@ -538,13 +538,19 @@ def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- skewness/kurtosis from exact integer power sums -------------------------
 
 # Standardized moments are scale-invariant, so they are computed directly
-# over the ×100-quantized integers — no unscaling step. Per-row x^4 fits
-# BIGINT (2e4^4 ≈ 1.6e17); accumulation is exact (Spark DECIMAL(38,0),
-# DuckDB HUGEINT). skewness()/kurtosis() builtins are accumulation-order
-# dependent in both engines — unusable for a cross-engine hash match.
+# over the ×100-quantized integers — no unscaling step. Per-row x^4 does
+# NOT fit BIGINT on every graded corpus (the r9 full-registry scale scan
+# crashed at sf0.1: max value 560.21 → x = 56,021 → x⁴ = 9.85e18 >
+# 2⁶³−1, a margin the sf0.01 grading corpus — max 490 → 5.8e18 — never
+# touches), so BOTH engines now widen BEFORE multiplying: Spark casts x
+# to DECIMAL(38,0) and multiplies in decimal, DuckDB casts to HUGEINT.
+# Same integers, exact accumulation, envelope now |x| ≤ ~1e9 per row.
+# skewness()/kurtosis() builtins are accumulation-order dependent in
+# both engines — unusable for a cross-engine hash match.
 _MOMENTS_ORACLE = """
 WITH q AS (
-  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  SELECT event_type,
+         CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS x
   FROM events
 ),
 s AS (
@@ -585,14 +591,16 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
     q = ev.select("event_type", x.alias("x"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    xc = F.col("x")
+    # widen to decimal BEFORE multiplying — x*x*x*x in BIGINT is an
+    # ANSI ARITHMETIC_OVERFLOW once |x| > 55,108 (see the envelope note
+    # on the oracle above; caught live at sf0.1 by the r9 scale scan)
+    xd = F.col("x").cast("decimal(38,0)")
     s = q.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("s1"),
-        F.sum(dec(xc * xc)).cast("double").alias("s2"),
-        F.sum(dec(xc * xc * xc)).cast("double").alias("s3"),
-        F.sum(dec(xc * xc * xc * xc)).cast("double").alias("s4"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum(xd * xd * xd).cast("double").alias("s3"),
+        F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
     )
     n = F.col("n")
     m1 = F.col("s1") / n

@@ -87,15 +87,25 @@ def main() -> None:
                     help="timed runs per (key, sf); reported value is the min")
     ap.add_argument("--keys", nargs="*", default=None,
                     help="override the probed key set")
+    ap.add_argument("--all", action="store_true",
+                    help="probe EVERY registered key (full-registry scan)")
+    ap.add_argument("--sfs", default=None,
+                    help="comma list of scale factors, e.g. 0.01,0.1")
     opts = ap.parse_args()
 
     engine.load_all()
-    keys = opts.keys or [k for k in bench.HEADLINE + EXTRA
-                         if k in engine.REGISTRY]
+    if opts.all:
+        keys = list(engine.REGISTRY)
+    else:
+        keys = opts.keys or [k for k in bench.HEADLINE + EXTRA
+                             if k in engine.REGISTRY]
+    sf_dirs = SF_DIRS
+    if opts.sfs:
+        sf_dirs = [f"/root/testdata/sf{s}" for s in opts.sfs.split(",")]
     spark = get_spark("rf_engine_scaling_probe")
 
     times: dict[str, dict[str, float]] = {k: {} for k in keys}
-    for sf_dir in SF_DIRS:
+    for sf_dir in sf_dirs:
         sf = sf_dir.rsplit("sf", 1)[-1]
         for key in keys:  # untimed warm pass (JIT/codegen, like bench)
             bench.clear_ml_cache(spark, key)
@@ -113,21 +123,26 @@ def main() -> None:
 
     rows = []
     for key in keys:
-        t0, t1, t2 = (times[key][s] for s in ("0.001", "0.01", "0.1"))
-        raw = t2 / max(t1, 1e-9)
-        adj = (t2 - t0) / max(t1 - t0, 0.02)
-        alpha = math.log10(adj) if adj > 0 else float("nan")
-        rows.append({"key": key, "t_sf0.001": t0, "t_sf0.01": t1,
-                     "t_sf0.1": t2, "raw_10x": round(raw, 2),
-                     "adj_10x": round(adj, 2), "alpha": round(alpha, 2)})
+        t1 = times[key].get("0.01")
+        t2 = times[key].get("0.1")
+        raw = t2 / max(t1, 1e-9) if (t1 and t2) else float("nan")
+        row = {"key": key, "t_sf0.01": t1, "t_sf0.1": t2,
+               "raw_10x": round(raw, 2)}
+        t0 = times[key].get("0.001")
+        if t0 is not None and t1 is not None and t2 is not None:
+            adj = (t2 - t0) / max(t1 - t0, 0.02)
+            alpha = math.log10(adj) if adj > 0 else float("nan")
+            row.update({"t_sf0.001": t0, "adj_10x": round(adj, 2),
+                        "alpha": round(alpha, 2)})
+        rows.append(row)
 
-    print("\n| key | sf0.001 | sf0.01 | sf0.1 | raw 10× | adj 10× | alpha |",
-          file=sys.stderr)
-    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    rows.sort(key=lambda r: -(r["raw_10x"] if r["raw_10x"] == r["raw_10x"]
+                              else 0.0))
+    print("\n| key | sf0.01 | sf0.1 | raw 10× |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
     for r in rows:
-        print(f"| {r['key']} | {r['t_sf0.001']:.2f} | {r['t_sf0.01']:.2f} "
-              f"| {r['t_sf0.1']:.2f} | {r['raw_10x']:.2f} | "
-              f"{r['adj_10x']:.2f} | {r['alpha']:.2f} |", file=sys.stderr)
+        print(f"| {r['key']} | {r['t_sf0.01']:.2f} | {r['t_sf0.1']:.2f} "
+              f"| {r['raw_10x']:.2f} |", file=sys.stderr)
 
     print(json.dumps({"metric": "scaling_10x_step", "unit": "ratio",
                       "repeat": max(1, opts.repeat), "rows": rows}))

@@ -35,7 +35,7 @@ _WH = "/tmp/rf_engine_fuzz_warehouse"
 _TS = datetime  # brevity
 
 
-_WH_FINGERPRINT = "r8f"  # bump on any _build data change: the marker
+_WH_FINGERPRINT = "r9a"  # bump on any _build data change: the marker
 # below is keyed on it so edits rebuild instead of silently grading
 # stale parquet
 
@@ -146,7 +146,12 @@ def _build(spark) -> str:
        (6, _TS(2024, 1, 2, 12, 0, 0), 3, "view", 7.25, '{"k": 6}'),
        (7, _TS(2024, 1, 2, 12, 0, 0), 3, "click", 7.25, '{"k": 7}'),
        (8, _TS(2024, 1, 4, 8, 15, 0), 3, "purchase", 42.0, '{"k": 8}'),
-       (9, _TS(2024, 1, 5, 14, 0, 0), 4, "purchase", 490.02, '{"k": 9}'),
+       # 799.99: x = 79,999 → x⁴ ≈ 4.1e19 > 2⁶³−1 — pins the widened
+       # (decimal/HUGEINT) moment accumulation the r9 scale scan fixed
+       # in agg_skew_kurtosis; the shipped sf0.01 fixture tops out at
+       # 490.02, just BELOW the BIGINT line, which is how seven rounds
+       # of green grading missed the overflow
+       (9, _TS(2024, 1, 5, 14, 0, 0), 4, "purchase", 799.99, '{"k": 9}'),
        (10, _TS(2024, 1, 5, 15, 0, 0), 4, "view", 1.0, '{"k": 10}'),
        (11, _TS(2024, 1, 10, 6, 45, 30), 5, "signup", 3.5, '{"k": 11}'),
        (12, _TS(2024, 1, 11, 7, 0, 0), 5, "error", 0.5, '{"k": 12}'),

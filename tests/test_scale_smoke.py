@@ -21,11 +21,25 @@ from tests.conftest import BENCH_SF_DIR, SMOKE_SF_DIR
 engine.load_all()
 
 
+def _force_full_eval(df) -> None:
+    """Execute the plan with EVERY output column alive. df.count() is
+    not enough: Catalyst prunes columns count() doesn't need, so an
+    expression that only blows up at this SF — the r9 case was
+    agg_skew_kurtosis's x⁴ BIGINT overflow at sf0.1, pruned out of its
+    own smoke test — never runs. A max-of-xxhash64 over all columns
+    forces each one to evaluate on every row while returning a single
+    row to the driver (registry outputs are scalar-only by the driver
+    comparator's contract, so xxhash64 accepts them all)."""
+    from pyspark.sql import functions as F
+
+    df.select(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
 @pytest.mark.parametrize("key", sorted(engine.REGISTRY))
 def test_runs_at_sf0001(key, spark):
     df = engine.REGISTRY[key].fn(spark, SMOKE_SF_DIR)
     assert df.columns
-    df.count()  # full execution — guards must hold, not just analysis
+    _force_full_eval(df)  # full execution — guards must hold, not just analysis
 
 
 @pytest.mark.parametrize(
@@ -54,7 +68,7 @@ def test_runs_at_sf0001(key, spark):
 def test_runs_at_bench_sf(key, spark):
     df = engine.REGISTRY[key].fn(spark, BENCH_SF_DIR)
     assert df.columns
-    df.count()
+    _force_full_eval(df)
 
 
 @pytest.mark.skipif(
@@ -66,7 +80,9 @@ def test_runs_at_bench_sf(key, spark):
 def test_full_registry_at_bench_sf(key, spark):
     """VERDICT r7 task 8: the one place a bounded-frame assumption (day
     spine, vocab rank, histogram width) would first show strain before
-    a real scale-up — every key must complete at the 10× bench SF."""
+    a real scale-up — every key must complete at the 10× bench SF,
+    with every output column evaluated (see _force_full_eval — the
+    count()-pruning hole hid a real sf0.1 overflow until r9)."""
     df = engine.REGISTRY[key].fn(spark, BENCH_SF_DIR)
     assert df.columns
-    df.count()
+    _force_full_eval(df)
