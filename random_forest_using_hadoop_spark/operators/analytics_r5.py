@@ -155,15 +155,15 @@ pairs AS (
 ),
 s AS (
   SELECT lag,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
   FROM pairs GROUP BY lag
 )
-SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-       round((n * sxy - sx * sy)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
 FROM s
@@ -194,20 +194,28 @@ def q_agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("y"),
     )
     pairs = daily.join(shifted, "day").select("lag", "x", "y")
+    # exact wide-integer Pearson algebra: the daily x sums reach ~1e11
+    # at sf0.1, so sx·sx ≈ 1e22 overflows BIGINT (ANSI crash, caught by
+    # the r9 full-registry scale scan — the same count()-pruning hole
+    # as agg_skew_kurtosis hid it from the smoke tier). Spark widens to
+    # DECIMAL(38,0), the oracle to HUGEINT — identical exact integers,
+    # cast to double only at the final division.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     s = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return s.select(
         F.col("lag").cast("bigint").alias("lag"),
-        F.col("n").alias("n_pairs"),
+        F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("autocorr"),
     )
 
