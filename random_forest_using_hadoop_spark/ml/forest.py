@@ -251,7 +251,12 @@ def q_ml_rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     requested forest size (exact), train+test total (oracle recomputes
     from source), and invariants — every tree split at least once, and
     held-out accuracy beats 10-class chance with margin (0.12 floor vs
-    0.20 measured)."""
+    0.20 measured). The learnability invariant is true only where the
+    corpus carries label signal: the sf0.001 embeddings draw measures
+    0.108 on the 74-row test split — chance — so this audit is scoped
+    to the grading SFs (≥0.01), as the r9 full sf0.001 parity sweep
+    recorded (298/300, the two exceptions being exactly these
+    learnability booleans)."""
     art = _fitted(spark, sf_dir)
     model = art["model"]
     # accuracy as ONE aggregate over the cached predictions (identical to
@@ -392,7 +397,9 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: accuracy + weighted F1 on the held-out split (the reference's
     map-emit-(true,pred) / reduce-count job as one evaluator call),
     graded on metric-domain invariants plus beating 10-class chance
-    (floor 0.12 vs 0.20 measured at sf0.01). The class count and the
+    (floor 0.12 vs 0.20 measured at sf0.01; like ml_rf_train's audit,
+    scoped to the signal-bearing grading SFs — the sf0.001 embeddings
+    draw sits at chance, see q_ml_rf_train). The class count and the
     majority class's row count — the baseline any classifier must beat —
     are recomputed by the oracle from source, so two graded columns are
     real numbers, not constants."""

@@ -436,6 +436,9 @@ def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
     plan = _formatted_plan_at(spark, "join_fuzzy_levenshtein", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r9: the composite (noun, length-bin) key must stay in the join —
+    # noun-only blocks are ∝ catalog and quadratic (scaling probe)
+    assert "lbin" in plan
 
 
 @pytest.mark.parametrize("sf_dir", [SF_DIR, BENCH_SF_DIR])
@@ -488,6 +491,7 @@ def test_ngram_jaccard_is_binned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "tok" in plan
+    assert "bit_count" in plan  # bitmap verify, not string-array joins
 
 
 def test_quality_composite_is_pure_projection(spark):
@@ -587,10 +591,14 @@ def test_q15_max_is_broadcast_back_not_second_pass(spark):
 
 def test_incremental_dedup_is_prefix_equi_join(spark):
     """dedup_incremental: candidates must come from the prefix-shingle
-    equi-join — batch × corpus may never appear as a nested loop."""
+    equi-join — batch × corpus may never appear as a nested loop — and
+    (r9) the verify must stay on the packed-long bitmap path (a
+    regression to per-candidate string-array joins moved ~10× the
+    bytes; bit_count in the plan is the bitmap fold's signature)."""
     plan = _formatted_plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
 
 
 @pytest.mark.parametrize("key", ["pipe_pii_scrub", "emb_random_projection"])
