@@ -185,7 +185,8 @@ terms AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS lm_score
+       floor((CAST(SUM(t) AS DOUBLE) / 1000000.0 / COUNT(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS lm_score
 FROM terms GROUP BY doc_id
 """
 
@@ -232,11 +233,21 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
         )
     )
+    # floor-quantized, not F.round: the mean of quantized terms can sit
+    # exactly on a 6-dp half (seen at sf0.1: −3.4140895), where Spark's
+    # BigDecimal half-up and DuckDB's double-multiply round() disagree
+    # by one digit; the multiply+floor form is the same IEEE op
+    # sequence on both engines (r9 full-SF parity sweep)
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("t").cast("double") / 1000000.0 / F.count(F.lit(1)), 6).alias(
-            "lm_score"
-        ),
+        (
+            F.floor(
+                (F.sum("t").cast("double") / 1000000.0 / F.count(F.lit(1)))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("lm_score"),
     )
 
 

@@ -405,10 +405,15 @@ def q_win_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPS = 2.0  # also the grid cell size: neighbors-of-home covers all pairs
 
+# floor(epoch(ts)): whole seconds, matching Spark's unix_timestamp()
+# truncation — DuckDB's raw epoch() keeps the nanosecond fraction the
+# Spark side cannot see, which shifted y by ≤1.67e-3 cells and flipped
+# a pair sitting on the ε=2 boundary (first such pair appears at
+# sf0.1; found by the r9 full sf0.1 parity sweep)
 _SPATIAL_ORACLE = """
 WITH pts AS (
   SELECT event_id, value AS x,
-         CAST(epoch(ts) % 86400 AS DOUBLE) / 600.0 AS y
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE) / 600.0 AS y
   FROM events WHERE value > 190
 ),
 pairs AS (

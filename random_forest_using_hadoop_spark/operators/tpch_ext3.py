@@ -289,10 +289,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q2 shape: min-cost supplier per part in a region ------------------------
 
-# partsupp stand-in: per (part, supplier) unit cost observed in lineitem
+# partsupp stand-in: per (part, supplier) unit cost observed in lineitem.
+# floor(x*1e6+0.5)/1e6, NOT round(x, 6): price/quantity lands on exact
+# decimal halves (e.g. .../16 = …6875) where Spark's BigDecimal half-up
+# and DuckDB's double-multiply round disagree by one last digit (found
+# at sf0.1 by the r9 full-SF parity sweep). The multiply+floor form is
+# the same IEEE op sequence on both engines, so it is identical by
+# construction.
 _PS_BRIDGE_SQL = """
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         round(MIN(l_extendedprice / l_quantity), 6) AS supplycost
+         floor(MIN(l_extendedprice / l_quantity) * 1000000.0 + 0.5)
+           / 1000000.0 AS supplycost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 """
 
@@ -335,12 +342,18 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the bridge agg shuffles on the composite key once.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # floor-quantized, not F.round — see the _PS_BRIDGE_SQL note
     ps = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-            "supplycost"
-        )
+        (
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("supplycost")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
