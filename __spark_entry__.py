@@ -42,13 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # B58-B61, and the core Tier-C dedup/sim/text/multimodal keys).
 # ``_GRADE_FIRST`` survives only as a manual pin escape hatch (e.g. to
 # force a regression re-grade ahead of the staleness order); it is
-# empty in normal operation. r9: the two operators whose plans were
-# REWRITTEN this round (scaling-probe fixes — block-pair BLAS prune /
-# PPJoin prefix filter) sit at positions 51/56 of the staleness order,
-# just outside the window; pin them so the rewrites get driver-graded
-# the round they shipped. Both are themselves r2-stale, so the graded
-# window remains 50 r2-stale keys either way.
-_GRADE_FIRST: list[str] = ["dedup_embedding", "dedup_ngram_jaccard"]
+# empty in normal operation. r10: the r9 pins did their job (both
+# rewrites driver-graded green in CORRECTNESS_r09.json), so the pins
+# are emptied and the pure staleness order takes over — it now leads
+# with the two keys the pins displaced from the r9 window
+# (`stream_stateful`, `stream_foreachbatch`, the only keys whose
+# latest driver evidence is still round 2), followed by the r3 block.
+_GRADE_FIRST: list[str] = []
 
 
 def _latest_grade() -> dict[str, int]:

@@ -174,6 +174,22 @@ _PAIR_PINS: dict[str, list] = {}  # key → extra cached frames to drop
 _CC_PINS: dict[str, list] = {}
 
 
+def _memo_touch(memo: dict, pins_map: dict, key: str):
+    """LRU hit path: move ``key`` (and its pins) to the dict's end so
+    eviction order tracks ACCESS recency, not insertion order — without
+    this, a pattern like A, B, hit-A, C would evict the just-used A
+    (and for the checkpointed _CC_MEMO, eviction frees NON-recomputable
+    localCheckpoint blocks, so a caller still holding the evicted
+    frame would hit a lost-block job failure, not a recompute).
+    Returns the frame, or None on miss."""
+    hit = memo.get(key)
+    if hit is not None:
+        memo[key] = memo.pop(key)
+        if key in pins_map:
+            pins_map[key] = pins_map.pop(key)
+    return hit
+
+
 def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
                  pins: tuple = (), checkpointed: bool = False) -> None:
     """Insert into a session memo, evicting LRU entries past the bound.
@@ -181,7 +197,9 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
     ``pins`` are additional cached frames the entry's plan pinned (e.g.
     the shingled-docs frame feeding the pair set); they are unpersisted
     with the entry. ``checkpointed`` entries release their (non-
-    recomputable) localCheckpoint blocks instead of a cache unpersist.
+    recomputable) localCheckpoint blocks instead of a cache unpersist;
+    that release is logged because it invalidates any still-held
+    reference to the evicted frame (see _memo_touch).
     """
     memo[key] = frame
     if pins:
@@ -195,6 +213,13 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
             except Exception:
                 pass
         if checkpointed:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "evicting checkpointed memo entry %s — its localCheckpoint "
+                "blocks are freed and the frame is no longer collectable",
+                old_key,
+            )
             _free_local_checkpoint(stale)
         else:
             try:
@@ -206,7 +231,7 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (a, b, jaccard) verified pair set for a corpus dir."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    hit = _PAIR_MEMO.get(key)
+    hit = _memo_touch(_PAIR_MEMO, _PAIR_PINS, key)
     if hit is not None:
         return hit
     d = _docs_with_shingles(spark, sf_dir).cache()
@@ -218,20 +243,24 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bitmap_encode(d: DataFrame, set_col: str) -> tuple[DataFrame, int]:
     """Encode each doc's ``set_col`` (a distinct string array) as dense
     packed-long bitmaps: returns (enc(doc_id, n, bm), n_words). Dense
-    ids come from a rank over the distinct-element list — the single-
-    partition window is ∝ vocabulary (2,041 shingles / 931 bigrams
-    here), never corpus; at larger (still bounded) vocabularies use a
-    range-partitioned rank. Shared by the minhash shingle verify and
+    ids come from helpers.dist_row_number over the distinct-element
+    list — a range-partitioned two-pass rank, so the id assignment
+    scales with the vocabulary's partition count, not through one
+    SinglePartition WindowExec (on an open-vocabulary corpus the
+    shingle vocabulary itself is billions of rows by Heaps' law, so
+    the rank must distribute even though it is ∝ vocabulary, never
+    corpus). Shared by the minhash shingle verify and
     the n-gram bigram verify — |A∩B| is then one zip_with bit_count
     fold and |A∪B| = n_a + n_b − |A∩B|, identical integers to
     array_intersect / the oracles' unnest-joins."""
-    from pyspark.sql import Window
+    from random_forest_using_hadoop_spark.helpers import dist_row_number
 
     vocab = d.select(F.explode(set_col).alias("s")).distinct()
     n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
     n_words = (n_vocab + 63) // 64
-    sid = vocab.select(
-        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
+    # "s" is distinct, hence a total order — dist_row_number's contract
+    sid = dist_row_number(vocab, [F.col("s")], out="_rn").select(
+        "s", (F.col("_rn") - 1).cast("int").alias("sid")
     )
     tok = d.select("doc_id", F.explode(set_col).alias("s")).join(
         F.broadcast(sid), "s"
@@ -826,7 +855,7 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized (doc_id, component_id) labels from min-label propagation
     over the verified near-dup pair set."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    hit = _CC_MEMO.get(key)
+    hit = _memo_touch(_CC_MEMO, _CC_PINS, key)
     if hit is not None:
         return hit
     pairs = _verified_pairs(spark, sf_dir).select("a", "b")

@@ -174,7 +174,8 @@ WHERE list_inner_product(a.ve, b.ve)
 """
 
 
-_DEDUP_EMB_BLOCKS = 8
+_DEDUP_EMB_BLOCKS = 8      # block-grid floor (fixture scale)
+_DEDUP_EMB_TARGET = 512    # target rows per block-pair group
 
 
 @register("dedup_embedding", oracle=_DEDUP_EMB_ORACLE)
@@ -204,19 +205,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       sequential list_inner_product) then decides each candidate, as in
       every other dedup verify stage. Python cost: one matmul per group.
 
-    Per-task memory is (2n/T)·d doubles + (2n/T)² scores; T grows with
-    √n to hold that constant (n=2k → T=8 ≈ 500-row groups, 2 MB of
-    scores). At production thresholds (≥0.8) candidates ARE sparse and
-    the LSH/IVF keys (sim_ann_*) own the subquadratic path.
+    Per-task memory is (2n/T)·d doubles + at most (2n/T)² scores; T is
+    derived from a driver-side count as ⌈2n / {_DEDUP_EMB_TARGET}⌉
+    (floor {_DEDUP_EMB_BLOCKS}), i.e. T ∝ n, so per-group size — and
+    hence per-task memory — is CONSTANT as the corpus grows (n=2k →
+    T=8 ≈ 500-row groups, 2 MB of scores; the ×T replication is the
+    unavoidable price of the n² score total, spread over T(T+1)/2
+    constant-size tasks). Off-diagonal groups matmul only the
+    unit[a]·unit[b]ᵀ cross block, not the full group×group matrix. At
+    production thresholds (≥0.8) candidates ARE sparse and the LSH/IVF
+    keys (sim_ann_*) own the subquadratic path.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    blocks = _DEDUP_EMB_BLOCKS
     t = _DEDUP_EMB_THRESHOLD
     # NULL embeddings produce NULL cosines on both engines and never
     # reach the output; dropping them up front keeps numpy's stack dense
     v = _vectors(spark, sf_dir).filter(F.col("ve").isNotNull())
+    # driver-side metadata count (one pass, like dist_row_number's
+    # offsets job) sizes the block grid so per-task memory stays flat
+    n = v.count()
+    blocks = max(_DEDUP_EMB_BLOCKS, math.ceil(2 * n / _DEDUP_EMB_TARGET))
 
     def pair_prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         gi = int(pdf["gi"].iloc[0])
@@ -227,18 +239,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-norm rows divide to non-finite scores; those pairs pass
         # the prune unconditionally so the exact JVM verify (same
         # expression as before this rewrite) decides them
+        blk = pdf["blk"].to_numpy()
         with np.errstate(divide="ignore", invalid="ignore"):
             unit = mat / norms
-            sims = unit @ unit.T
-        blk = pdf["blk"].to_numpy()
-        if gi == gj:
-            ia, jb = np.triu_indices(len(ids), k=1)
-        else:
-            a_idx = np.where(blk == gi)[0]
-            b_idx = np.where(blk == gj)[0]
-            ia, jb = np.meshgrid(a_idx, b_idx, indexing="ij")
-            ia, jb = ia.ravel(), jb.ravel()
-        s = sims[ia, jb]
+            if gi == gj:
+                ia, jb = np.triu_indices(len(ids), k=1)
+                s = (unit @ unit.T)[ia, jb]
+            else:
+                # only the a×b cross block — the full group×group
+                # matmul would spend ~2× the flops on scores the
+                # diagonal groups already own
+                a_idx = np.where(blk == gi)[0]
+                b_idx = np.where(blk == gj)[0]
+                s = (unit[a_idx] @ unit[b_idx].T).ravel()
+                ii, jj = np.meshgrid(
+                    a_idx, b_idx, indexing="ij"
+                )  # row-major: matches s's ravel order
+                ia, jb = ii.ravel(), jj.ravel()
         keep = (s >= t - 1e-3) | ~np.isfinite(s)
         ia, jb = ia[keep], jb[keep]
         return pd.DataFrame(

@@ -125,7 +125,8 @@ def main() -> None:
     for key in keys:
         t1 = times[key].get("0.01")
         t2 = times[key].get("0.1")
-        raw = t2 / max(t1, 1e-9) if (t1 and t2) else float("nan")
+        raw = (t2 / max(t1, 1e-9)
+               if (t1 is not None and t2 is not None) else float("nan"))
         row = {"key": key, "t_sf0.01": t1, "t_sf0.1": t2,
                "raw_10x": round(raw, 2)}
         t0 = times[key].get("0.001")
@@ -140,9 +141,12 @@ def main() -> None:
                               else 0.0))
     print("\n| key | sf0.01 | sf0.1 | raw 10× |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
+    def _fmt(v):  # a --sfs subset leaves some cells None
+        return f"{v:.2f}" if isinstance(v, float) else "-"
+
     for r in rows:
-        print(f"| {r['key']} | {r['t_sf0.01']:.2f} | {r['t_sf0.1']:.2f} "
-              f"| {r['raw_10x']:.2f} |", file=sys.stderr)
+        print(f"| {r['key']} | {_fmt(r['t_sf0.01'])} | {_fmt(r['t_sf0.1'])} "
+              f"| {_fmt(r['raw_10x'])} |", file=sys.stderr)
 
     print(json.dumps({"metric": "scaling_10x_step", "unit": "ratio",
                       "repeat": max(1, opts.repeat), "rows": rows}))

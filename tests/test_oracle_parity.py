@@ -71,6 +71,19 @@ def test_session_memos_are_lru_bounded(spark):
     assert not frames[0][0].storageLevel.useMemory, "evicted memo entry still cached"
     assert not frames[0][1].storageLevel.useMemory, "evicted pin still cached"
     assert frames[2][0].storageLevel.useMemory, "live memo entry lost its cache"
+
+    # true LRU, not FIFO (r9 advice): a hit refreshes recency, so after
+    # touching dir1 an insert of dir3 must evict dir2, not the
+    # just-used dir1
+    assert dedup_lsh._memo_touch(memo, pins, "dir1") is frames[1][0]
+    f3 = spark.range(13).cache()
+    f3.count()
+    dedup_lsh._memo_insert(memo, pins, "dir3", f3)
+    assert "dir1" in memo, "hit entry evicted — memo is FIFO, not LRU"
+    assert "dir2" not in memo and "dir2" not in pins
+    assert not frames[2][0].storageLevel.useMemory, "LRU-evicted entry still cached"
+    assert dedup_lsh._memo_touch(memo, pins, "missing") is None
+    f3.unpersist()
     for f, p in frames[1:]:
         f.unpersist(), p.unpersist()
 

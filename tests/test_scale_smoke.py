@@ -28,11 +28,21 @@ def _force_full_eval(df) -> None:
     agg_skew_kurtosis's x⁴ BIGINT overflow at sf0.1, pruned out of its
     own smoke test — never runs. A max-of-xxhash64 over all columns
     forces each one to evaluate on every row while returning a single
-    row to the driver (registry outputs are scalar-only by the driver
-    comparator's contract, so xxhash64 accepts them all)."""
+    row to the driver. Registry outputs are scalar-only by the driver
+    comparator's contract, so xxhash64 accepts them directly; should a
+    future key emit a type xxhash64 rejects (MapType is unorderable),
+    that column is routed through to_json first rather than failing
+    every smoke tier with an opaque analysis error."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
 
-    df.select(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, MapType):
+            c = F.to_json(c)  # hashable, still evaluates the column
+        cols.append(c)
+    df.select(F.max(F.xxhash64(*cols))).collect()
 
 
 @pytest.mark.parametrize("key", sorted(engine.REGISTRY))
