@@ -9,6 +9,8 @@ correctness would never catch.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import random_forest_using_hadoop_spark as engine
@@ -124,6 +126,74 @@ _PYTHON_EVAL_MARKERS = (
     "PythonMapInArrow",
 )
 
+# The engine's ENTIRE single-partition-window surface, pinned (r10
+# verdict task 3): every WindowExec without a partition spec funnels
+# its whole input through ONE task (SinglePartition exchange), so each
+# site must sit on a frame bounded by something other than corpus size.
+# Value = (expected node count at sf0.01, what bounds the frame). A
+# data-proportional global window (the r9 _bitmap_encode vocabulary
+# rank) must use helpers.dist_row_number instead and never appear here.
+_UNPART_WINDOW_ALLOWED = {
+    "agg_abc_classification": (1, "cumulative share over per-part agg (≤ part count)"),
+    "agg_basket_pairs": (1, "rank over support-filtered pair frame, top-k cut upstream"),
+    "agg_changepoint_cusum": (1, "CUSUM scan over the daily spine (≤366 rows/yr)"),
+    "agg_chisq_independence": (2, "rank over the (type × cohort) contingency cells"),
+    "agg_interorder_gaps": (1, "cumulative over per-gap-bucket histogram"),
+    "agg_kaplan_meier": (2, "survival product over horizon-bounded risk table"),
+    "agg_ks_test": (1, "cumulative CDF step over the value-domain histogram"),
+    "agg_mannwhitney_u": (1, "cumulative rank over the value-domain histogram (≤20k values)"),
+    "agg_markov_transition": (1, "rank over (state × state) transition cells"),
+    "agg_pareto_point": (1, "cumulative share over per-part agg (≤ part count)"),
+    "agg_percentile_disc": (1, "final 3-tagged-rows-per-type rank (≤ 3·|types|)"),
+    "agg_percentile_histogram": (1, "cumulative over fixed bucket grid"),
+    "agg_seasonal_decompose": (1, "moving average over the daily spine"),
+    "agg_spearman_corr": (4, "midranks over the daily spine (≤366 rows/yr)"),
+    "agg_theilsen_trend": (1, "median rank over O(days²) slope pairs, calendar-bounded"),
+    "agg_winsorized_mean": (1, "final cut-point rank over 5 priority groups"),
+    "pipe_length_histogram": (1, "cumulative over fixed-width length buckets"),
+    "pipe_token_share_curve": (1, "cumulative share over the vocab-rank top-k cut"),
+    "text_langid_confusion": (1, "rank over (lang × lang) confusion cells"),
+    "text_zipf_slope": (1, "rank over TakeOrderedAndProject'd top vocab"),
+    "tpch_q2_min_cost_supplier": (1, "final output rank after min-cost semi-join prune"),
+    "win_bollinger_bands": (1, "moving stats over the daily spine"),
+    "win_ewma_crossover": (5, "EWMA chain over the daily spine (≤366 rows/yr)"),
+    "win_outlier_mad": (3, "median/MAD selection rows per type (≤ 2·|types|)"),
+    "win_rsi_indicator": (2, "gain/loss smoothing over the daily spine"),
+    "win_sliding_median": (1, "sliding rank over the daily spine"),
+    "win_vwap_cumulative": (1, "cumulative VWAP over the daily spine"),
+}
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a physical-plan Arguments line —
+    a Window node renders [exprs], [partSpec], [orderSpec]; an
+    UNpartitioned one omits the middle group (2 groups, not 3)."""
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Number of WindowExec nodes in a formatted plan whose Arguments
+    carry no partition spec (SinglePartition funnel)."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window(\s+\[codegen.*)?$", line.strip()):
+            for j in range(i + 1, min(i + 8, len(lines))):
+                ls = lines[j].strip()
+                if ls.startswith("Arguments: "):
+                    if _top_level_groups(ls[len("Arguments: "):]) == 2:
+                        n += 1
+                    break
+    return n
+
 
 def test_no_cartesian_in_sql_oracle_queries(spark):
     """Registry-wide plan-hygiene sweep (one pass over every SQL-graded
@@ -133,10 +203,15 @@ def test_no_cartesian_in_sql_oracle_queries(spark):
     node outside the pinned _PYTHON_EVAL_ALLOWED surface — everything
     else must stay on the JVM fast path, and the designated keys may
     not silently degrade (e.g. a pandas UDF falling back to
-    row-at-a-time pickling)."""
+    row-at-a-time pickling); (3) no UNpartitioned Window node outside
+    the pinned _UNPART_WINDOW_ALLOWED surface — a global window
+    funnels its whole input through one task, so every site must carry
+    a bounded-input justification (data-proportional ranks use
+    helpers.dist_row_number instead)."""
     allowed = {"join_cross", "sim_cosine_topk"}
     flagged = []
     py_flagged = []
+    win_flagged = []
     # start from a cold cache: the dedup-family keys otherwise plan as
     # an InMemoryTableScan over the session pair/label memos and the
     # sweep would not see their real join pipelines (the first key to
@@ -153,10 +228,19 @@ def test_no_cartesian_in_sql_oracle_queries(spark):
         found = {m for m in _PYTHON_EVAL_MARKERS if m in plan}
         if found != _PYTHON_EVAL_ALLOWED.get(key, set()):
             py_flagged.append((key, sorted(found)))
+        n_unpart = _unpartitioned_window_count(plan)
+        if n_unpart != _UNPART_WINDOW_ALLOWED.get(key, (0, ""))[0]:
+            win_flagged.append((key, n_unpart))
     assert not flagged, f"unexpected cartesian joins in: {flagged}"
     assert not py_flagged, (
         "Python-eval surface drifted from _PYTHON_EVAL_ALLOWED: "
         f"{py_flagged}"
+    )
+    assert not win_flagged, (
+        "single-partition-window surface drifted from "
+        f"_UNPART_WINDOW_ALLOWED (key, found-count): {win_flagged} — "
+        "new sites need a bounded-input justification or a "
+        "dist_row_number rewrite"
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pytest
 
 import random_forest_using_hadoop_spark as engine
-from tests.conftest import BENCH_SF_DIR, SMOKE_SF_DIR
+from tests.conftest import BENCH_SF_DIR, SF_DIR, SMOKE_SF_DIR
 
 engine.load_all()
 
@@ -96,3 +96,57 @@ def test_full_registry_at_bench_sf(key, spark):
     df = engine.REGISTRY[key].fn(spark, BENCH_SF_DIR)
     assert df.columns
     _force_full_eval(df)
+
+
+# r10 verdict task 4: the r9 full-registry scaling probe (every
+# non-output-bound key ≤7.4× wall per 10× data step) was a one-off
+# manual run; this pins the bound as a test so a future quadratic plan
+# fails the gated sweep instead of waiting for someone to re-run
+# scaling_probe.py. The bound is deliberately loose — 25× per decade
+# with a 0.15 s floor on the small-SF time — because single-run wall
+# time on this host swings up to ~3× under contention while a genuinely
+# quadratic plan shows ~100×/decade (the r9 dedup_embedding case was
+# α≈4, i.e. ≫1000×); a breach re-times min-of-3 before failing.
+_SCALE_RATIO_BOUND = 25.0
+_SCALE_RATIO_FLOOR = 0.15  # seconds — damps overhead-dominated ratios
+_SCALE_RATIO_EXEMPT = {
+    # answer growth, not plan defects (documented in their docstrings)
+    "join_fuzzy_levenshtein": "near-match pair OUTPUT grows ~quadratically on the fixture",
+    "graph_triangle_count": "triangle OUTPUT grows ~quadratically on the fixture",
+}
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SCALE_SWEEP"),
+    reason="registry-wide sf0.01→sf0.1 scale-ratio sweep is "
+    "nightly-style; set SPARK_GRAFT_SCALE_SWEEP=1 to enable",
+)
+def test_registry_scale_ratio_bounded(spark):
+    """Every registry key's wall time must grow at most ~linearly per
+    10× data step (≤ _SCALE_RATIO_BOUND with noise headroom)."""
+    import time
+
+    def timed(fn, sf_dir):
+        t0 = time.perf_counter()
+        _force_full_eval(fn(spark, sf_dir))
+        return time.perf_counter() - t0
+
+    breaches = []
+    for key in sorted(engine.REGISTRY):
+        if key in _SCALE_RATIO_EXEMPT:
+            continue
+        fn = engine.REGISTRY[key].fn
+        t1, t2 = timed(fn, SF_DIR), timed(fn, BENCH_SF_DIR)
+        if t2 / max(t1, _SCALE_RATIO_FLOOR) > _SCALE_RATIO_BOUND:
+            t1 = min(timed(fn, SF_DIR) for _ in range(3))
+            t2 = min(timed(fn, BENCH_SF_DIR) for _ in range(3))
+            if t2 / max(t1, _SCALE_RATIO_FLOOR) > _SCALE_RATIO_BOUND:
+                breaches.append(
+                    (key, round(t1, 2), round(t2, 2),
+                     round(t2 / max(t1, _SCALE_RATIO_FLOOR), 1))
+                )
+    assert not breaches, (
+        "keys exceeding the per-decade scale-ratio bound "
+        f"{_SCALE_RATIO_BOUND}x (key, t_sf0.01, t_sf0.1, ratio): "
+        f"{breaches}"
+    )
