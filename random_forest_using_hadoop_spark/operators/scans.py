@@ -1021,3 +1021,176 @@ def q_scan_missing_file_resilient(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "l_returnflag string, n long, key_checksum long"
     )
+
+
+# --- Delta-protocol transaction-log reader -----------------------------------
+
+_DELTA_LOG_ORACLE = """
+SELECT v.version,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES (0), (1), (2)) AS v(version)
+LEFT JOIN orders o ON (v.version >= 1 OR o.o_orderkey % 2 = 0)
+GROUP BY v.version
+"""
+
+
+@register("src_delta_log", oracle=_DELTA_LOG_ORACLE)
+def q_src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a Delta-protocol table WITHOUT delta-spark: stage a table
+    whose `_delta_log/` holds three JSON-lines commits per the open
+    Delta transaction-log spec (delta-io PROTOCOL.md — zero-padded
+    `<version>.json`, one action object per line, `add`/`remove`
+    carrying table-root-relative paths), then reconstruct every
+    version's live file set by LOG REPLAY and audit rows + exact cent
+    totals per version against the source of truth.
+
+    Commits staged: v0 = even-orderkey orders (two files), v1 = append
+    of the odd-orderkey slice, v2 = COMPACTION — `remove` of v0's files
+    plus `add` of their single-file rewrite. v2's content therefore
+    EQUALS v1's (the oracle states identical rows/cents for versions
+    1 and 2): getting that right requires honoring `remove` actions in
+    replay order, which is exactly what a naive directory listing — or
+    a reader that only unions `add`s — gets wrong.
+
+    Replay as a Spark plan (no per-version rescans): the log is read
+    ONCE with an explicit schema (no inference pass), each action
+    tagged with its commit version from the file name; `explode
+    (sequence(u, max_version))` projects each action onto every
+    version it is visible in, and `max_by(is_add, u)` per (version,
+    file) keeps the LAST action — a file is live at v iff that action
+    is an `add`. The data dir is also scanned ONCE, rows tagged with
+    their source file via input_file_name(), and a broadcast join onto
+    the live-(version, file) table fans each row into exactly the
+    versions that see it; one hash agg per version finishes. A
+    single-version production read instead passes the replayed file
+    list straight to the parquet source (the sink_snapshot_timetravel
+    shape) so pruning/pushdown work as on a plain scan.
+
+    Scale: the log is bounded driver-class metadata (real tables
+    checkpoint it in parquet once commits reach thousands — same
+    replay rule, different container); data files are never listed
+    from the directory, so readers cannot race compaction — the
+    failure mode scan_missing_file_resilient demonstrates. The
+    version-projection explode is |actions| x |versions| metadata
+    rows, never data.
+    """
+    import json
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_log")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _files() -> set[str]:
+        if not os.path.isdir(data_dir):
+            return set()
+        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+
+    def _commit(version: int, adds: set[str], removes: set[str]) -> None:
+        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+        for p in sorted(adds):
+            lines.append(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+            )
+        for p in sorted(removes):
+            lines.append(
+                json.dumps({"remove": {"path": f"data/{p}", "dataChange": True}})
+            )
+        name = os.path.join(log_dir, f"{version:020d}.json")
+        with open(name, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    # v0: even-orderkey base snapshot (2 files via repartition)
+    before = _files()
+    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v0_adds = _files() - before
+    _commit(0, v0_adds, set())
+    # v1: append the odd slice — v0's files untouched
+    before = _files()
+    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    _commit(1, _files() - before, set())
+    # v2: compact v0's files into one (content-identical rewrite);
+    # an empty base slice (adversarial micro corpora) commits metadata only
+    before = _files()
+    if v0_adds:
+        spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
+        ).repartition(1).write.mode("append").parquet(data_dir)
+    _commit(2, _files() - before, v0_adds)
+
+    log_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType([T.StructField("path", T.StringType())]),
+            ),
+            T.StructField(
+                "remove",
+                T.StructType([T.StructField("path", T.StringType())]),
+            ),
+        ]
+    )
+    actions = (
+        spark.read.schema(log_schema)
+        .json(os.path.join(log_dir, "*.json"))
+        .withColumn(
+            "u",
+            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
+                "int"
+            ),
+        )
+        .select(
+            "u",
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+        )
+        .filter(F.col("path").isNotNull())
+    )
+    max_v = 2  # staged above; a generic reader lists the log dir once
+    live = (
+        actions.select(
+            "path",
+            "is_add",
+            "u",
+            F.explode(F.sequence("u", F.lit(max_v))).alias("version"),
+        )
+        .groupBy("version", "path")
+        .agg(F.max_by("is_add", "u").alias("live"))
+        .filter("live")
+        .select(
+            "version",
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+        )
+    )
+    data = o.sparkSession.read.parquet(data_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_version = (
+        data.join(F.broadcast(live), "fname")
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+    spine = spark.range(max_v + 1).select(F.col("id").cast("int").alias("version"))
+    return spine.join(per_version, "version", "left").select(
+        "version",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias("total_cents"),
+    )
