@@ -1194,3 +1194,200 @@ def q_src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
         F.coalesce("total_cents", F.lit(0).cast("bigint")).alias("total_cents"),
     )
+
+
+_DELTA_CKPT_ORACLE = """
+SELECT s.snapshot,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('checkpoint_v2'), ('latest_v3')) AS s(snapshot)
+LEFT JOIN orders o
+       ON (s.snapshot = 'checkpoint_v2' OR o.o_orderkey % 2 = 0)
+GROUP BY s.snapshot
+"""
+
+
+@register("src_delta_checkpoint", oracle=_DELTA_CKPT_ORACLE)
+def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol CHECKPOINT read — the mechanism that keeps log
+    replay bounded at scale. A long-lived table accretes thousands of
+    commits; per the open spec a checkpoint parquet
+    (`<version>.checkpoint.parquet`, pointed at by `_last_checkpoint`)
+    materializes the reconciled action state at one version, and a
+    reader replays checkpoint + ONLY the JSON commits after it —
+    O(live files + tail), never O(history).
+
+    Staged: the same v0/v1/v2 history as [[src_delta_log]] (even base,
+    odd append, compaction), a checkpoint at v2 (one `add` row per
+    live file, written as parquet BY SPARK, not driver JSON), then
+    v3 = a DELETE of the odd slice (`remove` of its file). The reader
+    never opens v0–v2's JSON: it loads the checkpoint's add rows,
+    stacks the post-checkpoint actions (v3 only), and replays
+    `max_by(is_add, u)` exactly as the full-history reader — the
+    checkpoint rows enter the fold as version-2 adds. Output audits
+    BOTH reconstructions: `checkpoint_v2` (all orders — compaction is
+    content-neutral) and `latest_v3` (evens only — the remove must
+    actually drop the odd file). A reader that unions adds without
+    honoring the v3 remove, or that re-reads removed v0 files, fails
+    the oracle.
+
+    Scale: checkpoint size ∝ live files (metadata), read as a parquet
+    scan like any other — millions of files stream through executors,
+    never the driver; `_last_checkpoint` is one driver-side JSON read,
+    exactly how delta readers bootstrap.
+    """
+    import json
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_ckpt")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _files() -> set[str]:
+        if not os.path.isdir(data_dir):
+            return set()
+        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+
+    def _commit(version: int, adds: set[str], removes: set[str]) -> None:
+        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+        lines += [
+            json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+            for p in sorted(adds)
+        ]
+        lines += [
+            json.dumps({"remove": {"path": f"data/{p}", "dataChange": True}})
+            for p in sorted(removes)
+        ]
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    before = _files()
+    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v0_adds = _files() - before
+    _commit(0, v0_adds, set())
+    before = _files()
+    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v1_adds = _files() - before
+    _commit(1, v1_adds, set())
+    before = _files()
+    if v0_adds:
+        spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
+        ).repartition(1).write.mode("append").parquet(data_dir)
+    v2_adds = _files() - before
+    _commit(2, v2_adds, v0_adds)
+
+    # checkpoint at v2: reconciled live-add state, written AS PARQUET by
+    # a Spark job (checkpoint size ∝ live files — executor-side at scale)
+    live_v2 = sorted(v1_adds | v2_adds)
+    ckpt_path = os.path.join(log_dir, "00000000000000000002.checkpoint.parquet")
+    spark.createDataFrame(
+        [(f"data/{p}",) for p in live_v2], "add_path string"
+    ).select(
+        F.struct(F.col("add_path").alias("path")).alias("add")
+    ).repartition(1).write.mode("overwrite").parquet(ckpt_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2}))
+
+    # v3: DELETE the odd slice — remove-only commit
+    _commit(3, set(), v1_adds)
+
+    # --- reader: bootstrap from _last_checkpoint, never open v0-v2 json
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        ckpt_v = int(json.load(fh)["version"])
+    ckpt_adds = (
+        spark.read.parquet(
+            os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+        )
+        .select(
+            F.col("add.path").alias("path"),
+            F.lit(True).alias("is_add"),
+            F.lit(ckpt_v).alias("u"),
+        )
+    )
+    log_schema = T.StructType(
+        [
+            T.StructField(
+                "add", T.StructType([T.StructField("path", T.StringType())])
+            ),
+            T.StructField(
+                "remove", T.StructType([T.StructField("path", T.StringType())])
+            ),
+        ]
+    )
+    max_v = 3
+    tail_files = [
+        os.path.join(log_dir, f"{v:020d}.json")
+        for v in range(ckpt_v + 1, max_v + 1)
+    ]
+    tail = (
+        spark.read.schema(log_schema)
+        .json(tail_files)
+        .withColumn(
+            "u",
+            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
+                "int"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+            "u",
+        )
+        .filter(F.col("path").isNotNull())
+    )
+    actions = ckpt_adds.unionByName(tail)
+    live = (
+        actions.select(
+            "path",
+            "is_add",
+            "u",
+            F.explode(
+                F.array(F.lit("checkpoint_v2"), F.lit("latest_v3"))
+            ).alias("snapshot"),
+        )
+        # the checkpoint_v2 reconstruction sees only actions at u <= 2
+        .filter((F.col("snapshot") == "latest_v3") | (F.col("u") <= ckpt_v))
+        .groupBy("snapshot", "path")
+        .agg(F.max_by("is_add", "u").alias("live"))
+        .filter("live")
+        .select(
+            "snapshot",
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+        )
+    )
+    data = o.sparkSession.read.parquet(data_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_snap = (
+        data.join(F.broadcast(live), "fname")
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("checkpoint_v2",), ("latest_v3",)], "snapshot string"
+    )
+    return spine.join(per_snap, "snapshot", "left").select(
+        "snapshot",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
