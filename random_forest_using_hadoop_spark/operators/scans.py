@@ -1391,3 +1391,140 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+_DELTA_PRUNE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_delta_partition_prune", oracle=_DELTA_PRUNE_ORACLE)
+def q_src_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only partition pruning from the Delta log: per the open
+    protocol every `add` action carries the file's `partitionValues`
+    map, so a partition predicate selects files from the LOG ALONE —
+    no directory listing, no parquet footer reads, no file opened that
+    the predicate excludes. At 100 TB this is why lake formats plan a
+    pruned scan in milliseconds where hive-style listing walks millions
+    of directory entries.
+
+    Staged: orders written partitioned by o_orderpriority (one commit,
+    one `add` per partition file with its partitionValues); the reader
+    replays the log, applies the predicate (`priority ∈ {1-URGENT,
+    2-HIGH}`) to the partitionValues COLUMN of the action table — a
+    Catalyst filter on metadata rows — and hands ONLY the surviving
+    paths to the parquet source. The partition column itself is
+    restored from partitionValues (per spec it is NOT stored in the
+    data files), and the per-priority totals must match the oracle
+    computed over the unpartitioned source of truth.
+    `tests/test_plans.py::test_delta_partition_prune_reads_only_pruned_files`
+    asserts the scan's input files are exactly the pruned set.
+
+    Scale: the pruned file list rides one driver-side collect of the
+    SURVIVING add actions — bounded by selected partitions, the same
+    metadata class as sink_snapshot_timetravel's manifest (real tables
+    checkpoint the action table in parquet and filter it distributed,
+    collecting only the matches — identical shape).
+    """
+    import json
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_prune")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    # one file per partition dir (repartition(1) keeps the layout
+    # deterministic at fixture scale; a production writer shards)
+    o.repartition(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(data_dir)
+    adds = []
+    for d in sorted(os.listdir(data_dir)):
+        pdir = os.path.join(data_dir, d)
+        if not (os.path.isdir(pdir) and d.startswith("o_orderpriority=")):
+            continue
+        pval = d.split("=", 1)[1]
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                adds.append(
+                    {
+                        "add": {
+                            "path": f"data/{d}/{f}",
+                            "partitionValues": {"o_orderpriority": pval},
+                            "dataChange": True,
+                        }
+                    }
+                )
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+                + [json.dumps(a) for a in adds]
+            )
+            + "\n"
+        )
+
+    wanted = ("1-URGENT", "2-HIGH")
+    log_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField(
+                            "partitionValues",
+                            T.MapType(T.StringType(), T.StringType()),
+                        ),
+                    ]
+                ),
+            )
+        ]
+    )
+    pruned = (
+        spark.read.schema(log_schema)
+        .json(os.path.join(log_dir, "*.json"))
+        .select(
+            F.col("add.path").alias("path"),
+            F.element_at(F.col("add.partitionValues"), "o_orderpriority").alias(
+                "pval"
+            ),
+        )
+        .filter(F.col("path").isNotNull() & F.col("pval").isin(*wanted))
+        .collect()  # metadata: one row per SURVIVING file
+    )
+    if not pruned:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    # partition column restored from partitionValues, never from data;
+    # ONE scan node per surviving partition value (not per file)
+    by_val: dict[str, list[str]] = {}
+    for r in pruned:
+        by_val.setdefault(r["pval"], []).append(os.path.join(root, r["path"]))
+    scans = [
+        spark.read.parquet(*sorted(paths)).withColumn(
+            "o_orderpriority", F.lit(v)
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

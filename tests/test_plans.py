@@ -1032,3 +1032,28 @@ def test_mv_delta_scan_pushes_cutoff_predicate(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan, (
         "cutoff predicate did not push to the delta scan"
     )
+
+
+def test_delta_partition_prune_reads_only_pruned_files(spark):
+    """src_delta_partition_prune's scale claim: the predicate selects
+    files from the LOG's partitionValues alone, so the parquet scans'
+    input files must be EXACTLY the two wanted partitions' files —
+    opening an excluded partition's file (or falling back to a
+    directory listing of the table root) fails here even though the
+    aggregate would still be correct."""
+    df = engine.REGISTRY["src_delta_partition_prune"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    import re
+
+    parts = {
+        m.group(1)
+        for f in files
+        for m in [re.search(r"o_orderpriority=([^/]+)/", f)]
+        if m
+    }
+    assert parts == {"1-URGENT", "2-HIGH"}, (
+        f"scan read partitions {parts}, expected only the pruned pair"
+    )
+    # and the JSON log itself is not part of the DATA scan
+    assert not [f for f in files if f.endswith(".json")]
