@@ -128,7 +128,7 @@ def main() -> None:
         raw = (t2 / max(t1, 1e-9)
                if (t1 is not None and t2 is not None) else float("nan"))
         row = {"key": key, "t_sf0.01": t1, "t_sf0.1": t2,
-               "raw_10x": round(raw, 2)}
+               "raw_10x": round(raw, 2) if raw == raw else None}
         t0 = times[key].get("0.001")
         if t0 is not None and t1 is not None and t2 is not None:
             adj = (t2 - t0) / max(t1 - t0, 0.02)
@@ -137,8 +137,9 @@ def main() -> None:
                         "alpha": round(alpha, 2)})
         rows.append(row)
 
-    rows.sort(key=lambda r: -(r["raw_10x"] if r["raw_10x"] == r["raw_10x"]
-                              else 0.0))
+    rows.sort(
+        key=lambda r: -(r["raw_10x"] if r["raw_10x"] is not None else 0.0)
+    )
     print("\n| key | sf0.01 | sf0.1 | raw 10× |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
     def _fmt(v):  # a --sfs subset leaves some cells None
