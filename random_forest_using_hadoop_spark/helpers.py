@@ -151,9 +151,15 @@ def dist_row_number(
         ),
         F.col("_rn_pid"),
     )
-    return part.withColumn(
+    ranked = part.withColumn(
         out, (F.row_number().over(w) + off).cast("bigint")
     ).drop("_rn_pid")
+    # expose the internal cached frame so callers that bound their own
+    # cache lifetimes (the dedup session memos) can unpersist it with
+    # their entry instead of waiting for the engine-wide
+    # release_caches() boundary
+    ranked._rn_pin = part
+    return ranked
 
 
 def ntile_from_rn(rn_col: str, n: int, k: int) -> Column:

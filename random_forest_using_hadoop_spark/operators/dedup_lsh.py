@@ -236,7 +236,13 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     d = _docs_with_shingles(spark, sf_dir).cache()
     pairs = _exact_jaccard_pairs(spark, d).cache()
-    _memo_insert(_PAIR_MEMO, _PAIR_PINS, key, pairs, pins=(d,))
+    # pins: the shingled-docs cache AND the vocab-rank cache that
+    # dist_row_number persisted inside the bitmap encode — both are
+    # freed with this entry on LRU eviction (r10 advice: eviction must
+    # not leak the rank's InMemoryRelation)
+    rn_pin = getattr(pairs, "_rn_pin", None)
+    pins = (d, rn_pin) if rn_pin is not None else (d,)
+    _memo_insert(_PAIR_MEMO, _PAIR_PINS, key, pairs, pins=pins)
     return pairs
 
 
@@ -259,9 +265,8 @@ def _bitmap_encode(d: DataFrame, set_col: str) -> tuple[DataFrame, int]:
     n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
     n_words = (n_vocab + 63) // 64
     # "s" is distinct, hence a total order — dist_row_number's contract
-    sid = dist_row_number(vocab, [F.col("s")], out="_rn").select(
-        "s", (F.col("_rn") - 1).cast("int").alias("sid")
-    )
+    ranked = dist_row_number(vocab, [F.col("s")], out="_rn")
+    sid = ranked.select("s", (F.col("_rn") - 1).cast("int").alias("sid"))
     tok = d.select("doc_id", F.explode(set_col).alias("s")).join(
         F.broadcast(sid), "s"
     )
@@ -291,6 +296,11 @@ def _bitmap_encode(d: DataFrame, set_col: str) -> tuple[DataFrame, int]:
             ).alias("bm"),
         )
     )
+    # thread dist_row_number's internal cache (the range-partitioned
+    # vocab) to callers: the memoized pair stage pins it with its memo
+    # entry so LRU eviction frees it; unmemoized callers fall back to
+    # the engine-wide release_caches() boundary as before
+    enc._rn_pin = ranked._rn_pin
     return enc, n_words
 
 
@@ -348,7 +358,7 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     else:
         ea = enc.alias("ea").hint("SHUFFLE_HASH")
         eb = enc.alias("eb").hint("SHUFFLE_HASH")
-    return (
+    out = (
         cand.join(ea, F.col("a") == F.col("ea.doc_id"))
         .join(eb, F.col("b") == F.col("eb.doc_id"))
         .select(
@@ -361,6 +371,8 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
+    out._rn_pin = enc._rn_pin  # bubble the vocab-rank cache to the memo
+    return out
 
 
 # --- C2: MinHash + LSH near-dup candidates, exactly verified -----------------

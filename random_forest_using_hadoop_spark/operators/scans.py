@@ -1025,6 +1025,80 @@ def q_scan_missing_file_resilient(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- Delta-protocol transaction-log reader -----------------------------------
 
+
+def _delta_list_files(data_dir: str) -> set[str]:
+    if not os.path.isdir(data_dir):
+        return set()
+    return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+
+
+def _delta_commit(
+    log_dir: str,
+    version: int,
+    adds: set[str],
+    removes: set[str],
+    data_change: bool = True,
+) -> None:
+    """Write one Delta-protocol commit: zero-padded `<version>.json`,
+    JSON-lines actions with table-root-relative paths. `data_change`
+    MUST be False for rearrangement-only commits (compaction/optimize)
+    — it is the protocol's signal that lets streaming consumers skip
+    re-emitted rows (stream_delta_commits grades exactly that)."""
+    import json
+
+    lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+    lines += [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": data_change}})
+        for p in sorted(adds)
+    ]
+    lines += [
+        json.dumps(
+            {"remove": {"path": f"data/{p}", "dataChange": data_change}}
+        )
+        for p in sorted(removes)
+    ]
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def _delta_stage_history(
+    spark: SparkSession, o: DataFrame, root: str
+) -> tuple[set[str], set[str], set[str]]:
+    """Stage the shared three-commit Delta history under `root` (wiped
+    first): v0 = even-orderkey base (2 files), v1 = odd-slice append,
+    v2 = COMPACTION of v0's files into one (content-identical rewrite,
+    `dataChange: false` per spec — an empty base slice on adversarial
+    micro corpora commits metadata only). Returns the per-commit add
+    sets; shared by src_delta_log / src_delta_checkpoint /
+    stream_delta_commits so protocol fixes land in ONE place."""
+    import shutil
+
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    before = _delta_list_files(data_dir)
+    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v0_adds = _delta_list_files(data_dir) - before
+    _delta_commit(log_dir, 0, v0_adds, set())
+    before = _delta_list_files(data_dir)
+    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v1_adds = _delta_list_files(data_dir) - before
+    _delta_commit(log_dir, 1, v1_adds, set())
+    before = _delta_list_files(data_dir)
+    if v0_adds:
+        spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
+        ).repartition(1).write.mode("append").parquet(data_dir)
+    v2_adds = _delta_list_files(data_dir) - before
+    _delta_commit(log_dir, 2, v2_adds, v0_adds, data_change=False)
+    return v0_adds, v1_adds, v2_adds
+
+
 _DELTA_LOG_ORACLE = """
 SELECT v.version,
        CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
@@ -1076,58 +1150,13 @@ def q_src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     version-projection explode is |actions| x |versions| metadata
     rows, never data.
     """
-    import json
-    import shutil
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     root = _tmp(sf_dir, "delta_log")
     data_dir = os.path.join(root, "data")
     log_dir = os.path.join(root, "_delta_log")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(log_dir, exist_ok=True)
-
-    def _files() -> set[str]:
-        if not os.path.isdir(data_dir):
-            return set()
-        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
-
-    def _commit(version: int, adds: set[str], removes: set[str]) -> None:
-        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
-        for p in sorted(adds):
-            lines.append(
-                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
-            )
-        for p in sorted(removes):
-            lines.append(
-                json.dumps({"remove": {"path": f"data/{p}", "dataChange": True}})
-            )
-        name = os.path.join(log_dir, f"{version:020d}.json")
-        with open(name, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-
-    # v0: even-orderkey base snapshot (2 files via repartition)
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v0_adds = _files() - before
-    _commit(0, v0_adds, set())
-    # v1: append the odd slice — v0's files untouched
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
-        "append"
-    ).parquet(data_dir)
-    _commit(1, _files() - before, set())
-    # v2: compact v0's files into one (content-identical rewrite);
-    # an empty base slice (adversarial micro corpora) commits metadata only
-    before = _files()
-    if v0_adds:
-        spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
-        ).repartition(1).write.mode("append").parquet(data_dir)
-    _commit(2, _files() - before, v0_adds)
+    _delta_stage_history(spark, o, root)
 
     log_schema = T.StructType(
         [
@@ -1238,7 +1267,6 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how delta readers bootstrap.
     """
     import json
-    import shutil
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -1246,46 +1274,7 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp(sf_dir, "delta_ckpt")
     data_dir = os.path.join(root, "data")
     log_dir = os.path.join(root, "_delta_log")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(log_dir, exist_ok=True)
-
-    def _files() -> set[str]:
-        if not os.path.isdir(data_dir):
-            return set()
-        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
-
-    def _commit(version: int, adds: set[str], removes: set[str]) -> None:
-        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
-        lines += [
-            json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
-            for p in sorted(adds)
-        ]
-        lines += [
-            json.dumps({"remove": {"path": f"data/{p}", "dataChange": True}})
-            for p in sorted(removes)
-        ]
-        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v0_adds = _files() - before
-    _commit(0, v0_adds, set())
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v1_adds = _files() - before
-    _commit(1, v1_adds, set())
-    before = _files()
-    if v0_adds:
-        spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
-        ).repartition(1).write.mode("append").parquet(data_dir)
-    v2_adds = _files() - before
-    _commit(2, v2_adds, v0_adds)
+    v0_adds, v1_adds, v2_adds = _delta_stage_history(spark, o, root)
 
     # checkpoint at v2: reconciled live-add state, written AS PARQUET by
     # a Spark job (checkpoint size ∝ live files — executor-side at scale)
@@ -1299,8 +1288,9 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": 2}))
 
-    # v3: DELETE the odd slice — remove-only commit
-    _commit(3, set(), v1_adds)
+    # v3: DELETE the odd slice — remove-only commit, dataChange TRUE
+    # (a real delete, unlike the staged compaction)
+    _delta_commit(log_dir, 3, set(), v1_adds)
 
     # --- reader: bootstrap from _last_checkpoint, never open v0-v2 json
     with open(os.path.join(log_dir, "_last_checkpoint")) as fh:

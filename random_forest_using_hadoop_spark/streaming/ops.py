@@ -760,62 +760,22 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     callback runs ON THE DRIVER (no worker-pickled closure) and
     collects only add actions, ∝ files per commit.
     """
-    import json
     import os
 
     from pyspark.sql import types as T
 
-    from random_forest_using_hadoop_spark.operators.scans import _tmp
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_stage_history,
+        _tmp,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     root = _tmp(sf_dir, "delta_cdc")
-    data_dir = os.path.join(root, "data")
     log_dir = os.path.join(root, "_delta_log")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(log_dir, exist_ok=True)
-
-    def _files() -> set[str]:
-        if not os.path.isdir(data_dir):
-            return set()
-        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
-
-    def _commit(version: int, adds, removes, data_change: bool) -> None:
-        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
-        lines += [
-            json.dumps(
-                {"add": {"path": f"data/{p}", "dataChange": data_change}}
-            )
-            for p in sorted(adds)
-        ]
-        lines += [
-            json.dumps(
-                {"remove": {"path": f"data/{p}", "dataChange": data_change}}
-            )
-            for p in sorted(removes)
-        ]
-        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v0_adds = _files() - before
-    _commit(0, v0_adds, set(), True)
-    before = _files()
-    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
-        "append"
-    ).parquet(data_dir)
-    _commit(1, _files() - before, set(), True)
-    before = _files()
-    if v0_adds:
-        spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
-        ).repartition(1).write.mode("append").parquet(data_dir)
-    # compaction: rearrangement only — dataChange false on add AND remove
-    _commit(2, _files() - before, v0_adds, False)
+    # shared staging: v0/v1 dataChange true, v2 compaction false
+    _delta_stage_history(spark, o, root)
 
     log_schema = T.StructType(
         [
@@ -835,8 +795,16 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     acc: dict[int, list[int]] = {}
+    done_batches: set[int] = set()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a mid-sink failure replays the
+        # whole micro-batch, so (1) skip batch_ids already fully merged
+        # and (2) compute the batch's contribution completely before
+        # touching `acc` — a retry after a partial compute then merges
+        # nothing twice.
+        if batch_id in done_batches:
+            return
         acts = (
             batch_df.withColumn(
                 "version",
@@ -855,6 +823,7 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_v.setdefault(r["version"], []).append(
                 os.path.join(root, r["path"])
             )
+        local: dict[int, tuple[int, int]] = {}
         for v, paths in by_v.items():
             row = (
                 spark.read.parquet(*sorted(paths))
@@ -869,9 +838,12 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()[0]
             )
             if row["n"]:
-                got = acc.setdefault(v, [0, 0])
-                got[0] += row["n"]
-                got[1] += row["cents"]
+                local[v] = (row["n"], row["cents"])
+        for v, (n, c) in local.items():  # atomic merge, then mark done
+            got = acc.setdefault(v, [0, 0])
+            got[0] += n
+            got[1] += c
+        done_batches.add(batch_id)
 
     ckpt = tempfile.mkdtemp(prefix="delta_cdc_ckpt_")
     query = (

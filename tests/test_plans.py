@@ -19,12 +19,15 @@ from tests.conftest import BENCH_SF_DIR, SF_DIR
 engine.load_all()
 
 
-def _formatted_plan_at(spark, key: str, sf_dir: str) -> str:
-    df = engine.REGISTRY[key].fn(spark, sf_dir)
-    jvm = spark._jvm
+def _formatted_str(df) -> str:
+    jvm = df.sparkSession._jvm
     return df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def _formatted_plan_at(spark, key: str, sf_dir: str) -> str:
+    return _formatted_str(engine.REGISTRY[key].fn(spark, sf_dir))
 
 
 def _formatted_plan(spark, key: str) -> str:
@@ -134,64 +137,55 @@ _PYTHON_EVAL_MARKERS = (
 # data-proportional global window (the r9 _bitmap_encode vocabulary
 # rank) must use helpers.dist_row_number instead and never appear here.
 _UNPART_WINDOW_ALLOWED = {
-    "agg_abc_classification": (1, "cumulative share over per-part agg (≤ part count)"),
+    "agg_abc_classification": (2, "cumulative share over per-part agg (≤ part count)"),
     "agg_basket_pairs": (1, "rank over support-filtered pair frame, top-k cut upstream"),
-    "agg_changepoint_cusum": (1, "CUSUM scan over the daily spine (≤366 rows/yr)"),
-    "agg_chisq_independence": (2, "rank over the (type × cohort) contingency cells"),
+    "agg_changepoint_cusum": (2, "CUSUM scan over the daily spine (≤366 rows/yr)"),
+    "agg_chisq_independence": (1, "rank over the (type × cohort) contingency cells"),
     "agg_interorder_gaps": (1, "cumulative over per-gap-bucket histogram"),
     "agg_kaplan_meier": (2, "survival product over horizon-bounded risk table"),
     "agg_ks_test": (1, "cumulative CDF step over the value-domain histogram"),
     "agg_mannwhitney_u": (1, "cumulative rank over the value-domain histogram (≤20k values)"),
-    "agg_markov_transition": (1, "rank over (state × state) transition cells"),
-    "agg_pareto_point": (1, "cumulative share over per-part agg (≤ part count)"),
-    "agg_percentile_disc": (1, "final 3-tagged-rows-per-type rank (≤ 3·|types|)"),
-    "agg_percentile_histogram": (1, "cumulative over fixed bucket grid"),
-    "agg_seasonal_decompose": (1, "moving average over the daily spine"),
-    "agg_spearman_corr": (4, "midranks over the daily spine (≤366 rows/yr)"),
-    "agg_theilsen_trend": (1, "median rank over O(days²) slope pairs, calendar-bounded"),
-    "agg_winsorized_mean": (1, "final cut-point rank over 5 priority groups"),
-    "pipe_length_histogram": (1, "cumulative over fixed-width length buckets"),
-    "pipe_token_share_curve": (1, "cumulative share over the vocab-rank top-k cut"),
-    "text_langid_confusion": (1, "rank over (lang × lang) confusion cells"),
+    "agg_pareto_point": (2, "cumulative share over per-part agg (≤ part count)"),
+    "agg_spearman_corr": (2, "midranks over the daily spine (≤366 rows/yr)"),
+    "pipe_corpus_mix_report": (1, "global token-share over |sources|×|langs| agg cells"),
+    "pipe_length_histogram": (2, "cumulative over fixed-width length buckets"),
+    "pipe_token_share_curve": (2, "cumulative share over the vocab-rank top-k cut"),
     "text_zipf_slope": (1, "rank over TakeOrderedAndProject'd top vocab"),
-    "tpch_q2_min_cost_supplier": (1, "final output rank after min-cost semi-join prune"),
     "win_bollinger_bands": (1, "moving stats over the daily spine"),
     "win_ewma_crossover": (5, "EWMA chain over the daily spine (≤366 rows/yr)"),
-    "win_outlier_mad": (3, "median/MAD selection rows per type (≤ 2·|types|)"),
     "win_rsi_indicator": (2, "gain/loss smoothing over the daily spine"),
     "win_sliding_median": (1, "sliding rank over the daily spine"),
     "win_vwap_cumulative": (1, "cumulative VWAP over the daily spine"),
 }
 
 
-def _top_level_groups(s: str) -> int:
-    """Count top-level [...] groups in a physical-plan Arguments line —
-    a Window node renders [exprs], [partSpec], [orderSpec]; an
-    UNpartitioned one omits the middle group (2 groups, not 3)."""
-    depth = groups = 0
-    for ch in s:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-    return groups
-
-
-def _unpartitioned_window_count(plan: str) -> int:
-    """Number of WindowExec nodes in a formatted plan whose Arguments
-    carry no partition spec (SinglePartition funnel)."""
-    lines = plan.splitlines()
+def _unpartitioned_window_count(df) -> int:
+    """Exact count of physical Window nodes whose partition spec is
+    EMPTY (the SinglePartition funnel), read from the plan TREE via
+    py4j rather than parsed out of the explain string — the string's
+    bracket-group count conflates 'no partition spec' with 'has order
+    spec' (a partitioned order-less window also renders two groups,
+    and an unpartitioned order-less one renders one), misclassifying
+    in both directions. Covers WindowExec and WindowInPandasExec;
+    WindowGroupLimit is a pushed-down rank FILTER, not a funnel, and
+    is deliberately excluded. Subquery plans are traversed too."""
     n = 0
-    for i, line in enumerate(lines):
-        if re.match(r"^\(\d+\) Window(\s+\[codegen.*)?$", line.strip()):
-            for j in range(i + 1, min(i + 8, len(lines))):
-                ls = lines[j].strip()
-                if ls.startswith("Arguments: "):
-                    if _top_level_groups(ls[len("Arguments: "):]) == 2:
-                        n += 1
-                    break
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                n += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        try:  # expression subqueries carry their own plan trees
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:
+            pass
     return n
 
 
@@ -222,13 +216,14 @@ def test_no_cartesian_in_sql_oracle_queries(spark):
             continue
         if key.startswith(("stream_", "ml_")):
             continue  # streaming plans materialize through sinks
-        plan = _formatted_plan(spark, key)
+        df = engine.REGISTRY[key].fn(spark, SF_DIR)
+        plan = _formatted_str(df)
         if "CartesianProduct" in plan and key not in allowed:
             flagged.append(key)
         found = {m for m in _PYTHON_EVAL_MARKERS if m in plan}
         if found != _PYTHON_EVAL_ALLOWED.get(key, set()):
             py_flagged.append((key, sorted(found)))
-        n_unpart = _unpartitioned_window_count(plan)
+        n_unpart = _unpartitioned_window_count(df)
         if n_unpart != _UNPART_WINDOW_ALLOWED.get(key, (0, ""))[0]:
             win_flagged.append((key, n_unpart))
     assert not flagged, f"unexpected cartesian joins in: {flagged}"
