@@ -199,8 +199,14 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
     with the entry. ``checkpointed`` entries release their (non-
     recomputable) localCheckpoint blocks instead of a cache unpersist;
     that release is logged because it invalidates any still-held
-    reference to the evicted frame (see _memo_touch).
+    reference to the evicted frame (see _memo_touch). The flag is
+    recorded ON the inserted frame and eviction reads the EVICTED
+    entry's own flag (r10 ADVICE: using the incoming entry's flag was
+    only correct while each memo stayed homogeneous — a mixed-use memo
+    would have freed a localCheckpoint as a cache unpersist, or leaked
+    one, silently).
     """
+    frame._memo_checkpointed = checkpointed
     memo[key] = frame
     if pins:
         pins_map[key] = list(pins)
@@ -212,7 +218,7 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
                 f.unpersist()
             except Exception:
                 pass
-        if checkpointed:
+        if getattr(stale, "_memo_checkpointed", False):
             import logging
 
             logging.getLogger(__name__).info(
@@ -226,6 +232,34 @@ def _memo_insert(memo: dict, pins_map: dict, key: str, frame: DataFrame,
                 stale.unpersist()
             except Exception:
                 pass
+
+
+# Bounded scope for the vocab-rank caches dist_row_number pins inside
+# _bitmap_encode calls that are NOT memoized (the bigram verify and the
+# incremental shingle verify): each call used to leave one new
+# InMemoryRelation cached until the engine-wide release_caches()
+# boundary (r10 ADVICE — cache growth ∝ invocations). Unpersisting a
+# pin is always CORRECT, never a contract break: the rank recomputes
+# through the same lineage, hence the same RangePartitioner boundaries
+# (see helpers.dist_row_number), so bounding to the last
+# _TRANSIENT_KEEP pins trades at most a recompute, not a wrong answer.
+_TRANSIENT_PINS: list = []
+_TRANSIENT_KEEP = 2
+
+
+def _pin_transient(frame) -> None:
+    """Register an unmemoized _bitmap_encode result's vocab-rank cache;
+    evict (unpersist) the oldest past the bound."""
+    pin = getattr(frame, "_rn_pin", None)
+    if pin is None:
+        return
+    _TRANSIENT_PINS.append(pin)
+    while len(_TRANSIENT_PINS) > _TRANSIENT_KEEP:
+        old = _TRANSIENT_PINS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +822,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can't reach the division — the guard stays for plan-reorder
     # safety (the oracle's NULLIF form).
     enc, n_words = _bitmap_encode(bg.select("doc_id", "bigrams"), "bigrams")
+    _pin_transient(enc)  # unmemoized call: bound the vocab-rank cache
     inter = F.aggregate(
         F.zip_with(
             F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
@@ -1279,6 +1314,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     enc, n_words = _bitmap_encode(d.select("doc_id", "shingles"), "shingles")
+    _pin_transient(enc)  # unmemoized call: bound the vocab-rank cache
     inter = F.aggregate(
         F.zip_with(
             F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))

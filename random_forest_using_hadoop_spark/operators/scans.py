@@ -1099,6 +1099,148 @@ def _delta_stage_history(
     return v0_adds, v1_adds, v2_adds
 
 
+def _delta_max_version(log_dir: str) -> int:
+    """Latest commit version in a `_delta_log/` directory, derived from
+    the zero-padded `<version>.json` file names — ONE driver-side
+    metadata listing (the log dir is bounded: real tables roll history
+    into checkpoints, so the JSON tail stays short). Raises on an empty
+    log: a Delta table without commit 0 is not a table."""
+    versions = [
+        int(f.split(".", 1)[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".", 1)[0].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no commit json in {log_dir}")
+    return max(versions)
+
+
+_DELTA_ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "add", T.StructType([T.StructField("path", T.StringType())])
+        ),
+        T.StructField(
+            "remove", T.StructType([T.StructField("path", T.StringType())])
+        ),
+    ]
+)
+
+
+def _delta_live_files(spark: SparkSession, log_dir: str) -> DataFrame:
+    """(version, fname) live-file table for EVERY version of a Delta
+    log, by distributed replay: read the JSON commits once with an
+    explicit schema, tag each action with its commit version from the
+    file name, project each action onto every version ≥ its commit via
+    `explode(sequence(u, max_version))`, and keep the LAST action per
+    (version, file) with `max_by(is_add, u)` — a file is live at v iff
+    that action is an add. The version bound comes from
+    [[_delta_max_version]] (one log-dir listing), so the replay is
+    protocol-generic, not fixture-bound. |actions| × |versions|
+    metadata rows, never data."""
+    max_v = _delta_max_version(log_dir)
+    actions = (
+        spark.read.schema(_DELTA_ACTION_SCHEMA)
+        .json(os.path.join(log_dir, "*.json"))
+        .withColumn(
+            "u",
+            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
+                "int"
+            ),
+        )
+        .select(
+            "u",
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+        )
+        .filter(F.col("path").isNotNull())
+    )
+    return (
+        actions.select(
+            "path",
+            "is_add",
+            "u",
+            F.explode(F.sequence("u", F.lit(max_v))).alias("version"),
+        )
+        .groupBy("version", "path")
+        .agg(F.max_by("is_add", "u").alias("live"))
+        .filter("live")
+        .select(
+            "version",
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+        )
+    )
+
+
+def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
+    """File names (basenames) live at the LATEST version of a Delta
+    table — the production single-snapshot read path. Bootstraps from
+    `_last_checkpoint` when present: load the checkpoint parquet's add
+    rows (entering the replay fold as version-`ckpt_v` adds), stack
+    ONLY the post-checkpoint JSON tail, and keep `max_by(is_add, u)`
+    per file — O(live files + tail), never O(history). A checkpoint AT
+    the latest version has an empty tail, which must read as exactly
+    the checkpoint's contents (the degenerate case the adversarial
+    battery pins). Without a checkpoint, falls back to full-history
+    replay via [[_delta_live_files]]. Returns a driver-side set: the
+    live-file list is the scheduler-class metadata a scan plan needs
+    (real tables keep it distributed until the final collect of
+    surviving paths, same as src_delta_partition_prune)."""
+    import json
+
+    log_dir = os.path.join(root, "_delta_log")
+    max_v = _delta_max_version(log_dir)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        live = _delta_live_files(spark, log_dir).filter(
+            F.col("version") == max_v
+        )
+        return {r["fname"] for r in live.select("fname").collect()}
+    with open(lc) as fh:
+        ckpt_v = int(json.load(fh)["version"])
+    actions = (
+        spark.read.parquet(
+            os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+        )
+        .select(
+            F.col("add.path").alias("path"),
+            F.lit(True).alias("is_add"),
+            F.lit(ckpt_v).alias("u"),
+        )
+    )
+    tail_files = [
+        os.path.join(log_dir, f"{v:020d}.json")
+        for v in range(ckpt_v + 1, max_v + 1)
+    ]
+    if tail_files:  # empty when the checkpoint IS the latest version
+        tail = (
+            spark.read.schema(_DELTA_ACTION_SCHEMA)
+            .json(tail_files)
+            .withColumn(
+                "u",
+                F.regexp_extract(
+                    F.input_file_name(), r"(\d+)\.json", 1
+                ).cast("int"),
+            )
+            .select(
+                F.coalesce(F.col("add.path"), F.col("remove.path")).alias(
+                    "path"
+                ),
+                F.col("add.path").isNotNull().alias("is_add"),
+                "u",
+            )
+            .filter(F.col("path").isNotNull())
+        )
+        actions = actions.unionByName(tail)
+    live = (
+        actions.groupBy("path")
+        .agg(F.max_by("is_add", "u").alias("live"))
+        .filter("live")
+        .select(F.element_at(F.split("path", "/"), -1).alias("fname"))
+    )
+    return {r["fname"] for r in live.collect()}
+
+
 _DELTA_LOG_ORACLE = """
 SELECT v.version,
        CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
@@ -1158,50 +1300,11 @@ def q_src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = os.path.join(root, "_delta_log")
     _delta_stage_history(spark, o, root)
 
-    log_schema = T.StructType(
-        [
-            T.StructField(
-                "add",
-                T.StructType([T.StructField("path", T.StringType())]),
-            ),
-            T.StructField(
-                "remove",
-                T.StructType([T.StructField("path", T.StringType())]),
-            ),
-        ]
-    )
-    actions = (
-        spark.read.schema(log_schema)
-        .json(os.path.join(log_dir, "*.json"))
-        .withColumn(
-            "u",
-            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
-                "int"
-            ),
-        )
-        .select(
-            "u",
-            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
-            F.col("add.path").isNotNull().alias("is_add"),
-        )
-        .filter(F.col("path").isNotNull())
-    )
-    max_v = 2  # staged above; a generic reader lists the log dir once
-    live = (
-        actions.select(
-            "path",
-            "is_add",
-            "u",
-            F.explode(F.sequence("u", F.lit(max_v))).alias("version"),
-        )
-        .groupBy("version", "path")
-        .agg(F.max_by("is_add", "u").alias("live"))
-        .filter("live")
-        .select(
-            "version",
-            F.element_at(F.split("path", "/"), -1).alias("fname"),
-        )
-    )
+    # shared protocol-generic replay: version bound derived from the
+    # log listing (r10 verdict task 2 — no fixture constant), live sets
+    # by explode-projection + max_by(is_add, u)
+    max_v = _delta_max_version(log_dir)
+    live = _delta_live_files(spark, log_dir)
     data = o.sparkSession.read.parquet(data_dir).withColumn(
         "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
@@ -1277,14 +1380,27 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0_adds, v1_adds, v2_adds = _delta_stage_history(spark, o, root)
 
     # checkpoint at v2: reconciled live-add state, written AS PARQUET by
-    # a Spark job (checkpoint size ∝ live files — executor-side at scale)
+    # a Spark job (checkpoint size ∝ live files — executor-side at scale).
+    # Spark writes a directory; the spec's classic checkpoint is a single
+    # `<v>.checkpoint.parquet` FILE, so the one part-file is renamed into
+    # place (the write-then-rename commit idiom; object stores do a copy)
+    # — an external Delta reader can bootstrap from this table (r10
+    # ADVICE: the directory form overstated interop).
+    import shutil
+
     live_v2 = sorted(v1_adds | v2_adds)
     ckpt_path = os.path.join(log_dir, "00000000000000000002.checkpoint.parquet")
+    ckpt_tmp = os.path.join(root, "_ckpt_stage")
     spark.createDataFrame(
         [(f"data/{p}",) for p in live_v2], "add_path string"
     ).select(
         F.struct(F.col("add_path").alias("path")).alias("add")
-    ).repartition(1).write.mode("overwrite").parquet(ckpt_path)
+    ).repartition(1).write.mode("overwrite").parquet(ckpt_tmp)
+    (part_file,) = [
+        f for f in os.listdir(ckpt_tmp) if f.endswith(".parquet")
+    ]  # repartition(1) → exactly one part
+    os.replace(os.path.join(ckpt_tmp, part_file), ckpt_path)
+    shutil.rmtree(ckpt_tmp, ignore_errors=True)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": 2}))
 
@@ -1305,23 +1421,13 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(ckpt_v).alias("u"),
         )
     )
-    log_schema = T.StructType(
-        [
-            T.StructField(
-                "add", T.StructType([T.StructField("path", T.StringType())])
-            ),
-            T.StructField(
-                "remove", T.StructType([T.StructField("path", T.StringType())])
-            ),
-        ]
-    )
-    max_v = 3
+    max_v = _delta_max_version(log_dir)  # one listing, not a constant
     tail_files = [
         os.path.join(log_dir, f"{v:020d}.json")
         for v in range(ckpt_v + 1, max_v + 1)
     ]
     tail = (
-        spark.read.schema(log_schema)
+        spark.read.schema(_DELTA_ACTION_SCHEMA)
         .json(tail_files)
         .withColumn(
             "u",

@@ -67,6 +67,9 @@ def release_caches(spark: SparkSession) -> None:
     # so the memo must never outlive this call
     dedup_lsh._CC_MEMO.clear()
     dedup_lsh._CC_PINS.clear()
+    # transient vocab-rank pins from unmemoized _bitmap_encode calls —
+    # their storage falls to the sweeps below; drop the references too
+    dedup_lsh._TRANSIENT_PINS.clear()
     # all DataFrame/table-level caches (simhash `sh`, CC `edges`, ...)
     spark.catalog.clearCache()
     # RDD-level blocks clearCache can't see: localCheckpoints from the

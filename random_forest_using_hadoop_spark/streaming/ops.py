@@ -733,6 +733,50 @@ GROUP BY v.version
 """
 
 
+def _cdc_version_stats(
+    spark: SparkSession, root: str, acts
+) -> dict[int, tuple[int, int]]:
+    """Per-version (rows, cent total) for one CDC micro-batch's add
+    actions, in a CONSTANT number of Spark actions regardless of how
+    many commit versions the batch carries (r10 verdict task 3 — the
+    per-version sequential read loop serialized a compaction-heavy
+    availableNow replay): scan every add-path ONCE, tag each row with
+    its source file via input_file_name(), broadcast-join the bounded
+    (fname → version) action map, and finish with a single hash agg
+    grouped by version — the exact pattern src_delta_log uses for its
+    full-history replay. One collect total; the returned dict is one
+    row per version (bounded metadata).
+    `tests/test_delta_protocol.py::test_cdc_batch_stats_constant_jobs`
+    pins the job count on a many-version batch."""
+    import os
+
+    fmap = spark.createDataFrame(
+        [(os.path.basename(r["path"]), r["version"]) for r in acts],
+        "fname string, version int",
+    )
+    rows = (
+        spark.read.parquet(
+            *sorted({os.path.join(root, r["path"]) for r in acts})
+        )
+        .withColumn(
+            "fname",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(fmap), "fname")
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+        .collect()  # bounded: one row per version in the batch
+    )
+    return {r["version"]: (r["n"], r["cents"]) for r in rows if r["n"]}
+
+
 @register("stream_delta_commits", oracle=_DELTA_CDC_ORACLE)
 def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC ingest off a Delta-protocol table: `readStream`
@@ -758,7 +802,12 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level deletes need the protocol's Change Data Feed actions —
     out of scope for the read path staged here. The foreachBatch
     callback runs ON THE DRIVER (no worker-pickled closure) and
-    collects only add actions, ∝ files per commit.
+    collects only add actions, ∝ files per commit; the batch's data
+    files are then read in ONE job (rows tagged to versions via
+    input_file_name + a broadcast action map), so a compaction-heavy
+    replay carrying many versions in one micro-batch still issues a
+    constant number of jobs, not one per version
+    (tests/test_delta_protocol.py pins the job count).
     """
     import os
 
@@ -805,6 +854,11 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nothing twice.
         if batch_id in done_batches:
             return
+        # tag the sink's jobs (Spark-UI observability; also how the
+        # unit test asserts the constant-jobs-per-batch contract)
+        spark.sparkContext.setLocalProperty(
+            "spark.jobGroup.id", "delta_cdc_sink"
+        )
         acts = (
             batch_df.withColumn(
                 "version",
@@ -818,32 +872,13 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("version", F.col("add.path").alias("path"))
             .collect()  # bounded: add actions in this commit batch
         )
-        by_v: dict[int, list[str]] = {}
-        for r in acts:
-            by_v.setdefault(r["version"], []).append(
-                os.path.join(root, r["path"])
-            )
-        local: dict[int, tuple[int, int]] = {}
-        for v, paths in by_v.items():
-            row = (
-                spark.read.parquet(*sorted(paths))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(
-                        F.floor(
-                            F.col("o_totalprice") * 100 + F.lit(0.5)
-                        ).cast("bigint")
-                    ).alias("cents"),
-                )
-                .collect()[0]
-            )
-            if row["n"]:
-                local[v] = (row["n"], row["cents"])
+        local = _cdc_version_stats(spark, root, acts) if acts else {}
         for v, (n, c) in local.items():  # atomic merge, then mark done
             got = acc.setdefault(v, [0, 0])
             got[0] += n
             got[1] += c
         done_batches.add(batch_id)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     ckpt = tempfile.mkdtemp(prefix="delta_cdc_ckpt_")
     query = (

@@ -15,14 +15,20 @@ import json
 import os
 
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+import random_forest_using_hadoop_spark as engine
 from random_forest_using_hadoop_spark.operators.scans import (
+    _delta_commit,
+    _delta_latest_live_files,
+    _delta_live_files,
+    _delta_max_version,
     _delta_stage_history,
     _tmp,
 )
 from random_forest_using_hadoop_spark.sources import load_table
 from tests.conftest import SF_DIR
+
+engine.load_all()  # the CDC test resolves stream_delta_commits by key
 
 
 def _stage(spark):
@@ -57,54 +63,286 @@ def test_staged_commit_layout_and_datachange_flags(spark):
     assert all(g["dataChange"] is False for g in got_add + got_rm)
 
 
-def test_log_replay_live_sets_honor_removes(spark):
-    """Replay with the same plan shape the readers use (explode version
-    projection + max_by(is_add, u)) and assert the per-version live
-    FILE SETS — v2 must drop every v0 file even though its content
-    equals v1's, which the value oracles alone cannot distinguish from
-    an adds-only union when v0 is empty on a degenerate corpus."""
-    root, (v0, v1, v2) = _stage(spark)
-    log_schema = T.StructType(
-        [
-            T.StructField(
-                "add", T.StructType([T.StructField("path", T.StringType())])
-            ),
-            T.StructField(
-                "remove",
-                T.StructType([T.StructField("path", T.StringType())]),
-            ),
-        ]
-    )
-    live = (
-        spark.read.schema(log_schema)
-        .json(os.path.join(root, "_delta_log", "*.json"))
-        .withColumn(
-            "u",
-            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
-                "int"
-            ),
-        )
-        .select(
-            "u",
-            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
-            F.col("add.path").isNotNull().alias("is_add"),
-        )
-        .filter(F.col("path").isNotNull())
-        .select(
-            "path",
-            "is_add",
-            "u",
-            F.explode(F.sequence("u", F.lit(2))).alias("version"),
-        )
-        .groupBy("version", "path")
-        .agg(F.max_by("is_add", "u").alias("live"))
-        .filter("live")
-        .collect()
-    )
+def _live_by_version(spark, root) -> dict[int, set]:
+    live = _delta_live_files(
+        spark, os.path.join(root, "_delta_log")
+    ).collect()
     by_v: dict[int, set] = {}
     for r in live:
-        by_v.setdefault(r["version"], set()).add(r["path"].split("/")[-1])
+        by_v.setdefault(r["version"], set()).add(r["fname"])
+    return by_v
+
+
+def test_log_replay_live_sets_honor_removes(spark):
+    """Replay with the readers' shared helper (_delta_live_files:
+    explode version projection + max_by(is_add, u)) and assert the
+    per-version live FILE SETS — v2 must drop every v0 file even though
+    its content equals v1's, which the value oracles alone cannot
+    distinguish from an adds-only union when v0 is empty on a
+    degenerate corpus."""
+    root, (v0, v1, v2) = _stage(spark)
+    by_v = _live_by_version(spark, root)
     assert by_v.get(0, set()) == v0
     assert by_v.get(1, set()) == v0 | v1
     assert by_v.get(2, set()) == v1 | v2, "v2 must drop all v0 files"
     assert not (by_v.get(2, set()) & v0), "removed files leaked into v2"
+
+
+def test_replay_version_bound_derived_from_log(spark):
+    """The replay's version ceiling comes from the log LISTING, not a
+    fixture constant (r10 verdict task 2): staging a 4th commit must
+    surface version 3 in the replay with its live set — under the old
+    `max_v = 2` constant the extra version silently vanished."""
+    root, (v0, v1, v2) = _stage(spark)
+    log_dir = os.path.join(root, "_delta_log")
+    assert _delta_max_version(log_dir) == 2
+    # v3: remove the compacted file (arbitrary fourth commit)
+    _delta_commit(log_dir, 3, set(), v2)
+    assert _delta_max_version(log_dir) == 3
+    by_v = _live_by_version(spark, root)
+    assert set(by_v) >= {0, 1, 2, 3}, "version 3 must appear in replay"
+    assert by_v[3] == v1, "v3 = v2 minus the compacted file"
+
+
+# --- adversarial staged histories (r10 verdict task 4) -----------------------
+#
+# The shipped staging exercises one healthy history; these pin the
+# degenerate protocol shapes a generic reader must survive: a
+# metadata-only empty v0, a remove-everything commit, a checkpoint AT
+# the latest version (empty JSON tail), and a multi-file compaction.
+# Each is graded through the same oracle shape as the registered keys:
+# live-set replay plus a content audit (rows + exact cent totals) of
+# the files the replay selects, against totals computed independently
+# from the rows staged into each file.
+
+
+def _stage_micro(spark, root, commits):
+    """Stage a micro Delta table from a spec list. Each commit is
+    (adds, removes, data_change) where adds maps file-tag → list of
+    (k, cents) rows; returns {file-tag → basename}."""
+    import shutil
+
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    names: dict[str, str] = {}
+    for v, (adds, removes, data_change) in enumerate(commits):
+        add_names = set()
+        for tag, rows in adds.items():
+            before = {
+                f for f in os.listdir(data_dir) if f.endswith(".parquet")
+            } if os.path.isdir(data_dir) else set()
+            spark.createDataFrame(
+                rows, "k int, cents long"
+            ).coalesce(1).write.mode("append").parquet(data_dir)
+            new = {
+                f for f in os.listdir(data_dir) if f.endswith(".parquet")
+            } - before
+            (names[tag],) = new
+            add_names.add(names[tag])
+        _delta_commit(
+            log_dir,
+            v,
+            add_names,
+            {names[t] for t in removes},
+            data_change=data_change,
+        )
+    return names
+
+
+def _audit(spark, root, fnames) -> tuple[int, int]:
+    """(row count, cent total) over the given live files — the content
+    side of the oracle shape the registered delta keys grade."""
+    if not fnames:
+        return (0, 0)
+    df = spark.read.parquet(
+        *[os.path.join(root, "data", f) for f in sorted(fnames)]
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    ).collect()[0]
+    return (row["n"], row["c"] or 0)
+
+
+def test_adversarial_empty_v0(spark):
+    """Commit 0 with NO adds (metadata-only table creation): replay
+    must emit an empty live set at v0 and only v1's files at v1."""
+    root = _tmp(SF_DIR, "delta_adv_empty")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({}, set(), True),  # v0: no data at all
+            ({"a": [(1, 10), (2, 20)]}, set(), True),
+        ],
+    )
+    by_v = _live_by_version(spark, root)
+    assert by_v.get(0, set()) == set()
+    assert by_v.get(1, set()) == {names["a"]}
+    assert _audit(spark, root, by_v.get(0, set())) == (0, 0)
+    assert _audit(spark, root, by_v.get(1, set())) == (2, 30)
+    assert _delta_latest_live_files(spark, root) == {names["a"]}
+
+
+def test_adversarial_remove_everything(spark):
+    """A commit that removes EVERY live file (full delete): the latest
+    snapshot must be empty even though every staged data file still
+    exists on disk — a directory-listing reader fails this."""
+    root = _tmp(SF_DIR, "delta_adv_rmall")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)], "b": [(2, 20)]}, set(), True),
+            ({}, {"a", "b"}, True),
+        ],
+    )
+    by_v = _live_by_version(spark, root)
+    assert by_v.get(0, set()) == {names["a"], names["b"]}
+    assert by_v.get(1, set()) == set(), "remove-everything must empty v1"
+    assert _audit(spark, root, by_v.get(1, set())) == (0, 0)
+    assert _delta_latest_live_files(spark, root) == set()
+
+
+def test_adversarial_multifile_compaction(spark):
+    """Many-to-many compaction (4 files → 2, dataChange false): the
+    post-compaction live set is exactly the 2 rewritten files and the
+    content audit is IDENTICAL across the boundary."""
+    root = _tmp(SF_DIR, "delta_adv_compact")
+    parts = {f"p{i}": [(i, 10 * i)] for i in range(4)}
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            (parts, set(), True),
+            (
+                {  # rewrite: same 4 rows repacked into 2 files
+                    "c0": [(0, 0), (1, 10)],
+                    "c1": [(2, 20), (3, 30)],
+                },
+                {"p0", "p1", "p2", "p3"},
+                False,  # compaction: dataChange false on the commit
+            ),
+        ],
+    )
+    by_v = _live_by_version(spark, root)
+    assert by_v[0] == {names[f"p{i}"] for i in range(4)}
+    assert by_v[1] == {names["c0"], names["c1"]}
+    assert _audit(spark, root, by_v[0]) == _audit(spark, root, by_v[1]) == (
+        4,
+        60,
+    ), "compaction must be content-neutral"
+
+
+def test_adversarial_checkpoint_at_latest_version(spark):
+    """_last_checkpoint pointing AT the latest version leaves an EMPTY
+    json tail: the bootstrap read must return exactly the checkpoint's
+    contents instead of failing on a zero-file read."""
+    import json as _json
+
+    root = _tmp(SF_DIR, "delta_adv_ckpt")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)], "b": [(2, 20)]}, set(), True),
+            ({"c": [(3, 30)]}, {"a"}, True),
+        ],
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    live = {names["b"], names["c"]}
+    # classic single-FILE checkpoint at v1 (the latest version)
+    ckpt = os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
+    tmp = os.path.join(root, "_ckpt_stage")
+    spark.createDataFrame(
+        [(f"data/{f}",) for f in sorted(live)], "p string"
+    ).select(F.struct(F.col("p").alias("path")).alias("add")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    os.replace(os.path.join(tmp, part), ckpt)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 1}))
+    assert os.path.isfile(ckpt), "classic checkpoint must be a single file"
+    assert _delta_latest_live_files(spark, root) == live
+    # live rows: b=(2,20) + c=(3,30); a's (1,10) was removed at v1
+    assert _audit(spark, root, live) == (2, 50)
+
+
+def test_registered_checkpoint_is_single_file(spark):
+    """The src_delta_checkpoint key writes the spec's classic
+    checkpoint as ONE parquet file (r10 ADVICE: the Spark-directory
+    form could not bootstrap an external reader), and the oracle-shaped
+    result still reconciles."""
+    from random_forest_using_hadoop_spark.registry import REGISTRY
+
+    out = {
+        r["snapshot"]: (r["n_rows"], r["total_cents"])
+        for r in REGISTRY["src_delta_checkpoint"].fn(spark, SF_DIR).collect()
+    }
+    root = _tmp(SF_DIR, "delta_ckpt")
+    ckpt = os.path.join(
+        root, "_delta_log", "00000000000000000002.checkpoint.parquet"
+    )
+    assert os.path.isfile(ckpt), "checkpoint must be a single parquet FILE"
+    # oracle shape: checkpoint_v2 sees ALL orders, latest_v3 only evens
+    assert out["checkpoint_v2"][0] > out["latest_v3"][0] > 0
+
+
+def test_cdc_emits_datachange_versions_only(spark):
+    """End-to-end CDC tail over the staged history: v0/v1 emitted,
+    the dataChange:false compaction v2 skipped (the driver oracle
+    grades the values; this pins the version set in-suite)."""
+    from random_forest_using_hadoop_spark.registry import REGISTRY
+
+    out = REGISTRY["stream_delta_commits"].fn(spark, SF_DIR).collect()
+    assert {r["version"] for r in out} == {0, 1}
+
+
+def test_cdc_batch_stats_constant_jobs(spark):
+    """_cdc_version_stats must issue a CONSTANT number of Spark jobs
+    however many commit versions one micro-batch carries (r10 verdict
+    task 3): a compaction-heavy availableNow replay can deliver many
+    versions in ONE batch, and the old per-version read loop issued
+    ≥1 sequential job per version. 8 single-file versions here: the
+    single read + broadcast action-map join + one grouped agg plans a
+    handful of AQE stage jobs (measured ≤5), far under the 8+ the
+    loop shape needs."""
+    import shutil
+
+    from random_forest_using_hadoop_spark.streaming.ops import (
+        _cdc_version_stats,
+    )
+
+    root = _tmp(SF_DIR, "delta_cdc_jobs")
+    data_dir = os.path.join(root, "data")
+    shutil.rmtree(root, ignore_errors=True)
+    n_versions = 8
+    acts, expect = [], {}
+    for v in range(n_versions):
+        before = (
+            {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+            if os.path.isdir(data_dir)
+            else set()
+        )
+        spark.createDataFrame(
+            [(v, float(v) + 0.25)], "o_orderkey int, o_totalprice double"
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+        (fname,) = {
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        } - before
+        acts.append({"path": f"data/{fname}", "version": v})
+        expect[v] = (1, v * 100 + 25)
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "cdc_stats_test")
+    try:
+        got = _cdc_version_stats(spark, root, acts)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert got == expect
+    jobs = set(sc.statusTracker().getJobIdsForGroup("cdc_stats_test"))
+    assert 0 < len(jobs) < n_versions, (
+        f"{len(jobs)} jobs for {n_versions} versions — "
+        "per-version job loop regressed"
+    )

@@ -107,3 +107,78 @@ def test_session_memos_are_lru_bounded(spark):
     finally:
         forest._CACHE.clear()
         forest._CACHE.update(saved)
+
+
+def test_memo_eviction_uses_evicted_entrys_flag(spark):
+    """r10 ADVICE: eviction must free an entry according to ITS OWN
+    storage kind, not the flag of the entry being inserted — a mixed
+    memo (cached + localCheckpointed entries) would otherwise unpersist
+    a checkpoint as a cache (leaking its blocks) or vice versa."""
+    from random_forest_using_hadoop_spark import cached_block_count
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+    memo: dict = {}
+    pins: dict = {}
+    # A: plain cached; B: localCheckpoint-backed (non-recomputable)
+    a = spark.range(11).cache()
+    a.count()
+    b = spark.range(12).localCheckpoint(eager=True)
+    dedup_lsh._memo_insert(memo, pins, "a", a, checkpointed=False)
+    dedup_lsh._memo_insert(memo, pins, "b", b, checkpointed=True)
+    # inserting a CHECKPOINTED entry evicts cached A → A must be cache-
+    # unpersisted even though the inserter's flag says checkpointed
+    c = spark.range(13).localCheckpoint(eager=True)
+    dedup_lsh._memo_insert(memo, pins, "c", c, checkpointed=True)
+    assert "a" not in memo
+    assert not a.storageLevel.useMemory, (
+        "cached entry evicted via the inserter's checkpointed flag — "
+        "its InMemoryRelation leaked"
+    )
+    # inserting a CACHED entry evicts checkpointed B → B's checkpoint
+    # blocks must be freed even though the inserter's flag says cached
+    d = spark.range(14).cache()
+    d.count()
+    before = cached_block_count(spark)  # counts b-ckpt, c-ckpt, d-cache
+    dedup_lsh._memo_insert(memo, pins, "d", d, checkpointed=False)
+    assert "b" not in memo
+    assert cached_block_count(spark) < before, (
+        "checkpointed entry evicted via the inserter's cached flag — "
+        "its localCheckpoint blocks leaked"
+    )
+    d.unpersist()
+    dedup_lsh._free_local_checkpoint(c)
+
+
+def test_transient_bitmap_pins_bounded(spark):
+    """r10 ADVICE: unmemoized _bitmap_encode callers must not
+    accumulate one vocab-rank InMemoryRelation per invocation until
+    release_caches — _pin_transient bounds them to the last
+    _TRANSIENT_KEEP, unpersisting the evicted pin (safe: the rank
+    recomputes through the same lineage, see helpers.dist_row_number)."""
+    from random_forest_using_hadoop_spark.operators import dedup_lsh
+
+    saved = list(dedup_lsh._TRANSIENT_PINS)
+    dedup_lsh._TRANSIENT_PINS.clear()
+    try:
+        pins = []
+        for i in range(3):
+            pin = spark.range(5 + i).cache()
+            pin.count()
+            carrier = spark.range(1)
+            carrier._rn_pin = pin
+            dedup_lsh._pin_transient(carrier)
+            pins.append(pin)
+        assert len(dedup_lsh._TRANSIENT_PINS) == dedup_lsh._TRANSIENT_KEEP
+        assert not pins[0].storageLevel.useMemory, "oldest pin not freed"
+        assert pins[1].storageLevel.useMemory
+        assert pins[2].storageLevel.useMemory
+        dedup_lsh._pin_transient(spark.range(1))  # pin-less: no-op
+        assert len(dedup_lsh._TRANSIENT_PINS) == dedup_lsh._TRANSIENT_KEEP
+    finally:
+        for p in dedup_lsh._TRANSIENT_PINS:
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        dedup_lsh._TRANSIENT_PINS.clear()
+        dedup_lsh._TRANSIENT_PINS.extend(saved)
