@@ -59,6 +59,15 @@ HEADLINE = [
     # back toward the old shapes is visible round-over-round:
     "dedup_embedding",
     "dedup_ngram_jaccard",
+    # r11 additions — the Delta-protocol reader layer (r10's new
+    # surface; its keys re-stage their commit history every run, so the
+    # timing covers staging + log replay + audit — the number is
+    # staging-dominated, which the scaling probe measured flat across
+    # the sf decade: 0.88×/0.98×/1.21× per 10× step):
+    "src_delta_log",
+    "src_delta_checkpoint",
+    "src_delta_partition_prune",
+    "stream_delta_commits",
 ]
 
 

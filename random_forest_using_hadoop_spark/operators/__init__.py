@@ -30,3 +30,4 @@ import random_forest_using_hadoop_spark.operators.analytics_r5b  # noqa: F401
 import random_forest_using_hadoop_spark.operators.sketches  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r7  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r8  # noqa: F401
+import random_forest_using_hadoop_spark.operators.delta_ext  # noqa: F401

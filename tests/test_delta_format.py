@@ -1,0 +1,133 @@
+"""Unit tests for the deletion-vector codec stack (delta_format.py):
+Z85 armor, 32-bit roaring serialization, and the Delta portable
+RoaringBitmapArray — self-consistency across all container types plus
+the published Z85 test vector (no Spark session needed)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from random_forest_using_hadoop_spark.delta_format import (
+    DV_MAGIC,
+    dv_deserialize,
+    dv_inline_descriptor,
+    dv_read_inline,
+    dv_serialize,
+    roaring32_deserialize,
+    roaring32_serialize,
+    z85_decode,
+    z85_encode,
+)
+
+
+def test_z85_published_vector():
+    # ZeroMQ RFC 32's normative example: this 8-byte sequence encodes
+    # to the string "HelloWorld"
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+
+
+def test_z85_roundtrip_and_alignment():
+    data = bytes(range(256)) * 2  # 512 bytes, 4-aligned
+    assert z85_decode(z85_encode(data)) == data
+    with pytest.raises(ValueError):
+        z85_encode(b"abc")  # not 4-aligned
+    with pytest.raises(ValueError):
+        z85_decode("abcd")  # not 5-aligned
+
+
+def test_roaring_array_container_roundtrip():
+    vals = [0, 1, 2, 1000, 65535, 65536, 70000, (1 << 32) - 1]
+    ser = roaring32_serialize(vals)
+    got, end = roaring32_deserialize(ser)
+    assert got == sorted(set(vals))
+    assert end == len(ser)
+
+
+def test_roaring_bitmap_container_roundtrip():
+    # >4096 values in one 16-bit key space forces a bitmap container
+    dense = list(range(0, 60000, 3))
+    assert len([v for v in dense if v < 65536]) > 4096
+    ser = roaring32_serialize(dense)
+    got, _ = roaring32_deserialize(ser)
+    assert got == dense
+
+
+def test_roaring_mixed_containers_roundtrip():
+    vals = sorted(set(range(0, 30000, 2)) | {65536 + i for i in range(10)})
+    got, _ = roaring32_deserialize(roaring32_serialize(vals))
+    assert got == vals
+
+
+def test_roaring_run_container_read_path():
+    """The serializer never emits runs, but foreign writers do — craft
+    a cookie-12347 bitmap with one run container by hand and assert the
+    reader expands it. Layout per RoaringFormatSpec: 16-bit cookie
+    12347 | (size-1)<<16, run-flag bitset, (key, card-1) header, no
+    offsets below the 4-container threshold, then per-run
+    (start, length-1) pairs."""
+    size = 1
+    data = struct.pack("<I", 12347 | ((size - 1) << 16))
+    data += bytes([0b1])  # container 0 is a run container
+    card = 5  # values 10..14
+    data += struct.pack("<HH", 0, card - 1)  # key 0, cardinality 5
+    data += struct.pack("<H", 1)  # one run
+    data += struct.pack("<HH", 10, 4)  # start 10, length-1 = 4
+    got, end = roaring32_deserialize(data)
+    assert got == [10, 11, 12, 13, 14]
+    assert end == len(data)
+
+
+def test_dv_portable_format_layout():
+    idx = [3, 7, (1 << 32) + 1]
+    raw = dv_serialize(idx)
+    (magic,) = struct.unpack_from("<i", raw, 0)
+    (n_bitmaps,) = struct.unpack_from("<q", raw, 4)
+    assert magic == DV_MAGIC
+    assert n_bitmaps == 2  # keys 0 and 1 populated
+    assert dv_deserialize(raw) == sorted(idx)
+
+
+def test_dv_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        dv_deserialize(struct.pack("<iq", 123, 0))
+
+
+def test_dv_inline_descriptor_roundtrip():
+    idx = [0, 5, 123456, (1 << 33) + 17]
+    d = dv_inline_descriptor(idx)
+    assert d["storageType"] == "i"
+    assert d["cardinality"] == len(idx)
+    assert len(d["pathOrInlineDv"]) % 5 == 0  # Z85-aligned armor
+    assert dv_read_inline(d) == sorted(idx)
+
+
+def test_dv_inline_descriptor_detects_corruption():
+    d = dv_inline_descriptor([1, 2, 3])
+    d["cardinality"] = 7
+    with pytest.raises(ValueError, match="cardinality"):
+        dv_read_inline(d)
+
+
+def test_dv_path_storage_rejected_with_rationale():
+    with pytest.raises(ValueError, match="inline"):
+        dv_read_inline(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": "ab/cdef",
+                "sizeInBytes": 0,
+                "cardinality": 0,
+            }
+        )
+
+
+def test_roaring_input_validation():
+    with pytest.raises(ValueError):
+        roaring32_serialize([-1])
+    with pytest.raises(ValueError):
+        roaring32_serialize([1 << 32])
+    with pytest.raises(ValueError):
+        dv_serialize([-5])

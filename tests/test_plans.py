@@ -1052,3 +1052,44 @@ def test_delta_partition_prune_reads_only_pruned_files(spark):
     )
     # and the JSON log itself is not part of the DATA scan
     assert not [f for f in files if f.endswith(".json")]
+
+
+def test_delta_stats_skipping_reads_only_surviving_files(spark):
+    """src_delta_stats_skipping's scale claim: the range predicate
+    selects files from the LOG's add.stats min/max alone, so the
+    parquet scan's input files must be exactly the stats-surviving set
+    — and on the range-clustered 8-file layout that set must be a
+    PROPER subset (files were actually skipped). Opening a file whose
+    [min, max] interval misses the predicate range fails here even
+    though the row-level filter would keep the aggregate correct."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _SKIP_HI,
+        _SKIP_LO,
+        _stats_surviving_files,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["src_delta_stats_skipping"].fn(spark, SF_DIR)
+    files = {os.path.basename(f) for f in df.inputFiles()}
+    assert files, "no scan input files resolved"
+    root = _tmp(SF_DIR, "delta_stats")
+    surviving = {
+        os.path.basename(p)
+        for p in _stats_surviving_files(
+            spark, os.path.join(root, "_delta_log"), _SKIP_LO, _SKIP_HI
+        )
+    }
+    all_files = {
+        f
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    }
+    assert files == surviving, (
+        f"scan read {sorted(files - surviving)} beyond the surviving set"
+    )
+    assert surviving < all_files, (
+        "stats pruned nothing on the range-clustered layout — "
+        "the skip rule is inert"
+    )
