@@ -68,6 +68,15 @@ HEADLINE = [
     "src_delta_checkpoint",
     "src_delta_partition_prune",
     "stream_delta_commits",
+    # r11 additions — the protocol-generality keys (column mapping,
+    # stats skipping, deletion vectors, change data feed, replaceWhere
+    # overwrite), anchored in the same session so their 2× criterion is
+    # decidable from day one rather than a round later:
+    "src_delta_column_mapping",
+    "src_delta_stats_skipping",
+    "src_delta_deletion_vector",
+    "src_delta_cdf",
+    "sink_delta_replacewhere",
 ]
 
 

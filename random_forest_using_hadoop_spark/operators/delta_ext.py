@@ -516,3 +516,409 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- change data feed --------------------------------------------------------
+
+_CDF_ORACLE = """
+WITH ev AS (
+  SELECT o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+feed AS (
+  SELECT 0 AS version, 'insert' AS change_type,
+         floor(p * 100 + 0.5) AS cents
+  FROM ev
+  UNION ALL
+  SELECT 1, 'update_preimage', floor(p * 100 + 0.5)
+  FROM ev WHERE k % 10 = 0
+  UNION ALL
+  SELECT 1, 'update_postimage', floor((p + 1.0) * 100 + 0.5)
+  FROM ev WHERE k % 10 = 0
+  UNION ALL
+  SELECT 2, 'delete', floor((p + 1.0) * 100 + 0.5)
+  FROM ev WHERE k % 20 = 0
+)
+SELECT version, change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS total_cents
+FROM feed
+GROUP BY version, change_type
+"""
+
+
+@register("src_delta_cdf", oracle=_CDF_ORACLE)
+def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read (delta-io PROTOCOL.md §Add CDC File): a
+    commit that rewrites data files also writes row-level change files
+    under `_change_data/`, referenced by `cdc` actions, each row tagged
+    `_change_type` ∈ {insert, update_preimage, update_postimage,
+    delete}. A downstream consumer reads the FEED — O(changed rows) —
+    instead of diffing snapshots — O(table) — which is the only viable
+    shape when a 100 TB table changes a few million rows per commit.
+    This closes the CDC residual stream_delta_commits documents
+    ("real row-level deletes need the protocol's Change Data Feed").
+
+    Staged history over the even-orderkey slice: v0 = pure INSERT (no
+    cdc action — per spec the feed for an add-only commit IS its added
+    rows), v1 = UPDATE adding 1.00 to every o_orderkey % 10 == 0 price
+    (file rewritten; cdc file carries the preimage AND postimage rows),
+    v2 = DELETE of o_orderkey % 20 == 0 (file rewritten; cdc file
+    carries the deleted rows at their post-update prices). The spec
+    rule the oracle enforces: when a commit carries ANY cdc action the
+    reader must take the feed FROM the cdc files alone — deriving it
+    from the rewritten add/remove files double-counts every untouched
+    row in the rewritten file.
+
+    Reader plan: the log is bounded driver metadata (one collect);
+    cdc files and insert-derived add files are then read in ONE
+    distributed scan each, rows tagged to versions via input_file_name
+    against a broadcast (file → version) map, one grouped agg — jobs
+    per refresh are constant, not ∝ versions, the same shape as
+    _cdc_version_stats. Price arithmetic note: the post-update cents
+    use the IEEE sequence floor((p + 1.0)*100 + 0.5) on BOTH engines —
+    (p+1.0)*100 and p*100+100 can floor differently, so the oracle
+    states the exact staged expression.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_cdf")
+    data_dir = os.path.join(root, "data")
+    cdc_dir = os.path.join(root, "_change_data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ev = o.filter(F.col("o_orderkey") % 2 == 0)
+
+    def _write_slice(df: DataFrame, out_dir: str, tag: str) -> list[str]:
+        """Append df under out_dir/tag as parquet; return rel paths."""
+        sub = os.path.join(out_dir, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        rel = os.path.relpath(sub, root)
+        return [
+            f"{rel}/{f}"
+            for f in sorted(os.listdir(sub))
+            if f.endswith(".parquet")
+        ]
+
+    # v0: INSERT evens (no cdc action — feed derives from the add)
+    v0_files = _write_slice(ev, data_dir, "v0")
+    _delta_commit_lines = [
+        json.dumps({"add": {"path": p, "dataChange": True}})
+        for p in v0_files
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_delta_commit_lines) + "\n")
+
+    # v1: UPDATE — +1.00 on %10 keys; rewrite file + cdc pre/postimage
+    updated = ev.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v1_files = _write_slice(updated, data_dir, "v1")
+    pre = ev.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = updated.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    v1_cdc = _write_slice(pre.unionByName(post), cdc_dir, "v1")
+    lines = (
+        [json.dumps({"cdc": {"path": p, "dataChange": False}}) for p in v1_cdc]
+        + [json.dumps({"add": {"path": p, "dataChange": True}}) for p in v1_files]
+        + [json.dumps({"remove": {"path": p, "dataChange": True}}) for p in v0_files]
+    )
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # v2: DELETE %20 keys — rewrite file + cdc delete rows
+    kept = updated.filter(F.col("o_orderkey") % 20 != 0)
+    deleted = updated.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    v2_files = _write_slice(kept, data_dir, "v2")
+    v2_cdc = _write_slice(deleted, cdc_dir, "v2")
+    lines = (
+        [json.dumps({"cdc": {"path": p, "dataChange": False}}) for p in v2_cdc]
+        + [json.dumps({"add": {"path": p, "dataChange": True}}) for p in v2_files]
+        + [json.dumps({"remove": {"path": p, "dataChange": True}}) for p in v1_files]
+    )
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # --- reader ---------------------------------------------------------
+    act_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "cdc", T.StructType([T.StructField("path", T.StringType())])
+            ),
+        ]
+    )
+    acts = (
+        spark.read.schema(act_schema)
+        .json(os.path.join(log_dir, "*.json"))
+        .withColumn(
+            "u",
+            F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1).cast(
+                "int"
+            ),
+        )
+        .select("u", "add", "cdc")
+        .collect()  # bounded: action metadata, ∝ files per history
+    )
+    cdc_by_v: dict[int, list[str]] = {}
+    add_by_v: dict[int, list[str]] = {}
+    for r in acts:
+        if r["cdc"] is not None and r["cdc"]["path"] is not None:
+            cdc_by_v.setdefault(r["u"], []).append(r["cdc"]["path"])
+        if (
+            r["add"] is not None
+            and r["add"]["path"] is not None
+            and r["add"]["dataChange"]
+        ):
+            add_by_v.setdefault(r["u"], []).append(r["add"]["path"])
+    # spec rule: a commit WITH cdc actions feeds from them exclusively;
+    # only cdc-less commits derive their feed from dataChange adds
+    insert_by_v = {v: ps for v, ps in add_by_v.items() if v not in cdc_by_v}
+
+    def _tagged_read(paths_by_v: dict[int, list[str]]) -> DataFrame | None:
+        if not paths_by_v:
+            return None
+        fmap = spark.createDataFrame(
+            [
+                (os.path.basename(p), v)
+                for v, ps in paths_by_v.items()
+                for p in ps
+            ],
+            "fname string, version int",
+        )
+        return (
+            spark.read.parquet(
+                *sorted(
+                    os.path.join(root, p)
+                    for ps in paths_by_v.values()
+                    for p in ps
+                )
+            )
+            .withColumn(
+                "fname",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(fmap), "fname")
+        )
+
+    feeds = []
+    cdc_feed = _tagged_read(cdc_by_v)
+    if cdc_feed is not None:
+        feeds.append(
+            cdc_feed.select(
+                "version",
+                F.col("_change_type").alias("change_type"),
+                "o_totalprice",
+            )
+        )
+    ins_feed = _tagged_read(insert_by_v)
+    if ins_feed is not None:
+        feeds.append(
+            ins_feed.select(
+                "version",
+                F.lit("insert").alias("change_type"),
+                "o_totalprice",
+            )
+        )
+    if not feeds:
+        return spark.createDataFrame(
+            [],
+            "version int, change_type string, n_rows long, total_cents long",
+        )
+    feed = feeds[0]
+    for f in feeds[1:]:
+        feed = feed.unionByName(f)
+    return feed.groupBy("version", "change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+# --- transactional replaceWhere overwrite ------------------------------------
+
+_RW_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT' OR o_totalprice > 1000
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_delta_replacewhere", oracle=_RW_ORACLE)
+def q_sink_delta_replacewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side transactional REPLACE WHERE (the lake idiom for
+    partition backfills): one atomic commit removes every live file of
+    the predicate's partition and adds its replacement files — readers
+    see the old partition or the new one, never a mix, because
+    visibility flips on the single commit json (the protocol's
+    atomicity unit). At 100 TB this is how a daily partition is
+    recomputed in place without touching the other 99.97% of the table.
+
+    Staged: orders partitioned by o_orderpriority (commit 0, one add
+    per partition file with its partitionValues, the
+    src_delta_partition_prune layout), then REPLACE WHERE
+    o_orderpriority = '1-URGENT' with the slice filtered to
+    o_totalprice > 1000 (commit 1: remove of every urgent file + adds
+    of the replacement — writer validates the new rows satisfy the
+    predicate, per the replaceWhere contract). The reader replays the
+    log ([[_delta_live_files]] at the latest version), restores the
+    partition column from each surviving add's partitionValues, and
+    aggregates per priority: urgent must show ONLY the >1000 rows
+    while every other partition is byte-identical to commit 0 — a
+    writer that leaks old urgent files (or drops a non-urgent one)
+    fails the value hash.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_rw")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _partition_adds() -> list[tuple[str, str]]:
+        """(rel_path, priority) for every partition data file on disk."""
+        out = []
+        for d in sorted(os.listdir(data_dir)):
+            pdir = os.path.join(data_dir, d)
+            if not (
+                os.path.isdir(pdir) and d.startswith("o_orderpriority=")
+            ):
+                continue
+            pval = d.split("=", 1)[1]
+            out.extend(
+                (f"data/{d}/{f}", pval)
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            )
+        return out
+
+    o.repartition(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(data_dir)
+    base_adds = _partition_adds()
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": p,
+                            "partitionValues": {"o_orderpriority": v},
+                            "dataChange": True,
+                        }
+                    }
+                )
+                for p, v in base_adds
+            )
+            + "\n"
+        )
+
+    # REPLACE WHERE o_orderpriority = '1-URGENT': writer-side predicate
+    # validation, then one atomic remove+add commit
+    replacement = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 1000)
+    )
+    assert (
+        replacement.filter(F.col("o_orderpriority") != "1-URGENT").count()
+        == 0
+    ), "replaceWhere: new rows must satisfy the predicate"
+    replacement.repartition(1).write.mode("append").partitionBy(
+        "o_orderpriority"
+    ).parquet(data_dir)
+    after = _partition_adds()
+    base_set = {p for p, _ in base_adds}
+    new_urgent = [
+        (p, v) for p, v in after if v == "1-URGENT" and p not in base_set
+    ]
+    old_urgent = [(p, v) for p, v in base_adds if v == "1-URGENT"]
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [
+                    json.dumps(
+                        {
+                            "add": {
+                                "path": p,
+                                "partitionValues": {"o_orderpriority": v},
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                    for p, v in new_urgent
+                ]
+                + [
+                    json.dumps(
+                        {"remove": {"path": p, "dataChange": True}}
+                    )
+                    for p, _ in old_urgent
+                ]
+            )
+            + "\n"
+        )
+
+    # --- reader: latest snapshot via log replay, partition col from
+    # partitionValues (never from the data files)
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+        _delta_max_version,
+    )
+
+    max_v = _delta_max_version(log_dir)
+    # match on the table-root-relative PATH, never the basename: one
+    # partitioned write job reuses the same part-file name in every
+    # partition directory, so basenames collide across partitions
+    live = {
+        r["path"]
+        for r in _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == max_v)
+        .collect()  # bounded: live-file metadata at one version
+    }
+    by_val: dict[str, list[str]] = {}
+    for p, v in after:
+        if p in live:
+            by_val.setdefault(v, []).append(os.path.join(root, p))
+    scans = [
+        spark.read.parquet(*sorted(paths)).withColumn(
+            "o_orderpriority", F.lit(v)
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    if not scans:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

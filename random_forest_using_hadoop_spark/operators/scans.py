@@ -1167,6 +1167,8 @@ def _delta_live_files(spark: SparkSession, log_dir: str) -> DataFrame:
         .filter("live")
         .select(
             "version",
+            "path",  # table-root-relative — UNIQUE even when partition
+            # dirs reuse one write job's part basenames
             F.element_at(F.split("path", "/"), -1).alias("fname"),
         )
     )

@@ -800,7 +800,8 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     are read executor-side per commit, so throughput is bounded by the
     commit volume being ingested, not the table's history. Real
     row-level deletes need the protocol's Change Data Feed actions —
-    out of scope for the read path staged here. The foreachBatch
+    implemented as the batch sibling src_delta_cdf
+    (operators/delta_ext.py). The foreachBatch
     callback runs ON THE DRIVER (no worker-pickled closure) and
     collects only add actions, ∝ files per commit; the batch's data
     files are then read in ONE job (rows tagged to versions via
