@@ -1127,6 +1127,54 @@ _DELTA_ACTION_SCHEMA = T.StructType(
 )
 
 
+# Reader features this engine's Delta layer actually implements —
+# checked against the log's `protocol` action (delta-io PROTOCOL.md
+# §Protocol Evolution): a table whose protocol demands an unimplemented
+# reader feature MUST be refused, not half-read (silently ignoring e.g.
+# deletion vectors would return deleted rows as live data).
+_DELTA_READER_FEATURES = {"deletionVectors", "columnMapping", "changeDataFeed"}
+_DELTA_MAX_READER_VERSION = 3
+
+
+def _delta_check_protocol(log_dir: str) -> None:
+    """Enforce the spec's forward-compatibility rule: scan the log's
+    `protocol` actions (driver-side — the JSON tail is bounded metadata,
+    real tables roll it into checkpoints) and raise if the LATEST one
+    demands a minReaderVersion above ours or, at reader version 3, any
+    `readerFeatures` entry this layer does not implement. Tables
+    without a protocol action default to version 1 (always readable)."""
+    import json
+
+    latest: dict | None = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line).get("protocol")
+                if act is not None:
+                    latest = act  # later commits supersede
+    if latest is None:
+        return
+    v = latest.get("minReaderVersion", 1)
+    if v > _DELTA_MAX_READER_VERSION:
+        raise ValueError(
+            f"table requires minReaderVersion {v}; this reader implements "
+            f"up to {_DELTA_MAX_READER_VERSION}"
+        )
+    if v >= 3:
+        missing = set(latest.get("readerFeatures") or []) - _DELTA_READER_FEATURES
+        if missing:
+            raise ValueError(
+                "table requires unimplemented reader features "
+                f"{sorted(missing)}; refusing a partial read "
+                f"(implemented: {sorted(_DELTA_READER_FEATURES)})"
+            )
+
+
 def _delta_live_files(spark: SparkSession, log_dir: str) -> DataFrame:
     """(version, fname) live-file table for EVERY version of a Delta
     log, by distributed replay: read the JSON commits once with an
@@ -1138,6 +1186,7 @@ def _delta_live_files(spark: SparkSession, log_dir: str) -> DataFrame:
     [[_delta_max_version]] (one log-dir listing), so the replay is
     protocol-generic, not fixture-bound. |actions| × |versions|
     metadata rows, never data."""
+    _delta_check_protocol(log_dir)  # refuse tables we cannot read fully
     max_v = _delta_max_version(log_dir)
     actions = (
         spark.read.schema(_DELTA_ACTION_SCHEMA)
@@ -1191,6 +1240,7 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
     import json
 
     log_dir = os.path.join(root, "_delta_log")
+    _delta_check_protocol(log_dir)  # refuse tables we cannot read fully
     max_v = _delta_max_version(log_dir)
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):

@@ -346,3 +346,74 @@ def test_cdc_batch_stats_constant_jobs(spark):
         f"{len(jobs)} jobs for {n_versions} versions — "
         "per-version job loop regressed"
     )
+
+
+def test_protocol_gate_accepts_supported_features(spark):
+    """A protocol action within our reader surface (version 3 with
+    deletionVectors/columnMapping) must pass; absence of any protocol
+    action defaults to version 1 and must also pass."""
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_check_protocol,
+    )
+
+    root, _ = _stage(spark)
+    log_dir = os.path.join(root, "_delta_log")
+    _delta_check_protocol(log_dir)  # no protocol action: version-1 table
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": [
+                            "deletionVectors",
+                            "columnMapping",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+    _delta_check_protocol(log_dir)
+    assert _live_by_version(spark, root)  # replay still proceeds
+
+
+def test_protocol_gate_refuses_unimplemented_surface(spark):
+    """The spec's forward-compatibility rule: a table demanding an
+    unknown reader feature (or a reader version above ours) must be
+    REFUSED — half-reading it (e.g. ignoring v2Checkpoint or a future
+    feature) silently returns wrong data. The LATEST protocol action
+    wins, so an upgrade commit flips an until-then readable table."""
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_check_protocol,
+        _delta_live_files,
+    )
+
+    root, _ = _stage(spark)
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        _delta_check_protocol(log_dir)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        _delta_live_files(spark, log_dir)  # the gate guards the reader
+    with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps({"protocol": {"minReaderVersion": 99}}) + "\n"
+        )
+    with pytest.raises(ValueError, match="minReaderVersion 99"):
+        _delta_check_protocol(log_dir)
