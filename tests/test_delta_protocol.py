@@ -116,6 +116,24 @@ def test_replay_version_bound_derived_from_log(spark):
 # from the rows staged into each file.
 
 
+def _write_micro_parquet(path: str, rows) -> None:
+    """Write (k, cents) rows as one parquet FILE via pyarrow — no Spark
+    job, so staging a multi-commit history costs milliseconds instead
+    of one Spark write job per file (the r11 suite-latency fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int32()),
+                "cents": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
 def _stage_micro(spark, root, commits):
     """Stage a micro Delta table from a spec list. Each commit is
     (adds, removes, data_change) where adds maps file-tag → list of
@@ -126,20 +144,13 @@ def _stage_micro(spark, root, commits):
     log_dir = os.path.join(root, "_delta_log")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
     names: dict[str, str] = {}
     for v, (adds, removes, data_change) in enumerate(commits):
         add_names = set()
         for tag, rows in adds.items():
-            before = {
-                f for f in os.listdir(data_dir) if f.endswith(".parquet")
-            } if os.path.isdir(data_dir) else set()
-            spark.createDataFrame(
-                rows, "k int, cents long"
-            ).coalesce(1).write.mode("append").parquet(data_dir)
-            new = {
-                f for f in os.listdir(data_dir) if f.endswith(".parquet")
-            } - before
-            (names[tag],) = new
+            names[tag] = f"{tag}.parquet"
+            _write_micro_parquet(os.path.join(data_dir, names[tag]), rows)
             add_names.add(names[tag])
         _delta_commit(
             log_dir,
@@ -252,16 +263,23 @@ def test_adversarial_checkpoint_at_latest_version(spark):
     )
     log_dir = os.path.join(root, "_delta_log")
     live = {names["b"], names["c"]}
-    # classic single-FILE checkpoint at v1 (the latest version)
+    # classic single-FILE checkpoint at v1 (the latest version),
+    # written directly via pyarrow (no Spark staging job needed)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     ckpt = os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
-    tmp = os.path.join(root, "_ckpt_stage")
-    spark.createDataFrame(
-        [(f"data/{f}",) for f in sorted(live)], "p string"
-    ).select(F.struct(F.col("p").alias("path")).alias("add")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
-    (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-    os.replace(os.path.join(tmp, part), ckpt)
+    pq.write_table(
+        pa.table(
+            {
+                "add": pa.array(
+                    [{"path": f"data/{f}"} for f in sorted(live)],
+                    type=pa.struct([("path", pa.string())]),
+                )
+            }
+        ),
+        ckpt,
+    )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         fh.write(_json.dumps({"version": 1}))
     assert os.path.isfile(ckpt), "classic checkpoint must be a single file"
@@ -315,23 +333,26 @@ def test_cdc_batch_stats_constant_jobs(spark):
         _cdc_version_stats,
     )
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     root = _tmp(SF_DIR, "delta_cdc_jobs")
     data_dir = os.path.join(root, "data")
     shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(data_dir, exist_ok=True)
     n_versions = 8
     acts, expect = [], {}
     for v in range(n_versions):
-        before = (
-            {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
-            if os.path.isdir(data_dir)
-            else set()
+        fname = f"v{v}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([v], pa.int32()),
+                    "o_totalprice": pa.array([float(v) + 0.25], pa.float64()),
+                }
+            ),
+            os.path.join(data_dir, fname),
         )
-        spark.createDataFrame(
-            [(v, float(v) + 0.25)], "o_orderkey int, o_totalprice double"
-        ).coalesce(1).write.mode("append").parquet(data_dir)
-        (fname,) = {
-            f for f in os.listdir(data_dir) if f.endswith(".parquet")
-        } - before
         acts.append({"path": f"data/{fname}", "version": v})
         expect[v] = (1, v * 100 + 25)
     sc = spark.sparkContext
