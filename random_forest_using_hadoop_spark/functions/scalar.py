@@ -389,3 +389,65 @@ def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_collisions")
     )
     return k.crossJoin(F.broadcast(audit))
+
+
+# --- r11: VARIANT (Spark 4 semi-structured type) ------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type AS t,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           / 1000000.0 AS sum_value,
+       CAST(SUM(user_id % 11) AS BIGINT) AS a1_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("fn_variant_shred", oracle=_VARIANT_ORACLE)
+def q_fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip: encode each event as a JSON document,
+    `parse_json` it into the binary VARIANT type, then SHRED typed
+    fields back out with `variant_get` (long, string, double, and an
+    array index path) and aggregate — the oracle computes the same
+    aggregates straight from the source columns, so any loss or type
+    coercion inside the encode→variant→extract pipeline fails the
+    value hash (doubles must survive via shortest-repr JSON rendering;
+    null struct fields are dropped by to_json and must come back as
+    NULLs, not zeros).
+
+    Why VARIANT and not get_json_object (fn_json): at 100 TB a
+    semi-structured column parsed per-expression re-parses the string
+    for every path; VARIANT parses ONCE into a binary form that all
+    `variant_get` calls share, and Spark shreds the accesses into
+    columnar reads — the modern engine shape for event-payload
+    analytics. All expressions here are JVM built-ins (no UDF), so the
+    pipeline stays in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.array(
+                F.col("user_id") % 7, F.col("user_id") % 11
+            ).alias("a"),
+        )
+    )
+    v = F.parse_json(payload)
+    shredded = ev.select(
+        F.try_variant_get(v, "$.u", "long").alias("uid"),
+        F.try_variant_get(v, "$.t", "string").alias("t"),
+        F.try_variant_get(v, "$.v", "double").alias("val"),
+        F.try_variant_get(v, "$.a[1]", "long").alias("a1"),
+    )
+    return shredded.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("val").alias("sum_value"),
+        F.sum("a1").cast("bigint").alias("a1_sum"),
+        F.countDistinct("uid").cast("bigint").alias("n_users"),
+    )
