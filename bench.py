@@ -77,6 +77,11 @@ HEADLINE = [
     "src_delta_deletion_vector",
     "src_delta_cdf",
     "sink_delta_replacewhere",
+    # r11 second wave — txn idempotence, timestamp time travel, and the
+    # VARIANT round-trip, anchored in the same session as the above:
+    "sink_delta_txn_idempotent",
+    "src_delta_time_travel_ts",
+    "fn_variant_shred",
 ]
 
 

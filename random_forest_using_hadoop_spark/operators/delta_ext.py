@@ -35,6 +35,7 @@ from random_forest_using_hadoop_spark.delta_format import (
     dv_read_inline,
 )
 from random_forest_using_hadoop_spark.operators.scans import (
+    _delta_commit,
     _delta_list_files,
     _tmp,
 )
@@ -921,4 +922,276 @@ def q_sink_delta_replacewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
+    )
+
+
+# --- idempotent writes via txn actions ----------------------------------------
+
+_TXN_ORACLE = """
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderkey % 4
+"""
+
+
+def _delta_txn_version(log_dir: str, app_id: str) -> int:
+    """Highest committed `txn` version for ``app_id`` in the log, or -1
+    — the protocol's idempotence primitive: a writer that cannot know
+    whether its last commit landed (crash after the PUT) re-reads this
+    and skips versions it has already committed. Driver-side scan of
+    the bounded JSON tail (checkpoints carry txn state forward for long
+    histories, same replay rule)."""
+    import json
+
+    best = -1
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line).get("txn")
+                if act is not None and act.get("appId") == app_id:
+                    best = max(best, int(act["version"]))
+    return best
+
+
+@register("sink_delta_txn_idempotent", oracle=_TXN_ORACLE)
+def q_sink_delta_txn_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDEMPOTENT streaming appends via the protocol's `txn` action
+    (delta-io PROTOCOL.md §Transaction Identifiers): every commit a
+    streaming writer makes carries {appId, version}; on restart after
+    an INDETERMINATE outcome (crash between writing the commit json and
+    recording success) the writer reads the log's highest txn version
+    for its appId and SKIPS batches it already committed — the
+    exactly-once half that checkpointing alone cannot give, because the
+    sink's commit and the engine's offset commit are not atomic. At
+    100 TB a double-applied micro-batch silently corrupts every
+    downstream aggregate; this key makes that corruption a value-hash
+    failure.
+
+    Staged: commit 0 = even-orderkey base; a writer with appId
+    "stream-app-1" then appends batch v1 (keys % 4 == 1, txn version
+    1), RETRIES batch 1 after a simulated crash (the guard must skip —
+    no commit json may be written), and appends batch v2 (keys % 4 ==
+    3, txn version 2). The reader replays the latest snapshot: every
+    order must appear EXACTLY once (oracle groups all orders by key %
+    4) — a writer that ignored txn state double-appends bucket 1 and
+    fails on both count and cents.
+    `tests/test_delta_protocol.py::test_txn_retry_writes_no_commit`
+    additionally pins the mechanism (retry leaves the log length
+    unchanged).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_txn")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    app_id = "stream-app-1"
+
+    def _append_commit(df: DataFrame, version: int, txn_version: int) -> None:
+        """One writer commit: data files + txn action, atomic via the
+        single commit json."""
+        before = _delta_list_files(data_dir)
+        df.coalesce(1).write.mode("append").parquet(data_dir)
+        adds = _delta_list_files(data_dir) - before
+        lines = [
+            json.dumps(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": txn_version,
+                        "lastUpdated": 0,
+                    }
+                }
+            )
+        ] + [
+            json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+            for p in sorted(adds)
+        ]
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def _write_batch(df: DataFrame, txn_version: int) -> bool:
+        """The idempotence guard every restart runs: commit only if this
+        txn version is not already in the log. Returns True if written."""
+        if txn_version <= _delta_txn_version(log_dir, app_id):
+            return False  # already committed — crash was AFTER the PUT
+        from random_forest_using_hadoop_spark.operators.scans import (
+            _delta_max_version,
+        )
+
+        _append_commit(df, _delta_max_version(log_dir) + 1, txn_version)
+        return True
+
+    # commit 0: base table (not part of the stream — no txn action)
+    before = _delta_list_files(data_dir)
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+                for p in sorted(_delta_list_files(data_dir) - before)
+            )
+            + "\n"
+        )
+    b1 = o.filter(F.col("o_orderkey") % 4 == 1)
+    b2 = o.filter(F.col("o_orderkey") % 4 == 3)
+    assert _write_batch(b1, 1) is True
+    assert _write_batch(b1, 1) is False, "retry must be skipped"
+    assert _write_batch(b2, 2) is True
+
+    # reader: latest snapshot, every order exactly once
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+        _delta_max_version,
+    )
+
+    max_v = _delta_max_version(log_dir)
+    live = [
+        os.path.join(root, r["path"])
+        for r in _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == max_v)
+        .collect()  # bounded: live-file metadata
+    ]
+    return (
+        spark.read.parquet(*sorted(live))
+        .groupBy((F.col("o_orderkey") % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+# --- timestamp-based time travel ----------------------------------------------
+
+_TT_ORACLE = """
+SELECT s.snapshot,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('asof_mid'), ('asof_latest')) AS s(snapshot)
+LEFT JOIN orders o
+       ON (s.snapshot = 'asof_latest' OR o.o_orderkey % 4 <> 3)
+GROUP BY s.snapshot
+"""
+
+
+def _delta_resolve_timestamp(log_dir: str, ts: float) -> int:
+    """Timestamp → version per the spec's time-travel rule: the LATEST
+    commit whose timestamp is ≤ the requested one (commit timestamp =
+    the log file's modification time on tables without the
+    inCommitTimestamp feature). Raises below the first commit — there
+    is no table state to read before it. One driver-side listing."""
+    best = -1
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        if os.path.getmtime(os.path.join(log_dir, f)) <= ts:
+            best = max(best, int(f.split(".", 1)[0]))
+    if best < 0:
+        raise ValueError(
+            f"no commit at or before timestamp {ts} — table did not exist"
+        )
+    return best
+
+
+@register("src_delta_time_travel_ts", oracle=_TT_ORACLE)
+def q_src_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-based time travel (`AS OF <timestamp>`): the spec
+    resolves a timestamp to the latest commit whose commit time is ≤
+    the request — on tables without the inCommitTimestamp feature the
+    commit time IS the log file's modification time, which is why
+    delta documents that replacing/re-uploading log files breaks
+    time travel. Staged: v0 = even orderkeys, v1 = the %4==1 slice,
+    v2 = the %4==3 slice, with commit mtimes pinned to known epochs
+    (os.utime — the staging equivalent of real commit times). The
+    reader resolves two requests — mid (between v1 and v2) and latest —
+    to versions, replays both snapshots' live sets in ONE pass
+    ([[_delta_live_files]] filtered to the two versions), reads the
+    data dir ONCE with rows fanned to snapshots via a broadcast join,
+    and audits rows + cents per snapshot: `asof_mid` must exclude the
+    %4==3 slice entirely.
+
+    Scale: resolution is one log-dir listing (bounded metadata); the
+    data path is a single distributed scan regardless of how many
+    snapshots are audited — the same one-scan fan-out as
+    src_delta_log's all-versions audit.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_tt")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    base_epoch = 1_000_000_000
+    slices = [
+        F.col("o_orderkey") % 2 == 0,
+        F.col("o_orderkey") % 4 == 1,
+        F.col("o_orderkey") % 4 == 3,
+    ]
+    for v, pred in enumerate(slices):
+        before = _delta_list_files(data_dir)
+        o.filter(pred).coalesce(1).write.mode("append").parquet(data_dir)
+        _delta_commit(log_dir, v, _delta_list_files(data_dir) - before, set())
+        commit_path = os.path.join(log_dir, f"{v:020d}.json")
+        t = base_epoch + 100 * v  # pinned commit times, 100 s apart
+        os.utime(commit_path, (t, t))
+
+    v_mid = _delta_resolve_timestamp(log_dir, base_epoch + 150)  # → v1
+    v_latest = _delta_resolve_timestamp(log_dir, base_epoch + 10_000)  # → v2
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+    )
+
+    labels = spark.createDataFrame(
+        [(v_mid, "asof_mid"), (v_latest, "asof_latest")],
+        "version int, snapshot string",
+    )
+    live = (
+        _delta_live_files(spark, log_dir)
+        .join(F.broadcast(labels), "version")
+        .select("snapshot", "fname")
+    )
+    data = spark.read.parquet(data_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_snap = (
+        data.join(F.broadcast(live), "fname")
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("asof_mid",), ("asof_latest",)], "snapshot string"
+    )
+    return spine.join(per_snap, "snapshot", "left").select(
+        "snapshot",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
     )

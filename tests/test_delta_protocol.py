@@ -438,3 +438,45 @@ def test_protocol_gate_refuses_unimplemented_surface(spark):
         )
     with pytest.raises(ValueError, match="minReaderVersion 99"):
         _delta_check_protocol(log_dir)
+
+
+def test_txn_retry_writes_no_commit(spark):
+    """sink_delta_txn_idempotent's mechanism: after the full history is
+    staged (base + two txn batches + one SKIPPED retry), the log must
+    hold exactly three commits — a writer that ignored txn state would
+    have written a fourth whose content double-applies batch 1. Also
+    pins _delta_txn_version's view of the log."""
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_txn_version,
+    )
+    from random_forest_using_hadoop_spark.registry import REGISTRY
+
+    REGISTRY["sink_delta_txn_idempotent"].fn(spark, SF_DIR).collect()
+    log_dir = os.path.join(_tmp(SF_DIR, "delta_txn"), "_delta_log")
+    commits = [f for f in os.listdir(log_dir) if f.endswith(".json")]
+    assert sorted(commits) == [f"{v:020d}.json" for v in range(3)], (
+        f"retry wrote an extra commit: {sorted(commits)}"
+    )
+    assert _delta_txn_version(log_dir, "stream-app-1") == 2
+    assert _delta_txn_version(log_dir, "other-app") == -1
+
+
+def test_timestamp_resolution_rule(spark):
+    """Time-travel resolution per spec: latest commit mtime ≤ request;
+    a request before the first commit has no table state and raises."""
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_resolve_timestamp,
+    )
+    from random_forest_using_hadoop_spark.registry import REGISTRY
+
+    REGISTRY["src_delta_time_travel_ts"].fn(spark, SF_DIR).collect()
+    log_dir = os.path.join(_tmp(SF_DIR, "delta_tt"), "_delta_log")
+    base = 1_000_000_000
+    assert _delta_resolve_timestamp(log_dir, base) == 0  # exact boundary
+    assert _delta_resolve_timestamp(log_dir, base + 99) == 0
+    assert _delta_resolve_timestamp(log_dir, base + 150) == 1
+    assert _delta_resolve_timestamp(log_dir, base + 10_000) == 2
+    with pytest.raises(ValueError, match="did not exist"):
+        _delta_resolve_timestamp(log_dir, base - 1)
