@@ -1195,3 +1195,156 @@ def q_src_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# --- v2 checkpoints (sidecar files) --------------------------------------------
+
+_CKPT_V2_ORACLE = """
+SELECT s.snapshot,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('checkpoint_v2'), ('latest_v3')) AS s(snapshot)
+LEFT JOIN orders o
+       ON (s.snapshot = 'checkpoint_v2' OR o.o_orderkey % 2 = 0)
+GROUP BY s.snapshot
+"""
+
+
+@register("src_delta_checkpoint_v2", oracle=_CKPT_V2_ORACLE)
+def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 CHECKPOINT read (the protocol's checkpoints-with-SIDECAR-files
+    feature): past a few million live files the classic single-file
+    checkpoint becomes the bottleneck — one file every reader must scan
+    end to end and one writer must produce in one shot. A v2 checkpoint
+    splits the state: a small MANIFEST (`<v>.checkpoint.<uniqueStr>.
+    parquet`, holding `checkpointMetadata` and `sidecar` actions) points
+    at SIDECAR parquet files under `_delta_log/_sidecars/`, each holding
+    a shard of the add actions — so checkpoint production parallelizes
+    and readers scan the shards distributed, exactly like data.
+
+    Staged: the same v0/v1/v2 history as src_delta_checkpoint (even
+    base, odd append, compaction), checkpointed at v2 as a manifest +
+    TWO sidecars (the live adds split across them), `_last_checkpoint`
+    naming version 2, then v3 = DELETE of the odd slice. The reader
+    bootstraps manifest → sidecars (one distributed read over all
+    shards) → post-checkpoint JSON tail, and audits both
+    reconstructions: `checkpoint_v2` (all orders) and `latest_v3`
+    (evens only — the v3 remove must drop the odd file even though the
+    sidecars still list it). A reader that scans only the manifest, or
+    only one sidecar, loses files and fails the value hash; the shared
+    helper `_delta_latest_live_files` reads the same layout, and the
+    protocol gate now ACCEPTS `v2Checkpoint` in readerFeatures because
+    this path exists.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+        _delta_stage_history,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_ckpt_v2")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    v0_adds, v1_adds, v2_adds = _delta_stage_history(spark, o, root)
+
+    # v2 checkpoint: live adds at v2 split across two sidecar shards,
+    # written via pyarrow (each shard is what one checkpoint-writer task
+    # would produce); manifest references them by name
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    live_v2 = sorted(v1_adds | v2_adds)
+    add_type = pa.struct([("path", pa.string())])
+    shards = [live_v2[0::2], live_v2[1::2]]
+    sidecar_names = []
+    for i, shard in enumerate(shards):
+        name = f"shard-{i:05d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [{"path": f"data/{p}"} for p in shard], add_type
+                    )
+                }
+            ),
+            os.path.join(side_dir, name),
+        )
+        sidecar_names.append(name)
+    sidecar_type = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+    manifest = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": 2}] + [None] * len(sidecar_names),
+                pa.struct([("version", pa.int64())]),
+            ),
+            "sidecar": pa.array(
+                [None]
+                + [
+                    {
+                        "path": n,
+                        "sizeInBytes": os.path.getsize(
+                            os.path.join(side_dir, n)
+                        ),
+                    }
+                    for n in sidecar_names
+                ],
+                sidecar_type,
+            ),
+        }
+    )
+    pq.write_table(
+        manifest,
+        os.path.join(
+            log_dir, "00000000000000000002.checkpoint.80a083e8-7026.parquet"
+        ),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2}))
+    # v3: DELETE the odd slice (remove-only, dataChange true)
+    _delta_commit(log_dir, 3, set(), v1_adds)
+
+    # --- reader: the shared v2-aware bootstrap gives latest_v3; the
+    # checkpoint_v2 reconstruction reads manifest+sidecars only
+    latest_fnames = _delta_latest_live_files(spark, root)
+    side_adds = (
+        spark.read.parquet(side_dir)
+        .filter(F.col("add.path").isNotNull())
+        .select(F.element_at(F.split("add.path", "/"), -1).alias("fname"))
+        .collect()  # bounded: checkpoint state ∝ live files
+    )
+    ckpt_fnames = {r["fname"] for r in side_adds}
+    labels = spark.createDataFrame(
+        [("checkpoint_v2", f) for f in sorted(ckpt_fnames)]
+        + [("latest_v3", f) for f in sorted(latest_fnames)],
+        "snapshot string, fname string",
+    )
+    data = spark.read.parquet(data_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_snap = (
+        data.join(F.broadcast(labels), "fname")
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("checkpoint_v2",), ("latest_v3",)], "snapshot string"
+    )
+    return spine.join(per_snap, "snapshot", "left").select(
+        "snapshot",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

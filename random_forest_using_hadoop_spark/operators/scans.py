@@ -1132,7 +1132,12 @@ _DELTA_ACTION_SCHEMA = T.StructType(
 # §Protocol Evolution): a table whose protocol demands an unimplemented
 # reader feature MUST be refused, not half-read (silently ignoring e.g.
 # deletion vectors would return deleted rows as live data).
-_DELTA_READER_FEATURES = {"deletionVectors", "columnMapping", "changeDataFeed"}
+_DELTA_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "changeDataFeed",
+    "v2Checkpoint",
+}
 _DELTA_MAX_READER_VERSION = 3
 
 
@@ -1232,8 +1237,12 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
     per file — O(live files + tail), never O(history). A checkpoint AT
     the latest version has an empty tail, which must read as exactly
     the checkpoint's contents (the degenerate case the adversarial
-    battery pins). Without a checkpoint, falls back to full-history
-    replay via [[_delta_live_files]]. Returns a driver-side set: the
+    battery pins). Handles BOTH checkpoint forms: the classic single
+    `<v>.checkpoint.parquet` file and the v2Checkpoint feature's
+    `<v>.checkpoint.<uniqueStr>.parquet` manifest whose file actions
+    live in `sidecar`-referenced parquet files (read distributed).
+    Without a checkpoint, falls back to full-history replay via
+    [[_delta_live_files]]. Returns a driver-side set: the
     live-file list is the scheduler-class metadata a scan plan needs
     (real tables keep it distributed until the final collect of
     surviving paths, same as src_delta_partition_prune)."""
@@ -1250,15 +1259,65 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
         return {r["fname"] for r in live.select("fname").collect()}
     with open(lc) as fh:
         ckpt_v = int(json.load(fh)["version"])
-    actions = (
-        spark.read.parquet(
-            os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+    classic = os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        ckpt_src = spark.read.parquet(classic)
+    else:
+        # V2 checkpoint (the checkpoints-with-sidecar-files feature):
+        # the manifest is `<v>.checkpoint.<uniqueStr>.parquet` and its
+        # file actions live in `sidecar`-referenced parquet files under
+        # _delta_log/_sidecars/ — read the manifest (bounded), then ONE
+        # distributed read over every sidecar. Manifests without
+        # sidecars carry their adds directly, so the union covers both.
+        manifests = [
+            f
+            for f in os.listdir(log_dir)
+            if f.startswith(f"{ckpt_v:020d}.checkpoint.")
+            and f.endswith(".parquet")
+        ]
+        if not manifests:
+            raise FileNotFoundError(
+                f"_last_checkpoint names version {ckpt_v} but no classic "
+                "or v2 checkpoint file exists for it"
+            )
+        manifest = spark.read.parquet(
+            *[os.path.join(log_dir, m) for m in sorted(manifests)]
         )
-        .select(
-            F.col("add.path").alias("path"),
-            F.lit(True).alias("is_add"),
-            F.lit(ckpt_v).alias("u"),
-        )
+        cols = set(manifest.columns)
+        sidecars = []
+        if "sidecar" in cols:
+            sidecars = [
+                r["p"]
+                for r in manifest.select(
+                    F.col("sidecar.path").alias("p")
+                )
+                .filter(F.col("p").isNotNull())
+                .collect()  # bounded: one row per sidecar file
+            ]
+        parts = []
+        if "add" in cols:
+            parts.append(manifest.filter(F.col("add.path").isNotNull()))
+        if sidecars:
+            parts.append(
+                spark.read.parquet(
+                    *[
+                        os.path.join(log_dir, "_sidecars", s)
+                        for s in sorted(sidecars)
+                    ]
+                ).filter(F.col("add.path").isNotNull())
+            )
+        if not parts:
+            raise ValueError(
+                f"v2 checkpoint for version {ckpt_v} carries neither adds "
+                "nor sidecars"
+            )
+        ckpt_src = parts[0].select("add")
+        for p in parts[1:]:
+            ckpt_src = ckpt_src.unionByName(p.select("add"))
+    actions = ckpt_src.select(
+        F.col("add.path").alias("path"),
+        F.lit(True).alias("is_add"),
+        F.lit(ckpt_v).alias("u"),
     )
     tail_files = [
         os.path.join(log_dir, f"{v:020d}.json")

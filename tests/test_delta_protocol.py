@@ -403,7 +403,7 @@ def test_protocol_gate_accepts_supported_features(spark):
 def test_protocol_gate_refuses_unimplemented_surface(spark):
     """The spec's forward-compatibility rule: a table demanding an
     unknown reader feature (or a reader version above ours) must be
-    REFUSED — half-reading it (e.g. ignoring v2Checkpoint or a future
+    REFUSED — half-reading it (e.g. ignoring typeWidening or a future
     feature) silently returns wrong data. The LATEST protocol action
     wins, so an upgrade commit flips an until-then readable table."""
     import pytest
@@ -422,15 +422,15 @@ def test_protocol_gate_refuses_unimplemented_surface(spark):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         _delta_check_protocol(log_dir)
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         _delta_live_files(spark, log_dir)  # the gate guards the reader
     with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
         fh.write(
@@ -480,3 +480,56 @@ def test_timestamp_resolution_rule(spark):
     assert _delta_resolve_timestamp(log_dir, base + 10_000) == 2
     with pytest.raises(ValueError, match="did not exist"):
         _delta_resolve_timestamp(log_dir, base - 1)
+
+
+def test_adversarial_v2_checkpoint_at_latest_version(spark):
+    """V2-checkpoint bootstrap through the shared reader: a manifest +
+    two sidecar shards AT the latest version (empty JSON tail) must
+    reconstruct exactly the sidecars' union — reading only the manifest
+    or only one shard loses files."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _tmp(SF_DIR, "delta_adv_ckpt_v2")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)], "b": [(2, 20)], "c": [(3, 30)]}, set(), True),
+            ({"d": [(4, 40)]}, {"a"}, True),
+        ],
+    )
+    live = {names["b"], names["c"], names["d"]}
+    log_dir = os.path.join(root, "_delta_log")
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    add_type = pa.struct([("path", pa.string())])
+    shards = [sorted(live)[0::2], sorted(live)[1::2]]
+    for i, shard in enumerate(shards):
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [{"path": f"data/{f}"} for f in shard], add_type
+                    )
+                }
+            ),
+            os.path.join(side_dir, f"shard-{i:05d}.parquet"),
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "sidecar": pa.array(
+                    [{"path": f"shard-{i:05d}.parquet"} for i in range(2)],
+                    pa.struct([("path", pa.string())]),
+                )
+            }
+        ),
+        os.path.join(log_dir, "00000000000000000001.checkpoint.adv01.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 1}))
+    assert _delta_latest_live_files(spark, root) == live
+    assert _audit(spark, root, live) == (3, 90)
