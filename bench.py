@@ -82,6 +82,7 @@ HEADLINE = [
     "sink_delta_txn_idempotent",
     "src_delta_time_travel_ts",
     "fn_variant_shred",
+    "src_delta_checkpoint_v2",
 ]
 
 
