@@ -83,6 +83,7 @@ HEADLINE = [
     "src_delta_time_travel_ts",
     "fn_variant_shred",
     "src_delta_checkpoint_v2",
+    "sink_delta_vacuum",
 ]
 
 

@@ -1092,17 +1092,36 @@ GROUP BY s.snapshot
 """
 
 
+def _delta_commit_time(log_dir: str, fname: str) -> float:
+    """One commit's timestamp (epoch seconds) per the spec's precedence:
+    `commitInfo.inCommitTimestamp` (epoch millis, monotonic — the
+    inCommitTimestamp feature exists exactly because file mtimes break
+    under log re-upload or clock skew) when the commit carries it, else
+    the log file's modification time."""
+    path = os.path.join(log_dir, fname)
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            info = json.loads(line).get("commitInfo")
+            if info is not None and "inCommitTimestamp" in info:
+                return info["inCommitTimestamp"] / 1000.0
+    return os.path.getmtime(path)
+
+
 def _delta_resolve_timestamp(log_dir: str, ts: float) -> int:
     """Timestamp → version per the spec's time-travel rule: the LATEST
-    commit whose timestamp is ≤ the requested one (commit timestamp =
-    the log file's modification time on tables without the
-    inCommitTimestamp feature). Raises below the first commit — there
-    is no table state to read before it. One driver-side listing."""
+    commit whose timestamp is ≤ the requested one, each commit's
+    timestamp taken from [[_delta_commit_time]] (inCommitTimestamp
+    when present, file mtime otherwise). Raises below the first commit
+    — there is no table state to read before it. One driver-side pass
+    over the bounded log tail."""
     best = -1
     for f in sorted(os.listdir(log_dir)):
         if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
             continue
-        if os.path.getmtime(os.path.join(log_dir, f)) <= ts:
+        if _delta_commit_time(log_dir, f) <= ts:
             best = max(best, int(f.split(".", 1)[0]))
     if best < 0:
         raise ValueError(
@@ -1311,8 +1330,17 @@ def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- reader: the shared v2-aware bootstrap gives latest_v3; the
     # checkpoint_v2 reconstruction reads manifest+sidecars only
     latest_fnames = _delta_latest_live_files(spark, root)
+    # read the shards by EXPLICIT file path: handing Spark the
+    # underscore-prefixed `_sidecars` directory trips the hidden-path
+    # filter ("All paths were ignored" warning) even though the files
+    # inside are plain parquet
+    shard_files = [
+        os.path.join(side_dir, f)
+        for f in sorted(os.listdir(side_dir))
+        if f.endswith(".parquet")
+    ]
     side_adds = (
-        spark.read.parquet(side_dir)
+        spark.read.parquet(*shard_files)
         .filter(F.col("add.path").isNotNull())
         .select(F.element_at(F.split("add.path", "/"), -1).alias("fname"))
         .collect()  # bounded: checkpoint state ∝ live files
@@ -1347,4 +1375,147 @@ def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
             "total_cents"
         ),
+    )
+
+
+# --- VACUUM: physical removal of tombstoned files -----------------------------
+
+def _delta_vacuum(
+    spark: SparkSession, root: str, retention_s: float, now_s: float
+) -> list[str]:
+    """Physically delete data files that are TOMBSTONED (not live at
+    the latest version) and whose remove action's `deletionTimestamp`
+    is older than the retention window — the protocol's VACUUM
+    operation. Never touches a live file; files with no
+    deletionTimestamp are treated as anciently removed (deletable), per
+    the conservative reading real implementations use for legacy
+    tombstones. Returns the deleted file names (sorted).
+
+    Scale: the decision set is log metadata (live set + tombstone
+    timestamps — bounded by file count, the same replay the readers
+    run); the deletes themselves are storage calls, embarrassingly
+    parallel on a real object store. `now_s` is a parameter, not a
+    clock read, so staging stays deterministic.
+    """
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+        _delta_max_version,
+    )
+
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    max_v = _delta_max_version(log_dir)
+    live = {
+        r["fname"]
+        for r in _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == max_v)
+        .collect()  # bounded metadata
+    }
+    # tombstone timestamps from the remove actions (driver-side scan of
+    # the bounded log tail)
+    removed_at: dict[str, float] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rm = json.loads(line).get("remove")
+                if rm is not None:
+                    name = os.path.basename(rm["path"])
+                    ts = rm.get("deletionTimestamp")
+                    removed_at[name] = (ts / 1000.0) if ts is not None else 0.0
+    deleted = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet") or f in live:
+            continue  # live files are NEVER vacuum candidates
+        if now_s - removed_at.get(f, 0.0) > retention_s:
+            os.remove(os.path.join(data_dir, f))
+            deleted.append(f)
+    return deleted
+
+
+_VACUUM_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderkey % 2
+"""
+
+
+@register("sink_delta_vacuum", oracle=_VACUUM_ORACLE)
+def q_sink_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — physical cleanup of tombstoned data files after the
+    retention window: a compaction or delete REMOVES files only
+    logically (the data stays on disk so older snapshots and in-flight
+    readers keep working); storage is reclaimed later by vacuum, which
+    may delete exactly the files (a) not live at the latest version and
+    (b) tombstoned longer than the retention window. At 100 TB skipped
+    vacuums double storage; an over-eager one breaks time travel and
+    racing readers — both failure directions are pinned here.
+
+    Staged: the shared v0/v1/v2 history (v2 compacts v0's two files
+    away; their remove actions carry an OLD deletionTimestamp), then
+    TWO vacuums: retention = 7 days at a `now` where the tombstones
+    are only an hour old (must delete NOTHING — the retention guard),
+    then retention = 0 (deletes exactly v0's two tombstoned files).
+    The graded read then replays the LATEST snapshot and must still
+    produce every order exactly once — a vacuum that touched a live
+    file breaks the scan (missing file) or the totals.
+    `tests/test_delta_protocol.py::test_vacuum_respects_retention_and_liveness`
+    pins the file-level mechanics.
+    """
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+        _delta_max_version,
+        _delta_stage_history,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_vacuum")
+    log_dir = os.path.join(root, "_delta_log")
+    v0_adds, v1_adds, v2_adds = _delta_stage_history(spark, o, root)
+    # restamp v2's compaction removes with a deletionTimestamp 1 h
+    # before the fixed `now` (staging detail: the shared helper does
+    # not stamp one; vacuum treats missing as ancient)
+    now_s = 1_700_000_000.0
+    _delta_commit(
+        log_dir,
+        2,
+        v2_adds,
+        v0_adds,
+        data_change=False,
+        remove_ts_ms=int((now_s - 3600) * 1000),
+    )
+    kept = _delta_vacuum(spark, root, retention_s=7 * 86400, now_s=now_s)
+    assert kept == [], "retention window must protect young tombstones"
+    deleted = _delta_vacuum(spark, root, retention_s=0, now_s=now_s)
+    assert sorted(deleted) == sorted(v0_adds), (
+        "vacuum must delete exactly the tombstoned files"
+    )
+
+    max_v = _delta_max_version(log_dir)
+    live = [
+        os.path.join(root, r["path"])
+        for r in _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == max_v)
+        .collect()
+    ]
+    return (
+        spark.read.parquet(*sorted(live))
+        .groupBy((F.col("o_orderkey") % 2).cast("bigint").alias("parity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
     )

@@ -1038,12 +1038,16 @@ def _delta_commit(
     adds: set[str],
     removes: set[str],
     data_change: bool = True,
+    remove_ts_ms: int | None = None,
 ) -> None:
     """Write one Delta-protocol commit: zero-padded `<version>.json`,
     JSON-lines actions with table-root-relative paths. `data_change`
     MUST be False for rearrangement-only commits (compaction/optimize)
     — it is the protocol's signal that lets streaming consumers skip
-    re-emitted rows (stream_delta_commits grades exactly that)."""
+    re-emitted rows (stream_delta_commits grades exactly that).
+    `remove_ts_ms` stamps each remove action's `deletionTimestamp`
+    (epoch millis) — the field VACUUM's retention window is measured
+    against."""
     import json
 
     lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
@@ -1051,9 +1055,18 @@ def _delta_commit(
         json.dumps({"add": {"path": f"data/{p}", "dataChange": data_change}})
         for p in sorted(adds)
     ]
+    rm_extra = (
+        {} if remove_ts_ms is None else {"deletionTimestamp": remove_ts_ms}
+    )
     lines += [
         json.dumps(
-            {"remove": {"path": f"data/{p}", "dataChange": data_change}}
+            {
+                "remove": {
+                    "path": f"data/{p}",
+                    "dataChange": data_change,
+                    **rm_extra,
+                }
+            }
         )
         for p in sorted(removes)
     ]

@@ -533,3 +533,92 @@ def test_adversarial_v2_checkpoint_at_latest_version(spark):
         fh.write(_json.dumps({"version": 1}))
     assert _delta_latest_live_files(spark, root) == live
     assert _audit(spark, root, live) == (3, 90)
+
+
+def test_vacuum_respects_retention_and_liveness(spark):
+    """VACUUM file mechanics on a micro table: (1) live files are never
+    candidates regardless of retention; (2) tombstones younger than the
+    window survive; (3) old tombstones (and legacy tombstones with no
+    deletionTimestamp) are deleted; (4) the latest snapshot reads
+    identically before and after."""
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_vacuum,
+    )
+
+    now = 1_700_000_000.0
+    root = _tmp(SF_DIR, "delta_adv_vacuum")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)], "b": [(2, 20)]}, set(), True),
+            ({"c": [(3, 30)]}, {"a"}, True),  # remove a (no timestamp)
+        ],
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    # v2: remove b with a YOUNG tombstone (1 h old)
+    _delta_commit(
+        log_dir,
+        2,
+        set(),
+        {names["b"]},
+        remove_ts_ms=int((now - 3600) * 1000),
+    )
+    live = {names["c"]}
+    before = _audit(spark, root, live)
+    # 7-day retention: only the legacy (timestamp-less) tombstone goes
+    deleted = _delta_vacuum(spark, root, retention_s=7 * 86400, now_s=now)
+    assert deleted == [names["a"]]
+    assert os.path.exists(os.path.join(root, "data", names["b"]))
+    # zero retention: the young tombstone goes too; live file survives
+    deleted = _delta_vacuum(spark, root, retention_s=0, now_s=now)
+    assert deleted == [names["b"]]
+    assert os.path.exists(os.path.join(root, "data", names["c"]))
+    assert _audit(spark, root, live) == before == (1, 30)
+
+
+def test_in_commit_timestamp_overrides_mtime(spark):
+    """Time-travel resolution must prefer commitInfo.inCommitTimestamp
+    over file mtime when present (the inCommitTimestamp feature exists
+    because mtimes break under log re-upload/clock skew): a commit
+    whose mtime says 'early' but whose ICT says 'late' must resolve as
+    LATE."""
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_commit_time,
+        _delta_resolve_timestamp,
+    )
+
+    root = _tmp(SF_DIR, "delta_adv_ict")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)]}, set(), True),
+            ({"b": [(2, 20)]}, set(), True),
+        ],
+    )
+    del names
+    log_dir = os.path.join(root, "_delta_log")
+    base = 2_000_000_000
+    # v0: mtime-only commit at base
+    os.utime(os.path.join(log_dir, f"{0:020d}.json"), (base, base))
+    # v1: mtime claims base+10 (e.g. a re-uploaded log file), but the
+    # commit carries ICT = base+1000 — ICT must win
+    v1 = os.path.join(log_dir, f"{1:020d}.json")
+    lines = open(v1).read().splitlines()
+    lines[0] = json.dumps(
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "inCommitTimestamp": (base + 1000) * 1000,
+            }
+        }
+    )
+    with open(v1, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.utime(v1, (base + 10, base + 10))
+    assert _delta_commit_time(log_dir, f"{0:020d}.json") == base
+    assert _delta_commit_time(log_dir, f"{1:020d}.json") == base + 1000
+    # a request between the fake mtime and the true ICT sees only v0
+    assert _delta_resolve_timestamp(log_dir, base + 500) == 0
+    assert _delta_resolve_timestamp(log_dir, base + 1000) == 1
