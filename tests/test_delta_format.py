@@ -131,3 +131,20 @@ def test_roaring_input_validation():
         roaring32_serialize([1 << 32])
     with pytest.raises(ValueError):
         dv_serialize([-5])
+
+
+def test_dv_seeded_random_roundtrips():
+    """Seeded randomized roundtrips across the container-type
+    boundaries (sparse arrays, dense bitmaps, multi-key, 64-bit
+    spill) — any asymmetry between the serializer's container choice
+    and the deserializer's reading rule shows up here."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        n = rng.choice([0, 1, 100, 4096, 4097, 20000])
+        span = rng.choice([1 << 12, 1 << 16, 1 << 20, 1 << 33])
+        idx = sorted(rng.sample(range(span), min(n, span)))
+        assert dv_deserialize(dv_serialize(idx)) == idx, (trial, n, span)
+        d = dv_inline_descriptor(idx)
+        assert dv_read_inline(d) == idx, (trial, n, span)
