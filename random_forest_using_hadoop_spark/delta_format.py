@@ -22,7 +22,15 @@ Three layers:
    spec): magic number 1681511377 (4 bytes LE), 8-byte LE count of
    32-bit bitmaps, then per bitmap a 4-byte LE high-32 key followed by
    its standard 32-bit serialization. Deleted row indexes are 64-bit;
-   index i lives in bitmap key i>>32 at position i & 0xFFFFFFFF.
+   index i lives in bitmap key i>>32 at position i & 0xFFFFFFFF. The
+   serializer emits keys densely 0..max (empty bitmaps for gaps),
+   matching the reference writer's sequential-array layout; the
+   deserializer reads keys explicitly so sparse layouts load too.
+4. **On-disk DV files** (storageType "u"/"p"): version byte, then per
+   DV a big-endian size prefix, the portable bitmap, and a big-endian
+   CRC-32 — with the spec's `<prefix><Z85 uuid>` →
+   `deletion_vector_<uuid>.bin` path derivation for "u". `dv_read`
+   dispatches all three storage types.
 
 Interop caveat (stated, not hidden): with no delta-spark offline, the
 byte layout cannot be round-tripped against the reference
@@ -61,14 +69,20 @@ def z85_encode(data: bytes) -> str:
 
 
 def z85_decode(text: str) -> bytes:
-    """Decode a Z85 string (length must be a multiple of 5)."""
+    """Decode a Z85 string (length must be a multiple of 5). Raises
+    ValueError (the module's error contract) on characters outside the
+    Z85 alphabet — a corrupt DV descriptor must surface as a named
+    decode failure, not a bare KeyError."""
     if len(text) % 5:
         raise ValueError("Z85 input length must be a multiple of 5")
     out = bytearray()
     for i in range(0, len(text), 5):
         v = 0
         for c in text[i : i + 5]:
-            v = v * 85 + _Z85_DECODE[c]
+            d = _Z85_DECODE.get(c)
+            if d is None:
+                raise ValueError(f"invalid Z85 character {c!r}")
+            v = v * 85 + d
         out += v.to_bytes(4, "big")
     return bytes(out)
 
@@ -182,19 +196,24 @@ DV_MAGIC = 1681511377  # per delta-io PROTOCOL.md §Deletion Vector Format
 def dv_serialize(row_indexes: list[int]) -> bytes:
     """Serialize 64-bit deleted row indexes as the Delta spec's
     portable RoaringBitmapArray: magic, 8-byte LE bitmap count, then
-    (4-byte LE high-32 key, 32-bit roaring bitmap) per populated key,
-    keys ascending."""
+    (4-byte LE high-32 key, 32-bit roaring bitmap) per key. Keys are
+    emitted DENSELY from 0 to the highest populated key — empty 32-bit
+    bitmaps fill the gaps — mirroring the reference writer's dense
+    sequential array layout (delta-spark's RoaringBitmapArray indexes
+    bitmaps 0..n-1); the deserializer still reads keys explicitly, so
+    sparse foreign layouts load too."""
     by_key: dict[int, list[int]] = {}
     for i in sorted(set(row_indexes)):
         if i < 0:
             raise ValueError("row index must be non-negative")
         by_key.setdefault(i >> 32, []).append(i & 0xFFFFFFFF)
+    n_keys = (max(by_key) + 1) if by_key else 0
     out = bytearray()
     out += struct.pack("<i", DV_MAGIC)
-    out += struct.pack("<q", len(by_key))
-    for k in sorted(by_key):
+    out += struct.pack("<q", n_keys)
+    for k in range(n_keys):
         out += struct.pack("<I", k)
-        out += roaring32_serialize(by_key[k])
+        out += roaring32_serialize(by_key.get(k, []))
     return bytes(out)
 
 
@@ -237,9 +256,9 @@ def dv_read_inline(desc: dict) -> list[int]:
     row-index list, honoring sizeInBytes to strip armor padding."""
     if desc["storageType"] != "i":
         raise ValueError(
-            "only inline ('i') deletion vectors are modeled offline — "
-            "path-based DV files need object-store framing this "
-            "container cannot interop-test"
+            "dv_read_inline handles only inline ('i') deletion vectors; "
+            f"storageType {desc['storageType']!r} is file-based — use "
+            "dv_read(desc, table_root)"
         )
     raw = z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
     out = dv_deserialize(raw)
@@ -249,3 +268,158 @@ def dv_read_inline(desc: dict) -> list[int]:
             f"bitmap {len(out)}"
         )
     return out
+
+
+# --- on-disk deletion-vector FILES (storageType "u" / "p") -------------------
+#
+# Per delta-io PROTOCOL.md §Deletion Vector Format, on-disk DV files are
+# what real writers emit almost exclusively (inline DVs cap at tiny
+# cardinalities). Layout:
+#   byte 0:        format version (currently 1)
+#   per DV blob (descriptor `offset` points at the blob's first byte):
+#     4-byte BIG-endian int32  dataSize (== descriptor sizeInBytes)
+#     dataSize bytes           the portable RoaringBitmapArray
+#     4-byte BIG-endian uint32 CRC-32 of the dataSize bytes
+# One file may hold many DVs (a writer packs a commit's DVs together).
+#
+# Path resolution (§Derived Fields): storageType "u" stores
+# `<optional random prefix><20-char Z85-encoded UUID>` in
+# pathOrInlineDv; the file lives at
+# `<tableRoot>/<prefix>/deletion_vector_<canonical uuid>.bin`
+# (the UUID encoding is ALWAYS exactly 20 chars — 16 bytes — so the
+# prefix is everything before the last 20). storageType "p" stores an
+# absolute path directly.
+
+DV_FILE_FORMAT_VERSION = 1
+_DV_UUID_Z85_LEN = 20  # 16 uuid bytes → 20 Z85 chars, fixed
+
+
+def dv_file_write(dv_lists: list[list[int]], path: str) -> list[dict]:
+    """Write ONE on-disk DV file at ``path`` holding every bitmap in
+    ``dv_lists`` (a real writer packs a commit's DVs into one file) and
+    return per-DV blob metadata: {offset, sizeInBytes, cardinality} —
+    the descriptor fields a caller combines with the storage fields."""
+    import zlib
+
+    out = bytearray([DV_FILE_FORMAT_VERSION])
+    metas: list[dict] = []
+    for idx in dv_lists:
+        raw = dv_serialize(idx)
+        metas.append(
+            {
+                "offset": len(out),
+                "sizeInBytes": len(raw),
+                "cardinality": len(set(idx)),
+            }
+        )
+        out += struct.pack(">i", len(raw))
+        out += raw
+        out += struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return metas
+
+
+def dv_file_name(uuid_str: str) -> str:
+    """Spec file-name core for an on-disk DV: deletion_vector_<uuid>.bin
+    (canonical textual UUID, NOT the Z85 form — Z85's alphabet contains
+    '/' so it never appears in file names)."""
+    return f"deletion_vector_{uuid_str}.bin"
+
+
+def dv_on_disk_descriptors(
+    dv_lists: list[list[int]],
+    table_root: str,
+    prefix: str = "",
+    uuid_hex: str | None = None,
+) -> list[dict]:
+    """Write the DVs in ``dv_lists`` into one spec-layout DV file under
+    ``table_root`` (optionally under a random-style directory
+    ``prefix``) and return one `storageType: "u"` descriptor per DV.
+    ``uuid_hex`` pins the file's UUID for deterministic staging; when
+    omitted a random UUID is drawn (what a real writer does)."""
+    import os
+    import uuid as _uuid
+
+    u = _uuid.UUID(hex=uuid_hex) if uuid_hex else _uuid.uuid4()
+    dir_ = os.path.join(table_root, prefix) if prefix else table_root
+    os.makedirs(dir_, exist_ok=True)
+    metas = dv_file_write(dv_lists, os.path.join(dir_, dv_file_name(str(u))))
+    enc = prefix + z85_encode(u.bytes)
+    return [{"storageType": "u", "pathOrInlineDv": enc, **m} for m in metas]
+
+
+def dv_resolve_path(desc: dict, table_root: str | None) -> str:
+    """Absolute filesystem path of an on-disk DV descriptor
+    (storageType "u" or "p"), per the spec's derived-field rules."""
+    import os
+    import uuid as _uuid
+
+    st = desc["storageType"]
+    if st == "p":
+        return desc["pathOrInlineDv"]
+    if st != "u":
+        raise ValueError(f"storageType {st!r} has no file path")
+    if table_root is None:
+        raise ValueError("storageType 'u' needs the table root to resolve")
+    v = desc["pathOrInlineDv"]
+    if len(v) < _DV_UUID_Z85_LEN:
+        raise ValueError(f"pathOrInlineDv too short for a UUID: {v!r}")
+    prefix, enc = v[: -_DV_UUID_Z85_LEN], v[-_DV_UUID_Z85_LEN:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    parts = [table_root] + ([prefix] if prefix else []) + [dv_file_name(str(u))]
+    return os.path.join(*parts)
+
+
+def dv_read_file(desc: dict, table_root: str | None) -> list[int]:
+    """Read one DV from an on-disk DV file: resolve the path, check the
+    format-version byte, seek to the descriptor's offset, verify the
+    size prefix against sizeInBytes and the CRC-32 suffix against the
+    data, then deserialize and verify cardinality. Every integrity
+    field the spec records is enforced — a truncated or bit-flipped DV
+    must fail loudly, never drop the wrong rows."""
+    import zlib
+
+    path = dv_resolve_path(desc, table_root)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data or data[0] != DV_FILE_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported DV file format version "
+            f"{data[0] if data else '<empty>'} in {path}"
+        )
+    off = desc.get("offset")
+    if off is None:
+        off = 1  # single-DV file: blob starts right after the version byte
+    (size,) = struct.unpack_from(">i", data, off)
+    if size != desc["sizeInBytes"]:
+        raise ValueError(
+            f"DV size mismatch: descriptor {desc['sizeInBytes']}, "
+            f"file blob {size}"
+        )
+    raw = data[off + 4 : off + 4 + size]
+    if len(raw) != size:
+        raise ValueError(f"truncated DV blob in {path}")
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch in {path}")
+    out = dv_deserialize(raw)
+    if len(out) != desc["cardinality"]:
+        raise ValueError(
+            f"DV cardinality mismatch: descriptor {desc['cardinality']}, "
+            f"bitmap {len(out)}"
+        )
+    return out
+
+
+def dv_read(desc: dict, table_root: str | None = None) -> list[int]:
+    """Decode ANY DeletionVectorDescriptor — inline ("i"), relative
+    on-disk ("u"), or absolute-path on-disk ("p") — to its sorted
+    deleted-row-index list. The one entry point a DV-aware reader
+    needs."""
+    st = desc["storageType"]
+    if st == "i":
+        return dv_read_inline(desc)
+    if st in ("u", "p"):
+        return dv_read_file(desc, table_root)
+    raise ValueError(f"unknown DV storageType {st!r}")

@@ -32,7 +32,8 @@ from pyspark.sql import types as T
 
 from random_forest_using_hadoop_spark.delta_format import (
     dv_inline_descriptor,
-    dv_read_inline,
+    dv_on_disk_descriptors,
+    dv_read,
 )
 from random_forest_using_hadoop_spark.operators.scans import (
     _delta_commit,
@@ -368,7 +369,7 @@ SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS total_cents
 FROM orders
-WHERE o_orderkey % 10 <> 0
+WHERE o_orderkey % 10 <> 0 AND o_orderkey % 10 <> 5
 GROUP BY o_orderkey % 2
 """
 
@@ -378,16 +379,22 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR-aware read (delta-io PROTOCOL.md §Deletion
     Vectors): a delete marks row POSITIONS inside a data file via a
     roaring bitmap instead of rewriting the file — O(deleted rows)
-    commit cost at 100 TB. The staged v1 re-adds the even-orderkey file
-    with an INLINE DV descriptor (`storageType: "i"`, Z85-armored
-    portable RoaringBitmapArray — delta_format.py implements the codec
-    stack from the published specs) whose positions are exactly the
-    rows with o_orderkey % 10 == 0.
+    commit cost at 100 TB. BOTH storage forms the spec defines for
+    table data are staged and graded in one history: v1 re-adds the
+    even-orderkey file with an ON-DISK DV (`storageType: "u"` — spec
+    file layout: version byte, big-endian size prefix, portable
+    RoaringBitmapArray, CRC-32 suffix; path derived from the
+    descriptor's `<prefix><Z85 uuid>` per the spec's rules) marking the
+    o_orderkey % 10 == 0 rows; v2 re-adds the odd-orderkey file with an
+    INLINE DV (`storageType: "i"`, Z85-armored) marking the
+    o_orderkey % 10 == 5 rows. delta_format.py implements the full
+    codec stack from the published specs.
 
     Reader semantics graded by the oracle: the latest snapshot must
-    drop precisely the DV-marked positions — a reader that ignores the
-    descriptor returns the deleted rows (wrong counts), one that
-    mis-decodes the bitmap drops the wrong rows (wrong cents). The scan
+    drop precisely the DV-marked positions of BOTH files — a reader
+    that ignores descriptors returns the deleted rows (wrong counts),
+    one that mis-decodes either storage form or mis-resolves the "u"
+    path drops the wrong rows (wrong cents) or crashes. The scan
     attaches `_metadata.row_index` (Spark's per-file row position — the
     same coordinate the spec's DVs index), broadcast-anti-joins the
     decoded (file, position) set, and aggregates by key parity.
@@ -395,15 +402,23 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: DV decode is driver-side and ∝ deleted cardinality (the
     descriptor records it) — the same bounded metadata a real reader
     materializes per file; the deleted-position frame broadcasts
-    against the distributed scan, so data never funnels. Path-based DV
-    files (`storageType` "u"/"p") raise in delta_format.dv_read_inline
-    with the documented offline-interop rationale.
+    against the distributed scan, so data never funnels.
 
-    Staging note: computing the DV requires reading the target file
+    Staging note: computing each DV requires reading the target file
     once with row positions and collecting the matching positions —
-    that collect is ∝ deleted rows and lands IN the commit json, which
-    is driver-written by definition.
+    that collect is ∝ deleted rows and lands IN the commit payload
+    (json + DV file), which is driver-written by definition.
     """
+
+    def _dv_positions(fname: str, mod: int) -> list[int]:
+        return [
+            r["ri"]
+            for r in spark.read.parquet(os.path.join(data_dir, fname))
+            .select(F.col("_metadata.row_index").alias("ri"), "o_orderkey")
+            .filter(F.col("o_orderkey") % 10 == mod)
+            .collect()
+        ]
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -429,17 +444,14 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + "\n"
         )
-    # v1: DELETE o_orderkey % 10 == 0 → DV on the evens file. Positions
-    # come from the file's own row_index coordinate (collect ∝ deleted
-    # rows — they ARE the commit payload).
-    deleted_pos = [
-        r["ri"]
-        for r in spark.read.parquet(os.path.join(data_dir, even_file))
-        .select(F.col("_metadata.row_index").alias("ri"), "o_orderkey")
-        .filter(F.col("o_orderkey") % 10 == 0)
-        .collect()
-    ]
-    dv = dv_inline_descriptor(deleted_pos)
+    # v1: DELETE o_orderkey % 10 == 0 → ON-DISK DV on the evens file,
+    # under a random-style 2-char prefix (uuid pinned for determinism)
+    (dv_even,) = dv_on_disk_descriptors(
+        [_dv_positions(even_file, 0)],
+        root,
+        prefix="ab",
+        uuid_hex="7d1ce21bd04e4d1a8f29a3c56e00d012",
+    )
     with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
         fh.write(
             json.dumps(
@@ -447,7 +459,22 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "add": {
                         "path": f"data/{even_file}",
                         "dataChange": True,
-                        "deletionVector": dv,
+                        "deletionVector": dv_even,
+                    }
+                }
+            )
+            + "\n"
+        )
+    # v2: DELETE o_orderkey % 10 == 5 → INLINE DV on the odds file
+    dv_odd = dv_inline_descriptor(_dv_positions(odd_file, 5))
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f"data/{odd_file}",
+                        "dataChange": True,
+                        "deletionVector": dv_odd,
                     }
                 }
             )
@@ -470,6 +497,7 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     T.StructField(
                                         "pathOrInlineDv", T.StringType()
                                     ),
+                                    T.StructField("offset", T.LongType()),
                                     T.StructField("sizeInBytes", T.IntegerType()),
                                     T.StructField("cardinality", T.LongType()),
                                 ]
@@ -498,7 +526,7 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in latest:
         if r["dv"] is not None and r["dv"]["storageType"] is not None:
             fname = os.path.basename(r["path"])
-            for pos in dv_read_inline(r["dv"].asDict()):
+            for pos in dv_read(r["dv"].asDict(), root):
                 del_rows.append((fname, pos))
     data = spark.read.parquet(data_dir).select(
         "o_orderkey",
@@ -539,6 +567,11 @@ feed AS (
   UNION ALL
   SELECT 2, 'delete', floor((p + 1.0) * 100 + 0.5)
   FROM ev WHERE k % 20 = 0
+  UNION ALL
+  SELECT 3, 'delete',
+         CASE WHEN k % 10 = 0 THEN floor((p + 1.0) * 100 + 0.5)
+              ELSE floor(p * 100 + 0.5) END
+  FROM ev WHERE k % 20 <> 0
 )
 SELECT version, change_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -565,11 +598,16 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), v1 = UPDATE adding 1.00 to every o_orderkey % 10 == 0 price
     (file rewritten; cdc file carries the preimage AND postimage rows),
     v2 = DELETE of o_orderkey % 20 == 0 (file rewritten; cdc file
-    carries the deleted rows at their post-update prices). The spec
-    rule the oracle enforces: when a commit carries ANY cdc action the
-    reader must take the feed FROM the cdc files alone — deriving it
-    from the rewritten add/remove files double-counts every untouched
-    row in the rewritten file.
+    carries the deleted rows at their post-update prices), v3 =
+    FULL-TABLE DELETE as a cdc-LESS remove-only commit (a whole-file
+    delete writes no cdc files — the removed files themselves ARE the
+    delete feed). The spec rules the oracle enforces: when a commit
+    carries ANY cdc action the reader must take the feed FROM the cdc
+    files alone — deriving it from the rewritten add/remove files
+    double-counts every untouched row in the rewritten file; when a
+    commit carries NO cdc action, rows in dataChange adds are inserts
+    AND rows in dataChange removes are deletes — a reader that derives
+    only the insert half silently loses every full-file delete.
 
     Reader plan: the log is bounded driver metadata (one collect);
     cdc files and insert-derived add files are then read in ONE
@@ -650,11 +688,29 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
+    # v3: FULL-TABLE DELETE — remove-only, NO cdc action (a whole-file
+    # delete writes no change files; the removed files are the feed)
+    lines = [
+        json.dumps({"remove": {"path": p, "dataChange": True}})
+        for p in v2_files
+    ]
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
     # --- reader ---------------------------------------------------------
     act_schema = T.StructType(
         [
             T.StructField(
                 "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "remove",
                 T.StructType(
                     [
                         T.StructField("path", T.StringType()),
@@ -676,11 +732,12 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "int"
             ),
         )
-        .select("u", "add", "cdc")
+        .select("u", "add", "remove", "cdc")
         .collect()  # bounded: action metadata, ∝ files per history
     )
     cdc_by_v: dict[int, list[str]] = {}
     add_by_v: dict[int, list[str]] = {}
+    rm_by_v: dict[int, list[str]] = {}
     for r in acts:
         if r["cdc"] is not None and r["cdc"]["path"] is not None:
             cdc_by_v.setdefault(r["u"], []).append(r["cdc"]["path"])
@@ -690,9 +747,18 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             and r["add"]["dataChange"]
         ):
             add_by_v.setdefault(r["u"], []).append(r["add"]["path"])
+        if (
+            r["remove"] is not None
+            and r["remove"]["path"] is not None
+            and r["remove"]["dataChange"]
+        ):
+            rm_by_v.setdefault(r["u"], []).append(r["remove"]["path"])
     # spec rule: a commit WITH cdc actions feeds from them exclusively;
-    # only cdc-less commits derive their feed from dataChange adds
+    # only cdc-less commits derive their feed from dataChange actions —
+    # rows in added files are inserts, rows in removed files are
+    # deletes (e.g. a full-file DELETE writes no cdc files at all)
     insert_by_v = {v: ps for v, ps in add_by_v.items() if v not in cdc_by_v}
+    delete_by_v = {v: ps for v, ps in rm_by_v.items() if v not in cdc_by_v}
 
     def _tagged_read(paths_by_v: dict[int, list[str]]) -> DataFrame | None:
         if not paths_by_v:
@@ -736,6 +802,15 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ins_feed.select(
                 "version",
                 F.lit("insert").alias("change_type"),
+                "o_totalprice",
+            )
+        )
+    del_feed = _tagged_read(delete_by_v)
+    if del_feed is not None:
+        feeds.append(
+            del_feed.select(
+                "version",
+                F.lit("delete").alias("change_type"),
                 "o_totalprice",
             )
         )
@@ -1386,10 +1461,13 @@ def _delta_vacuum(
     """Physically delete data files that are TOMBSTONED (not live at
     the latest version) and whose remove action's `deletionTimestamp`
     is older than the retention window — the protocol's VACUUM
-    operation. Never touches a live file; files with no
+    operation. Never touches a live file; TOMBSTONED files with no
     deletionTimestamp are treated as anciently removed (deletable), per
     the conservative reading real implementations use for legacy
-    tombstones. Returns the deleted file names (sorted).
+    tombstones; files with no remove action AT ALL (untracked — e.g. an
+    in-flight writer's uncommitted output) are aged by filesystem
+    modification time, as real VACUUM does, so a racing writer's fresh
+    files survive. Returns the deleted file names (sorted).
 
     Scale: the decision set is log metadata (live set + tombstone
     timestamps — bounded by file count, the same replay the readers
@@ -1431,7 +1509,16 @@ def _delta_vacuum(
     for f in sorted(os.listdir(data_dir)):
         if not f.endswith(".parquet") or f in live:
             continue  # live files are NEVER vacuum candidates
-        if now_s - removed_at.get(f, 0.0) > retention_s:
+        if f in removed_at:
+            ref_ts = removed_at[f]  # 0.0 = legacy tombstone w/o timestamp
+        else:
+            # UNTRACKED file (no remove action anywhere — e.g. an
+            # in-flight writer's not-yet-committed output): real VACUUM
+            # compares its modification time against the retention
+            # window, so a fresh uncommitted file is protected and only
+            # genuinely abandoned debris ages out.
+            ref_ts = os.path.getmtime(os.path.join(data_dir, f))
+        if now_s - ref_ts > retention_s:
             os.remove(os.path.join(data_dir, f))
             deleted.append(f)
     return deleted

@@ -856,30 +856,34 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_id in done_batches:
             return
         # tag the sink's jobs (Spark-UI observability; also how the
-        # unit test asserts the constant-jobs-per-batch contract)
+        # unit test asserts the constant-jobs-per-batch contract);
+        # try/finally so a mid-batch failure cannot leak the tag onto
+        # unrelated jobs scheduled later on this thread
         spark.sparkContext.setLocalProperty(
             "spark.jobGroup.id", "delta_cdc_sink"
         )
-        acts = (
-            batch_df.withColumn(
-                "version",
-                F.regexp_extract(
-                    F.input_file_name(), r"(\d+)\.json", 1
-                ).cast("int"),
+        try:
+            acts = (
+                batch_df.withColumn(
+                    "version",
+                    F.regexp_extract(
+                        F.input_file_name(), r"(\d+)\.json", 1
+                    ).cast("int"),
+                )
+                .filter(
+                    F.col("add.path").isNotNull() & F.col("add.dataChange")
+                )
+                .select("version", F.col("add.path").alias("path"))
+                .collect()  # bounded: add actions in this commit batch
             )
-            .filter(
-                F.col("add.path").isNotNull() & F.col("add.dataChange")
-            )
-            .select("version", F.col("add.path").alias("path"))
-            .collect()  # bounded: add actions in this commit batch
-        )
-        local = _cdc_version_stats(spark, root, acts) if acts else {}
-        for v, (n, c) in local.items():  # atomic merge, then mark done
-            got = acc.setdefault(v, [0, 0])
-            got[0] += n
-            got[1] += c
-        done_batches.add(batch_id)
-        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            local = _cdc_version_stats(spark, root, acts) if acts else {}
+            for v, (n, c) in local.items():  # atomic merge, then mark done
+                got = acc.setdefault(v, [0, 0])
+                got[0] += n
+                got[1] += c
+            done_batches.add(batch_id)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     ckpt = tempfile.mkdtemp(prefix="delta_cdc_ckpt_")
     query = (

@@ -10,10 +10,14 @@ import struct
 import pytest
 
 from random_forest_using_hadoop_spark.delta_format import (
+    DV_FILE_FORMAT_VERSION,
     DV_MAGIC,
     dv_deserialize,
     dv_inline_descriptor,
+    dv_on_disk_descriptors,
+    dv_read,
     dv_read_inline,
+    dv_resolve_path,
     dv_serialize,
     roaring32_deserialize,
     roaring32_serialize,
@@ -122,6 +126,96 @@ def test_dv_path_storage_rejected_with_rationale():
                 "cardinality": 0,
             }
         )
+
+
+def test_z85_bad_character_raises_valueerror():
+    # corrupt armor must surface as the module's ValueError contract,
+    # never a bare KeyError ("~" is outside the Z85 alphabet)
+    with pytest.raises(ValueError, match="Z85"):
+        z85_decode("abcd~")
+
+
+def test_dv_dense_key_layout():
+    """A DV whose only populated high-32 key is 2 must still emit keys
+    0,1,2 (empty bitmaps for the gap) — the reference writer's dense
+    sequential-array layout."""
+    idx = [(2 << 32) + 7]
+    raw = dv_serialize(idx)
+    (n_bitmaps,) = struct.unpack_from("<q", raw, 4)
+    assert n_bitmaps == 3
+    assert dv_deserialize(raw) == idx
+
+
+def test_dv_on_disk_roundtrip_with_prefix(tmp_path):
+    """storageType "u" end to end: two DVs packed into ONE spec-layout
+    file under a random-style prefix directory; each descriptor's
+    offset/size/CRC must check out and decode back to its own rows."""
+    root = str(tmp_path)
+    dvs = [[0, 5, 17, 4096], list(range(0, 9000, 2))]
+    descs = dv_on_disk_descriptors(
+        dvs, root, prefix="ab", uuid_hex="0123456789abcdef0123456789abcdef"
+    )
+    assert [d["storageType"] for d in descs] == ["u", "u"]
+    # both descriptors point into the SAME file (one write per commit)
+    p0 = dv_resolve_path(descs[0], root)
+    assert p0 == dv_resolve_path(descs[1], root)
+    assert "/ab/deletion_vector_" in p0 and p0.endswith(".bin")
+    with open(p0, "rb") as fh:
+        assert fh.read(1)[0] == DV_FILE_FORMAT_VERSION
+    for d, idx in zip(descs, dvs):
+        assert dv_read(d, root) == sorted(set(idx))
+
+
+def test_dv_on_disk_integrity_checks(tmp_path):
+    """Corruption must fail loudly: a flipped data byte breaks the CRC;
+    a descriptor pointing at the wrong offset breaks the size check."""
+    root = str(tmp_path)
+    (d,) = dv_on_disk_descriptors(
+        [[1, 2, 3, 70000]], root, uuid_hex="00112233445566778899aabbccddeeff"
+    )
+    path = dv_resolve_path(d, root)
+    blob = bytearray(open(path, "rb").read())
+    blob[d["offset"] + 4 + 2] ^= 0xFF  # flip a data byte
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    with pytest.raises(ValueError, match="checksum"):
+        dv_read(d, root)
+    bad = dict(d, offset=d["offset"] + 1)
+    with pytest.raises(ValueError):
+        dv_read(bad, root)
+
+
+def test_dv_absolute_path_storage(tmp_path):
+    """storageType "p": pathOrInlineDv IS the absolute path."""
+    from random_forest_using_hadoop_spark.delta_format import dv_file_write
+
+    path = str(tmp_path / "dv_abs.bin")
+    (meta,) = dv_file_write([[3, 9, 12]], path)
+    desc = {"storageType": "p", "pathOrInlineDv": path, **meta}
+    assert dv_read(desc) == [3, 9, 12]
+
+
+def test_dv_on_disk_seeded_random_roundtrips(tmp_path):
+    """Seeded randomized roundtrips for the FILE-based codec, beside
+    the inline one: multi-DV files, container-boundary cardinalities,
+    64-bit spill, prefixed and unprefixed paths."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        n_dvs = rng.choice([1, 2, 4])
+        dvs = []
+        for _ in range(n_dvs):
+            n = rng.choice([0, 1, 100, 4096, 4097, 15000])
+            span = rng.choice([1 << 12, 1 << 16, 1 << 20, 1 << 33])
+            dvs.append(sorted(rng.sample(range(span), min(n, span))))
+        prefix = rng.choice(["", "Qx"])
+        root = str(tmp_path / f"t{trial}")
+        descs = dv_on_disk_descriptors(
+            dvs, root, prefix=prefix, uuid_hex=f"{rng.getrandbits(128):032x}"
+        )
+        for d, idx in zip(descs, dvs):
+            assert dv_read(d, root) == idx, (trial, prefix, len(idx))
 
 
 def test_roaring_input_validation():

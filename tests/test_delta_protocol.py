@@ -577,6 +577,34 @@ def test_vacuum_respects_retention_and_liveness(spark):
     assert _audit(spark, root, live) == before == (1, 30)
 
 
+def test_vacuum_untracked_files_age_by_mtime(spark):
+    """A data file with NO remove action anywhere (untracked — e.g. an
+    in-flight writer's uncommitted output) must be aged by modification
+    time, not treated as anciently removed: a FRESH untracked file
+    survives a retention-window vacuum; one older than the window is
+    debris and goes."""
+    import shutil
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_vacuum,
+    )
+
+    now = 1_700_000_000.0
+    root = _tmp(SF_DIR, "delta_adv_vacuum_untracked")
+    names = _stage_micro(spark, root, [({"a": [(1, 10)]}, set(), True)])
+    data_dir = os.path.join(root, "data")
+    fresh = os.path.join(data_dir, "part-inflight-fresh.parquet")
+    stale = os.path.join(data_dir, "part-abandoned-stale.parquet")
+    shutil.copy(os.path.join(data_dir, names["a"]), fresh)
+    shutil.copy(os.path.join(data_dir, names["a"]), stale)
+    os.utime(fresh, (now - 3600, now - 3600))  # 1 h old: in-flight
+    os.utime(stale, (now - 8 * 86400, now - 8 * 86400))  # 8 d: debris
+    deleted = _delta_vacuum(spark, root, retention_s=7 * 86400, now_s=now)
+    assert deleted == [os.path.basename(stale)]
+    assert os.path.exists(fresh)
+    assert os.path.exists(os.path.join(data_dir, names["a"]))  # live
+
+
 def test_in_commit_timestamp_overrides_mtime(spark):
     """Time-travel resolution must prefer commitInfo.inCommitTimestamp
     over file mtime when present (the inCommitTimestamp feature exists
