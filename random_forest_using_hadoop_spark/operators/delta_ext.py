@@ -1453,6 +1453,170 @@ def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- timestampNtz reader feature ----------------------------------------------
+
+_NTZ_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+_NTZ_TYPE_MAP = {
+    "long": T.LongType(),
+    "string": T.StringType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+}
+
+
+@register("src_delta_timestamp_ntz", oracle=_NTZ_ORACLE)
+def q_src_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`timestampNtz` READER FEATURE (delta-io PROTOCOL.md §Timestamp
+    without timezone): tables carrying TIMESTAMP_NTZ columns declare
+    the feature so readers that would mis-adjust naive timestamps into
+    session-zone instants refuse instead. Staged: the events slice
+    written with its native TIMESTAMP_NTZ `ts` column, a v0 commit
+    whose `protocol` action demands `readerFeatures: ["timestampNtz"]`
+    (minReaderVersion 3) and whose `metaData.schemaString` declares the
+    column as `timestamp_ntz`, plus a decoy file that v1 REMOVES — a
+    directory-listing reader double-counts it.
+
+    Reader semantics graded by the oracle: the protocol gate must
+    ACCEPT the feature (it did not before this key existed — the gate
+    refuses unknown features, and `tests/test_delta_protocol.py` pins
+    that refusal for a fake feature), the log's declared schema drives
+    the scan (spark.read.schema built from schemaString — the log, not
+    file inference, is authoritative per spec), and the per-type
+    aggregates of COUNT / MIN(ts) / MAX(ts) must match DuckDB's naive
+    timestamps exactly — any timezone adjustment anywhere shifts
+    first_ts/last_ts and fails the value hash.
+
+    Scale: schemaString parse is one driver-side JSON of schema size;
+    the data path is a single distributed parquet scan over the live
+    files with the usual pushdown; nothing collects.
+    """
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # the real fixture's ts is already NTZ (identity cast); the
+        # micro-warehouse battery's is TimestampType — normalize so the
+        # staged parquet is genuinely isAdjustedToUTC=false either way
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    root = _tmp(sf_dir, "delta_ntz")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    evens = _delta_list_files(data_dir)
+    # decoy: a duplicate slice that v1 tombstones
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    decoy = _delta_list_files(data_dir) - evens
+    schema_fields = [
+        {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+        {
+            "name": "event_type",
+            "type": "string",
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "ts",
+            "type": "timestamp_ntz",
+            "nullable": True,
+            "metadata": {},
+        },
+    ]
+    lines = [
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": ["timestampNtz"],
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "ntz-fixture",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": schema_fields}
+                    ),
+                }
+            }
+        ),
+    ] + [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(evens | decoy)
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # v1: tombstone the decoy, append the odd slice
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    odds = _delta_list_files(data_dir) - evens - decoy
+    lines = [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(odds)
+    ] + [
+        json.dumps({"remove": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(decoy)
+    ]
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # --- reader: protocol gate (must ACCEPT timestampNtz) + live-set
+    # replay, then a scan under the LOG's declared schema
+    live = _delta_latest_live_files(spark, root)
+    meta = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    m = json.loads(line).get("metaData")
+                    if m is not None:
+                        meta = m  # later commits supersede
+    declared = json.loads(meta["schemaString"])
+    spark_schema = T.StructType(
+        [
+            T.StructField(
+                fld["name"], _NTZ_TYPE_MAP[fld["type"]], fld["nullable"]
+            )
+            for fld in declared["fields"]
+        ]
+    )
+    assert isinstance(
+        spark_schema["ts"].dataType, T.TimestampNTZType
+    ), "the declared ts column must be timestamp_ntz"
+    data = spark.read.schema(spark_schema).parquet(
+        *[os.path.join(data_dir, f) for f in sorted(live)]
+    )
+    return data.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 # --- VACUUM: physical removal of tombstoned files -----------------------------
 
 def _delta_vacuum(

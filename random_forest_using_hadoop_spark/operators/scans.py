@@ -1150,6 +1150,7 @@ _DELTA_READER_FEATURES = {
     "columnMapping",
     "changeDataFeed",
     "v2Checkpoint",
+    "timestampNtz",
 }
 _DELTA_MAX_READER_VERSION = 3
 
@@ -1241,6 +1242,52 @@ def _delta_live_files(spark: SparkSession, log_dir: str) -> DataFrame:
     )
 
 
+def _delta_multipart_checkpoint_files(
+    log_dir: str, ckpt_v: int, lc_meta: dict
+) -> list[str]:
+    """Shard paths of a MULTI-PART classic checkpoint
+    (`<v>.checkpoint.<i>.<n>.parquet`, parts numbered 1..n — the form
+    writers switch to when single-file checkpoint production becomes
+    the bottleneck), validated for COMPLETENESS: every file must agree
+    on n, parts 1..n must all be present, and `_last_checkpoint`'s
+    `parts` field (when recorded) must match — a missing shard means
+    the snapshot state is incomplete and must be refused, never
+    half-read (reading a subset silently drops live files). Returns []
+    when no multi-part shard exists for `ckpt_v`."""
+    import re
+
+    pat = re.compile(
+        rf"{ckpt_v:020d}\.checkpoint\.(\d{{10}})\.(\d{{10}})\.parquet"
+    )
+    found: dict[int, tuple[int, str]] = {}
+    for f in os.listdir(log_dir):
+        m = pat.fullmatch(f)
+        if m:
+            found[int(m.group(1))] = (int(m.group(2)), f)
+    if not found:
+        return []
+    totals = {n for n, _ in found.values()}
+    if len(totals) != 1:
+        raise ValueError(
+            f"multi-part checkpoint {ckpt_v} shards disagree on part "
+            f"count: {sorted(totals)}"
+        )
+    (n_total,) = totals
+    declared = lc_meta.get("parts")
+    if declared is not None and int(declared) != n_total:
+        raise ValueError(
+            f"_last_checkpoint declares {declared} parts but shards "
+            f"declare {n_total}"
+        )
+    missing = sorted(set(range(1, n_total + 1)) - set(found))
+    if missing:
+        raise ValueError(
+            f"multi-part checkpoint {ckpt_v} is missing shards "
+            f"{missing} of {n_total}; refusing an incomplete snapshot"
+        )
+    return [os.path.join(log_dir, found[i][1]) for i in range(1, n_total + 1)]
+
+
 def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
     """File names (basenames) live at the LATEST version of a Delta
     table — the production single-snapshot read path. Bootstraps from
@@ -1250,10 +1297,13 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
     per file — O(live files + tail), never O(history). A checkpoint AT
     the latest version has an empty tail, which must read as exactly
     the checkpoint's contents (the degenerate case the adversarial
-    battery pins). Handles BOTH checkpoint forms: the classic single
-    `<v>.checkpoint.parquet` file and the v2Checkpoint feature's
-    `<v>.checkpoint.<uniqueStr>.parquet` manifest whose file actions
-    live in `sidecar`-referenced parquet files (read distributed).
+    battery pins). Handles ALL THREE checkpoint forms: the classic
+    single `<v>.checkpoint.parquet` file, the sharded classic
+    `<v>.checkpoint.<i>.<n>.parquet` form (completeness-validated —
+    see [[_delta_multipart_checkpoint_files]]), and the v2Checkpoint
+    feature's `<v>.checkpoint.<uniqueStr>.parquet` manifest whose file
+    actions live in `sidecar`-referenced parquet files (read
+    distributed).
     Without a checkpoint, falls back to full-history replay via
     [[_delta_live_files]]. Returns a driver-side set: the
     live-file list is the scheduler-class metadata a scan plan needs
@@ -1271,10 +1321,18 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
         )
         return {r["fname"] for r in live.select("fname").collect()}
     with open(lc) as fh:
-        ckpt_v = int(json.load(fh)["version"])
+        lc_meta = json.load(fh)
+    ckpt_v = int(lc_meta["version"])
     classic = os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+    multi = _delta_multipart_checkpoint_files(log_dir, ckpt_v, lc_meta)
     if os.path.exists(classic):
         ckpt_src = spark.read.parquet(classic)
+    elif multi:
+        # multi-part classic checkpoint: the state is sharded across
+        # `<v>.checkpoint.<i>.<n>.parquet` files — ONE distributed read
+        # over all n shards (completeness already validated: reading a
+        # subset would silently drop live files)
+        ckpt_src = spark.read.parquet(*multi)
     else:
         # V2 checkpoint (the checkpoints-with-sidecar-files feature):
         # the manifest is `<v>.checkpoint.<uniqueStr>.parquet` and its

@@ -288,6 +288,84 @@ def test_adversarial_checkpoint_at_latest_version(spark):
     assert _audit(spark, root, live) == (2, 50)
 
 
+def _write_ckpt_shard(log_dir, v, part, n_parts, fnames):
+    """One `<v>.checkpoint.<part>.<n>.parquet` shard holding add
+    actions for `fnames` (pyarrow, no Spark job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "add": pa.array(
+                    [{"path": f"data/{f}"} for f in sorted(fnames)],
+                    type=pa.struct([("path", pa.string())]),
+                )
+            }
+        ),
+        os.path.join(
+            log_dir, f"{v:020d}.checkpoint.{part:010d}.{n_parts:010d}.parquet"
+        ),
+    )
+
+
+def test_multipart_classic_checkpoint_bootstrap(spark):
+    """MULTI-PART classic checkpoint (`<v>.checkpoint.<i>.<n>.parquet`):
+    the bootstrap must union ALL shards (reading one loses live files),
+    then apply the post-checkpoint JSON tail on top."""
+    import json as _json
+
+    root = _tmp(SF_DIR, "delta_adv_ckpt_multi")
+    names = _stage_micro(
+        spark,
+        root,
+        [
+            ({"a": [(1, 10)], "b": [(2, 20)], "c": [(3, 30)]}, set(), True),
+            ({"d": [(4, 40)]}, {"a"}, True),
+        ],
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    live_v1 = {names["b"], names["c"], names["d"]}
+    # checkpoint at v1 sharded into 2 parts (parts numbered 1..n)
+    _write_ckpt_shard(log_dir, 1, 1, 2, {names["b"], names["c"]})
+    _write_ckpt_shard(log_dir, 1, 2, 2, {names["d"]})
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 1, "parts": 2}))
+    assert _delta_latest_live_files(spark, root) == live_v1
+    assert _audit(spark, root, live_v1) == (3, 90)
+    # post-checkpoint tail applies on top of the sharded state
+    _delta_commit(log_dir, 2, set(), {names["b"]})
+    assert _delta_latest_live_files(spark, root) == {names["c"], names["d"]}
+
+
+def test_multipart_checkpoint_missing_shard_refused(spark):
+    """An INCOMPLETE multi-part checkpoint (a shard lost or not yet
+    uploaded) must be refused loudly — half-reading it silently drops
+    live files from the snapshot."""
+    import json as _json
+
+    import pytest
+
+    root = _tmp(SF_DIR, "delta_adv_ckpt_multi_bad")
+    names = _stage_micro(
+        spark, root, [({"a": [(1, 10)], "b": [(2, 20)]}, set(), True)]
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    # only shard 2-of-3 exists
+    _write_ckpt_shard(log_dir, 0, 2, 3, {names["a"]})
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 0}))
+    with pytest.raises(ValueError, match="missing shards"):
+        _delta_latest_live_files(spark, root)
+    # declared parts in _last_checkpoint must also agree
+    _write_ckpt_shard(log_dir, 0, 1, 3, {names["a"]})
+    _write_ckpt_shard(log_dir, 0, 3, 3, {names["b"]})
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 0, "parts": 2}))
+    with pytest.raises(ValueError, match="parts"):
+        _delta_latest_live_files(spark, root)
+
+
 def test_registered_checkpoint_is_single_file(spark):
     """The src_delta_checkpoint key writes the spec's classic
     checkpoint as ONE parquet file (r10 ADVICE: the Spark-directory
