@@ -1,0 +1,642 @@
+"""Apache Iceberg v2 metadata reader (r12): the second open table
+format beside the Delta layer, implemented from the PUBLIC Iceberg
+table spec only (iceberg.apache.org/spec — §Table Metadata, §Snapshots,
+§Manifest Lists, §Manifests) with the from-scratch Avro OCF codec in
+iceberg_format.py (no iceberg-java / pyiceberg / avro lib exists in
+this container).
+
+Iceberg's layering differs from Delta's in exactly the ways these keys
+grade: there is no JSON commit log to replay — each snapshot is
+SELF-CONTAINED, naming one manifest LIST (Avro), which names manifest
+FILES (Avro), whose entries carry per-data-file status
+(EXISTING/ADDED/DELETED), partition values, and stats. Table state
+lives in `metadata/v<N>.metadata.json` (snapshots, schemas, partition
+specs, snapshot-log), discovered via `version-hint.text`.
+
+Each key stages its own spec-layout table from the shipped `orders`
+fixture and grades the READER against a DuckDB oracle over the
+unstaged source of truth — a reader that lists directories instead of
+manifests double-counts replaced files; one that ignores entry status
+returns deleted rows; one that ignores manifest partition values scans
+every file.
+
+Scale stance (100 TB): Iceberg metadata IS the planner's data
+structure — manifest lists are one row per manifest and manifests one
+row per file, so parsing them driver-side is the same bounded
+scheduler-class work iceberg-core's planner does (real deployments
+additionally shard manifest reads; the format keeps them independently
+readable for exactly that). The data files the metadata selects are
+read in ONE distributed parquet scan; partition pruning happens on
+metadata alone, so a pruned query never opens an excluded file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.iceberg_format import ocf_read, ocf_write
+from random_forest_using_hadoop_spark.operators.scans import _tmp
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# entry statuses per the spec (§Manifests)
+_ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
+
+# Avro schemas for the metadata this layer stages/reads — the spec's
+# field names and ids (field-id keys ride along as inert annotations;
+# the codec is schema-driven and ignores unknown keys).
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 4,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [
+                                {
+                                    "name": "o_orderpriority",
+                                    "type": ["null", "string"],
+                                    "field-id": 1000,
+                                }
+                            ],
+                        },
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# deterministic staged snapshot ids / timestamps (ms)
+_S1, _S2, _S3 = 3051729675574597004, 3051729675574597005, 3051729675574597006
+_T1, _T2, _T3 = 1_700_000_000_000, 1_700_000_060_000, 1_700_000_120_000
+
+
+def _pfiles(data_dir: str, sub: str) -> list[tuple[str, str]]:
+    """(absolute path, partition value) of every parquet file under a
+    partitionBy('o_orderpriority') output directory."""
+    out = []
+    base = os.path.join(data_dir, sub)
+    if not os.path.isdir(base):
+        return out
+    for d in sorted(os.listdir(base)):
+        pdir = os.path.join(base, d)
+        if not (os.path.isdir(pdir) and d.startswith("o_orderpriority=")):
+            continue
+        pval = d.split("=", 1)[1]
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                out.append((os.path.join(pdir, f), pval))
+    return out
+
+
+def _entry(status: int, snap_id: int, seq: int, path: str, pval: str) -> dict:
+    """One manifest_entry record; record_count/file_size come from the
+    parquet footer / filesystem — driver-side, bounded by file count
+    (the stats a real writer records at commit time)."""
+    import pyarrow.parquet as pq
+
+    return {
+        "status": status,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {"o_orderpriority": pval},
+            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+        },
+    }
+
+
+def _write_manifest(meta_dir: str, name: str, entries: list[dict]) -> str:
+    path = os.path.join(meta_dir, name)
+    ocf_write(
+        path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "format-version": "2",
+            "content": "data",
+            "partition-spec-id": "0",
+        },
+    )
+    return path
+
+
+def _write_manifest_list(
+    meta_dir: str, snap_id: int, seq: int, manifests: list[tuple[str, int]]
+) -> str:
+    """Manifest list for one snapshot: (manifest path, added_snapshot_id)
+    per manifest. Counts are filled from the manifests themselves."""
+    recs = []
+    for mpath, added_by in manifests:
+        _, entries, _ = ocf_read(mpath)
+        recs.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,  # data manifests
+                "sequence_number": seq,
+                "min_sequence_number": 1,
+                "added_snapshot_id": added_by,
+                "added_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_ADDED
+                ),
+                "existing_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_EXISTING
+                ),
+                "deleted_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_DELETED
+                ),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_EXISTING
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_DELETED
+                ),
+            }
+        )
+    path = os.path.join(meta_dir, f"snap-{snap_id}-1-fixture.avro")
+    ocf_write(path, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "2"})
+    return path
+
+
+def _iceberg_stage(spark: SparkSession, o: DataFrame, root: str) -> None:
+    """Stage the shared three-snapshot Iceberg v2 table under `root`
+    (wiped first), partitioned by o_orderpriority (identity transform):
+
+    - s1 APPEND  even-orderkey rows  → manifest m1 (ADDED)
+    - s2 APPEND  odd-orderkey rows   → manifest m2 (ADDED); the s2
+      manifest LIST carries m1 + m2 (manifests are immutable and
+      re-referenced — the structural property that makes Iceberg
+      commits O(change), not O(table))
+    - s3 DELETE  the 1-URGENT partition → rewrite-manifests style: one
+      new manifest m3 with survivors EXISTING and the urgent files
+      DELETED; the s3 list carries only m3 (deleted entries stay in the
+      manifest for one snapshot per spec so incremental consumers see
+      them)
+
+    metadata/v1..v3.metadata.json accumulate the snapshots +
+    snapshot-log; version-hint.text names the current metadata version
+    (the HadoopCatalog discovery rule)."""
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    # one parquet file per partition dir per snapshot slice (coalesce(1)
+    # keeps the layout deterministic at fixture scale; a real writer
+    # shards — the reader below never assumes one file per partition)
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "s1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "s2"))
+    evens = _pfiles(data_dir, "s1")
+    odds = _pfiles(data_dir, "s2")
+
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-fixture.avro",
+        [_entry(_ST_ADDED, _S1, 1, p, v) for p, v in evens],
+    )
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-fixture.avro",
+        [_entry(_ST_ADDED, _S2, 2, p, v) for p, v in odds],
+    )
+    m3 = _write_manifest(
+        meta_dir,
+        "m3-fixture.avro",
+        [
+            _entry(
+                _ST_DELETED if v == "1-URGENT" else _ST_EXISTING, _S3, 3, p, v
+            )
+            for p, v in evens + odds
+        ],
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    l2 = _write_manifest_list(meta_dir, _S2, 2, [(m1, _S1), (m2, _S2)])
+    l3 = _write_manifest_list(meta_dir, _S3, 3, [(m3, _S3)])
+
+    snaps = [
+        (_S1, 1, _T1, l1, "append"),
+        (_S2, 2, _T2, l2, "append"),
+        (_S3, 3, _T3, l3, "delete"),
+    ]
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "o_totalprice",
+                "required": False,
+                "type": "double",
+            },
+            {
+                "id": 3,
+                "name": "o_orderpriority",
+                "required": False,
+                "type": "string",
+            },
+        ],
+    }
+    for v in (1, 2, 3):
+        sub = snaps[:v]
+        meta = {
+            "format-version": 2,
+            "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-fixt",
+            "location": root,
+            "last-sequence-number": sub[-1][1],
+            "last-updated-ms": sub[-1][2],
+            "last-column-id": 3,
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "source-id": 3,
+                            "field-id": 1000,
+                            "name": "o_orderpriority",
+                            "transform": "identity",
+                        }
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "current-snapshot-id": sub[-1][0],
+            "snapshots": [
+                {
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "timestamp-ms": ts,
+                    "manifest-list": ml,
+                    "summary": {"operation": op},
+                    "schema-id": 0,
+                }
+                for sid, seq, ts, ml, op in sub
+            ],
+            "snapshot-log": [
+                {"timestamp-ms": ts, "snapshot-id": sid}
+                for sid, _, ts, _, _ in sub
+            ],
+        }
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("3")
+
+
+def _iceberg_table_meta(root: str) -> dict:
+    """Load the CURRENT table metadata: version-hint.text names the
+    metadata version (HadoopCatalog rule); fall back to the highest
+    v<N>.metadata.json when the hint is absent. One driver-side JSON of
+    table-metadata size."""
+    meta_dir = os.path.join(root, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = int(fh.read().strip())
+    else:
+        versions = [
+            int(f[1:].split(".", 1)[0])
+            for f in os.listdir(meta_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no metadata.json under {meta_dir}")
+        v = max(versions)
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("format-version") != 2:
+        raise ValueError(
+            f"unsupported Iceberg format-version "
+            f"{meta.get('format-version')!r}; this reader implements v2"
+        )
+    return meta
+
+
+def _iceberg_snapshot(
+    meta: dict,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> dict:
+    """Resolve a snapshot: by id, by timestamp (latest snapshot-log
+    entry at or before `as_of_ms` — the spec's time-travel rule), or
+    the current one."""
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if snapshot_id is None and as_of_ms is not None:
+        eligible = [
+            e for e in meta["snapshot-log"] if e["timestamp-ms"] <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])[
+            "snapshot-id"
+        ]
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    if snapshot_id not in snaps:
+        raise ValueError(f"unknown snapshot id {snapshot_id}")
+    return snaps[snapshot_id]
+
+
+def _iceberg_live_files(
+    snapshot: dict, partition_pred=None
+) -> list[tuple[str, str, int]]:
+    """(file path, partition value, record count) of every LIVE data
+    file in a snapshot: read its manifest list, then each data
+    manifest, keep entries whose status is not DELETED and whose
+    content is data (0). `partition_pred(pval) -> bool` prunes on
+    MANIFEST METADATA alone — an excluded partition's files are never
+    handed to the scan, the planner behavior that makes a partition
+    query O(selected) at 100 TB. Driver-side and bounded: one row per
+    manifest, one per file — the planner's working set."""
+    _, manifests, _ = ocf_read(snapshot["manifest-list"])
+    out = []
+    for m in manifests:
+        if m["content"] != 0:
+            continue  # delete manifests carry no data files
+        _, entries, _ = ocf_read(m["manifest_path"])
+        for e in entries:
+            if e["status"] == _ST_DELETED:
+                continue
+            df = e["data_file"]
+            if df["content"] != 0:
+                continue
+            pval = df["partition"]["o_orderpriority"]
+            if partition_pred is not None and not partition_pred(pval):
+                continue
+            out.append((df["file_path"], pval, df["record_count"]))
+    return out
+
+
+def _scan_with_partition(
+    spark: SparkSession, files: list[tuple[str, str, int]]
+) -> DataFrame | None:
+    """One distributed scan over the selected files with the identity
+    partition column restored from MANIFEST metadata (per spec the
+    partition column is not stored in the data files) — one scan node
+    per partition value, not per file."""
+    if not files:
+        return None
+    by_val: dict[str, list[str]] = {}
+    for path, pval, _ in files:
+        by_val.setdefault(pval, []).append(path)
+    scans = [
+        spark.read.parquet(*sorted(paths)).withColumn(
+            "o_orderpriority", F.lit(v)
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    return df
+
+
+def _cents_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+_SNAP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_iceberg_snapshot", oracle=_SNAP_ORACLE)
+def q_src_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 CURRENT-SNAPSHOT read: version-hint →
+    metadata.json → current snapshot → manifest list (Avro) → manifests
+    (Avro) → live data files → ONE distributed parquet scan. The staged
+    s3 deleted the 1-URGENT partition via a rewrite manifest whose
+    urgent entries carry status DELETED — a reader that lists the data
+    directory (both parities of every partition exist on disk), reads
+    only ADDED entries, or ignores entry status entirely gets the wrong
+    counts; partition values restored from manifest metadata make
+    mis-mapped partitions fail on cents, not just rows.
+
+    Scale: the metadata walk is one row per manifest + one per file
+    (planner-class, bounded); the data path is one distributed scan of
+    exactly the live files.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_snap")
+    _iceberg_stage(spark, o, root)
+    meta = _iceberg_table_meta(root)
+    files = _iceberg_live_files(_iceberg_snapshot(meta))
+    df = _scan_with_partition(spark, files)
+    if df is None:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return _cents_agg(df)
+
+
+_TT_ICE_ORACLE = """
+SELECT s.snapshot,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('as_of_s1'), ('latest')) AS s(snapshot)
+LEFT JOIN orders o
+       ON ((s.snapshot = 'as_of_s1' AND o.o_orderkey % 2 = 0)
+        OR (s.snapshot = 'latest' AND o.o_orderpriority <> '1-URGENT'))
+GROUP BY s.snapshot
+"""
+
+
+@register("src_iceberg_time_travel", oracle=_TT_ICE_ORACLE)
+def q_src_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TIME TRAVEL by timestamp: resolve the snapshot-log entry
+    at or before the requested time (the spec's rule — the log maps
+    wall-clock to snapshot ids), then read that snapshot's
+    self-contained manifest list. Unlike Delta there is NO log replay:
+    `as_of_s1` reconstructs from s1's own list (evens only — a reader
+    that unions later manifests or takes current-snapshot-id fails on
+    rows), and `latest` must reflect s3's partition delete. Both
+    reconstructions are graded in one output against the unstaged
+    source of truth.
+
+    Scale: two bounded metadata walks + one distributed scan per
+    snapshot label; historical reads cost the same planner work as
+    current ones because snapshots are self-contained — the property
+    this key pins.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_tt")
+    _iceberg_stage(spark, o, root)
+    meta = _iceberg_table_meta(root)
+    # as-of a wall-clock BETWEEN s1 and s2 → must resolve to s1
+    s1 = _iceberg_snapshot(meta, as_of_ms=_T1 + 30_000)
+    latest = _iceberg_snapshot(meta)
+    parts = []
+    for label, snap in (("as_of_s1", s1), ("latest", latest)):
+        df = _scan_with_partition(spark, _iceberg_live_files(snap))
+        if df is not None:
+            parts.append(df.withColumn("snapshot", F.lit(label)))
+    spine = spark.createDataFrame(
+        [("as_of_s1",), ("latest",)], "snapshot string"
+    )
+    if not parts:
+        return spine.select(
+            "snapshot",
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("total_cents"),
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    per = both.groupBy("snapshot").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+    return spine.join(per, "snapshot", "left").select(
+        "snapshot",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+_PRUNE_ICE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('2-HIGH', '5-LOW')
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_iceberg_partition_prune", oracle=_PRUNE_ICE_ORACLE)
+def q_src_iceberg_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only PARTITION PRUNING from Iceberg manifests: every
+    manifest entry carries the file's partition tuple under the
+    snapshot's partition spec (identity transform on o_orderpriority
+    here), so a partition predicate selects files from the MANIFESTS
+    ALONE — no directory listing, no footer reads, no excluded file
+    ever opened. `tests/test_plans.py::
+    test_iceberg_partition_prune_reads_only_pruned_files` asserts the
+    scan's input files are exactly the pruned live set.
+
+    Graded on content: the partition column is restored from manifest
+    metadata (identity partitions are not stored in the data files), so
+    a reader that mis-maps partition values fails on cents even when
+    file selection happens to be right. The predicate targets the
+    CURRENT snapshot — 1-URGENT is already deleted, so an ADDED-entries
+    union (ignoring s3's rewrite) would also leak it here if the
+    predicate included it; the companion snapshot key pins that
+    direction.
+
+    Scale: pruning cost ∝ manifest entries (planner metadata), scan
+    cost ∝ selected partitions only — the 100 TB behavior this feature
+    exists for.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_prune")
+    _iceberg_stage(spark, o, root)
+    wanted = {"2-HIGH", "5-LOW"}
+    meta = _iceberg_table_meta(root)
+    files = _iceberg_live_files(
+        _iceberg_snapshot(meta), partition_pred=lambda v: v in wanted
+    )
+    df = _scan_with_partition(spark, files)
+    if df is None:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return _cents_agg(df)

@@ -1054,6 +1054,32 @@ def test_delta_partition_prune_reads_only_pruned_files(spark):
     assert not [f for f in files if f.endswith(".json")]
 
 
+def test_iceberg_partition_prune_reads_only_pruned_files(spark):
+    """src_iceberg_partition_prune's scale claim: the predicate selects
+    files from MANIFEST partition tuples alone, so the parquet scans'
+    input files must be EXACTLY the wanted partitions' LIVE files —
+    opening an excluded partition's file, a DELETED entry's file (both
+    parities of 1-URGENT still exist on disk), or falling back to a
+    directory listing fails here even though the aggregate could still
+    be correct."""
+    df = engine.REGISTRY["src_iceberg_partition_prune"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    import re
+
+    parts = {
+        m.group(1)
+        for f in files
+        for m in [re.search(r"o_orderpriority=([^/]+)/", f)]
+        if m
+    }
+    assert parts == {"2-HIGH", "5-LOW"}, (
+        f"scan read partitions {parts}, expected only the pruned pair"
+    )
+    # manifests/metadata are not part of the DATA scan
+    assert not [f for f in files if f.endswith((".avro", ".json", ".text"))]
+
+
 def test_delta_stats_skipping_reads_only_surviving_files(spark):
     """src_delta_stats_skipping's scale claim: the range predicate
     selects files from the LOG's add.stats min/max alone, so the
