@@ -84,6 +84,15 @@ HEADLINE = [
     "fn_variant_shred",
     "src_delta_checkpoint_v2",
     "sink_delta_vacuum",
+    # r12 additions — the Iceberg v2 reader layer (manifest-list →
+    # manifest → pruned scan through the from-scratch Avro codec) and
+    # the timestampNtz reader feature; like the delta keys these
+    # re-stage their table every run, so the numbers are
+    # staging-dominated (scaling probe: 1.07–1.53× per 10× step):
+    "src_iceberg_snapshot",
+    "src_iceberg_time_travel",
+    "src_iceberg_partition_prune",
+    "src_delta_timestamp_ntz",
 ]
 
 
