@@ -93,6 +93,10 @@ HEADLINE = [
     "src_iceberg_time_travel",
     "src_iceberg_partition_prune",
     "src_delta_timestamp_ntz",
+    # r12 second wave — Iceberg row-level position deletes and
+    # field-id/name-mapping schema evolution:
+    "src_iceberg_pos_delete",
+    "src_iceberg_schema_evolution",
 ]
 
 

@@ -411,34 +411,51 @@ def _iceberg_snapshot(
     return snaps[snapshot_id]
 
 
-def _iceberg_live_files(
+def _iceberg_files(
     snapshot: dict, partition_pred=None
-) -> list[tuple[str, str, int]]:
-    """(file path, partition value, record count) of every LIVE data
-    file in a snapshot: read its manifest list, then each data
-    manifest, keep entries whose status is not DELETED and whose
-    content is data (0). `partition_pred(pval) -> bool` prunes on
-    MANIFEST METADATA alone — an excluded partition's files are never
-    handed to the scan, the planner behavior that makes a partition
-    query O(selected) at 100 TB. Driver-side and bounded: one row per
+) -> tuple[list[tuple], list[tuple]]:
+    """(data files, position-delete files) LIVE in a snapshot — each
+    item (file path, partition value, record count, data sequence
+    number). Read the manifest list, then each manifest; keep entries
+    whose status is not DELETED; data manifests (content 0) contribute
+    data files, delete manifests (content 1) contribute delete files
+    (data_file.content 1 = position deletes). `partition_pred(pval) ->
+    bool` prunes BOTH lists on manifest metadata alone — an excluded
+    partition's files (and its partition-scoped delete files) are never
+    handed to a scan, the planner behavior that makes a partition query
+    O(selected) at 100 TB. Driver-side and bounded: one row per
     manifest, one per file — the planner's working set."""
     _, manifests, _ = ocf_read(snapshot["manifest-list"])
-    out = []
+    data, deletes = [], []
     for m in manifests:
-        if m["content"] != 0:
-            continue  # delete manifests carry no data files
         _, entries, _ = ocf_read(m["manifest_path"])
         for e in entries:
             if e["status"] == _ST_DELETED:
                 continue
             df = e["data_file"]
-            if df["content"] != 0:
-                continue
             pval = df["partition"]["o_orderpriority"]
             if partition_pred is not None and not partition_pred(pval):
                 continue
-            out.append((df["file_path"], pval, df["record_count"]))
-    return out
+            item = (
+                df["file_path"],
+                pval,
+                df["record_count"],
+                e["sequence_number"],
+            )
+            if m["content"] == 0 and df["content"] == 0:
+                data.append(item)
+            elif m["content"] == 1 and df["content"] == 1:
+                deletes.append(item)
+    return data, deletes
+
+
+def _iceberg_live_files(
+    snapshot: dict, partition_pred=None
+) -> list[tuple[str, str, int]]:
+    """Back-compat view of [[_iceberg_files]]: the live DATA files as
+    (file path, partition value, record count)."""
+    data, _ = _iceberg_files(snapshot, partition_pred)
+    return [(p, v, n) for p, v, n, _ in data]
 
 
 def _scan_with_partition(
@@ -640,3 +657,437 @@ def q_src_iceberg_partition_prune(
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
+
+
+# --- position deletes (Iceberg v2 row-level deletes) ---------------------------
+
+_POSDEL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 10 <> 3
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_iceberg_pos_delete", oracle=_POSDEL_ORACLE)
+def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION DELETES — the format's row-level delete
+    mechanism (spec §Position Delete Files): a delete commit writes
+    parquet files of (file_path, pos) pairs under the spec's reserved
+    column names/ids, referenced by DELETE manifests (content 1), and a
+    reader must drop exactly those ordinals from exactly those data
+    files. O(deleted rows) commit cost at 100 TB, same as Delta's
+    deletion vectors but with the inverse layering: positions live in
+    PARQUET (scannable, mergeable) instead of roaring bitmaps.
+
+    Staged: the shared three-snapshot table, then s4 = DELETE of every
+    o_orderkey % 10 == 3 row via one position-delete parquet file PER
+    affected partition (delete files are partition-scoped under a
+    partitioned spec), a delete manifest m4, and a manifest list
+    carrying m3 (data, re-referenced) + m4 (deletes). The reader
+    applies a delete file to a data file only when the data file's
+    data sequence number is ≤ the delete file's (the spec's ordering
+    rule — younger data is never affected by older deletes).
+
+    Graded: per-priority counts AND cents — a reader that ignores
+    delete manifests returns the deleted rows; one that joins on pos
+    alone (not file_path) or mis-applies the sequence rule drops wrong
+    rows. The (file, pos) coordinate is Spark's `_metadata.row_index`,
+    the same per-file ordinal the spec indexes.
+
+    Scale: the delete-pair set rides a DISTRIBUTED parquet scan (never
+    collected) and anti-joins the data scan on (file, pos) — broadcast
+    here (delete cardinality is bounded by the commit's deleted rows);
+    at larger delete volumes the same plan shuffles both sides on
+    file_path, which Spark picks automatically once the broadcast
+    threshold is exceeded. Staging's per-file position collect is ∝
+    deleted rows — they ARE the commit payload.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_posdel")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    s3 = _iceberg_snapshot(meta)
+    live, _ = _iceberg_files(s3)
+
+    # s4 staging: positions of o_orderkey % 10 == 3 across ALL live
+    # files in ONE job (collect ∝ deleted rows — they are the commit
+    # payload), one delete parquet per affected partition, driver-side
+    from urllib.parse import unquote
+
+    _S4, _T4 = _S3 + 1, _T3 + 60_000
+    pval_by_path = {p: v for p, v, _, _ in live}
+    hit_rows = (
+        spark.read.parquet(*sorted(pval_by_path))
+        .select(
+            F.input_file_name().alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .collect()
+    )
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for r in hit_rows:
+        path = unquote(r["fp"].removeprefix("file://").removeprefix("file:"))
+        by_part.setdefault(pval_by_path[path], []).append((path, r["pos"]))
+    del_entries = []
+    for pval, pairs in sorted(by_part.items()):
+        pairs.sort()
+        dpath = os.path.join(
+            meta_dir, f"delete-{pval.replace(' ', '_')}-s4.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([p for p, _ in pairs], pa.string()),
+                    "pos": pa.array([x for _, x in pairs], pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        del_entries.append(
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": _S4,
+                "sequence_number": 4,
+                "file_sequence_number": 4,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "partition": {"o_orderpriority": pval},
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                },
+            }
+        )
+    m4 = _write_manifest(meta_dir, "m4-deletes.avro", del_entries)
+    # the delete manifest's content field must say 1; patch the list
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    recs = []
+    for mpath, content in ((m3, 0), (m4, 1)):
+        _, entries, _ = ocf_read(mpath)
+        recs.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 4,
+                "min_sequence_number": 1,
+                "added_snapshot_id": _S4 if content == 1 else _S3,
+                "added_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_ADDED
+                ),
+                "existing_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_EXISTING
+                ),
+                "deleted_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_DELETED
+                ),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_EXISTING
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_DELETED
+                ),
+            }
+        )
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-fixture.avro")
+    ocf_write(l4, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "2"})
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        m3_meta = json.load(fh)
+    m3_meta["snapshots"].append(
+        {
+            "snapshot-id": _S4,
+            "sequence-number": 4,
+            "timestamp-ms": _T4,
+            "manifest-list": l4,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    )
+    m3_meta["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S4})
+    m3_meta["current-snapshot-id"] = _S4
+    m3_meta["last-sequence-number"] = 4
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(m3_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    # --- reader: current snapshot → data + delete files; anti-join on
+    # (file, pos) gated by the sequence-number ordering rule
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    data_files, delete_files = _iceberg_files(snap)
+    if not data_files:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    # per-partition-value scans with the (file, position) coordinate
+    # captured AT SCAN LEVEL (_metadata.row_index does not survive a
+    # union — it must be projected on the scan relation itself)
+    by_val: dict[str, list[str]] = {}
+    for p, v, _, _ in data_files:
+        by_val.setdefault(v, []).append(p)
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+            F.input_file_name().alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    if delete_files:
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, _, _, s in data_files],
+            "file_path string, data_seq long",
+        )
+        # tag each delete row with its file's sequence number via a
+        # broadcast (delete file basename → seq) map
+        dseq = spark.createDataFrame(
+            [(os.path.basename(p), s) for p, _, _, s in delete_files],
+            "dfname string, dseq long",
+        )
+        dels = (
+            spark.read.parquet(*sorted(p for p, _, _, _ in delete_files))
+            .withColumn(
+                "dfname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(F.broadcast(dseq), "dfname")
+            .select("file_path", "pos", "dseq")
+        )
+        # normalize the scan's file URI to the staged absolute-path
+        # form the delete files reference: strip the file: scheme and
+        # URL-decode (input_file_name percent-encodes e.g. the space in
+        # `o_orderpriority=4-NOT SPECIFIED`)
+        df = df.withColumn(
+            "_fp",
+            F.url_decode(F.regexp_replace("_fp", "^file:(//)?", "")),
+        )
+        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
+        df = df.join(
+            F.broadcast(dels),
+            (df["_fp"] == dels["file_path"])
+            & (df["_pos"] == dels["pos"])
+            & (df["data_seq"] <= dels["dseq"]),  # spec ordering rule
+            "left_anti",
+        )
+    return _cents_agg(df)
+
+
+# --- schema evolution (field-id projection + name mapping) ---------------------
+
+_EVO_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+            ELSE '<missing>' END AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("src_iceberg_schema_evolution", oracle=_EVO_ORACLE)
+def q_src_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION read (spec §Schemas / §Column
+    Projection): columns are identified by FIELD ID, so renames are
+    metadata-only and added columns read as null from older files. The
+    staged table renames `o_totalprice` → `price` (same field id 2) and
+    ADDS `o_orderstatus` (field id 4) between s1 and s2: s1's files
+    physically store the OLD column name and LACK the added column;
+    s2's files store the new names. Files without embedded field ids
+    resolve through the table's `schema.name-mapping.default` property
+    (the spec's fallback for imported files), which maps every physical
+    name each file generation used onto its field id.
+
+    Graded: per-status counts and CENTS OF THE RENAMED COLUMN — a
+    reader that projects by current NAME alone loses every pre-rename
+    file's prices (nulls → wrong cents); one that drops old files
+    entirely loses half the rows; one that mis-fills the added column
+    mislabels the '<missing>' group.
+
+    Scale: schema resolution happens once per distinct physical file
+    schema (driver-side, bounded by schema versions, NOT file count —
+    grouping files by their footer schema is exactly what a real
+    planner's scan-task grouping does); each group is one distributed
+    scan, unioned after projection to the current schema.
+    """
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = _tmp(sf_dir, "iceberg_evo")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    # s1 files: OLD schema — (o_orderkey, o_totalprice), no status
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(data_dir, "s1"))
+    # s2 files: NEW schema — renamed price + added o_orderstatus
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(data_dir, "s2"))
+
+    def _flat(sub: str) -> list[str]:
+        base = os.path.join(data_dir, sub)
+        return [
+            os.path.join(base, f)
+            for f in sorted(os.listdir(base))
+            if f.endswith(".parquet")
+        ]
+
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-evo.avro",
+        [_entry(_ST_ADDED, _S1, 1, p, None) for p in _flat("s1")],
+    )
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-evo.avro",
+        [_entry(_ST_ADDED, _S2, 2, p, None) for p in _flat("s2")],
+    )
+    l2 = _write_manifest_list(meta_dir, _S2, 2, [(m1, _S1), (m2, _S2)])
+    schema_v0 = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "o_totalprice",
+                "required": False,
+                "type": "double",
+            },
+        ],
+    }
+    schema_v1 = {
+        "type": "struct",
+        "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {"id": 2, "name": "price", "required": False, "type": "double"},
+            {
+                "id": 4,
+                "name": "o_orderstatus",
+                "required": False,
+                "type": "string",
+            },
+        ],
+    }
+    name_mapping = [
+        {"field-id": 1, "names": ["o_orderkey"]},
+        {"field-id": 2, "names": ["o_totalprice", "price"]},
+        {"field-id": 4, "names": ["o_orderstatus"]},
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-evo1",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": _T2,
+        "last-column-id": 4,
+        "schemas": [schema_v0, schema_v1],
+        "current-schema-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}],  # unpartitioned
+        "default-spec-id": 0,
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping)
+        },
+        "current-snapshot-id": _S2,
+        "snapshots": [
+            {
+                "snapshot-id": _S2,
+                "sequence-number": 2,
+                "timestamp-ms": _T2,
+                "manifest-list": l2,
+                "summary": {"operation": "append"},
+                "schema-id": 1,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T2, "snapshot-id": _S2}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- reader: field-id projection through the name mapping
+    meta = _iceberg_table_meta(root)
+    current = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    names_by_id = {m["field-id"]: set(m["names"]) for m in mapping}
+    spark_types = {"long": "bigint", "double": "double", "string": "string"}
+    files = _iceberg_live_files(_iceberg_snapshot(meta))
+    # group files by PHYSICAL schema (footer column names) — bounded by
+    # schema versions, one driver-side footer read per file
+    groups: dict[tuple, list[str]] = {}
+    for path, _, _ in files:
+        cols = tuple(pq.read_schema(path).names)
+        groups.setdefault(cols, []).append(path)
+    parts = []
+    for cols, paths in sorted(groups.items()):
+        raw = spark.read.parquet(*sorted(paths))
+        proj = []
+        for fld in current["fields"]:
+            phys = [c for c in cols if c in names_by_id[fld["id"]]]
+            if phys:
+                proj.append(F.col(phys[0]).alias(fld["name"]))
+            else:  # column added after these files were written
+                proj.append(
+                    F.lit(None)
+                    .cast(spark_types[fld["type"]])
+                    .alias(fld["name"])
+                )
+        parts.append(raw.select(*proj))
+    if not parts:
+        return spark.createDataFrame(
+            [], "order_status string, n_rows long, total_cents long"
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias(
+            "order_status"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

@@ -97,6 +97,87 @@ def test_partition_pred_prunes_metadata_only(staged):
     assert len(pruned) < len(allf)
 
 
+def test_position_delete_files_partitioned_from_data(spark):
+    """After the registered pos-delete key stages s4, _iceberg_files
+    must split data vs delete files, the delete files must carry the
+    spec's (file_path, pos) schema, and every referenced file_path must
+    be a LIVE data file of the snapshot (delete files are
+    partition-scoped and never reference dropped partitions)."""
+    import pyarrow.parquet as pq
+
+    from random_forest_using_hadoop_spark import REGISTRY
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_files,
+    )
+
+    REGISTRY["src_iceberg_pos_delete"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_posdel")
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    data, deletes = _iceberg_files(snap)
+    assert data and deletes
+    assert snap["summary"]["operation"] == "delete"
+    data_paths = {p for p, _, _, _ in data}
+    data_pvals = {v for _, v, _, _ in data}
+    assert "1-URGENT" not in data_pvals  # dropped at s3, before s4
+    for dpath, dval, n, seq in deletes:
+        assert seq == 4
+        t = pq.read_table(dpath)
+        assert t.column_names == ["file_path", "pos"]
+        assert t.num_rows == n
+        refs = set(t.column("file_path").to_pylist())
+        assert refs <= data_paths, "delete refs must be live data files"
+        assert dval in data_pvals
+
+
+def test_position_delete_sequence_rule(spark):
+    """The ordering rule: a delete file applies only to data files with
+    data sequence number ≤ the delete's. Rewriting the staged delete
+    manifest's sequence number to 0 (older than every data file) must
+    restore the deleted rows in the read."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark import REGISTRY
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        ocf_read,
+        ocf_write,
+    )
+
+    with_deletes = (
+        REGISTRY["src_iceberg_pos_delete"].fn(spark, SF_DIR)
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()[0]["n"]
+    )
+    root = _tmp(SF_DIR, "iceberg_posdel")
+    meta_dir = os.path.join(root, "metadata")
+    mpath = os.path.join(meta_dir, "m4-deletes.avro")
+    schema, entries, _ = ocf_read(mpath)
+    for e in entries:
+        e["sequence_number"] = 0  # now OLDER than every data file
+    ocf_write(mpath, schema, entries)
+    # read the edited table directly (re-running the key would restage
+    # over the edit)
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_files,
+        _scan_with_partition,
+    )
+
+    data, deletes = _iceberg_files(snap)
+    assert all(s == 0 for _, _, _, s in deletes)
+    # every data file has seq ≥ 1 > 0 → no delete applies; the naive
+    # row count equals the full snapshot
+    full = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in data]
+    ).count()
+    # with correctly-applied seq-0 deletes nothing is dropped, so the
+    # key's earlier result must be strictly smaller than the full scan
+    assert with_deletes < full
+
+
 def test_format_version_gate(staged, tmp_path):
     """A v3 (or v1) table must be refused, not half-read — the same
     forward-compatibility stance as the Delta protocol gate."""
