@@ -97,6 +97,10 @@ HEADLINE = [
     # field-id/name-mapping schema evolution:
     "src_iceberg_pos_delete",
     "src_iceberg_schema_evolution",
+    # r12 third wave — manifest value-bounds file skipping and the
+    # equality-delete (CDC upsert) shape:
+    "src_iceberg_stats_prune",
+    "src_iceberg_eq_delete",
 ]
 
 

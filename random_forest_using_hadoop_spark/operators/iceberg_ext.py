@@ -93,6 +93,39 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": "long",
                         "field-id": 104,
                     },
+                    # per-column value bounds (spec: map<field id, bytes>
+                    # with single-value binary serialization) — Avro maps
+                    # key on strings, so Iceberg models these as arrays
+                    # of key/value records
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            },
+                        ],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "type": ["null", {"type": "array", "items": "k126_v127"}],
+                    },
+                    # equality-delete key columns (content=2 files only)
+                    {
+                        "name": "equality_ids",
+                        "field-id": 135,
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -142,10 +175,21 @@ def _pfiles(data_dir: str, sub: str) -> list[tuple[str, str]]:
     return out
 
 
-def _entry(status: int, snap_id: int, seq: int, path: str, pval: str) -> dict:
+def _entry(
+    status: int,
+    snap_id: int,
+    seq: int,
+    path: str,
+    pval: str,
+    bounds: tuple[list, list] | None = None,
+    equality_ids: list[int] | None = None,
+    content: int = 0,
+) -> dict:
     """One manifest_entry record; record_count/file_size come from the
     parquet footer / filesystem — driver-side, bounded by file count
-    (the stats a real writer records at commit time)."""
+    (the stats a real writer records at commit time). `bounds` is
+    (lower, upper) lists of {key, value} single-value-serialized pairs;
+    `equality_ids` marks an equality-delete file's key columns."""
     import pyarrow.parquet as pq
 
     return {
@@ -154,12 +198,15 @@ def _entry(status: int, snap_id: int, seq: int, path: str, pval: str) -> dict:
         "sequence_number": seq,
         "file_sequence_number": seq,
         "data_file": {
-            "content": 0,
+            "content": content,
             "file_path": path,
             "file_format": "PARQUET",
             "partition": {"o_orderpriority": pval},
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": bounds[0] if bounds else None,
+            "upper_bounds": bounds[1] if bounds else None,
+            "equality_ids": equality_ids,
         },
     }
 
@@ -434,18 +481,34 @@ def _iceberg_files(
                 continue
             df = e["data_file"]
             pval = df["partition"]["o_orderpriority"]
-            if partition_pred is not None and not partition_pred(pval):
+            # delete files with a NULL partition tuple are global (an
+            # unpartitioned-spec write) — never pruned away
+            if (
+                partition_pred is not None
+                and pval is not None
+                and not partition_pred(pval)
+            ):
                 continue
-            item = (
-                df["file_path"],
-                pval,
-                df["record_count"],
-                e["sequence_number"],
-            )
             if m["content"] == 0 and df["content"] == 0:
-                data.append(item)
-            elif m["content"] == 1 and df["content"] == 1:
-                deletes.append(item)
+                data.append(
+                    (
+                        df["file_path"],
+                        pval,
+                        df["record_count"],
+                        e["sequence_number"],
+                    )
+                )
+            elif m["content"] == 1 and df["content"] in (1, 2):
+                deletes.append(
+                    {
+                        "path": df["file_path"],
+                        "pval": pval,
+                        "n": df["record_count"],
+                        "seq": e["sequence_number"],
+                        "content": df["content"],
+                        "equality_ids": df.get("equality_ids"),
+                    }
+                )
     return data, deletes
 
 
@@ -756,20 +819,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             dpath,
         )
         del_entries.append(
-            {
-                "status": _ST_ADDED,
-                "snapshot_id": _S4,
-                "sequence_number": 4,
-                "file_sequence_number": 4,
-                "data_file": {
-                    "content": 1,  # POSITION_DELETES
-                    "file_path": dpath,
-                    "file_format": "PARQUET",
-                    "partition": {"o_orderpriority": pval},
-                    "record_count": len(pairs),
-                    "file_size_in_bytes": os.path.getsize(dpath),
-                },
-            }
+            _entry(_ST_ADDED, _S4, 4, dpath, pval, content=1)
         )
     m4 = _write_manifest(meta_dir, "m4-deletes.avro", del_entries)
     # the delete manifest's content field must say 1; patch the list
@@ -870,11 +920,11 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tag each delete row with its file's sequence number via a
         # broadcast (delete file basename → seq) map
         dseq = spark.createDataFrame(
-            [(os.path.basename(p), s) for p, _, _, s in delete_files],
+            [(os.path.basename(d["path"]), d["seq"]) for d in delete_files],
             "dfname string, dseq long",
         )
         dels = (
-            spark.read.parquet(*sorted(p for p, _, _, _ in delete_files))
+            spark.read.parquet(*sorted(d["path"] for d in delete_files))
             .withColumn(
                 "dfname", F.element_at(F.split(F.input_file_name(), "/"), -1)
             )
@@ -1091,3 +1141,389 @@ def q_src_iceberg_schema_evolution(
             F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- metrics-based file skipping (manifest value bounds) ------------------------
+
+_STATS_LO, _STATS_HI = 1000.0, 50000.0
+
+_STATS_ICE_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_totalprice >= {_STATS_LO} AND o_totalprice <= {_STATS_HI}
+"""
+
+
+def _sv_double(x: float) -> bytes:
+    """Iceberg single-value binary serialization for double (spec
+    Appendix D): 8-byte IEEE 754 little-endian."""
+    import struct
+
+    return struct.pack("<d", x)
+
+
+def _sv_double_de(b: bytes) -> float:
+    import struct
+
+    return struct.unpack("<d", b)[0]
+
+
+def _stats_surviving_iceberg_files(root: str) -> tuple[list[str], int]:
+    """(surviving file paths, total file count) for the staged stats
+    table: decode each manifest entry's o_totalprice bounds (field id
+    2) and keep files whose [lower, upper] interval intersects
+    [_STATS_LO, _STATS_HI] — manifest metadata only, no footer reads."""
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    _, manifests, _ = ocf_read(snap["manifest-list"])
+    survivors, total = [], 0
+    for m in manifests:
+        if m["content"] != 0:
+            continue
+        _, entries, _ = ocf_read(m["manifest_path"])
+        for e in entries:
+            if e["status"] == _ST_DELETED:
+                continue
+            df = e["data_file"]
+            total += 1
+            lo = {p["key"]: p["value"] for p in df["lower_bounds"] or []}
+            hi = {p["key"]: p["value"] for p in df["upper_bounds"] or []}
+            if 2 in lo and _sv_double_de(lo[2]) > _STATS_HI:
+                continue
+            if 2 in hi and _sv_double_de(hi[2]) < _STATS_LO:
+                continue
+            survivors.append(df["file_path"])
+    return survivors, total
+
+
+@register("src_iceberg_stats_prune", oracle=_STATS_ICE_ORACLE)
+def q_src_iceberg_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METRICS-BASED FILE SKIPPING: manifest entries carry
+    per-column value bounds (`lower_bounds`/`upper_bounds`, maps of
+    field id → single-value-serialized bytes per spec Appendix D), so a
+    range predicate skips whole files from MANIFEST METADATA — no
+    parquet footer is ever opened for a skipped file. The Iceberg
+    sibling of src_delta_stats_skipping, and the planner behavior that
+    turns a selective range query on 100 TB into a scan of the few
+    range-clustered files that can match.
+
+    Staged: orders range-clustered into 8 files on o_totalprice
+    (repartitionByRange — a real table gets this layout from a sorted
+    write or compaction), one manifest whose entries carry the exact
+    per-file double bounds read from the parquet footers at commit
+    time. The reader decodes bounds, keeps files whose interval
+    intersects [1000, 50000], then applies the row-level filter on the
+    pruned scan (bounds are file-granular; rows outside the range
+    inside a surviving file must still drop). `tests/test_plans.py::
+    test_iceberg_stats_prune_reads_proper_subset` asserts the scan
+    opened a PROPER subset of the table's files.
+
+    Graded on content: n_rows + cents of the range — decoding bounds
+    with the wrong endianness/width selects wrong files AND the
+    row-filter would mask it, so the plan gate and the value hash
+    together pin both halves.
+    """
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "iceberg_stats")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    o.repartitionByRange(8, "o_totalprice").write.mode("overwrite").parquet(
+        os.path.join(data_dir, "s1")
+    )
+    base = os.path.join(data_dir, "s1")
+    entries = []
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(base, f)
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().names.index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:  # empty file: no row groups → no bounds
+            bounds = None
+        else:
+            bounds = (
+                [{"key": 2, "value": _sv_double(min(mins))}],
+                [{"key": 2, "value": _sv_double(max(maxs))}],
+            )
+        entries.append(_entry(_ST_ADDED, _S1, 1, path, None, bounds=bounds))
+    m1 = _write_manifest(meta_dir, "m1-stats.avro", entries)
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-stat",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    survivors, _ = _stats_surviving_iceberg_files(root)
+    if not survivors:
+        return spark.createDataFrame([], "n_rows long, total_cents long")
+    return (
+        spark.read.parquet(*sorted(survivors))
+        .filter(
+            (F.col("o_totalprice") >= F.lit(_STATS_LO))
+            & (F.col("o_totalprice") <= F.lit(_STATS_HI))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+# --- equality deletes (the CDC/upsert shape) ------------------------------------
+
+_EQDEL_ORACLE = """
+WITH kept AS (
+  SELECT o_orderpriority, floor(o_totalprice * 100 + 0.5) AS cents
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderpriority, floor((o_totalprice + 10.0) * 100 + 0.5)
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 14 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS total_cents
+FROM kept
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_iceberg_eq_delete", oracle=_EQDEL_ORACLE)
+def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg EQUALITY DELETES — the CDC/upsert primitive (spec
+    §Equality Delete Files): a delete file stores KEY VALUES
+    (`equality_ids` names the key columns) instead of positions, and
+    applies to data files whose data sequence number is STRICTLY LESS
+    than the delete's — which is exactly what lets one commit delete an
+    old row by key and insert its replacement: the same-sequence insert
+    survives its own commit's delete. This is how Flink CDC writes
+    Iceberg upserts at scale without reading anything.
+
+    Staged: the shared three-snapshot table, then s4 = one UPSERT
+    commit carrying (a) a GLOBAL equality-delete file (null partition
+    tuple, equality_ids=[1] → o_orderkey) of every key with
+    o_orderkey % 7 == 0, and (b) re-inserted replacement rows (the
+    non-urgent % 14 == 0 keys at price + 10.00) as seq-4 data files.
+    Correct semantics: seq-3 originals in the delete set vanish, their
+    seq-4 replacements SURVIVE (strict <), untouched keys pass through.
+    A reader that applies ≤ instead of < kills the upserts; one that
+    prunes the null-partition delete file loses the deletes entirely;
+    one that anti-joins without the sequence gate also kills the
+    replacements — each fails the value hash differently.
+
+    Scale: delete keys ride a distributed parquet read, broadcast into
+    the anti-join (bounded by the commit's delete set; a bigger set
+    shuffles both sides on the key automatically); data files scan once
+    with their sequence numbers attached from planner metadata.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_eqdel")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    _S4, _T4 = _S3 + 1, _T3 + 60_000
+
+    # (a) replacement rows — seq-4 data files, partitioned like the base
+    o.filter(
+        (F.col("o_orderkey") % 14 == 0)
+        & (F.col("o_orderpriority") != "1-URGENT")
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    ).coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s4"))
+    ins_entries = [
+        _entry(_ST_ADDED, _S4, 4, p, v) for p, v in _pfiles(data_dir, "s4")
+    ]
+    # (b) the global equality-delete file (key values only, one job)
+    eq_dir = os.path.join(meta_dir, "eqdel")
+    o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey").coalesce(
+        1
+    ).write.mode("overwrite").parquet(eq_dir)
+    (eq_file,) = [
+        os.path.join(eq_dir, f)
+        for f in sorted(os.listdir(eq_dir))
+        if f.endswith(".parquet")
+    ]
+    del_entry = _entry(
+        _ST_ADDED, _S4, 4, eq_file, None, equality_ids=[1], content=2
+    )
+    m4i = _write_manifest(meta_dir, "m4-upsert-data.avro", ins_entries)
+    m4d = _write_manifest(meta_dir, "m4-upsert-deletes.avro", [del_entry])
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    recs = []
+    for mpath, content, added_by in (
+        (m3, 0, _S3),
+        (m4i, 0, _S4),
+        (m4d, 1, _S4),
+    ):
+        _, entries, _ = ocf_read(mpath)
+        recs.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 4,
+                "min_sequence_number": 1,
+                "added_snapshot_id": added_by,
+                "added_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_ADDED
+                ),
+                "existing_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_EXISTING
+                ),
+                "deleted_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_DELETED
+                ),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_EXISTING
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_DELETED
+                ),
+            }
+        )
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-upsert.avro")
+    ocf_write(l4, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "2"})
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": _S4,
+            "sequence-number": 4,
+            "timestamp-ms": _T4,
+            "manifest-list": l4,
+            "summary": {"operation": "overwrite"},
+            "schema-id": 0,
+        }
+    )
+    tm["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S4})
+    tm["current-snapshot-id"] = _S4
+    tm["last-sequence-number"] = 4
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    # --- reader: data scans with per-file sequence numbers, equality
+    # anti-join gated by the STRICT ordering rule
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    data_files, delete_files = _iceberg_files(snap)
+    if not data_files:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    by_val: dict[str, list[str]] = {}
+    for p, v, _, _ in data_files:
+        by_val.setdefault(v, []).append(p)
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            ).alias("_fp"),
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    eq_deletes = [d for d in delete_files if d["content"] == 2]
+    if eq_deletes:
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, _, _, s in data_files],
+            "file_path string, data_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
+        for d in eq_deletes:
+            if d["equality_ids"] != [1]:
+                raise ValueError(
+                    f"unsupported equality_ids {d['equality_ids']}; this "
+                    "fixture keys on field 1 (o_orderkey)"
+                )
+            keys = spark.read.parquet(d["path"]).select(
+                F.col("o_orderkey").alias("_delkey")
+            )
+            df = df.join(
+                F.broadcast(keys),
+                (df["o_orderkey"] == keys["_delkey"])
+                & (df["data_seq"] < F.lit(d["seq"])),  # STRICT: upserts live
+                "left_anti",
+            )
+    return _cents_agg(df)

@@ -120,14 +120,14 @@ def test_position_delete_files_partitioned_from_data(spark):
     data_paths = {p for p, _, _, _ in data}
     data_pvals = {v for _, v, _, _ in data}
     assert "1-URGENT" not in data_pvals  # dropped at s3, before s4
-    for dpath, dval, n, seq in deletes:
-        assert seq == 4
-        t = pq.read_table(dpath)
+    for d in deletes:
+        assert d["seq"] == 4 and d["content"] == 1
+        t = pq.read_table(d["path"])
         assert t.column_names == ["file_path", "pos"]
-        assert t.num_rows == n
+        assert t.num_rows == d["n"]
         refs = set(t.column("file_path").to_pylist())
         assert refs <= data_paths, "delete refs must be live data files"
-        assert dval in data_pvals
+        assert d["pval"] in data_pvals
 
 
 def test_position_delete_sequence_rule(spark):
@@ -167,7 +167,7 @@ def test_position_delete_sequence_rule(spark):
     )
 
     data, deletes = _iceberg_files(snap)
-    assert all(s == 0 for _, _, _, s in deletes)
+    assert all(d["seq"] == 0 for d in deletes)
     # every data file has seq ≥ 1 > 0 → no delete applies; the naive
     # row count equals the full snapshot
     full = _scan_with_partition(

@@ -1080,6 +1080,35 @@ def test_iceberg_partition_prune_reads_only_pruned_files(spark):
     assert not [f for f in files if f.endswith((".avro", ".json", ".text"))]
 
 
+def test_iceberg_stats_prune_reads_proper_subset(spark):
+    """src_iceberg_stats_prune's scale claim: the range predicate
+    selects files from MANIFEST VALUE BOUNDS alone, and on the
+    range-clustered 8-file layout the surviving set must be a PROPER
+    subset (files were actually skipped) that exactly matches the scan's
+    input files — opening a file whose [min, max] misses the range fails
+    here even though the row filter keeps the aggregate correct."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _stats_surviving_iceberg_files,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["src_iceberg_stats_prune"].fn(spark, SF_DIR)
+    root = _tmp(SF_DIR, "iceberg_stats")
+    survivors, total = _stats_surviving_iceberg_files(root)
+    assert 0 < len(survivors) < total, (
+        f"bounds pruning must skip files: kept {len(survivors)}/{total}"
+    )
+    from urllib.parse import unquote
+
+    scanned = {
+        unquote(f).removeprefix("file://").removeprefix("file:")
+        for f in df.inputFiles()
+    }
+    assert scanned == {os.path.abspath(p) for p in survivors}
+
+
 def test_delta_stats_skipping_reads_only_surviving_files(spark):
     """src_delta_stats_skipping's scale claim: the range predicate
     selects files from the LOG's add.stats min/max alone, so the
