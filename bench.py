@@ -101,6 +101,10 @@ HEADLINE = [
     # equality-delete (CDC upsert) shape:
     "src_iceberg_stats_prune",
     "src_iceberg_eq_delete",
+    # r12 maintenance pair — snapshot expiry (storage reclaim) and
+    # small-file compaction (REPLACE snapshot):
+    "sink_iceberg_expire_snapshots",
+    "sink_iceberg_compact",
 ]
 
 

