@@ -105,6 +105,8 @@ HEADLINE = [
     # small-file compaction (REPLACE snapshot):
     "sink_iceberg_expire_snapshots",
     "sink_iceberg_compact",
+    # r12 — the typeWidening reader feature (int->long in-scan widening):
+    "src_delta_type_widening",
 ]
 
 

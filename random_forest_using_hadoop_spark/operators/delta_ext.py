@@ -1617,6 +1617,176 @@ def q_src_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- typeWidening reader feature ------------------------------------------------
+
+_TW_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0
+                          THEN floor(o_totalprice)
+                          ELSE floor(o_totalprice * 100 + 0.5) * 100
+                     END AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders
+GROUP BY o_orderkey % 2
+"""
+
+
+@register("src_delta_type_widening", oracle=_TW_ORACLE)
+def q_src_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`typeWidening` READER FEATURE (delta-io PROTOCOL.md §Type
+    Widening): a column's type may widen (here int → long) WITHOUT
+    rewriting existing files — old files keep the narrow physical type,
+    the log's current `metaData.schemaString` declares the wide one
+    (with per-field `delta.typeChanges` history), and the reader must
+    produce the wide type from BOTH file generations. The alternative —
+    rewriting every file of a 100 TB table to change a column type —
+    is exactly what the feature exists to avoid.
+
+    Staged: v0 = even-orderkey rows with an INT `qty` column +
+    schemaString declaring "integer"; v1 = protocol upgrade demanding
+    `typeWidening`, metaData re-declaring qty as "long" with the
+    spec's typeChanges metadata, plus appended odd-orderkey files whose
+    qty values EXCEED int32 range (≈5×10⁹) — a reader that keeps the
+    narrow type overflows; one that reads old files under a mismatched
+    schema crashes or zeroes them.
+
+    Reader plan: gate accepts the feature, the LATEST schemaString
+    drives ONE distributed scan over all live files — Spark 4's
+    vectorized parquet reader performs the int32→long widening
+    in-scan (SPARK-40876), so there is no per-generation read or
+    union; old and new files run through the same whole-stage-codegen
+    pipeline.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_tw")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _schema_str(qty_type: str, changes: bool) -> str:
+        meta = (
+            {
+                "delta.typeChanges": [
+                    {"fromType": "integer", "toType": "long", "tableVersion": 1}
+                ]
+            }
+            if changes
+            else {}
+        )
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "o_orderkey",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {},
+                    },
+                    {
+                        "name": "qty",
+                        "type": qty_type,
+                        "nullable": True,
+                        "metadata": meta,
+                    },
+                ],
+            }
+        )
+
+    # v0: evens, INT qty = floor(price)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.floor("o_totalprice").cast("int").alias("qty")
+    ).coalesce(1).write.mode("append").parquet(data_dir)
+    evens = _delta_list_files(data_dir)
+    lines = [
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "tw-fixture",
+                    "format": {"provider": "parquet"},
+                    "schemaString": _schema_str("integer", False),
+                }
+            }
+        )
+    ] + [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(evens)
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # v1: widen to LONG + append odds whose qty exceeds int32
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) * 100
+        ).cast("long").alias("qty"),
+    ).coalesce(1).write.mode("append").parquet(data_dir)
+    odds = _delta_list_files(data_dir) - evens
+    lines = [
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "tw-fixture",
+                    "format": {"provider": "parquet"},
+                    "schemaString": _schema_str("long", True),
+                }
+            }
+        ),
+    ] + [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(odds)
+    ]
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # --- reader: gate (must accept typeWidening) + live set + ONE scan
+    # under the latest declared schema
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+    )
+
+    live = _delta_latest_live_files(spark, root)
+    latest_meta = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    m = json.loads(line).get("metaData")
+                    if m is not None:
+                        latest_meta = m
+    declared = json.loads(latest_meta["schemaString"])
+    qty_field = next(
+        fld for fld in declared["fields"] if fld["name"] == "qty"
+    )
+    assert qty_field["type"] == "long", "latest metaData must be widened"
+    assert qty_field["metadata"]["delta.typeChanges"][0]["toType"] == "long"
+    data = spark.read.schema("o_orderkey bigint, qty bigint").parquet(
+        *[os.path.join(data_dir, f) for f in sorted(live)]
+    )
+    return data.groupBy(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty")).alias("total_qty"),
+    )
+
+
 # --- VACUUM: physical removal of tombstoned files -----------------------------
 
 def _delta_vacuum(

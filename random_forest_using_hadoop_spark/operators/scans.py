@@ -1151,6 +1151,7 @@ _DELTA_READER_FEATURES = {
     "changeDataFeed",
     "v2Checkpoint",
     "timestampNtz",
+    "typeWidening",
 }
 _DELTA_MAX_READER_VERSION = 3
 

@@ -481,9 +481,11 @@ def test_protocol_gate_accepts_supported_features(spark):
 def test_protocol_gate_refuses_unimplemented_surface(spark):
     """The spec's forward-compatibility rule: a table demanding an
     unknown reader feature (or a reader version above ours) must be
-    REFUSED — half-reading it (e.g. ignoring typeWidening or a future
-    feature) silently returns wrong data. The LATEST protocol action
-    wins, so an upgrade commit flips an until-then readable table."""
+    REFUSED — half-reading it (e.g. ignoring a future feature)
+    silently returns wrong data. The LATEST protocol action wins, so an
+    upgrade commit flips an until-then readable table. (typeWidening
+    and timestampNtz moved OUT of this test when r12 implemented them —
+    variantType-preview stands in as the still-unimplemented surface.)"""
     import pytest
 
     from random_forest_using_hadoop_spark.operators.scans import (
@@ -500,15 +502,15 @@ def test_protocol_gate_refuses_unimplemented_surface(spark):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
+                        "readerFeatures": ["variantType-preview"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType-preview"):
         _delta_check_protocol(log_dir)
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType-preview"):
         _delta_live_files(spark, log_dir)  # the gate guards the reader
     with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
         fh.write(
