@@ -107,6 +107,9 @@ HEADLINE = [
     "sink_iceberg_compact",
     # r12 — the typeWidening reader feature (int->long in-scan widening):
     "src_delta_type_widening",
+    # r12 — bucket-transform point lookups and incremental append scans:
+    "src_iceberg_bucket_transform",
+    "src_iceberg_incremental",
 ]
 
 

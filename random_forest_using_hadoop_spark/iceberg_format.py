@@ -308,3 +308,52 @@ def ocf_read(path: str) -> tuple[dict, list, dict[str, str]]:
         if dec.read_fixed(16) != sync:
             raise ValueError(f"sync-marker mismatch in {path}")
     return schema, records, meta
+
+
+# --- 32-bit Murmur3 (Iceberg bucket-transform hash, spec Appendix B) -----------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 over ``data`` — the hash the Iceberg spec's
+    bucket transform requires (Appendix B: `hash(34L) == 2017239379`
+    with the value serialized as 8-byte little-endian; the unit test
+    pins that published vector). Returns the UNSIGNED 32-bit hash."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n_blocks = len(data) // 4
+    for i in range(0, n_blocks * 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n_blocks * 4 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket_long(value: int, n_buckets: int) -> int:
+    """`bucket[N](x)` for int/long values per the Iceberg spec: hash
+    the 8-byte little-endian two's-complement representation (ints are
+    hashed AS longs so the transform is widening-stable), mask to
+    non-negative, mod N."""
+    data = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n_buckets

@@ -36,6 +36,8 @@ import json
 import os
 import shutil
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,11 +213,13 @@ def _entry(
     }
 
 
-def _write_manifest(meta_dir: str, name: str, entries: list[dict]) -> str:
+def _write_manifest(
+    meta_dir: str, name: str, entries: list[dict], schema: dict | None = None
+) -> str:
     path = os.path.join(meta_dir, name)
     ocf_write(
         path,
-        _MANIFEST_ENTRY_SCHEMA,
+        schema or _MANIFEST_ENTRY_SCHEMA,
         entries,
         metadata={
             "format-version": "2",
@@ -318,12 +322,23 @@ def _iceberg_stage(spark: SparkSession, o: DataFrame, root: str) -> None:
         "m2-fixture.avro",
         [_entry(_ST_ADDED, _S2, 2, p, v) for p, v in odds],
     )
+    # rewrite manifest: DELETED entries are stamped by the deleting
+    # snapshot; EXISTING entries keep their ORIGINAL snapshot id and
+    # data sequence number (spec §Manifests — inheritance is what lets
+    # incremental consumers distinguish carried-over files from new
+    # ones, and sequence-gated deletes stay correct across rewrites)
     m3 = _write_manifest(
         meta_dir,
         "m3-fixture.avro",
         [
-            _entry(
-                _ST_DELETED if v == "1-URGENT" else _ST_EXISTING, _S3, 3, p, v
+            _entry(_ST_DELETED, _S3, 3, p, v)
+            if v == "1-URGENT"
+            else _entry(
+                _ST_EXISTING,
+                _S1 if (p, v) in set(evens) else _S2,
+                1 if (p, v) in set(evens) else 2,
+                p,
+                v,
             )
             for p, v in evens + odds
         ],
@@ -480,7 +495,12 @@ def _iceberg_files(
             if e["status"] == _ST_DELETED:
                 continue
             df = e["data_file"]
-            pval = df["partition"]["o_orderpriority"]
+            # the partition record's single field is the table's
+            # partition value (priority tables key on o_orderpriority,
+            # bucket tables on a bucket ordinal) — the Avro writer
+            # schema preserves field order, so first-value is exact
+            part = df["partition"] or {}
+            pval = next(iter(part.values()), None)
             # delete files with a NULL partition tuple are global (an
             # unpartitioned-spec write) — never pruned away
             if (
@@ -1785,3 +1805,317 @@ def q_sink_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
+
+
+# --- bucket transform partitioning ----------------------------------------------
+
+_N_BUCKETS = 8
+_BUCKET_LOOKUP_KEYS = (1, 2, 3, 101, 105)
+
+_BUCKET_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderkey IN {_BUCKET_LOOKUP_KEYS}
+GROUP BY o_orderkey
+"""
+
+# the bucket table's partition record (one int field, spec-style name)
+_BUCKET_ENTRY_SCHEMA = json.loads(
+    json.dumps(_MANIFEST_ENTRY_SCHEMA)
+    .replace('"name": "r2"', '"name": "r2b"')
+    .replace('"name": "r102"', '"name": "r102b"')
+    .replace('"name": "k126_v127"', '"name": "k126_v127b"')
+    .replace(
+        '{"name": "o_orderpriority", "type": ["null", "string"], "field-id": 1000}',
+        '{"name": "o_orderkey_bucket", "type": ["null", "int"], "field-id": 1000}',
+    )
+)
+
+
+@register("src_iceberg_bucket_transform", oracle=_BUCKET_ORACLE)
+def q_src_iceberg_bucket_transform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg BUCKET TRANSFORM partitioning (spec §Partition
+    Transforms + Appendix B): `bucket[N](x)` hashes the value's 8-byte
+    little-endian form with 32-bit Murmur3 (seed 0; the unit test pins
+    the spec's published `hash(34L) == 2017239379` vector), masks to
+    non-negative, mods N. Point lookups on the bucket key then touch
+    ONLY the looked-up keys' buckets — the layout that makes key-fetch
+    and storage-partitioned joins O(selected buckets) on a 100 TB
+    table where identity partitioning is impossible (unbounded key
+    domain).
+
+    Staged: orders bucket-partitioned on o_orderkey into 8 buckets —
+    the bucket column is computed IN SPARK by an Arrow-batched pandas
+    UDF running a vectorized uint32 Murmur3 (legitimately Python: the
+    spec's exact hash has no Catalyst builtin — Spark's own `hash()`
+    uses seed 42 and a different input layout), then one partitionBy
+    write. The reader computes the LOOKUP keys' buckets driver-side
+    (bounded: 5 keys), selects manifest entries whose bucket ordinal
+    matches, scans only those files, and row-filters to the exact keys
+    (bucket membership is necessary, not sufficient).
+    `tests/test_plans.py::test_iceberg_bucket_lookup_scans_only_target_buckets`
+    asserts the scan's input files sit in exactly the target buckets
+    (2 of 8 for these keys).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "iceberg_bucket")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    @pandas_udf("int")
+    def _bucket(keys: pd.Series) -> pd.Series:
+        # vectorized murmur3_x86_32 over fixed 8-byte LE longs: two
+        # 4-byte blocks per value, no tail — pure uint32 numpy ops
+        # (kept inline so cloudpickle ships the whole closure by value)
+        import numpy as np
+
+        v = keys.to_numpy().astype(np.uint64)
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+        h = np.zeros(len(v), dtype=np.uint32)
+        for blk in (v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)):
+            k = blk.astype(np.uint32)
+            k *= c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k *= c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # input length
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return pd.Series(
+            ((h & np.uint32(0x7FFFFFFF)) % np.uint32(_N_BUCKETS)).astype(
+                "int32"
+            )
+        )
+
+    o.withColumn("o_orderkey_bucket", _bucket("o_orderkey")).coalesce(
+        1
+    ).write.mode("overwrite").partitionBy("o_orderkey_bucket").parquet(
+        os.path.join(data_dir, "s1")
+    )
+    entries = []
+    base = os.path.join(data_dir, "s1")
+    for d in sorted(os.listdir(base)):
+        pdir = os.path.join(base, d)
+        if not (os.path.isdir(pdir) and d.startswith("o_orderkey_bucket=")):
+            continue
+        bval = int(d.split("=", 1)[1])
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                e = _entry(
+                    _ST_ADDED, _S1, 1, os.path.join(pdir, f), None
+                )
+                e["data_file"]["partition"] = {"o_orderkey_bucket": bval}
+                entries.append(e)
+    m1 = _write_manifest(
+        meta_dir, "m1-bucket.avro", entries, schema=_BUCKET_ENTRY_SCHEMA
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-bckt",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 2,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 1,
+                        "field-id": 1000,
+                        "name": "o_orderkey_bucket",
+                        "transform": f"bucket[{_N_BUCKETS}]",
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- reader: lookup keys → target buckets (driver-side, 5 hashes)
+    # → manifest-pruned scan → exact-key row filter
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        iceberg_bucket_long,
+    )
+
+    targets = {
+        iceberg_bucket_long(k, _N_BUCKETS) for k in _BUCKET_LOOKUP_KEYS
+    }
+    meta = _iceberg_table_meta(root)
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert spec["fields"][0]["transform"] == f"bucket[{_N_BUCKETS}]"
+    files = _iceberg_live_files(
+        _iceberg_snapshot(meta), partition_pred=lambda b: b in targets
+    )
+    if not files:
+        return spark.createDataFrame(
+            [], "o_orderkey long, n_rows long, total_cents long"
+        )
+    return (
+        spark.read.parquet(*sorted(p for p, _, _ in files))
+        .filter(F.col("o_orderkey").isin(*_BUCKET_LOOKUP_KEYS))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+# --- incremental append scan ------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT s.segment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('s1_to_s2'), ('s2_to_s3')) AS s(segment)
+LEFT JOIN orders o
+       ON (s.segment = 's1_to_s2' AND o.o_orderkey % 2 = 1)
+GROUP BY s.segment
+"""
+
+
+@register("src_iceberg_incremental", oracle=_INCR_ORACLE)
+def q_src_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND SCAN — read only the rows ADDED
+    between two snapshots (the consumer shape every downstream pipeline
+    on a 100 TB table uses instead of re-reading the world): for each
+    snapshot in (from, to], take its manifest list, keep entries with
+    status ADDED stamped by that snapshot, and read just those files —
+    O(appended data), never O(table).
+
+    Staged: the shared history. Segment (s1, s2] must yield exactly the
+    odd-orderkey append; segment (s2, s3] must yield ZERO rows — s3 is
+    a delete whose rewrite manifest carries the survivors as EXISTING
+    entries with their ORIGINAL snapshot ids (spec inheritance), so a
+    reader that filters on status alone but not snapshot id, or treats
+    EXISTING as new, re-emits the whole table into the second segment
+    and fails on rows.
+
+    Scale: per-segment planning is the usual bounded manifest walk;
+    the appended files read in one distributed scan per segment.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_incr")
+    _iceberg_stage(spark, o, root)
+    meta = _iceberg_table_meta(root)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    ordered = [e["snapshot-id"] for e in meta["snapshot-log"]]
+
+    def _appended(from_id: int, to_id: int) -> list[str]:
+        lo, hi = ordered.index(from_id), ordered.index(to_id)
+        paths: list[str] = []
+        for sid in ordered[lo + 1 : hi + 1]:
+            _, manifests, _ = ocf_read(by_id[sid]["manifest-list"])
+            for m in manifests:
+                if m["content"] != 0 or m["added_snapshot_id"] != sid:
+                    continue  # carried-over manifests add nothing here
+                _, entries, _ = ocf_read(m["manifest_path"])
+                paths.extend(
+                    e["data_file"]["file_path"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED and e["snapshot_id"] == sid
+                )
+        return paths
+
+    spine = spark.createDataFrame(
+        [("s1_to_s2",), ("s2_to_s3",)], "segment string"
+    )
+    parts = []
+    for label, frm, to in (
+        ("s1_to_s2", _S1, _S2),
+        ("s2_to_s3", _S2, _S3),
+    ):
+        paths = _appended(frm, to)
+        if paths:
+            parts.append(
+                spark.read.parquet(*sorted(paths)).select(
+                    F.lit(label).alias("segment"),
+                    "o_orderkey",
+                    "o_totalprice",
+                )
+            )
+    if not parts:
+        return spine.select(
+            "segment",
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("total_cents"),
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    per = df.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+    return spine.join(per, "segment", "left").select(
+        "segment",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

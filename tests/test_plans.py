@@ -1109,6 +1109,39 @@ def test_iceberg_stats_prune_reads_proper_subset(spark):
     assert scanned == {os.path.abspath(p) for p in survivors}
 
 
+def test_iceberg_bucket_lookup_scans_only_target_buckets(spark):
+    """src_iceberg_bucket_transform's scale claim: point lookups open
+    only the looked-up keys' buckets — the 5 fixture keys hash to
+    buckets {3, 4} of 8 (spec murmur3), so the scan's input files must
+    sit in exactly those bucket dirs (when both have data)."""
+    import re
+
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        iceberg_bucket_long,
+    )
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _BUCKET_LOOKUP_KEYS,
+        _N_BUCKETS,
+    )
+
+    targets = {
+        iceberg_bucket_long(k, _N_BUCKETS) for k in _BUCKET_LOOKUP_KEYS
+    }
+    assert targets == {3, 4}, "fixture keys pin 2 target buckets of 8"
+    df = engine.REGISTRY["src_iceberg_bucket_transform"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    scanned = {
+        int(m.group(1))
+        for f in files
+        for m in [re.search(r"o_orderkey_bucket=(\d+)/", f)]
+        if m
+    }
+    assert scanned <= targets and scanned, (
+        f"scan read buckets {scanned}, target {targets}"
+    )
+
+
 def test_delta_stats_skipping_reads_only_surviving_files(spark):
     """src_delta_stats_skipping's scale claim: the range predicate
     selects files from the LOG's add.stats min/max alone, so the
