@@ -110,6 +110,9 @@ HEADLINE = [
     # r12 — bucket-transform point lookups and incremental append scans:
     "src_iceberg_bucket_transform",
     "src_iceberg_incremental",
+    # r12 — the variantType reader feature (binary VARIANT through a
+    # staged Delta table):
+    "src_delta_variant_type",
 ]
 
 

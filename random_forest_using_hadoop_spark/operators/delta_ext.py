@@ -1787,6 +1787,181 @@ def q_src_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- variantType reader feature ---------------------------------------------------
+
+_VT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           / 1000000.0 AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("src_delta_variant_type", oracle=_VT_ORACLE)
+def q_src_delta_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`variantType` READER FEATURE (delta-io PROTOCOL.md §Variant Data
+    Type): tables carrying the binary VARIANT type declare the feature
+    (shipped as `variantType-preview` by early writers — both names are
+    accepted) so readers that cannot decode the two-field
+    value/metadata physical encoding refuse instead of returning
+    garbage. This was the LAST feature the protocol gate refused with
+    an "unimplemented" error; with it, every reader feature a current
+    Delta writer emits for tabular data is implemented.
+
+    Staged: events encoded as VARIANT payloads ({u: user_id, v: value})
+    written to parquet in two files (Spark 4 writes VARIANT natively as
+    the spec's shredded value/metadata pair), a v0 commit whose
+    protocol demands `variantType-preview` and whose schemaString
+    declares the column as `variant`, plus a decoy file that v1
+    REMOVES (a directory-listing reader double-counts it).
+
+    Graded: per-event-type count + fixed-point double sum + distinct
+    users, all SHREDDED back out of the variant with typed
+    `try_variant_get` — a reader that loses the variant metadata or
+    coerces types fails the value hash; the doubles survive only if
+    the whole encode→parquet→decode→shred pipeline is lossless.
+
+    Scale: parse_json happens once at write; reads shred columnar
+    VARIANT fields inside whole-stage codegen — no UDF, no re-parsing
+    per path (the 100 TB reason the type exists).
+    """
+    from random_forest_using_hadoop_spark.helpers import dsum
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    enc = ev.select(
+        "event_id",
+        "event_type",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("user_id").alias("u"), F.col("value").alias("v")
+                )
+            )
+        ).alias("payload"),
+    )
+    root = _tmp(sf_dir, "delta_variant")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    enc.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    evens = _delta_list_files(data_dir)
+    enc.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    odds = _delta_list_files(data_dir) - evens
+    # decoy: duplicate even slice, tombstoned at v1
+    enc.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    decoy = _delta_list_files(data_dir) - evens - odds
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "event_id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "event_type",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "payload",
+                    "type": "variant",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+    )
+    lines = [
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["variantType-preview"],
+                    "writerFeatures": ["variantType-preview"],
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "variant-fixture",
+                    "format": {"provider": "parquet"},
+                    "schemaString": schema_string,
+                }
+            }
+        ),
+    ] + [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(evens | odds | decoy)
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps(
+                    {"remove": {"path": f"data/{p}", "dataChange": True}}
+                )
+                for p in sorted(decoy)
+            )
+            + "\n"
+        )
+
+    # --- reader: gate must ACCEPT variantType-preview; the declared
+    # schema confirms the variant column; one scan + typed shredding
+    live = _delta_latest_live_files(spark, root)
+    declared = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    m = json.loads(line).get("metaData")
+                    if m is not None:
+                        declared = json.loads(m["schemaString"])
+    assert (
+        next(
+            fld for fld in declared["fields"] if fld["name"] == "payload"
+        )["type"]
+        == "variant"
+    ), "log schema must declare the variant column"
+    data = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in sorted(live)]
+    )
+    assert dict(data.dtypes)["payload"] == "variant"
+    return data.select(
+        "event_type",
+        F.try_variant_get("payload", "$.u", "long").alias("uid"),
+        F.try_variant_get("payload", "$.v", "double").alias("val"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("val").alias("sum_value"),
+        F.countDistinct("uid").cast("bigint").alias("n_users"),
+    )
+
+
 # --- VACUUM: physical removal of tombstoned files -----------------------------
 
 def _delta_vacuum(

@@ -1152,6 +1152,8 @@ _DELTA_READER_FEATURES = {
     "v2Checkpoint",
     "timestampNtz",
     "typeWidening",
+    "variantType-preview",
+    "variantType",
 }
 _DELTA_MAX_READER_VERSION = 3
 

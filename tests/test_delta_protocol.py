@@ -483,9 +483,10 @@ def test_protocol_gate_refuses_unimplemented_surface(spark):
     unknown reader feature (or a reader version above ours) must be
     REFUSED — half-reading it (e.g. ignoring a future feature)
     silently returns wrong data. The LATEST protocol action wins, so an
-    upgrade commit flips an until-then readable table. (typeWidening
-    and timestampNtz moved OUT of this test when r12 implemented them —
-    variantType-preview stands in as the still-unimplemented surface.)"""
+    upgrade commit flips an until-then readable table. (typeWidening,
+    timestampNtz, and variantType-preview all moved OUT of this test as
+    r12 implemented them — a synthetic future feature name stands in,
+    which is exactly the shape the rule exists for.)"""
     import pytest
 
     from random_forest_using_hadoop_spark.operators.scans import (
@@ -502,15 +503,15 @@ def test_protocol_gate_refuses_unimplemented_surface(spark):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["variantType-preview"],
+                        "readerFeatures": ["futureFeature-v9"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="variantType-preview"):
+    with pytest.raises(ValueError, match="futureFeature-v9"):
         _delta_check_protocol(log_dir)
-    with pytest.raises(ValueError, match="variantType-preview"):
+    with pytest.raises(ValueError, match="futureFeature-v9"):
         _delta_live_files(spark, log_dir)  # the gate guards the reader
     with open(os.path.join(log_dir, f"{4:020d}.json"), "w") as fh:
         fh.write(
