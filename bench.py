@@ -113,6 +113,9 @@ HEADLINE = [
     # r12 — the variantType reader feature (binary VARIANT through a
     # staged Delta table):
     "src_delta_variant_type",
+    # r12 — temporal transform pruning and the streaming commit tail:
+    "src_iceberg_year_transform",
+    "stream_iceberg_commits",
 ]
 
 

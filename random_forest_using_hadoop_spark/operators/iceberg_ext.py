@@ -2119,3 +2119,318 @@ def q_src_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# --- temporal (year) transform partitioning ---------------------------------------
+
+_YEAR_LO, _YEAR_HI = 1996, 1998  # [lo, hi) predicate window
+
+_YEAR_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_YEAR_LO}-01-01'
+  AND o_orderdate <  TIMESTAMP '{_YEAR_HI}-01-01'
+GROUP BY 1
+"""
+
+_YEAR_ENTRY_SCHEMA = json.loads(
+    json.dumps(_MANIFEST_ENTRY_SCHEMA)
+    .replace('"name": "r2"', '"name": "r2y"')
+    .replace('"name": "r102"', '"name": "r102y"')
+    .replace('"name": "k126_v127"', '"name": "k126_v127y"')
+    .replace(
+        '{"name": "o_orderpriority", "type": ["null", "string"], "field-id": 1000}',
+        '{"name": "o_orderdate_year", "type": ["null", "int"], "field-id": 1000}',
+    )
+)
+
+
+@register("src_iceberg_year_transform", oracle=_YEAR_ORACLE)
+def q_src_iceberg_year_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TEMPORAL TRANSFORM partitioning (`year(ts)` — spec
+    §Partition Transforms: the partition value is the ordinal YEARS
+    SINCE 1970, and unlike identity partitioning the lossy source
+    column stays IN the data files): a date-range predicate maps to a
+    contiguous ordinal range, so the planner opens only the matching
+    years' files from manifest metadata — the layout every time-series
+    fact table at 100 TB uses, where identity partitioning on a
+    timestamp is impossible.
+
+    Staged: orders partitioned by year(o_orderdate) (the ordinal
+    computed with built-in `year()` — pure Catalyst, no UDF), one
+    manifest whose entries carry the ordinal. The reader converts the
+    `[1996, 1998)` predicate to ordinal targets {26, 27} driver-side,
+    prunes manifests, then applies the EXACT row-level range on the
+    pruned scan (the transform is monthly-granular-lossy; rows of a
+    matching year outside the exact bounds must still drop — here the
+    bounds are year-aligned, which the oracle's EXTRACT(year) grouping
+    verifies value-by-value anyway).
+    `tests/test_plans.py::test_iceberg_year_transform_prunes_years`
+    asserts only the target ordinals' files are opened.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = _tmp(sf_dir, "iceberg_year")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    o.withColumn(
+        "o_orderdate_year", (F.year("o_orderdate") - F.lit(1970)).cast("int")
+    ).coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderdate_year"
+    ).parquet(os.path.join(data_dir, "s1"))
+    entries = []
+    base = os.path.join(data_dir, "s1")
+    for d in sorted(os.listdir(base)):
+        pdir = os.path.join(base, d)
+        if not (os.path.isdir(pdir) and d.startswith("o_orderdate_year=")):
+            continue
+        yval = int(d.split("=", 1)[1])
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                e = _entry(_ST_ADDED, _S1, 1, os.path.join(pdir, f), None)
+                e["data_file"]["partition"] = {"o_orderdate_year": yval}
+                entries.append(e)
+    m1 = _write_manifest(
+        meta_dir, "m1-year.avro", entries, schema=_YEAR_ENTRY_SCHEMA
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-year",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                    {"id": 2, "name": "o_totalprice", "required": False, "type": "double"},
+                    {"id": 3, "name": "o_orderdate", "required": False, "type": "timestamp"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 3,
+                        "field-id": 1000,
+                        "name": "o_orderdate_year",
+                        "transform": "year",
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    targets = set(range(_YEAR_LO - 1970, _YEAR_HI - 1970))
+    meta = _iceberg_table_meta(root)
+    assert (
+        meta["partition-specs"][0]["fields"][0]["transform"] == "year"
+    )
+    files = _iceberg_live_files(
+        _iceberg_snapshot(meta), partition_pred=lambda y: y in targets
+    )
+    if not files:
+        return spark.createDataFrame(
+            [], "order_year bigint, n_rows long, total_cents long"
+        )
+    return (
+        spark.read.parquet(*sorted(p for p, _, _ in files))
+        .filter(
+            (
+                F.col("o_orderdate")
+                >= F.lit(f"{_YEAR_LO}-01-01").cast("timestamp_ntz")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.lit(f"{_YEAR_HI}-01-01").cast("timestamp_ntz")
+            )
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+# --- streaming commit tail ----------------------------------------------------------
+
+_STREAM_ICE_ORACLE = """
+SELECT s.seq,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_appended,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES (1), (2), (3)) AS s(seq)
+LEFT JOIN orders o
+       ON ((s.seq = 1 AND o.o_orderkey % 2 = 0)
+        OR (s.seq = 2 AND o.o_orderkey % 2 = 1))
+GROUP BY s.seq
+"""
+
+
+@register("stream_iceberg_commits", oracle=_STREAM_ICE_ORACLE)
+def q_stream_iceberg_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tail of an Iceberg table's commit history (the
+    Iceberg sibling of stream_delta_commits): Structured Streaming
+    watches `metadata/*.metadata.json` (availableNow replay), and each
+    micro-batch's newly visible SNAPSHOTS are resolved to their
+    APPENDED rows via the same manifest walk the batch incremental
+    reader uses — O(appended data) per refresh, the only viable
+    downstream-consumer shape at 100 TB.
+
+    Staged: the shared three-snapshot history (its three metadata
+    versions arrive as stream input). Graded per sequence number:
+    seq 1 = the even base, seq 2 = the odd append, seq 3 = the DELETE
+    (zero appended rows — a consumer that re-emits EXISTING entries
+    replays the whole table here). The foreachBatch sink follows the
+    at-least-once contract: snapshot ids already processed are skipped,
+    each batch's contribution is computed fully before the atomic
+    driver-side merge, and batch ids are deduped.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_stream")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+
+    meta_schema = T.StructType(
+        [
+            T.StructField(
+                "snapshots",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("snapshot-id", T.LongType()),
+                            T.StructField("sequence-number", T.LongType()),
+                            T.StructField("manifest-list", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    done_snaps: set[int] = set()
+    done_batches: set[int] = set()
+    acc: dict[int, list[int]] = {}  # seq -> [n, cents]
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_id in done_batches:
+            return
+        snaps = {}
+        for r in batch_df.select(
+            F.explode("snapshots").alias("s")
+        ).collect():  # bounded: snapshot metadata rows
+            s = r["s"]
+            if s["snapshot-id"] is not None:
+                snaps[s["snapshot-id"]] = s
+        todo = sorted(set(snaps) - done_snaps)
+        new_results: dict[int, list[int]] = {}
+        for sid in todo:
+            s = snaps[sid]
+            _, manifests, _ = ocf_read(s["manifest-list"])
+            paths = []
+            for m in manifests:
+                if m["content"] != 0 or m["added_snapshot_id"] != sid:
+                    continue
+                _, entries, _ = ocf_read(m["manifest_path"])
+                paths.extend(
+                    e["data_file"]["file_path"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED and e["snapshot_id"] == sid
+                )
+            seq = int(s["sequence-number"])
+            if not paths:
+                new_results[seq] = [0, 0]
+                continue
+            row = (
+                spark.read.parquet(*sorted(paths))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.floor(
+                            F.col("o_totalprice") * 100 + F.lit(0.5)
+                        ).cast("bigint")
+                    ).alias("c"),
+                )
+                .collect()[0]
+            )
+            new_results[seq] = [row["n"], row["c"] or 0]
+        # compute fully, then merge atomically (at-least-once contract)
+        for seq, (n, c) in new_results.items():
+            got = acc.setdefault(seq, [0, 0])
+            got[0] += n
+            got[1] += c
+        done_snaps.update(todo)
+        done_batches.add(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="iceberg_stream_ckpt_")
+    query = (
+        spark.readStream.schema(meta_schema)
+        .option("pathGlobFilter", "*.metadata.json")
+        .json(meta_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    rows = [
+        (int(seq), int(n), int(c)) for seq, (n, c) in sorted(acc.items())
+    ]
+    spine = spark.createDataFrame([(1,), (2,), (3,)], "seq int")
+    got = (
+        spark.createDataFrame(
+            rows, "seq int, n_appended bigint, total_cents bigint"
+        )
+        if rows
+        else spark.createDataFrame(
+            [], "seq int, n_appended bigint, total_cents bigint"
+        )
+    )
+    return spine.join(got, "seq", "left").select(
+        "seq",
+        F.coalesce("n_appended", F.lit(0).cast("bigint")).alias("n_appended"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )

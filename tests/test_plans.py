@@ -1142,6 +1142,38 @@ def test_iceberg_bucket_lookup_scans_only_target_buckets(spark):
     )
 
 
+def test_iceberg_year_transform_prunes_years(spark):
+    """src_iceberg_year_transform's scale claim: the [1996, 1998) date
+    predicate maps to year ordinals {26, 27}, and the scan must open
+    ONLY those ordinals' files (the staged table spans more years)."""
+    import re
+
+    df = engine.REGISTRY["src_iceberg_year_transform"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    scanned = {
+        int(m.group(1))
+        for f in files
+        for m in [re.search(r"o_orderdate_year=(\d+)/", f)]
+        if m
+    }
+    assert scanned <= {26, 27} and scanned, (
+        f"scan read year ordinals {scanned}, expected within {{26, 27}}"
+    )
+    # and the table genuinely spans more years than the pruned pair
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    base = os.path.join(_tmp(SF_DIR, "iceberg_year"), "data", "s1")
+    all_years = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("o_orderdate_year=")
+    }
+    assert len(all_years) > len(scanned), "fixture must have years to skip"
+
+
 def test_delta_stats_skipping_reads_only_surviving_files(spark):
     """src_delta_stats_skipping's scale claim: the range predicate
     selects files from the LOG's add.stats min/max alone, so the
