@@ -390,7 +390,19 @@ def dv_read_file(desc: dict, table_root: str | None) -> list[int]:
         )
     off = desc.get("offset")
     if off is None:
-        off = 1  # single-DV file: blob starts right after the version byte
+        # A missing offset is only unambiguous when the file holds
+        # EXACTLY one blob (version byte + size + data + CRC). For a
+        # multi-DV file, defaulting to byte 1 would silently read the
+        # FIRST blob — its CRC passes (it is a valid blob) and the
+        # cardinality check can coincide, so refuse instead of guessing.
+        off = 1
+        (size0,) = struct.unpack_from(">i", data, off)
+        if len(data) != 1 + 4 + size0 + 4:
+            raise ValueError(
+                f"DV descriptor has no offset but {path} is not a "
+                f"single-blob file ({len(data)} bytes, first blob spans "
+                f"{1 + 4 + size0 + 4})"
+            )
     (size,) = struct.unpack_from(">i", data, off)
     if size != desc["sizeInBytes"]:
         raise ValueError(

@@ -130,7 +130,14 @@ def encode_value(schema, value, out: bytearray, names: dict) -> None:
         if schema == "boolean":
             out.append(1 if value else 0)
         elif schema in ("int", "long"):
-            _zz_encode(int(value), out)
+            v = int(value)
+            # Avro 'int' is 32-bit: the zigzag varint itself is
+            # unbounded, so an out-of-range value would emit non-spec
+            # bytes that round-trip HERE but misread in a conforming
+            # foreign reader. Fail at write time instead.
+            if schema == "int" and not (-(2**31) <= v < 2**31):
+                raise ValueError(f"Avro int out of 32-bit range: {v}")
+            _zz_encode(v, out)
         elif schema == "float":
             out += struct.pack("<f", float(value))
         elif schema == "double":

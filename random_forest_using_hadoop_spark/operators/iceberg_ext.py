@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
@@ -48,6 +49,20 @@ from random_forest_using_hadoop_spark.sources import load_table
 
 # entry statuses per the spec (§Manifests)
 _ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
+
+# Broadcast gate for delete-application anti-joins: manifests record
+# each delete file's record_count, so the planner can decide broadcast
+# vs shuffle on REAL statistics instead of a hint-by-faith. Under the
+# cap (~tens of MB of (path, pos) / key pairs) the delete set ships to
+# every executor; past it the anti-join shuffles both sides on the
+# join key — the plan a 100 TB CDC backlog needs.
+_DELETE_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _maybe_broadcast_deletes(df: DataFrame, n_rows: int) -> DataFrame:
+    """Apply a broadcast hint only when manifest-recorded delete
+    cardinality says the set is broadcast-sized."""
+    return F.broadcast(df) if n_rows <= _DELETE_BROADCAST_MAX_ROWS else df
 
 # Avro schemas for the metadata this layer stages/reads — the spec's
 # field names and ids (field-id keys ride along as inert annotations;
@@ -430,10 +445,12 @@ def _iceberg_table_meta(root: str) -> dict:
         with open(hint) as fh:
             v = int(fh.read().strip())
     else:
+        # strict filename match — a stray 'vx.metadata.json' (editor
+        # backup, partial upload) must be skipped, not crash discovery
         versions = [
-            int(f[1:].split(".", 1)[0])
+            int(m.group(1))
             for f in os.listdir(meta_dir)
-            if f.startswith("v") and f.endswith(".metadata.json")
+            if (m := re.fullmatch(r"v(\d+)\.metadata\.json", f))
         ]
         if not versions:
             raise FileNotFoundError(f"no metadata.json under {meta_dir}")
@@ -782,12 +799,12 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same per-file ordinal the spec indexes.
 
     Scale: the delete-pair set rides a DISTRIBUTED parquet scan (never
-    collected) and anti-joins the data scan on (file, pos) — broadcast
-    here (delete cardinality is bounded by the commit's deleted rows);
-    at larger delete volumes the same plan shuffles both sides on
-    file_path, which Spark picks automatically once the broadcast
-    threshold is exceeded. Staging's per-file position collect is ∝
-    deleted rows — they ARE the commit payload.
+    collected) and anti-joins the data scan on (file, pos). Broadcast
+    is STATS-GATED, not hint-forced: manifests record each delete
+    file's record_count, so the reader hints broadcast only under
+    `_DELETE_BROADCAST_MAX_ROWS`; a larger delete backlog shuffles
+    both sides on the equi keys. Staging's per-file position collect
+    is ∝ deleted rows — they ARE the commit payload.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -938,17 +955,23 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_path string, data_seq long",
         )
         # tag each delete row with its file's sequence number via a
-        # broadcast (delete file basename → seq) map
+        # broadcast (FULL normalized delete-file path → seq) map — the
+        # same url_decode/scheme-strip normalization the data side
+        # uses; keying on basename would cross-assign sequence numbers
+        # between same-named delete files in different directories
         dseq = spark.createDataFrame(
-            [(os.path.basename(d["path"]), d["seq"]) for d in delete_files],
-            "dfname string, dseq long",
+            [(d["path"], d["seq"]) for d in delete_files],
+            "dpath string, dseq long",
         )
         dels = (
             spark.read.parquet(*sorted(d["path"] for d in delete_files))
             .withColumn(
-                "dfname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                "dpath",
+                F.url_decode(
+                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+                ),
             )
-            .join(F.broadcast(dseq), "dfname")
+            .join(F.broadcast(dseq), "dpath")
             .select("file_path", "pos", "dseq")
         )
         # normalize the scan's file URI to the staged absolute-path
@@ -960,8 +983,9 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.url_decode(F.regexp_replace("_fp", "^file:(//)?", "")),
         )
         df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
+        n_del = sum(d["n"] for d in delete_files)
         df = df.join(
-            F.broadcast(dels),
+            _maybe_broadcast_deletes(dels, n_del),
             (df["_fp"] == dels["file_path"])
             & (df["_pos"] == dels["pos"])
             & (df["data_seq"] <= dels["dseq"]),  # spec ordering rule
@@ -1381,8 +1405,9 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iceberg upserts at scale without reading anything.
 
     Staged: the shared three-snapshot table, then s4 = one UPSERT
-    commit carrying (a) a GLOBAL equality-delete file (null partition
-    tuple, equality_ids=[1] → o_orderkey) of every key with
+    commit carrying (a) TWO GLOBAL equality-delete files (null
+    partition tuple, equality_ids=[1] → o_orderkey, range-split as a
+    real CDC writer lands them) covering every key with
     o_orderkey % 7 == 0, and (b) re-inserted replacement rows (the
     non-urgent % 14 == 0 keys at price + 10.00) as seq-4 data files.
     Correct semantics: seq-3 originals in the delete set vanish, their
@@ -1392,9 +1417,12 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     one that anti-joins without the sequence gate also kills the
     replacements — each fails the value hash differently.
 
-    Scale: delete keys ride a distributed parquet read, broadcast into
-    the anti-join (bounded by the commit's delete set; a bigger set
-    shuffles both sides on the key automatically); data files scan once
+    Scale: ALL delete files union into ONE distributed key scan, each
+    key tagged with its file's sequence number from planner metadata,
+    and apply in a SINGLE anti-join (plan depth independent of how
+    many delete commits have landed). Broadcast is stats-gated on the
+    manifests' record_count (`_DELETE_BROADCAST_MAX_ROWS`); a larger
+    CDC backlog shuffles both sides on the key. Data files scan once
     with their sequence numbers attached from planner metadata.
     """
     o = load_table(spark, sf_dir, "orders").select(
@@ -1420,19 +1448,25 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # (b) the global equality-delete file (key values only, one job)
     eq_dir = os.path.join(meta_dir, "eqdel")
-    o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey").coalesce(
-        1
-    ).write.mode("overwrite").parquet(eq_dir)
-    (eq_file,) = [
+    # TWO delete files in the commit (range-split by key) — a real CDC
+    # writer lands many per commit; the reader must union them into one
+    # key scan and apply them in a SINGLE anti-join (plan-gated)
+    o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey"
+    ).repartitionByRange(2, "o_orderkey").write.mode("overwrite").parquet(
+        eq_dir
+    )
+    eq_files = [
         os.path.join(eq_dir, f)
         for f in sorted(os.listdir(eq_dir))
         if f.endswith(".parquet")
     ]
-    del_entry = _entry(
-        _ST_ADDED, _S4, 4, eq_file, None, equality_ids=[1], content=2
-    )
+    del_entries = [
+        _entry(_ST_ADDED, _S4, 4, p, None, equality_ids=[1], content=2)
+        for p in eq_files
+    ]
     m4i = _write_manifest(meta_dir, "m4-upsert-data.avro", ins_entries)
-    m4d = _write_manifest(meta_dir, "m4-upsert-deletes.avro", [del_entry])
+    m4d = _write_manifest(meta_dir, "m4-upsert-deletes.avro", del_entries)
     m3 = os.path.join(meta_dir, "m3-fixture.avro")
     recs = []
     for mpath, content, added_by in (
@@ -1526,26 +1560,44 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.unionByName(s)
     eq_deletes = [d for d in delete_files if d["content"] == 2]
     if eq_deletes:
-        seq_map = spark.createDataFrame(
-            [(p, s) for p, _, _, s in data_files],
-            "file_path string, data_seq long",
-        )
-        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
         for d in eq_deletes:
             if d["equality_ids"] != [1]:
                 raise ValueError(
                     f"unsupported equality_ids {d['equality_ids']}; this "
                     "fixture keys on field 1 (o_orderkey)"
                 )
-            keys = spark.read.parquet(d["path"]).select(
-                F.col("o_orderkey").alias("_delkey")
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, _, _, s in data_files],
+            "file_path string, data_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
+        # ONE unioned delete-key scan, each key tagged with its file's
+        # sequence number via a broadcast (full normalized path → seq)
+        # map, then a SINGLE anti-join — a per-delete-file join loop
+        # would chain one anti-join per commit, unbounded plan depth
+        # for a CDC stream that lands a delete file per minute
+        dseq = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in eq_deletes],
+            "dpath string, dseq long",
+        )
+        keys = (
+            spark.read.parquet(*sorted(d["path"] for d in eq_deletes))
+            .withColumn(
+                "dpath",
+                F.url_decode(
+                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+                ),
             )
-            df = df.join(
-                F.broadcast(keys),
-                (df["o_orderkey"] == keys["_delkey"])
-                & (df["data_seq"] < F.lit(d["seq"])),  # STRICT: upserts live
-                "left_anti",
-            )
+            .join(F.broadcast(dseq), "dpath")
+            .select(F.col("o_orderkey").alias("_delkey"), "dseq")
+        )
+        n_del = sum(d["n"] for d in eq_deletes)
+        df = df.join(
+            _maybe_broadcast_deletes(keys, n_del),
+            (df["o_orderkey"] == keys["_delkey"])
+            & (df["data_seq"] < keys["dseq"]),  # STRICT: upserts live
+            "left_anti",
+        )
     return _cents_agg(df)
 
 

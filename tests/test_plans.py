@@ -1213,3 +1213,58 @@ def test_delta_stats_skipping_reads_only_surviving_files(spark):
         "stats pruned nothing on the range-clustered layout — "
         "the skip rule is inert"
     )
+
+
+# --- r13: Iceberg delete-application join shape gates ---------------------------
+
+
+def test_iceberg_eq_delete_single_anti_join(spark):
+    """src_iceberg_eq_delete's scale claim: ALL equality-delete files
+    (the fixture stages TWO, range-split like a real CDC commit) apply
+    in EXACTLY ONE anti-join — a per-delete-file join loop would grow
+    plan depth with every landed delete commit, unbounded for a stream
+    that commits once a minute. Counted on the optimized logical plan."""
+    df = engine.REGISTRY["src_iceberg_eq_delete"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+
+
+def test_iceberg_delete_broadcast_is_stats_gated(spark):
+    """The delete side of BOTH Iceberg delete-application anti-joins
+    must not be hint-forced broadcast: the hint applies only when the
+    manifests' record_count says the set fits. With the gate forced
+    shut (cap = 0) and size-based auto-broadcast disabled, the
+    anti-join must plan as a shuffle join — proving nothing in the code
+    path forces a 100 TB delete backlog through every executor."""
+    from random_forest_using_hadoop_spark.operators import iceberg_ext
+
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_cap = iceberg_ext._DELETE_BROADCAST_MAX_ROWS
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        iceberg_ext._DELETE_BROADCAST_MAX_ROWS = 0
+        for key in ("src_iceberg_pos_delete", "src_iceberg_eq_delete"):
+            df = engine.REGISTRY[key].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+            assert anti, f"{key}: no anti-join in physical plan"
+            assert not any("Broadcast" in ln for ln in anti), (
+                f"{key}: anti-join still broadcasts with the gate shut:\n"
+                + "\n".join(anti)
+            )
+    finally:
+        iceberg_ext._DELETE_BROADCAST_MAX_ROWS = old_cap
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_iceberg_delete_broadcast_open_gate_hints(spark):
+    """Converse of the shut-gate test: under the cap the delete side IS
+    hinted (small delete sets should never shuffle the 100 TB data
+    side), visible as a broadcast anti-join in the default-conf plan."""
+    df = engine.REGISTRY["src_iceberg_pos_delete"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), (
+        "small delete set did not broadcast:\n" + "\n".join(anti)
+    )
