@@ -242,3 +242,25 @@ def test_dv_seeded_random_roundtrips():
         assert dv_deserialize(dv_serialize(idx)) == idx, (trial, n, span)
         d = dv_inline_descriptor(idx)
         assert dv_read_inline(d) == idx, (trial, n, span)
+
+
+def test_dv_missing_offset_single_vs_multi_blob(tmp_path):
+    """A descriptor WITHOUT an offset is only unambiguous on a
+    single-blob file: there it reads blob 0; on a multi-DV file the
+    reader must refuse instead of silently decoding the FIRST blob
+    (whose CRC passes and whose cardinality can coincide)."""
+    from random_forest_using_hadoop_spark.delta_format import dv_file_write
+
+    single = str(tmp_path / "dv_single.bin")
+    (meta,) = dv_file_write([[2, 4, 8]], single)
+    desc = {"storageType": "p", "pathOrInlineDv": single, **meta}
+    desc.pop("offset")
+    assert dv_read(desc) == [2, 4, 8]
+
+    multi = str(tmp_path / "dv_multi.bin")
+    # same first blob so cardinality/CRC coincide — the trap the gate closes
+    m0, _ = dv_file_write([[2, 4, 8], [1, 3]], multi)
+    bad = {"storageType": "p", "pathOrInlineDv": multi, **m0}
+    bad.pop("offset")
+    with pytest.raises(ValueError, match="single-blob"):
+        dv_read(bad)

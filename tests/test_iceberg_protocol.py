@@ -193,3 +193,92 @@ def test_format_version_gate(staged, tmp_path):
         fh.write("1")
     with pytest.raises(ValueError, match="format-version"):
         _iceberg_table_meta(str(tmp_path))
+
+
+def test_partition_value_resolves_by_spec_field_names():
+    """Spec-aware tuple resolution: value BY NAME under a known spec
+    (never first-value positional), None for an unpartitioned spec,
+    name-ordered tuple for a multi-field spec, positional fallback only
+    when no spec is supplied."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _partition_value,
+    )
+
+    part = {"o_orderstatus": "O", "o_orderpriority": "2-HIGH"}
+    spec1 = {
+        "spec-id": 1,
+        "fields": [{"name": "o_orderpriority", "transform": "identity"}],
+    }
+    assert _partition_value(part, spec1) == "2-HIGH"
+    assert _partition_value(part, {"spec-id": 0, "fields": []}) is None
+    spec2 = {
+        "spec-id": 2,
+        "fields": [
+            {"name": "o_orderpriority"},
+            {"name": "o_orderstatus"},
+        ],
+    }
+    assert _partition_value(part, spec2) == ("2-HIGH", "O")
+    assert _partition_value({"x": 7}, None) == 7
+    assert _partition_value(None, spec1) is None
+
+
+def test_metadata_discovery_skips_stray_version_files(tmp_path):
+    """A stray 'vx.metadata.json' (editor backup, partial upload) must
+    not crash hint-less discovery; the highest REAL version wins."""
+    import json
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_table_meta,
+    )
+
+    meta_dir = tmp_path / "metadata"
+    meta_dir.mkdir()
+    for v in (1, 2):
+        (meta_dir / f"v{v}.metadata.json").write_text(
+            json.dumps({"format-version": 2, "v": v})
+        )
+    (meta_dir / "vx.metadata.json").write_text("{}")
+    (meta_dir / "v3.metadata.json.bak").write_text("{}")
+    assert _iceberg_table_meta(str(tmp_path))["v"] == 2
+
+
+def test_format_version_gate_refuses_v3(tmp_path):
+    """A format-version the reader can't honor fails AT OPEN, not
+    mid-read with silently wrong semantics (v3 adds deletion vectors /
+    row lineage this v2 reader would ignore)."""
+    import json
+
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_table_meta,
+    )
+
+    meta_dir = tmp_path / "metadata"
+    meta_dir.mkdir()
+    (meta_dir / "v1.metadata.json").write_text(
+        json.dumps({"format-version": 3})
+    )
+    (meta_dir / "version-hint.text").write_text("1")
+    with pytest.raises(ValueError, match="format-version"):
+        _iceberg_table_meta(str(tmp_path))
+
+
+def test_avro_int_range_gate():
+    """Avro 'int' is 32-bit: the codec must refuse out-of-range values
+    at write time (the varint would round-trip internally but misread
+    in a conforming foreign reader)."""
+    import pytest
+
+    from random_forest_using_hadoop_spark.iceberg_format import encode_value
+
+    out = bytearray()
+    encode_value("int", 2**31 - 1, out, {})
+    encode_value("int", -(2**31), out, {})
+    with pytest.raises(ValueError, match="32-bit"):
+        encode_value("int", 2**31, out, {})
+    with pytest.raises(ValueError, match="32-bit"):
+        encode_value("int", -(2**31) - 1, out, {})
+    big = bytearray()
+    encode_value("long", 2**40, big, {})  # long stays unbounded

@@ -1268,3 +1268,47 @@ def test_iceberg_delete_broadcast_open_gate_hints(spark):
     assert anti and all("Broadcast" in ln for ln in anti), (
         "small delete set did not broadcast:\n" + "\n".join(anti)
     )
+
+
+def test_iceberg_spec_evolution_prunes_only_its_spec(spark):
+    """src_iceberg_spec_evolution's pruning contract: the priority
+    predicate prunes ONLY spec-1 (priority-partitioned) manifests —
+    the scan must open EVERY spec-0 (status-partitioned) file (their
+    tuples don't speak priority; a positional reader would drop them
+    all) and EXACTLY the two wanted priority partitions of spec-1."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["src_iceberg_spec_evolution"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    from urllib.parse import unquote
+
+    scanned = {
+        unquote(f).removeprefix("file://").removeprefix("file:")
+        for f in files
+    }
+    root = _tmp(SF_DIR, "iceberg_specevo")
+    s1 = os.path.join(root, "data", "s1")
+    staged_s1 = {
+        os.path.join(s1, d, f)
+        for d in os.listdir(s1)
+        if d.startswith("o_orderstatus=")
+        for f in os.listdir(os.path.join(s1, d))
+        if f.endswith(".parquet")
+    }
+    assert len(staged_s1) >= 2, "fixture must stage multiple status files"
+    assert staged_s1 <= scanned, (
+        "spec-0 files were mis-pruned by the spec-1 predicate: missing "
+        f"{sorted(staged_s1 - scanned)[:3]}"
+    )
+    s2_parts = {
+        m.group(1)
+        for f in scanned
+        for m in [re.search(r"/s2/o_orderpriority=([^/]+)/", f)]
+        if m
+    }
+    assert s2_parts == {"2-HIGH", "5-LOW"}, (
+        f"spec-1 scan read partitions {s2_parts}, expected the pruned pair"
+    )
