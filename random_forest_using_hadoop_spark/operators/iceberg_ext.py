@@ -204,6 +204,7 @@ def _entry(
     equality_ids: list[int] | None = None,
     content: int = 0,
     partition: dict | None = None,
+    record_count: int | None = None,
 ) -> dict:
     """One manifest_entry record; record_count/file_size come from the
     parquet footer / filesystem — driver-side, bounded by file count
@@ -228,7 +229,11 @@ def _entry(
                 if partition is not None
                 else {"o_orderpriority": pval}
             ),
-            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "record_count": (
+                record_count
+                if record_count is not None  # non-parquet (e.g. Puffin DV)
+                else pq.ParquetFile(path).metadata.num_rows
+            ),
             "file_size_in_bytes": os.path.getsize(path),
             "lower_bounds": bounds[0] if bounds else None,
             "upper_bounds": bounds[1] if bounds else None,
@@ -489,10 +494,13 @@ def _iceberg_table_meta(root: str) -> dict:
         v = max(versions)
     with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
-    if meta.get("format-version") != 2:
+    if meta.get("format-version") not in (2, 3):
+        # fail AT OPEN, never mid-read with silently wrong semantics —
+        # the same posture as the Delta reader-features gate
         raise ValueError(
             f"unsupported Iceberg format-version "
-            f"{meta.get('format-version')!r}; this reader implements v2"
+            f"{meta.get('format-version')!r}; this reader implements v2 "
+            "and the v3 deletion-vector subset"
         )
     return meta
 
@@ -612,6 +620,15 @@ def _iceberg_files_full(
                         "content": df["content"],
                         "equality_ids": df.get("equality_ids"),
                         "spec_id": spec_id,
+                        # v3 deletion-vector coordinates (absent pre-v3)
+                        "format": df.get("file_format", "PARQUET"),
+                        "referenced_data_file": df.get(
+                            "referenced_data_file"
+                        ),
+                        "content_offset": df.get("content_offset"),
+                        "content_size_in_bytes": df.get(
+                            "content_size_in_bytes"
+                        ),
                     }
                 )
     return data, deletes
@@ -2826,4 +2843,314 @@ def q_src_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scans[0]
     for s in scans[1:]:
         df = df.unionByName(s)
+    return _cents_agg(df)
+
+
+# --- Iceberg v3 deletion vectors (Puffin) (r13) ---------------------------------
+
+_V3DV_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT' AND o_orderkey % 10 <> 7
+GROUP BY o_orderpriority
+"""
+
+
+def _entry_schema_v3dv() -> dict:
+    """Manifest-entry schema + the v3 deletion-vector coordinates
+    (table spec v3 §data_file fields): referenced_data_file (143),
+    content_offset (144), content_size_in_bytes (145)."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    df_fields = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    df_fields.extend(
+        [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "field-id": 145,
+            },
+        ]
+    )
+    return schema
+
+
+@register("src_iceberg_v3_dv", oracle=_V3DV_ORACLE)
+def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 DELETION VECTORS (table spec v3 §Deletion Vectors +
+    the Puffin spec): v3 replaces per-commit position-delete parquet
+    with ONE roaring bitmap per data file, stored as a
+    `deletion-vector-v1` blob in a Puffin container; the manifest entry
+    carries the blob's exact coordinates (file_format PUFFIN,
+    referenced_data_file, content_offset, content_size_in_bytes), so a
+    reader never parses the Puffin footer on the hot path. The bitmap
+    serialization is byte-compatible with Delta's RoaringBitmapArray —
+    the spec chose that deliberately — so one codec serves both lakes.
+
+    Staged: the shared three-snapshot table, then s4 = a v3 DELETE
+    commit removing every o_orderkey % 10 == 7 row: one Puffin file
+    holding one DV blob per affected data file, a delete manifest
+    whose entries pin each blob's coordinates, and v4.metadata.json
+    flipping format-version to 3 (v3 tables carry their v2 history).
+
+    Graded: per-priority counts AND cents — a reader that ignores the
+    delete manifest returns deleted rows; one that misreads blob
+    framing (BE length/CRC/magic) fails loudly; one that applies a DV
+    to the wrong file (referenced_data_file is the binding) drops the
+    wrong rows and fails on cents.
+
+    Scale: DV descriptors are planner metadata (one row per DV). Blob
+    decode happens EXECUTOR-SIDE — mapInPandas over the descriptor
+    frame reads + integrity-checks each blob and explodes positions —
+    so the driver never materializes a bitmap; the anti-join is the
+    same stats-gated (file, pos) plan as v2 position deletes, with
+    cardinality known from manifest record_count.
+    """
+    from pyspark import cloudpickle
+
+    from random_forest_using_hadoop_spark import delta_format as _dfmt
+    from random_forest_using_hadoop_spark import iceberg_format as _icefmt
+
+    # the DV-decode closure runs executor-side: ship BOTH codec modules
+    # by value (the blob framing lives in iceberg_format, the roaring
+    # deserializer it calls in delta_format) — grading-driver workers
+    # don't have this repo on sys.path (r4 lesson)
+    cloudpickle.register_pickle_by_value(_icefmt)
+    cloudpickle.register_pickle_by_value(_dfmt)
+    _decode_blob = _icefmt.iceberg_dv_decode
+    _read_blob = _icefmt.puffin_read_blob
+
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        iceberg_dv_blob,
+        puffin_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_v3dv")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    s3 = _iceberg_snapshot(meta)
+    live, _ = _iceberg_files(s3)
+
+    # --- s4 staging: deleted positions per live file in ONE job
+    # (collect ∝ deleted rows — the commit payload), then one Puffin
+    # file with one DV blob per affected data file
+    from urllib.parse import unquote
+
+    _S4, _T4 = _S3 + 1, _T3 + 60_000
+    pval_by_path = {p: v for p, v, _, _ in live}
+    hit_rows = (
+        spark.read.parquet(*sorted(pval_by_path))
+        .select(
+            F.input_file_name().alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in hit_rows:
+        path = unquote(r["fp"].removeprefix("file://").removeprefix("file:"))
+        by_file.setdefault(path, []).append(r["pos"])
+    puffin_path = os.path.join(meta_dir, "dvs-s4.puffin")
+    ordered = sorted(by_file)
+    blob_entries = puffin_write(
+        puffin_path,
+        [
+            (
+                iceberg_dv_blob(by_file[p]),
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [2147483546],  # reserved _pos field id
+                    "snapshot-id": _S4,
+                    "sequence-number": 4,
+                    "properties": {
+                        "referenced-data-file": p,
+                        "cardinality": str(len(by_file[p])),
+                    },
+                },
+            )
+            for p in ordered
+        ],
+    )
+    schema_v3 = _entry_schema_v3dv()
+    dv_entries = []
+    for p, be in zip(ordered, blob_entries):
+        ent = _entry(
+            _ST_ADDED,
+            _S4,
+            4,
+            puffin_path,
+            pval_by_path[p],
+            content=1,
+            record_count=len(by_file[p]),
+        )
+        ent["data_file"].update(
+            {
+                "file_format": "PUFFIN",
+                "referenced_data_file": p,
+                "content_offset": be["offset"],
+                "content_size_in_bytes": be["length"],
+            }
+        )
+        dv_entries.append(ent)
+    m4 = _write_manifest(
+        meta_dir, "m4-dv-deletes.avro", dv_entries, schema=schema_v3
+    )
+    # manifest list: m3 (data, re-referenced) + m4 (DV deletes)
+    m3 = s3["manifest-list"]
+    _, m3_manifests, _ = ocf_read(m3)
+    (m3_data,) = [m["manifest_path"] for m in m3_manifests]
+    recs = []
+    for mpath, content, added_by in ((m3_data, 0, _S3), (m4, 1, _S4)):
+        _, entries, _ = ocf_read(mpath)
+        recs.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 4,
+                "min_sequence_number": 1,
+                "added_snapshot_id": added_by,
+                "added_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_ADDED
+                ),
+                "existing_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_EXISTING
+                ),
+                "deleted_files_count": sum(
+                    1 for e in entries if e["status"] == _ST_DELETED
+                ),
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_ADDED
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_EXISTING
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == _ST_DELETED
+                ),
+            }
+        )
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-fixture.avro")
+    ocf_write(l4, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "3"})
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["format-version"] = 3  # v3 commit; prior snapshots remain readable
+    tm["snapshots"].append(
+        {
+            "snapshot-id": _S4,
+            "sequence-number": 4,
+            "timestamp-ms": _T4,
+            "manifest-list": l4,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    )
+    tm["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S4})
+    tm["current-snapshot-id"] = _S4
+    tm["last-sequence-number"] = 4
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    # --- reader: data scans with (file, pos) captured at scan level;
+    # DV blobs decoded executor-side from manifest coordinates
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    data_files, delete_files = _iceberg_files_full(snap)
+    if not data_files:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    by_val: dict[str, list[str]] = {}
+    for p, v, _, _, _sid in data_files:
+        by_val.setdefault(v, []).append(p)
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            ).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    dvs = [d for d in delete_files if d["format"] == "PUFFIN"]
+    if dvs:
+        desc = spark.createDataFrame(
+            [
+                (
+                    d["path"],
+                    d["referenced_data_file"],
+                    d["content_offset"],
+                    d["content_size_in_bytes"],
+                    d["n"],
+                )
+                for d in dvs
+            ],
+            "puffin string, data_file string, off long, size long, n long",
+        )
+
+        def _explode_dv(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    pos = _decode_blob(
+                        _read_blob(
+                            row["puffin"], int(row["off"]), int(row["size"])
+                        )
+                    )
+                    if len(pos) != int(row["n"]):
+                        raise ValueError(
+                            f"DV cardinality mismatch for {row['data_file']}"
+                        )
+                    yield _pd.DataFrame(
+                        {"file_path": row["data_file"], "pos": pos}
+                    )
+
+        # one task per DV: repartition the bounded descriptor frame so
+        # blob decode parallelizes across executors
+        dels = desc.repartition(max(1, min(len(dvs), 32))).mapInPandas(
+            _explode_dv, schema="file_path string, pos long"
+        )
+        n_del = sum(d["n"] for d in dvs)
+        df = df.join(
+            _maybe_broadcast_deletes(dels, n_del),
+            (df["_fp"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+            "left_anti",
+        )
     return _cents_agg(df)

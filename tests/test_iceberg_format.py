@@ -243,3 +243,77 @@ def test_ocf_corruption_rejected(tmp_path):
         fh.write(b"PAR1junk")
     with pytest.raises(ValueError, match="magic"):
         ocf_read(p)
+
+
+def test_puffin_roundtrip_and_integrity():
+    """Puffin container + deletion-vector-v1 blob codec: multi-blob
+    round trip through footer coordinates; bit-flips and truncation
+    fail loudly (CRC / framing); compressed footers are refused."""
+    import struct
+    import tempfile
+
+    import pytest
+
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        PUFFIN_MAGIC,
+        iceberg_dv_blob,
+        iceberg_dv_decode,
+        puffin_read_blob,
+        puffin_read_footer,
+        puffin_write,
+    )
+
+    dvs = [[0, 5, 17, 70000], [2], list(range(0, 9000, 3))]
+    path = tempfile.mktemp(suffix=".puffin")
+    entries = puffin_write(
+        path,
+        [
+            (
+                iceberg_dv_blob(dv),
+                {"type": "deletion-vector-v1", "properties": {"i": str(i)}},
+            )
+            for i, dv in enumerate(dvs)
+        ],
+    )
+    footer = puffin_read_footer(path)
+    assert [b["offset"] for b in footer["blobs"]] == [
+        e["offset"] for e in entries
+    ]
+    for dv, b in zip(dvs, footer["blobs"]):
+        blob = puffin_read_blob(path, b["offset"], b["length"])
+        assert iceberg_dv_decode(blob) == sorted(set(dv))
+
+    # corruption: flip one bitmap byte → CRC mismatch
+    b0 = footer["blobs"][0]
+    blob = bytearray(puffin_read_blob(path, b0["offset"], b0["length"]))
+    blob[10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        iceberg_dv_decode(bytes(blob))
+    # truncation → framing error
+    good = puffin_read_blob(path, b0["offset"], b0["length"])
+    with pytest.raises(ValueError, match="truncated"):
+        iceberg_dv_decode(good[:-2])
+    # compressed footer flag → loud refusal
+    with open(path, "rb+") as fh:
+        fh.seek(0, 2)
+        end = fh.tell()
+        fh.seek(end - 8)
+        fh.write(struct.pack("<i", 1))
+    with pytest.raises(ValueError, match="compressed"):
+        puffin_read_footer(path)
+
+
+def test_iceberg_dv_blob_is_delta_bitmap_compatible():
+    """The spec chose Delta's RoaringBitmapArray serialization for v3
+    DVs deliberately — the blob's payload section must be byte-equal to
+    delta_format.dv_serialize for the same positions (one codec, two
+    lakes)."""
+    from random_forest_using_hadoop_spark.delta_format import dv_serialize
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        iceberg_dv_blob,
+    )
+
+    rows = [1, 7, 4096, 2**33 + 5]
+    blob = iceberg_dv_blob(rows)
+    ser = dv_serialize(rows)
+    assert blob[4 : 4 + len(ser)] == ser

@@ -179,14 +179,15 @@ def test_position_delete_sequence_rule(spark):
 
 
 def test_format_version_gate(staged, tmp_path):
-    """A v3 (or v1) table must be refused, not half-read — the same
-    forward-compatibility stance as the Delta protocol gate."""
+    """A v4 (or v1) table must be refused, not half-read — the same
+    forward-compatibility stance as the Delta protocol gate. (v3 became
+    readable in r13 with the deletion-vector subset.)"""
     root, _ = staged
     meta_dir = os.path.join(str(tmp_path), "metadata")
     os.makedirs(meta_dir)
     with open(os.path.join(root, "metadata", "v3.metadata.json")) as fh:
         meta = json.load(fh)
-    meta["format-version"] = 3
+    meta["format-version"] = 4
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
@@ -243,10 +244,10 @@ def test_metadata_discovery_skips_stray_version_files(tmp_path):
     assert _iceberg_table_meta(str(tmp_path))["v"] == 2
 
 
-def test_format_version_gate_refuses_v3(tmp_path):
+def test_format_version_gate_refuses_unknown(tmp_path):
     """A format-version the reader can't honor fails AT OPEN, not
-    mid-read with silently wrong semantics (v3 adds deletion vectors /
-    row lineage this v2 reader would ignore)."""
+    mid-read with silently wrong semantics. v2 and the v3
+    deletion-vector subset are readable; anything newer is refused."""
     import json
 
     import pytest
@@ -257,10 +258,15 @@ def test_format_version_gate_refuses_v3(tmp_path):
 
     meta_dir = tmp_path / "metadata"
     meta_dir.mkdir()
-    (meta_dir / "v1.metadata.json").write_text(
-        json.dumps({"format-version": 3})
-    )
     (meta_dir / "version-hint.text").write_text("1")
+    for ok in (2, 3):
+        (meta_dir / "v1.metadata.json").write_text(
+            json.dumps({"format-version": ok})
+        )
+        assert _iceberg_table_meta(str(tmp_path))["format-version"] == ok
+    (meta_dir / "v1.metadata.json").write_text(
+        json.dumps({"format-version": 4})
+    )
     with pytest.raises(ValueError, match="format-version"):
         _iceberg_table_meta(str(tmp_path))
 
