@@ -2115,3 +2115,228 @@ def q_sink_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+# --- liquid clustering (domainMetadata awareness) (r13) -------------------------
+
+_LIQ_LO, _LIQ_HI = 20, 90
+
+_LIQ_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_custkey BETWEEN {_LIQ_LO} AND {_LIQ_HI}
+GROUP BY o_orderpriority
+"""
+
+
+def _delta_clustering_columns(log_dir: str) -> list[str]:
+    """Discover a table's clustering columns from the log's
+    `domainMetadata` actions (delta-io PROTOCOL.md §Domain Metadata +
+    §Clustered Table): the `delta.clustering` domain's configuration
+    JSON records `clusteringColumns` as arrays of name parts. Later
+    commits supersede; a `removed: true` tombstone un-clusters the
+    table. Driver-side over the bounded JSON tail."""
+    latest: dict | None = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line).get("domainMetadata")
+                if act is not None and act.get("domain") == "delta.clustering":
+                    latest = act
+    if latest is None or latest.get("removed"):
+        return []
+    cfg = json.loads(latest.get("configuration") or "{}")
+    return [".".join(parts) for parts in cfg.get("clusteringColumns", [])]
+
+
+def _stats_surviving_files_for(
+    spark: SparkSession, log_dir: str, column: str, lo: int, hi: int
+) -> list[str]:
+    """[[_stats_surviving_files]] generalized to any long-typed stats
+    column: file names whose [min, max] interval on `column` overlaps
+    [lo, hi], decided from the log's add.stats alone. Files without
+    stats are conservatively kept (stats are optional per spec)."""
+    add_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("stats", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    stats_schema = T.StructType(
+        [
+            T.StructField("numRecords", T.LongType()),
+            T.StructField(
+                "minValues",
+                T.StructType([T.StructField(column, T.LongType())]),
+            ),
+            T.StructField(
+                "maxValues",
+                T.StructType([T.StructField(column, T.LongType())]),
+            ),
+        ]
+    )
+    rows = (
+        spark.read.schema(add_schema)
+        .json(os.path.join(log_dir, "*.json"))
+        .filter(F.col("add.path").isNotNull())
+        .select(
+            F.col("add.path").alias("path"),
+            F.from_json(F.col("add.stats"), stats_schema).alias("s"),
+        )
+        .filter(
+            F.col("s").isNull()
+            | ~(
+                (F.col(f"s.maxValues.{column}") < F.lit(lo))
+                | (F.col(f"s.minValues.{column}") > F.lit(hi))
+            )
+        )
+        .select("path")
+        .collect()
+    )
+    return sorted(r["path"] for r in rows)
+
+
+def _stage_clustered_table(
+    spark: SparkSession, o: DataFrame, root: str
+) -> None:
+    """Stage a LIQUID-CLUSTERED orders table: 8 files range-clustered
+    on o_custkey (the 1-D layout liquid clustering converges to for a
+    single clustering key), a protocol action demanding the
+    `clusteredTable` + `domainMetadata` WRITER features (readers stay
+    at version 1 — clustering never breaks old readers, the feature's
+    design point), the `delta.clustering` domainMetadata recording the
+    clustering columns, and per-file min/max stats on the clustering
+    column in every add."""
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(
+        data_dir
+    )
+    file_stats = (
+        spark.read.parquet(data_dir)
+        .withColumn(
+            "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("fname")
+        .agg(
+            F.count(F.lit(1)).alias("num"),
+            F.min("o_custkey").alias("lo"),
+            F.max("o_custkey").alias("hi"),
+        )
+        .collect()  # ≤8 rows: file-level metadata for the commit json
+    )
+    lines = [
+        json.dumps({"commitInfo": {"operation": "CLUSTER BY"}}),
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["domainMetadata", "clusteredTable"],
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [["o_custkey"]]}
+                    ),
+                    "removed": False,
+                }
+            }
+        ),
+    ]
+    for r in sorted(file_stats, key=lambda r: r["fname"]):
+        stats = {
+            "numRecords": r["num"],
+            "minValues": {"o_custkey": r["lo"]},
+            "maxValues": {"o_custkey": r["hi"]},
+            "nullCount": {"o_custkey": 0},
+        }
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f"data/{r['fname']}",
+                        "dataChange": True,
+                        "stats": json.dumps(stats),
+                    }
+                }
+            )
+        )
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+@register("src_delta_liquid_clustering", oracle=_LIQ_ORACLE)
+def q_src_delta_liquid_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIQUID-CLUSTERED table read (delta-io PROTOCOL.md §Clustered
+    Table + §Domain Metadata): clustering is a WRITER feature — the
+    table's layout metadata lives in a `delta.clustering`
+    domainMetadata action, and the read-side payoff is that per-file
+    stats on the clustering column skip almost everything for a range
+    predicate on it. A reader that chokes on the unknown action type
+    can't open the table at all; one that ignores the clustering domain
+    still reads correctly but plans a full scan at 100 TB — this key
+    grades the first and plan-gates the second.
+
+    The reader DISCOVERS the clustering columns from domainMetadata
+    (never hardcodes them), confirms the predicate column is the
+    clustering key, and prunes files via the log's min/max stats on
+    that discovered column — the exact skipping a clustered layout
+    exists to enable. Removed-domain tombstones un-cluster the table
+    (falls back to scanning every live file).
+
+    Scale: metadata-only planning (bounded JSON tail, Catalyst filter
+    over action rows); the data path is one distributed scan of the
+    surviving files with the row predicate re-applied.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_liquid")
+    log_dir = os.path.join(root, "_delta_log")
+    _stage_clustered_table(spark, o, root)
+    cluster_cols = _delta_clustering_columns(log_dir)
+    if cluster_cols == ["o_custkey"]:
+        surviving = _stats_surviving_files_for(
+            spark, log_dir, "o_custkey", _LIQ_LO, _LIQ_HI
+        )
+    else:  # unclustered (or clustered on something else): no skipping
+        surviving = _stats_surviving_files_for(
+            spark, log_dir, "o_custkey", -(2**62), 2**62
+        )
+    if not surviving:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    df = spark.read.parquet(
+        *[os.path.join(root, p) for p in surviving]
+    ).filter(F.col("o_custkey").between(_LIQ_LO, _LIQ_HI))
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

@@ -731,3 +731,52 @@ def test_in_commit_timestamp_overrides_mtime(spark):
     # a request between the fake mtime and the true ICT sees only v0
     assert _delta_resolve_timestamp(log_dir, base + 500) == 0
     assert _delta_resolve_timestamp(log_dir, base + 1000) == 1
+
+
+def test_clustering_domain_discovery_and_tombstone(tmp_path):
+    """delta.clustering domainMetadata: later commits supersede, and a
+    removed:true tombstone un-clusters the table (empty column list —
+    the reader then plans without skipping instead of mis-skipping)."""
+    import json
+    import os
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_clustering_columns,
+    )
+
+    log_dir = str(tmp_path / "_delta_log")
+    os.makedirs(log_dir)
+
+    def _commit(v: int, lines: list[dict]) -> None:
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+    dm = lambda cols, removed=False: {  # noqa: E731
+        "domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps({"clusteringColumns": cols}),
+            "removed": removed,
+        }
+    }
+    _commit(0, [dm([["o_custkey"]])])
+    assert _delta_clustering_columns(log_dir) == ["o_custkey"]
+    # re-cluster on a different (nested-name) key: later commit wins
+    _commit(1, [dm([["event", "ts"]])])
+    assert _delta_clustering_columns(log_dir) == ["event.ts"]
+    # tombstone: clustering removed
+    _commit(2, [dm([], removed=True)])
+    assert _delta_clustering_columns(log_dir) == []
+    # an unrelated domain never masquerades as clustering
+    _commit(
+        3,
+        [
+            {
+                "domainMetadata": {
+                    "domain": "custom.app",
+                    "configuration": "{}",
+                    "removed": False,
+                }
+            }
+        ],
+    )
+    assert _delta_clustering_columns(log_dir) == []

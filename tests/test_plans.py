@@ -1312,3 +1312,44 @@ def test_iceberg_spec_evolution_prunes_only_its_spec(spark):
     assert s2_parts == {"2-HIGH", "5-LOW"}, (
         f"spec-1 scan read partitions {s2_parts}, expected the pruned pair"
     )
+
+
+def test_delta_liquid_clustering_skips_by_discovered_column(spark):
+    """src_delta_liquid_clustering's scale claim: the clustering column
+    comes from the delta.clustering domainMetadata (never hardcoded)
+    and the scan opens ONLY the files whose stats interval on that
+    column overlaps the predicate — a proper subset of the 8-file
+    clustered layout."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _LIQ_HI,
+        _LIQ_LO,
+        _delta_clustering_columns,
+        _stats_surviving_files_for,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["src_delta_liquid_clustering"].fn(spark, SF_DIR)
+    files = {os.path.basename(f) for f in df.inputFiles()}
+    assert files, "no scan input files resolved"
+    root = _tmp(SF_DIR, "delta_liquid")
+    log_dir = os.path.join(root, "_delta_log")
+    assert _delta_clustering_columns(log_dir) == ["o_custkey"]
+    surviving = {
+        os.path.basename(p)
+        for p in _stats_surviving_files_for(
+            spark, log_dir, "o_custkey", _LIQ_LO, _LIQ_HI
+        )
+    }
+    all_files = {
+        f
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    }
+    assert files == surviving, (
+        f"scan read {sorted(files - surviving)} beyond the surviving set"
+    )
+    assert surviving < all_files, (
+        "clustering stats pruned nothing on the range-clustered layout"
+    )
