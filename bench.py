@@ -117,6 +117,13 @@ HEADLINE = [
     # r12 — temporal transform pruning and the streaming commit tail:
     "src_iceberg_year_transform",
     "stream_iceberg_commits",
+    # r13 — partition-spec evolution, the v3 trio (Puffin deletion
+    # vectors, row lineage, default values), and liquid clustering:
+    "src_iceberg_spec_evolution",
+    "src_iceberg_v3_dv",
+    "src_iceberg_v3_row_lineage",
+    "src_iceberg_v3_default_values",
+    "src_delta_liquid_clustering",
 ]
 
 
