@@ -120,6 +120,10 @@ _PYTHON_EVAL_ALLOWED = {
     "sim_query_topk": {"MapInPandas"},        # BLAS batch-prune
     "dedup_embedding": {"FlatMapGroupsInPandas"},  # block-pair BLAS prune
     "dedup_lsh_audit": {"FlatMapGroupsInPandas"},  # block-pair bitmap truth
+    # r13: Puffin deletion-vector blob decode — a binary roaring-bitmap
+    # codec with no SQL form, run over the BOUNDED per-DV descriptor
+    # frame (one row per delete file), never over data rows
+    "src_iceberg_v3_dv": {"MapInPandas"},
 }
 _PYTHON_EVAL_MARKERS = (
     "BatchEvalPython",
