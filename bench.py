@@ -124,6 +124,10 @@ HEADLINE = [
     "src_iceberg_v3_row_lineage",
     "src_iceberg_v3_default_values",
     "src_delta_liquid_clustering",
+    # r13 second wave — Delta row tracking (the protocol twin of v3
+    # row lineage) and conjunctive multi-field spec pruning:
+    "src_delta_row_tracking",
+    "src_iceberg_multifield_spec",
 ]
 
 

@@ -2340,3 +2340,181 @@ def q_src_delta_liquid_clustering(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- row tracking (baseRowId / fresh row ids) (r13) -----------------------------
+
+_ROWTRACK_ORACLE = """
+WITH n_even AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders WHERE o_orderkey % 2 = 0
+),
+ranked AS (
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS commit_version,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN ROW_NUMBER() OVER (
+                       PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+                ELSE (SELECT c FROM n_even)
+                     + ROW_NUMBER() OVER (
+                         PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+           END AS row_id
+    FROM orders
+)
+SELECT commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(row_id) AS BIGINT) AS row_id_sum,
+       CAST(MAX(row_id) AS BIGINT) AS row_id_max
+FROM ranked
+GROUP BY commit_version
+"""
+
+
+@register("src_delta_row_tracking", oracle=_ROWTRACK_ORACLE)
+def q_src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (delta-io PROTOCOL.md §Row Tracking): every
+    row gets a durable fresh row id WITHOUT a stored column — each
+    `add` action records a `baseRowId`, the row's id is
+    `baseRowId + position` (until a rewrite materializes it), and the
+    `delta.rowTracking` domainMetadata advances `rowIdHighWaterMark`
+    so commits never reuse ids. `defaultRowCommitVersion` stamps which
+    commit created the rows. This is the same lineage design Iceberg
+    v3 adopted (src_iceberg_v3_row_lineage) — one derivation rule, two
+    protocols; both readers here share the in-scan arithmetic shape.
+
+    Staged: commit 1 appends even-orderkey rows as 4 range-clustered
+    files sorted within (baseRowId 0.. cumulative), commit 2 appends
+    odds continuing past the high-water mark; the protocol demands the
+    `rowTracking` + `domainMetadata` WRITER features (readers stay
+    compatible — tracking never breaks old readers).
+
+    Graded: per-commit-version COUNT + SUM + MAX of the derived row id
+    — id collisions (ignored baseRowId), mis-ordered files, or a
+    misread high-water mark each break a different aggregate.
+
+    Scale: row-id derivation is `baseRowId + _metadata.row_index`
+    inside the distributed scan — pure column arithmetic against a
+    broadcast (path → baseRowId, version) map that is planner metadata
+    (one row per file, the same class as the snapshot's file list).
+    """
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_rowtrack")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    next_row_id = 0
+    for version, parity, sub in ((1, 0, "s1"), (2, 1, "s2")):
+        o.filter(F.col("o_orderkey") % 2 == parity).repartitionByRange(
+            4, "o_orderkey"
+        ).sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(
+            os.path.join(data_dir, sub)
+        )
+        base = os.path.join(data_dir, sub)
+        stats = []
+        for f in sorted(os.listdir(base)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(base, f)
+            pf = pq.ParquetFile(p)
+            lo = pf.metadata.row_group(0).column(0).statistics.min
+            stats.append((lo, f"data/{sub}/{f}", pf.metadata.num_rows))
+        lines = []
+        if version == 1:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": [
+                                "rowTracking",
+                                "domainMetadata",
+                            ],
+                        }
+                    }
+                )
+            )
+        lines.append(json.dumps({"commitInfo": {"operation": "WRITE"}}))
+        # files ordered by their orderkey range: baseRowId assigned
+        # cumulatively in range order — the writer's commit-time rule
+        for _, rel, n in sorted(stats):
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": rel,
+                            "dataChange": True,
+                            "baseRowId": next_row_id,
+                            "defaultRowCommitVersion": version,
+                        }
+                    }
+                )
+            )
+            next_row_id += n
+        lines.append(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": next_row_id - 1}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+        )
+        with open(
+            os.path.join(log_dir, f"{version - 1:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    # --- reader: (path → baseRowId, version) from the log, id derived
+    # inside the scan
+    adds = []
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line).get("add")
+                if act is not None:
+                    adds.append(
+                        (
+                            os.path.join(root, act["path"]),
+                            act["baseRowId"],
+                            act["defaultRowCommitVersion"],
+                        )
+                    )
+    if not adds:
+        return spark.createDataFrame(
+            [],
+            "commit_version int, n_rows long, row_id_sum long, "
+            "row_id_max long",
+        )
+    base_map = spark.createDataFrame(
+        adds, "file_path string, base_row_id long, commit_version int"
+    )
+    df = (
+        spark.read.parquet(*sorted(p for p, _, _ in adds))
+        .select(
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            ).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .join(F.broadcast(base_map), F.col("_fp") == base_map["file_path"])
+        .withColumn("_row_id", F.col("base_row_id") + F.col("_pos"))
+    )
+    return df.groupBy("commit_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("bigint").alias("row_id_sum"),
+        F.max("_row_id").cast("bigint").alias("row_id_max"),
+    )

@@ -3638,3 +3638,193 @@ def q_src_iceberg_v3_default_values(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- multi-field partition spec (r13) -------------------------------------------
+
+_MULTISPEC_ORACLE = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("src_iceberg_multifield_spec", oracle=_MULTISPEC_ORACLE)
+def q_src_iceberg_multifield_spec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg MULTI-FIELD partition spec (spec §Partition Specs): a
+    spec may carry several transform fields — the partition tuple is a
+    struct whose FIELDS, in spec order, key pruning jointly. The staged
+    table partitions by (o_orderpriority, o_orderstatus) identity
+    pair; a conjunctive point predicate on both fields prunes to
+    exactly one partition's files from manifest metadata alone, and
+    BOTH column values restore from the tuple (neither is stored in
+    the data files).
+
+    Graded: the one (priority, status) cell's count + cents — a reader
+    that keys pruning on the FIRST tuple value only over-scans (caught
+    by the inputFiles plan gate), one that mis-orders the tuple fields
+    restores the wrong columns and fails the hash, one that drops
+    non-first fields can't produce o_orderstatus at all.
+
+    Scale: same planner math as single-field pruning — one metadata
+    row per file; the conjunctive predicate makes a 100 TB two-level
+    layout O(one cell) instead of O(one top-level partition).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    root = _tmp(sf_dir, "iceberg_mspec")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    o.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority", "o_orderstatus"
+    ).parquet(os.path.join(data_dir, "s1"))
+    entries = []
+    base = os.path.join(data_dir, "s1")
+    for d1 in sorted(os.listdir(base)):
+        if not d1.startswith("o_orderpriority="):
+            continue
+        v1 = d1.split("=", 1)[1]
+        for d2 in sorted(os.listdir(os.path.join(base, d1))):
+            if not d2.startswith("o_orderstatus="):
+                continue
+            v2 = d2.split("=", 1)[1]
+            for f in sorted(os.listdir(os.path.join(base, d1, d2))):
+                if f.endswith(".parquet"):
+                    entries.append(
+                        _entry(
+                            _ST_ADDED,
+                            _S1,
+                            1,
+                            os.path.join(base, d1, d2, f),
+                            None,
+                            partition={
+                                "o_orderpriority": v1,
+                                "o_orderstatus": v2,
+                            },
+                        )
+                    )
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-multispec.avro",
+        entries,
+        schema=_entry_schema_for(
+            [("o_orderpriority", 1000), ("o_orderstatus", 1001)]
+        ),
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-mspc",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 4,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                    {
+                        "id": 3,
+                        "name": "o_orderpriority",
+                        "required": False,
+                        "type": "string",
+                    },
+                    {
+                        "id": 4,
+                        "name": "o_orderstatus",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 3,
+                        "field-id": 1000,
+                        "name": "o_orderpriority",
+                        "transform": "identity",
+                    },
+                    {
+                        "source-id": 4,
+                        "field-id": 1001,
+                        "name": "o_orderstatus",
+                        "transform": "identity",
+                    },
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- reader: conjunctive tuple pruning under the declared spec
+    meta = _iceberg_table_meta(root)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    want = ("1-URGENT", "F")
+    data, _ = _iceberg_files_full(
+        _iceberg_snapshot(meta),
+        partition_pred=lambda t: t == want,
+        specs=specs,
+        pred_spec_id=0,
+    )
+    if not data:
+        return spark.createDataFrame(
+            [],
+            "o_orderpriority string, o_orderstatus string, n_rows long, "
+            "total_cents long",
+        )
+    df = spark.read.parquet(*sorted(d["path"] for d in data)).select(
+        "o_totalprice",
+        F.lit(want[0]).alias("o_orderpriority"),
+        F.lit(want[1]).alias("o_orderstatus"),
+    )
+    return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

@@ -1357,3 +1357,96 @@ def test_delta_liquid_clustering_skips_by_discovered_column(spark):
     assert surviving < all_files, (
         "clustering stats pruned nothing on the range-clustered layout"
     )
+
+
+def test_iceberg_multifield_spec_prunes_to_one_cell(spark):
+    """src_iceberg_multifield_spec's pruning contract: the conjunctive
+    (priority, status) point predicate prunes on the FULL tuple — the
+    scan opens only the one cell's files out of the many staged
+    (priority × status) cells; first-value-only pruning would open
+    every status under 1-URGENT."""
+    import os
+
+    df = engine.REGISTRY["src_iceberg_multifield_spec"].fn(spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "no scan input files resolved"
+    from urllib.parse import unquote
+
+    cells = {
+        (m.group(1), m.group(2))
+        for f in files
+        for m in [
+            re.search(
+                r"o_orderpriority=([^/]+)/o_orderstatus=([^/]+)/", unquote(f)
+            )
+        ]
+        if m
+    }
+    assert cells == {("1-URGENT", "F")}, f"scan read cells {cells}"
+    # the staged layout genuinely has more cells than the pruned one
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    base = os.path.join(_tmp(SF_DIR, "iceberg_mspec"), "data", "s1")
+    n_cells = sum(
+        1
+        for d1 in os.listdir(base)
+        if d1.startswith("o_orderpriority=")
+        for d2 in os.listdir(os.path.join(base, d1))
+        if d2.startswith("o_orderstatus=")
+    )
+    assert n_cells > 1, "fixture must stage multiple cells"
+
+
+def test_delta_row_tracking_ids_unique_and_watermarked(spark):
+    """src_delta_row_tracking's lineage contract: derived row ids are
+    globally UNIQUE and the log's rowIdHighWaterMark equals the highest
+    assigned id — the invariant that makes fresh ids safe to assign
+    concurrently at 100 TB."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["src_delta_row_tracking"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "delta_rowtrack")
+    log_dir = os.path.join(root, "_delta_log")
+    adds, hwm = [], None
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        for line in open(os.path.join(log_dir, f)):
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                adds.append(act["add"])
+            dm = act.get("domainMetadata")
+            if dm and dm["domain"] == "delta.rowTracking":
+                hwm = json.loads(dm["configuration"])["rowIdHighWaterMark"]
+    base_map = spark.createDataFrame(
+        [(os.path.join(root, a["path"]), a["baseRowId"]) for a in adds],
+        "file_path string, base long",
+    )
+    ids = (
+        spark.read.parquet(*sorted(os.path.join(root, a["path"]) for a in adds))
+        .select(
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            ).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .join(F.broadcast(base_map), F.col("_fp") == base_map["file_path"])
+        .select((F.col("base") + F.col("_pos")).alias("rid"))
+    )
+    stats = ids.agg(
+        F.count("rid").alias("n"),
+        F.countDistinct("rid").alias("d"),
+        F.max("rid").alias("mx"),
+        F.min("rid").alias("mn"),
+    ).collect()[0]
+    assert stats["n"] == stats["d"], "row ids collide"
+    assert stats["mn"] == 0 and stats["mx"] == hwm, (
+        f"ids span [{stats['mn']}, {stats['mx']}], watermark {hwm}"
+    )
