@@ -128,6 +128,10 @@ HEADLINE = [
     # row lineage) and conjunctive multi-field spec pruning:
     "src_delta_row_tracking",
     "src_iceberg_multifield_spec",
+    # r13 third wave — snapshot refs (tags/WAP branches) and the
+    # UniForm-style dual-format read:
+    "src_iceberg_refs",
+    "src_lake_uniform",
 ]
 
 

@@ -509,11 +509,21 @@ def _iceberg_snapshot(
     meta: dict,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> dict:
-    """Resolve a snapshot: by id, by timestamp (latest snapshot-log
-    entry at or before `as_of_ms` — the spec's time-travel rule), or
-    the current one."""
+    """Resolve a snapshot: by named REF (spec §Snapshot References —
+    the metadata's `refs` map holds branches and tags, each pinning a
+    snapshot-id; `main` tracks the current snapshot), by id, by
+    timestamp (latest snapshot-log entry at or before `as_of_ms` — the
+    spec's time-travel rule), or the current one."""
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError("ref resolution excludes id/timestamp")
+        entry = (meta.get("refs") or {}).get(ref)
+        if entry is None:
+            raise ValueError(f"unknown snapshot ref {ref!r}")
+        snapshot_id = entry["snapshot-id"]
     if snapshot_id is None and as_of_ms is not None:
         eligible = [
             e for e in meta["snapshot-log"] if e["timestamp-ms"] <= as_of_ms
@@ -3823,6 +3833,330 @@ def q_src_iceberg_multifield_spec(
         F.lit(want[1]).alias("o_orderstatus"),
     )
     return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+# --- snapshot refs: branches and tags (r13) -------------------------------------
+
+_REFS_ORACLE = """
+SELECT r.ref,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('audit-tag'), ('wap-branch'), ('main')) AS r(ref)
+LEFT JOIN orders o
+       ON ((r.ref = 'audit-tag' AND o.o_orderkey % 2 = 0)
+        OR (r.ref = 'wap-branch')
+        OR (r.ref = 'main' AND o.o_orderpriority <> '1-URGENT'))
+GROUP BY r.ref
+"""
+
+
+@register("src_iceberg_refs", oracle=_REFS_ORACLE)
+def q_src_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT REFS (spec §Snapshot References): the metadata's
+    `refs` map names branches and tags — `main` tracks the current
+    snapshot, a TAG pins an audit point forever, and a side BRANCH is
+    the write-audit-publish (WAP) pattern: data lands on the branch,
+    auditors read it by name, publish fast-forwards main. Readers
+    resolve a ref exactly like a snapshot id — no log replay, each
+    snapshot self-contained.
+
+    Staged: the shared three-snapshot table plus refs `audit-tag` → s1
+    (evens only), `wap-branch` → s2 (everything, incl. the partition
+    s3 later deletes), `main` → s3. Graded: per-ref counts + cents in
+    ONE output — a reader that sends every ref to the current snapshot
+    collapses the three rows to equal values; one that resolves tags
+    through the snapshot-log instead of the refs map breaks on
+    branches whose head is not on main's log.
+
+    Scale: ref resolution is one dict lookup in planner metadata; each
+    ref's read costs the same bounded manifest walk + one distributed
+    scan as a current-snapshot read — the property that makes
+    branch-based audit workflows free at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_refs")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["refs"] = {
+        "main": {"snapshot-id": _S3, "type": "branch"},
+        "audit-tag": {
+            "snapshot-id": _S1,
+            "type": "tag",
+            "max-ref-age-ms": 9_000_000_000_000,
+        },
+        "wap-branch": {
+            "snapshot-id": _S2,
+            "type": "branch",
+            "min-snapshots-to-keep": 1,
+        },
+    }
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    meta = _iceberg_table_meta(root)
+    spine = spark.createDataFrame(
+        [("audit-tag",), ("wap-branch",), ("main",)], "ref string"
+    )
+    parts = []
+    for label in ("audit-tag", "wap-branch", "main"):
+        snap = _iceberg_snapshot(meta, ref=label)
+        df = _scan_with_partition(spark, _iceberg_live_files(snap))
+        if df is not None:
+            parts.append(df.withColumn("ref", F.lit(label)))
+    if not parts:
+        return spine.select(
+            "ref",
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("total_cents"),
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    per = both.groupBy("ref").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+    return spine.join(per, "ref", "left").select(
+        "ref",
+        F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+# --- UniForm-style dual-format metadata (r13) -----------------------------------
+
+_UNIFORM_ORACLE = """
+SELECT fmt.format,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM (VALUES ('delta'), ('iceberg')) AS fmt(format)
+CROSS JOIN orders o
+WHERE o.o_orderpriority <> '1-URGENT'
+GROUP BY fmt.format
+"""
+
+
+@register("src_lake_uniform", oracle=_UNIFORM_ORACLE)
+def q_src_lake_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM-style dual-format table (the public delta-io UniForm
+    design: ONE copy of the parquet data, with BOTH a Delta log and an
+    Iceberg metadata tree describing it — Iceberg metadata is generated
+    alongside each Delta commit so any reader picks its format). The
+    staged table writes per-priority data files ONCE, then: Delta
+    commit 0 adds all files / commit 1 removes the 1-URGENT file;
+    Iceberg s1 adds the same files / s2 is a rewrite manifest with the
+    urgent entry DELETED. Both metadata trees must converge on the
+    SAME live set over the same bytes.
+
+    Graded: the SAME aggregate read through each format's full reader
+    chain, one row per format — any divergence between the two
+    metadata interpretations (a missed remove, a status mis-read, a
+    stale snapshot) breaks exactly one row's hash against the oracle.
+
+    Scale: this is the 100 TB migration story — flipping query engines
+    costs zero data movement because both planners read metadata over
+    shared storage; each side here stays the same bounded
+    metadata-walk + one distributed scan as its native keys.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "lake_uniform")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    os.makedirs(meta_dir)
+
+    # ONE copy of the data: one file per priority partition
+    o.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(data_dir)
+    pfiles = _pfiles(root, "data")  # (abs path, priority)
+
+    # --- Delta log over the shared files
+    lines0 = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+    for p, v in pfiles:
+        rel = os.path.relpath(p, root)
+        lines0.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"o_orderpriority": v},
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines0) + "\n")
+    lines1 = [json.dumps({"commitInfo": {"operation": "DELETE"}})]
+    for p, v in pfiles:
+        if v == "1-URGENT":
+            rel = os.path.relpath(p, root)
+            lines1.append(
+                json.dumps({"remove": {"path": rel, "dataChange": True}})
+            )
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines1) + "\n")
+
+    # --- Iceberg metadata over the SAME files
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-uniform.avro",
+        [_entry(_ST_ADDED, _S1, 1, p, v) for p, v in pfiles],
+    )
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-uniform-rewrite.avro",
+        [
+            _entry(
+                _ST_DELETED if v == "1-URGENT" else _ST_EXISTING,
+                _S2,
+                2,
+                p,
+                v,
+            )
+            for p, v in pfiles
+        ],
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    l2 = _write_manifest_list(meta_dir, _S2, 2, [(m2, _S2)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-lake-unifrm",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": _T2,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                    {
+                        "id": 3,
+                        "name": "o_orderpriority",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 3,
+                        "field-id": 1000,
+                        "name": "o_orderpriority",
+                        "transform": "identity",
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S2,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            },
+            {
+                "snapshot-id": _S2,
+                "sequence-number": 2,
+                "timestamp-ms": _T2,
+                "manifest-list": l2,
+                "summary": {"operation": "delete"},
+                "schema-id": 0,
+            },
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": _T1, "snapshot-id": _S1},
+            {"timestamp-ms": _T2, "snapshot-id": _S2},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- read through BOTH format chains
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_check_protocol,
+    )
+
+    _delta_check_protocol(log_dir)
+    live: dict[str, str] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        for line in open(os.path.join(log_dir, f)):
+            line = line.strip()
+            if not line:
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                a = act["add"]
+                live[a["path"]] = a["partitionValues"]["o_orderpriority"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+    delta_files = [
+        (os.path.join(root, rel), v, 0) for rel, v in sorted(live.items())
+    ]
+    ice_files = _iceberg_live_files(
+        _iceberg_snapshot(_iceberg_table_meta(root))
+    )
+    parts = []
+    for label, files in (("delta", delta_files), ("iceberg", ice_files)):
+        df = _scan_with_partition(spark, [(p, v, n) for p, v, n in files])
+        if df is not None:
+            parts.append(df.withColumn("format", F.lit(label)))
+    if not parts:
+        return spark.createDataFrame(
+            [], "format string, n_rows long, total_cents long"
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    return both.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")

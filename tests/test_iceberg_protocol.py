@@ -288,3 +288,41 @@ def test_avro_int_range_gate():
         encode_value("int", -(2**31) - 1, out, {})
     big = bytearray()
     encode_value("long", 2**40, big, {})  # long stays unbounded
+
+
+def test_snapshot_ref_resolution_rules():
+    """Refs resolve through the metadata `refs` map only: unknown refs
+    fail loudly, and ref resolution excludes id/timestamp modes (the
+    spec's modes are mutually exclusive)."""
+    import pytest
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_snapshot,
+    )
+
+    meta = {
+        "snapshots": [
+            {"snapshot-id": 10, "timestamp-ms": 1000},
+            {"snapshot-id": 20, "timestamp-ms": 2000},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 10, "timestamp-ms": 1000},
+            {"snapshot-id": 20, "timestamp-ms": 2000},
+        ],
+        "current-snapshot-id": 20,
+        "refs": {
+            "main": {"snapshot-id": 20, "type": "branch"},
+            "pin": {"snapshot-id": 10, "type": "tag"},
+        },
+    }
+    assert _iceberg_snapshot(meta, ref="pin")["snapshot-id"] == 10
+    assert _iceberg_snapshot(meta, ref="main")["snapshot-id"] == 20
+    with pytest.raises(ValueError, match="unknown snapshot ref"):
+        _iceberg_snapshot(meta, ref="nope")
+    with pytest.raises(ValueError, match="excludes"):
+        _iceberg_snapshot(meta, snapshot_id=10, ref="pin")
+    # a refs-less table still resolves current/id/timestamp
+    del meta["refs"]
+    assert _iceberg_snapshot(meta)["snapshot-id"] == 20
+    with pytest.raises(ValueError, match="unknown snapshot ref"):
+        _iceberg_snapshot(meta, ref="main")
