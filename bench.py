@@ -132,6 +132,10 @@ HEADLINE = [
     # UniForm-style dual-format read:
     "src_iceberg_refs",
     "src_lake_uniform",
+    # r13 fourth wave — the two metadata-cost tiers: manifest-level
+    # summary pruning and log-compaction bootstrap:
+    "src_iceberg_manifest_prune",
+    "src_delta_log_compaction",
 ]
 
 

@@ -2518,3 +2518,196 @@ def q_src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_row_id").cast("bigint").alias("row_id_sum"),
         F.max("_row_id").cast("bigint").alias("row_id_max"),
     )
+
+
+# --- log compaction files (r13) -------------------------------------------------
+
+_LOGCOMPACT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+  AND NOT (o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0)
+  AND NOT (o_orderpriority = '4-NOT SPECIFIED' AND o_orderkey % 2 = 1)
+GROUP BY o_orderpriority
+"""
+
+
+def _delta_log_segment(log_dir: str) -> list[str]:
+    """The MINIMAL commit-file list reconstructing the latest snapshot
+    (delta-io PROTOCOL.md §Log Compaction Files): prefer the
+    `<start>.<end>.compacted.json` with the highest end ≤ latest whose
+    start is 0 (or continues from another usable range — this reader
+    handles the common single-range case), then the tail commits
+    end+1..latest. Without a compaction file, every commit json.
+    Driver-side, one directory listing."""
+    import re as _re
+
+    commits, compacted = {}, []
+    for f in os.listdir(log_dir):
+        m = _re.fullmatch(r"(\d+)\.json", f)
+        if m:
+            commits[int(m.group(1))] = f
+            continue
+        m = _re.fullmatch(r"(\d+)\.(\d+)\.compacted\.json", f)
+        if m:
+            compacted.append((int(m.group(1)), int(m.group(2)), f))
+    if not commits:
+        raise FileNotFoundError(f"no commit json in {log_dir}")
+    latest = max(commits)
+    usable = [
+        (s, e, f) for s, e, f in compacted if s == 0 and e <= latest
+    ]
+    if not usable:
+        return [commits[v] for v in sorted(commits)]
+    _, end, cf = max(usable, key=lambda t: t[1])
+    return [cf] + [
+        commits[v] for v in sorted(commits) if v > end
+    ]
+
+
+@register("src_delta_log_compaction", oracle=_LOGCOMPACT_ORACLE)
+def q_src_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LOG COMPACTION files (delta-io PROTOCOL.md §Log Compaction
+    Files): a writer may publish `<start>.<end>.compacted.json` holding
+    the RECONCILED actions of that commit range (live adds survive,
+    add+remove pairs cancel to tombstones, latest protocol/metaData
+    win), so a reader bootstraps from ONE file plus the tail commits
+    instead of replaying the whole range — the mechanism that keeps
+    cold-start planning O(1 + tail) on tables with millions of commits
+    between checkpoints.
+
+    Staged: c0 adds even-parity files per priority, c1 adds odds, c2
+    drops the 1-URGENT files, c3 drops the 5-LOW evens file; a
+    `0.3.compacted.json` reconciles c0..c3 (live adds + remove
+    tombstones); c4 (AFTER the compaction range) drops the
+    4-NOT SPECIFIED odds file. The reader's segment must be exactly
+    [compacted, c4] — pinned by _LAST_LOG_SEGMENT and by a unit test
+    that DELETES c0..c3 and still reads correctly.
+
+    Graded: per-priority counts + cents against the oracle's mirror of
+    all five commits — a reader that ignores the compaction file still
+    answers right (the gate catches the cost); one that reads ONLY the
+    compaction file misses c4; one that double-applies compacted +
+    original commits double-counts nothing here but breaks if the
+    reconciliation dropped tombstones, which the unit test's deletion
+    proves is not relied on.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_logcompact")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    for sub, parity in (("s1", 0), ("s2", 1)):
+        o.filter(F.col("o_orderkey") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, sub))
+
+    def _files(sub: str) -> list[tuple[str, str]]:
+        base = os.path.join(data_dir, sub)
+        out = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("o_orderpriority="):
+                continue
+            v = d.split("=", 1)[1]
+            for f in sorted(os.listdir(os.path.join(base, d))):
+                if f.endswith(".parquet"):
+                    out.append((f"data/{sub}/{d}/{f}", v))
+        return out
+
+    s1, s2 = _files("s1"), _files("s2")
+
+    def _commit(v: int, lines: list[dict]) -> None:
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+    def _add(rel: str, pv: str) -> dict:
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"o_orderpriority": pv},
+                "dataChange": True,
+            }
+        }
+
+    def _rm(rel: str) -> dict:
+        return {"remove": {"path": rel, "dataChange": True}}
+
+    _commit(0, [{"commitInfo": {"operation": "WRITE"}}]
+            + [_add(r, v) for r, v in s1])
+    _commit(1, [{"commitInfo": {"operation": "WRITE"}}]
+            + [_add(r, v) for r, v in s2])
+    _commit(
+        2,
+        [{"commitInfo": {"operation": "DELETE"}}]
+        + [_rm(r) for r, v in s1 + s2 if v == "1-URGENT"],
+    )
+    _commit(
+        3,
+        [{"commitInfo": {"operation": "DELETE"}}]
+        + [_rm(r) for r, v in s1 if v == "5-LOW"],
+    )
+    # the reconciled 0..3 compaction file: live adds + remove tombstones
+    dropped = {r for r, v in s1 + s2 if v == "1-URGENT"} | {
+        r for r, v in s1 if v == "5-LOW"
+    }
+    comp = [{"commitInfo": {"operation": "COMPACTION"}}]
+    comp += [_add(r, v) for r, v in s1 + s2 if r not in dropped]
+    comp += [_rm(r) for r in sorted(dropped)]
+    with open(
+        os.path.join(log_dir, f"{0:020d}.{3:020d}.compacted.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(x) for x in comp) + "\n")
+    _commit(
+        4,
+        [{"commitInfo": {"operation": "DELETE"}}]
+        + [_rm(r) for r, v in s2 if v == "4-NOT SPECIFIED"],
+    )
+
+    # --- reader: minimal segment (compacted + tail), then replay
+    segment = _delta_log_segment(log_dir)
+    global _LAST_LOG_SEGMENT
+    _LAST_LOG_SEGMENT = list(segment)
+    live: dict[str, str] = {}
+    for f in segment:
+        for line in open(os.path.join(log_dir, f)):
+            line = line.strip()
+            if not line:
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                a = act["add"]
+                live[a["path"]] = a["partitionValues"]["o_orderpriority"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+    if not live:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    by_val: dict[str, list[str]] = {}
+    for rel, v in live.items():
+        by_val.setdefault(v, []).append(os.path.join(root, rel))
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_totalprice", F.lit(v).alias("o_orderpriority")
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+_LAST_LOG_SEGMENT: list[str] = []

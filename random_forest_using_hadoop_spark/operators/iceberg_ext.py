@@ -558,11 +558,18 @@ def _partition_value(part: dict | None, spec: dict | None):
     return tuple(part.get(f["name"]) for f in fields)
 
 
+# ScanReport-style planning metrics for the LAST _iceberg_files_full
+# call (mirrors iceberg-core's ScanReport: skipped-manifest counts are
+# the planner's own telemetry) — read by plan gates, never by queries.
+_LAST_SCAN_REPORT: dict = {}
+
+
 def _iceberg_files_full(
     snapshot: dict,
     partition_pred=None,
     specs: dict[int, dict] | None = None,
     pred_spec_id: int | None = None,
+    manifest_pred=None,
 ) -> tuple[list[tuple], list[dict]]:
     """(data files, delete files) LIVE in a snapshot — data items are
     (file path, partition value, record count, data sequence number,
@@ -588,13 +595,42 @@ def _iceberg_files_full(
     partition-scoped delete files) are never handed to a scan, the
     planner behavior that makes a partition query O(selected) at
     100 TB. Driver-side and bounded: one row per manifest, one per
-    file — the planner's working set."""
+    file — the planner's working set.
+
+    MANIFEST-LEVEL pruning (spec §Manifest Lists, field 507): a
+    manifest-list entry may carry per-partition-field SUMMARIES
+    (contains_null + lower/upper bounds). `manifest_pred(summaries) ->
+    bool` is evaluated on that row alone — a False skips the WHOLE
+    manifest without ever opening it, shrinking planning cost from
+    O(files) to O(matching manifests) + O(files in them): the second
+    pruning tier a million-file table needs. Entries without summaries
+    are conservatively read. Skips are recorded in _LAST_SCAN_REPORT
+    (manifests_total / manifests_skipped / skipped_paths), mirroring
+    iceberg-core's ScanReport metrics."""
     _, manifests, _ = ocf_read(snapshot["manifest-list"])
     data, deletes = [], []
+    report = {
+        "manifests_total": len(manifests),
+        "manifests_skipped": 0,
+        "skipped_paths": [],
+    }
+    _LAST_SCAN_REPORT.clear()
+    _LAST_SCAN_REPORT.update(report)
     for m in manifests:
         spec_id = m.get("partition_spec_id", 0)
         spec = specs.get(spec_id) if specs is not None else None
         prunable = pred_spec_id is None or spec_id == pred_spec_id
+        summaries = m.get("partitions")
+        if (
+            manifest_pred is not None
+            and prunable
+            and summaries
+            and not manifest_pred(summaries)
+        ):
+            report["manifests_skipped"] += 1
+            report["skipped_paths"].append(m["manifest_path"])
+            _LAST_SCAN_REPORT.update(report)
+            continue  # whole manifest skipped, never opened
         _, entries, _ = ocf_read(m["manifest_path"])
         for e in entries:
             if e["status"] == _ST_DELETED:
@@ -4157,6 +4193,243 @@ def q_src_lake_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         both = both.unionByName(p)
     return both.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+# --- manifest-level pruning via field summaries (r13) ---------------------------
+
+_MANIFEST_PRUNE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority = '5-LOW'
+GROUP BY o_orderpriority
+"""
+
+
+def _manifest_file_schema_with_summaries() -> dict:
+    """Manifest-list schema + the spec's `partitions` field summaries
+    (field 507: per-partition-field contains_null(509) and
+    lower/upper bounds(510/511) as single-value-serialized bytes)."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_FILE_SCHEMA)
+    schema["fields"].append(
+        {
+            "name": "partitions",
+            "field-id": 507,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    return schema
+
+
+@register("src_iceberg_manifest_prune", oracle=_MANIFEST_PRUNE_ORACLE)
+def q_src_iceberg_manifest_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg MANIFEST-LEVEL pruning (spec §Manifest Lists, the
+    `partitions` field summaries): the manifest list records, per
+    manifest, each partition field's [lower, upper] value bounds — so
+    the planner can skip a WHOLE manifest without opening it. This is
+    the second pruning tier that keeps PLANNING cost sane at 100 TB:
+    entry-level pruning still reads every manifest (O(files) metadata
+    rows); summary pruning reads only the manifests whose bound range
+    can match (O(matching manifests)), which is why writers cluster
+    manifests by partition range.
+
+    Staged: the orders table split into TWO data manifests by priority
+    range — m-low covering {1-URGENT, 2-HIGH}, m-high covering
+    {3-MEDIUM, 4-NOT SPECIFIED, 5-LOW} — each manifest-list entry
+    carrying true UTF-8 bound summaries. The '5-LOW' point query must
+    skip m-low AT THE LIST LEVEL (gated via the ScanReport metric —
+    the manifest is never opened) and then entry-prune inside m-high.
+
+    Graded: 5-LOW counts + cents; a reader that ignores summaries still
+    answers correctly but opens every manifest — exactly what the
+    _LAST_SCAN_REPORT plan gate catches.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_mprune")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    o.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s1"))
+    pfiles = _pfiles(data_dir, "s1")
+    low = [(p, v) for p, v in pfiles if v in ("1-URGENT", "2-HIGH")]
+    high = [(p, v) for p, v in pfiles if v not in ("1-URGENT", "2-HIGH")]
+
+    recs = []
+    manifests = []
+    for name, group in (("m-low.avro", low), ("m-high.avro", high)):
+        mpath = _write_manifest(
+            meta_dir,
+            name,
+            [_entry(_ST_ADDED, _S1, 1, p, v) for p, v in group],
+        )
+        manifests.append(mpath)
+        vals = sorted(v for _, v in group)
+        _, entries, _ = ocf_read(mpath)
+        recs.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": _S1,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": vals[0].encode("utf-8"),
+                        "upper_bound": vals[-1].encode("utf-8"),
+                    }
+                ],
+            }
+        )
+    l1 = os.path.join(meta_dir, f"snap-{_S1}-1-fixture.avro")
+    ocf_write(
+        l1,
+        _manifest_file_schema_with_summaries(),
+        recs,
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-mprn",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                    {
+                        "id": 3,
+                        "name": "o_orderpriority",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 3,
+                        "field-id": 1000,
+                        "name": "o_orderpriority",
+                        "transform": "identity",
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- reader: summary test at the LIST level, then entry pruning
+    want = "5-LOW"
+
+    def _summary_may_match(summaries: list[dict]) -> bool:
+        s = summaries[0]
+        lo = (s.get("lower_bound") or b"").decode("utf-8")
+        hi = (s.get("upper_bound") or b"").decode("utf-8")
+        return (not lo or lo <= want) and (not hi or want <= hi)
+
+    meta = _iceberg_table_meta(root)
+    data, _ = _iceberg_files_full(
+        _iceberg_snapshot(meta),
+        partition_pred=lambda v: v == want,
+        manifest_pred=_summary_may_match,
+    )
+    if not data:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    df = spark.read.parquet(*sorted(d["path"] for d in data)).select(
+        "o_totalprice", F.lit(want).alias("o_orderpriority")
+    )
+    return df.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")

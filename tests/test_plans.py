@@ -1450,3 +1450,76 @@ def test_delta_row_tracking_ids_unique_and_watermarked(spark):
     assert stats["mn"] == 0 and stats["mx"] == hwm, (
         f"ids span [{stats['mn']}, {stats['mx']}], watermark {hwm}"
     )
+
+
+def test_iceberg_manifest_prune_skips_whole_manifest(spark):
+    """src_iceberg_manifest_prune's planning contract: the 5-LOW point
+    query must skip the low-range manifest AT THE LIST LEVEL (never
+    opened — the ScanReport metric records exactly one skip of m-low)
+    and the scan must open only the 5-LOW partition's files."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators import iceberg_ext
+
+    df = engine.REGISTRY["src_iceberg_manifest_prune"].fn(spark, SF_DIR)
+    rep = dict(iceberg_ext._LAST_SCAN_REPORT)
+    assert rep["manifests_total"] == 2, rep
+    assert rep["manifests_skipped"] == 1, rep
+    assert [os.path.basename(p) for p in rep["skipped_paths"]] == [
+        "m-low.avro"
+    ], rep
+    from urllib.parse import unquote
+
+    parts = {
+        m.group(1)
+        for f in df.inputFiles()
+        for m in [re.search(r"o_orderpriority=([^/]+)/", unquote(f))]
+        if m
+    }
+    assert parts == {"5-LOW"}, parts
+
+
+def test_delta_log_compaction_minimal_segment(spark):
+    """src_delta_log_compaction's planning contract: the reader's
+    segment is exactly [0.3.compacted.json, commit 4] — never the five
+    raw commits — and the compacted file alone suffices for the
+    covered range (proven by deleting c0..c3 and re-reading)."""
+    import json
+    import os
+
+    from random_forest_using_hadoop_spark.operators import delta_ext
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_log_segment,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["src_delta_log_compaction"].fn(spark, SF_DIR).collect()
+    assert delta_ext._LAST_LOG_SEGMENT == [
+        f"{0:020d}.{3:020d}.compacted.json",
+        f"{4:020d}.json",
+    ], delta_ext._LAST_LOG_SEGMENT
+    # the compacted range is self-sufficient: remove c0..c3 → same live set
+    root = _tmp(SF_DIR, "delta_logcompact")
+    log_dir = os.path.join(root, "_delta_log")
+
+    def _live(files):
+        live = {}
+        for f in files:
+            for line in open(os.path.join(log_dir, f)):
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = True
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+        return set(live)
+
+    before = _live(_delta_log_segment(log_dir))
+    for v in range(4):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    after = _live(_delta_log_segment(log_dir))
+    assert before == after and before, "compacted file must be sufficient"
+    # without ANY compaction file the fallback replays raw commits
+    os.remove(os.path.join(log_dir, f"{0:020d}.{3:020d}.compacted.json"))
+    assert _delta_log_segment(log_dir) == [f"{4:020d}.json"]
