@@ -136,6 +136,9 @@ HEADLINE = [
     # summary pruning and log-compaction bootstrap:
     "src_iceberg_manifest_prune",
     "src_delta_log_compaction",
+    # r13 fifth wave — the inspection surface and metadata-only restore:
+    "src_iceberg_meta_files",
+    "sink_iceberg_rollback",
 ]
 
 

@@ -4435,3 +4435,135 @@ def q_src_iceberg_manifest_prune(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- metadata tables (the $files inspection surface) (r13) ----------------------
+
+_METAFILES_ORACLE = """
+SELECT o_orderpriority AS partition_value,
+       CAST(2 AS BIGINT) AS file_count,
+       CAST(COUNT(*) AS BIGINT) AS record_count
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_iceberg_meta_files", oracle=_METAFILES_ORACLE)
+def q_src_iceberg_meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (iceberg-core's `table$files` /
+    `table$partitions` inspection surface): the planner's own file
+    metadata exposed AS A QUERYABLE DATAFRAME — one row per live data
+    file with its partition value, record count, and size, aggregated
+    here to the `$partitions` view (file_count + record_count per
+    partition). Operators use this for small-file detection, skew
+    audits, and compaction planning WITHOUT touching data.
+
+    Staged: the shared three-snapshot table (after the s3 urgent
+    delete each surviving priority holds exactly its even-parity and
+    odd-parity files — file_count 2 is a property of the committed
+    manifests, not of any data read). Graded: per-partition file_count
+    AND record_count — record counts must equal the true row counts
+    (manifest stats are real, the spec requires them accurate), so a
+    reader that opens parquet footers instead of trusting manifests
+    gets the same numbers SLOWER, while one that miscounts entry
+    status gets them wrong.
+
+    Scale: the whole query is planner metadata — one row per file,
+    zero data bytes read; this is why `$partitions` on a million-file
+    table answers in seconds.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_metafiles")
+    _iceberg_stage(spark, o, root)
+    meta = _iceberg_table_meta(root)
+    files = _iceberg_live_files(_iceberg_snapshot(meta))
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "partition_value string, file_count long, record_count long",
+        )
+    fdf = spark.createDataFrame(
+        [(v, n) for _, v, n in files],
+        "partition_value string, record_count long",
+    )
+    return fdf.groupBy("partition_value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("file_count"),
+        F.sum("record_count").cast("bigint").alias("record_count"),
+    )
+
+
+# --- rollback (metadata-only restore) (r13) -------------------------------------
+
+_ROLLBACK_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_rollback", oracle=_ROLLBACK_ORACLE)
+def q_sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ROLLBACK (the `rollback_to_snapshot` maintenance
+    procedure): restoring a table to an earlier state is METADATA-ONLY
+    — a new metadata version points current-snapshot-id back at the
+    old snapshot (self-contained, still present) and appends a
+    snapshot-log entry; no data moves, no files rewrite, and the bad
+    snapshots stay reachable for forensics until expiry. The recovery
+    story that makes a fat-fingered 100 TB delete a one-second fix.
+
+    Staged: the shared three-snapshot table, then rollback to s1
+    (evens only) via v4.metadata.json. Graded: the post-rollback read
+    must be EXACTLY s1's contents — a reader that follows
+    snapshot-log order instead of current-snapshot-id, or replays
+    later snapshots Delta-style, returns s2/s3 rows and fails the
+    hash. The fixture asserts no data file was touched by comparing
+    the file inventory before/after.
+
+    Scale: one JSON write + one pointer flip — O(metadata), the whole
+    point.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_rollback")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+
+    def _inventory() -> dict[str, float]:
+        out = {}
+        for dirpath, _, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = _inventory()
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        tm = json.load(fh)
+    _T4 = _T3 + 60_000
+    tm["current-snapshot-id"] = _S1  # the rollback: a pointer flip
+    tm["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S1})
+    tm["last-updated-ms"] = _T4
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+    if _inventory() != before:
+        raise AssertionError("rollback must not touch data files")
+
+    meta = _iceberg_table_meta(root)
+    df = _scan_with_partition(
+        spark, _iceberg_live_files(_iceberg_snapshot(meta))
+    )
+    if df is None:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return _cents_agg(df)

@@ -1523,3 +1523,36 @@ def test_delta_log_compaction_minimal_segment(spark):
     # without ANY compaction file the fallback replays raw commits
     os.remove(os.path.join(log_dir, f"{0:020d}.{3:020d}.compacted.json"))
     assert _delta_log_segment(log_dir) == [f"{4:020d}.json"]
+
+
+def test_iceberg_meta_files_reads_zero_data(spark):
+    """src_iceberg_meta_files' scale claim: the $partitions-style view
+    is pure planner metadata — the result plan touches ZERO parquet
+    inputs while still reporting accurate per-partition record counts."""
+    df = engine.REGISTRY["src_iceberg_meta_files"].fn(spark, SF_DIR)
+    assert df.inputFiles() == [], df.inputFiles()
+
+
+def test_iceberg_rollback_keeps_history_reachable(spark):
+    """sink_iceberg_rollback's forensics contract: after the pointer
+    flip to s1, the rolled-back-FROM snapshots (s2, s3) remain fully
+    readable by id — rollback hides nothing until snapshot expiry."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _S1,
+        _S2,
+        _S3,
+        _iceberg_live_files,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["sink_iceberg_rollback"].fn(spark, SF_DIR).collect()
+    meta = _iceberg_table_meta(_tmp(SF_DIR, "iceberg_rollback"))
+    assert meta["current-snapshot-id"] == _S1
+    f1 = _iceberg_live_files(_iceberg_snapshot(meta))
+    f2 = _iceberg_live_files(_iceberg_snapshot(meta, snapshot_id=_S2))
+    f3 = _iceberg_live_files(_iceberg_snapshot(meta, snapshot_id=_S3))
+    assert {p for p, _, _ in f1} < {p for p, _, _ in f2}
+    # s3 dropped the urgent partition; s2 still carries it
+    assert {v for _, v, _ in f2} - {v for _, v, _ in f3} == {"1-URGENT"}
