@@ -4441,7 +4441,7 @@ def q_src_iceberg_manifest_prune(
 
 _METAFILES_ORACLE = """
 SELECT o_orderpriority AS partition_value,
-       CAST(2 AS BIGINT) AS file_count,
+       CAST(COUNT(DISTINCT o_orderkey % 2) AS BIGINT) AS file_count,
        CAST(COUNT(*) AS BIGINT) AS record_count
 FROM orders
 WHERE o_orderpriority <> '1-URGENT'
@@ -4460,9 +4460,10 @@ def q_src_iceberg_meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits, and compaction planning WITHOUT touching data.
 
     Staged: the shared three-snapshot table (after the s3 urgent
-    delete each surviving priority holds exactly its even-parity and
-    odd-parity files — file_count 2 is a property of the committed
-    manifests, not of any data read). Graded: per-partition file_count
+    delete each surviving priority holds one file per parity
+    GENERATION that actually has rows — file_count is a property of
+    the committed manifests, reproduced by the oracle as the distinct
+    parities present). Graded: per-partition file_count
     AND record_count — record counts must equal the true row counts
     (manifest stats are real, the spec requires them accurate), so a
     reader that opens parquet footers instead of trusting manifests
