@@ -38,6 +38,7 @@ from random_forest_using_hadoop_spark.delta_format import (
 from random_forest_using_hadoop_spark.operators.scans import (
     _delta_commit,
     _delta_list_files,
+    _norm_file_uri,
     _tmp,
 )
 from random_forest_using_hadoop_spark.registry import register
@@ -300,10 +301,16 @@ def _stats_surviving_files(
             F.col("add.path").alias("path"),
             F.from_json(F.col("add.stats"), stats_schema).alias("s"),
         )
-        # interval-overlap skip rule: keep unless max < lo or min > hi;
-        # a file with NO stats must be kept (stats are optional per spec)
+        # interval-overlap skip rule: keep unless max < lo or min > hi.
+        # A file with NO stats — OR stats that omit this column's
+        # bounds — must be kept: real writers collect stats on only
+        # the first N columns, so a null bound means "unknown", and
+        # the tri-valued comparison would otherwise evaluate the whole
+        # predicate to NULL and silently drop a live file
         .filter(
             F.col("s").isNull()
+            | F.col("s.minValues.o_orderkey").isNull()
+            | F.col("s.maxValues.o_orderkey").isNull()
             | ~(
                 (F.col("s.maxValues.o_orderkey") < F.lit(lo))
                 | (F.col("s.minValues.o_orderkey") > F.lit(hi))
@@ -2198,8 +2205,13 @@ def _stats_surviving_files_for(
             F.col("add.path").alias("path"),
             F.from_json(F.col("add.stats"), stats_schema).alias("s"),
         )
+        # keep when stats are absent OR this column's bounds are —
+        # a null bound means "unknown" (writers stat only the first N
+        # columns); the raw tri-valued predicate would drop the file
         .filter(
             F.col("s").isNull()
+            | F.col(f"s.minValues.{column}").isNull()
+            | F.col(f"s.maxValues.{column}").isNull()
             | ~(
                 (F.col(f"s.maxValues.{column}") < F.lit(lo))
                 | (F.col(f"s.minValues.{column}") > F.lit(hi))
@@ -2505,9 +2517,7 @@ def q_src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.read.parquet(*sorted(p for p, _, _ in adds))
         .select(
-            F.url_decode(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-            ).alias("_fp"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         .join(F.broadcast(base_map), F.col("_fp") == base_map["file_path"])

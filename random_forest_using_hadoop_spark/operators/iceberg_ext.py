@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from random_forest_using_hadoop_spark.iceberg_format import ocf_read, ocf_write
-from random_forest_using_hadoop_spark.operators.scans import _tmp
+from random_forest_using_hadoop_spark.operators.scans import (
+    _norm_file_uri,
+    _tmp,
+)
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
@@ -63,6 +66,8 @@ def _maybe_broadcast_deletes(df: DataFrame, n_rows: int) -> DataFrame:
     """Apply a broadcast hint only when manifest-recorded delete
     cardinality says the set is broadcast-sized."""
     return F.broadcast(df) if n_rows <= _DELETE_BROADCAST_MAX_ROWS else df
+
+
 
 # Avro schemas for the metadata this layer stages/reads — the spec's
 # field names and ids (field-id keys ride along as inert annotations;
@@ -286,17 +291,32 @@ def _write_manifest_list(
     meta_dir: str, snap_id: int, seq: int, manifests: list[tuple[str, int]]
 ) -> str:
     """Manifest list for one snapshot: (manifest path, added_snapshot_id)
-    per manifest. Counts are filled from the manifests themselves."""
+    per manifest. Counts are filled from the manifests themselves.
+
+    A carried-over manifest keeps the sequence number it was COMMITTED
+    under (spec §Manifest Lists) — re-stamping it with the referencing
+    snapshot's seq was the r13 advice finding; derive each manifest's
+    own seq from its ADDED/DELETED entries (the ones its committing
+    snapshot stamped), falling back to the list's seq for
+    entry-less manifests."""
     recs = []
     for mpath, added_by in manifests:
         _, entries, _ = ocf_read(mpath)
+        own_seq = max(
+            (
+                e["sequence_number"]
+                for e in entries
+                if e["status"] in (_ST_ADDED, _ST_DELETED)
+            ),
+            default=seq,
+        )
         recs.append(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
                 "content": 0,  # data manifests
-                "sequence_number": seq,
+                "sequence_number": own_seq,
                 "min_sequence_number": 1,
                 "added_snapshot_id": added_by,
                 "added_files_count": sum(
@@ -1006,7 +1026,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the delete manifest's content field must say 1; patch the list
     m3 = os.path.join(meta_dir, "m3-fixture.avro")
     recs = []
-    for mpath, content in ((m3, 0), (m4, 1)):
+    for mpath, content, mseq in ((m3, 0, 3), (m4, 1, 4)):
         _, entries, _ = ocf_read(mpath)
         recs.append(
             {
@@ -1014,7 +1034,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
                 "content": content,
-                "sequence_number": 4,
+                "sequence_number": mseq,
                 "min_sequence_number": 1,
                 "added_snapshot_id": _S4 if content == 1 else _S3,
                 "added_files_count": sum(
@@ -1111,9 +1131,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(*sorted(d["path"] for d in delete_files))
             .withColumn(
                 "dpath",
-                F.url_decode(
-                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-                ),
+                _norm_file_uri(F.input_file_name()),
             )
             .join(F.broadcast(dseq), "dpath")
             .select("file_path", "pos", "dseq")
@@ -1124,7 +1142,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `o_orderpriority=4-NOT SPECIFIED`)
         df = df.withColumn(
             "_fp",
-            F.url_decode(F.regexp_replace("_fp", "^file:(//)?", "")),
+            _norm_file_uri("_fp"),
         )
         df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
         n_del = sum(d["n"] for d in delete_files)
@@ -1613,10 +1631,10 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     m4d = _write_manifest(meta_dir, "m4-upsert-deletes.avro", del_entries)
     m3 = os.path.join(meta_dir, "m3-fixture.avro")
     recs = []
-    for mpath, content, added_by in (
-        (m3, 0, _S3),
-        (m4i, 0, _S4),
-        (m4d, 1, _S4),
+    for mpath, content, added_by, mseq in (
+        (m3, 0, _S3, 3),  # carried manifests keep their COMMIT seq
+        (m4i, 0, _S4, 4),
+        (m4d, 1, _S4, 4),
     ):
         _, entries, _ = ocf_read(mpath)
         recs.append(
@@ -1625,7 +1643,7 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
                 "content": content,
-                "sequence_number": 4,
+                "sequence_number": mseq,
                 "min_sequence_number": 1,
                 "added_snapshot_id": added_by,
                 "added_files_count": sum(
@@ -1693,9 +1711,7 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             F.lit(v).alias("o_orderpriority"),
-            F.url_decode(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-            ).alias("_fp"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
         )
         for v, paths in sorted(by_val.items())
     ]
@@ -1728,9 +1744,7 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(*sorted(d["path"] for d in eq_deletes))
             .withColumn(
                 "dpath",
-                F.url_decode(
-                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-                ),
+                _norm_file_uri(F.input_file_name()),
             )
             .join(F.broadcast(dseq), "dpath")
             .select(F.col("o_orderkey").alias("_delkey"), "dseq")
@@ -3148,9 +3162,7 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             F.lit(v).alias("o_orderpriority"),
-            F.url_decode(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-            ).alias("_fp"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         for v, paths in sorted(by_val.items())
@@ -3445,9 +3457,7 @@ def q_src_iceberg_v3_row_lineage(
         spark.read.parquet(*sorted(d["path"] for d in data_files))
         .select(
             "o_orderpriority",
-            F.url_decode(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-            ).alias("_fp"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         .join(F.broadcast(frid_map), F.col("_fp") == frid_map["file_path"])

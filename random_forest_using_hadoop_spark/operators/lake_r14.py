@@ -1,0 +1,800 @@
+"""r14 lake-format keys: the Iceberg delete-aware CHANGELOG scan (the
+CDC twin of `src_delta_cdf`) and the Delta DELETE that emits a DELETION
+VECTOR instead of rewriting the file (the write-side twin of
+`src_delta_deletion_vector`).
+
+Both are built from the published specs alone (Apache Iceberg table
+spec §Snapshots/§Delete Formats; delta-io PROTOCOL.md §Deletion
+Vectors) on the repo's existing from-scratch codecs (iceberg_format's
+Avro OCF, delta_format's Z85/roaring DV stack). No reference file:line
+citation is possible — /root/reference/ is an empty checkout
+(SURVEY.md §0).
+
+Scale stance (100 TB): changelog planning is the usual bounded
+manifest walk (O(files in the range), driver-side, the same class as
+any Iceberg planner's snapshot state); every row-producing path is a
+distributed scan, and delete application is ONE join per delete
+modality regardless of how many delete files or commits landed in the
+range. The DV writer's only collect is the deleted-position set — the
+commit payload itself, ∝ deleted rows by definition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.delta_format import (
+    dv_on_disk_descriptors,
+    dv_read,
+)
+from random_forest_using_hadoop_spark.iceberg_format import ocf_read, ocf_write
+from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+    _MANIFEST_FILE_SCHEMA,
+    _ST_ADDED,
+    _ST_DELETED,
+    _ST_EXISTING,
+    _S2,
+    _S3,
+    _T3,
+    _entry,
+    _iceberg_files,
+    _iceberg_snapshot,
+    _iceberg_stage,
+    _iceberg_table_meta,
+    _maybe_broadcast_deletes,
+    _pfiles,
+    _write_manifest,
+)
+from random_forest_using_hadoop_spark.operators.scans import (
+    _delta_list_files,
+    _norm_file_uri,
+    _tmp,
+)
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- Iceberg changelog (delete-aware incremental read) -----------------------
+
+# The staged history this key grades (built on the shared 3-snapshot
+# table from iceberg_ext._iceberg_stage):
+#   s3 (ordinal 1, "delete")    drop the 1-URGENT partition — rewrite
+#                               manifest with DELETED entries
+#   s4 (ordinal 2, "overwrite") CDC upsert: equality-deletes (two
+#                               range-split files, keys % 7 == 0,
+#                               strict seq <) + replacement inserts
+#                               (% 14 == 0 non-urgent at price + 10)
+#   s5 (ordinal 3, "delete")    position deletes of % 10 == 3 rows
+#                               still live (i.e. % 7 != 0), one pos
+#                               file per affected partition, seq ≤
+#   s6 (no ordinal, "replace")  compaction of the s4 shards — MUST
+#                               contribute NOTHING to the changelog
+_CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pr
+  FROM orders
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS change_ordinal, 'delete' AS change_type,
+         k AS o_orderkey,
+         CAST(floor(p * 100 + 0.5) AS BIGINT) AS price_cents,
+         pr AS o_orderpriority
+  FROM base WHERE pr = '1-URGENT'
+  UNION ALL
+  SELECT 2, 'delete', k, CAST(floor(p * 100 + 0.5) AS BIGINT), pr
+  FROM base WHERE pr <> '1-URGENT' AND k % 7 = 0
+  UNION ALL
+  SELECT 2, 'insert', k, CAST(floor((p + 10.0) * 100 + 0.5) AS BIGINT), pr
+  FROM base WHERE pr <> '1-URGENT' AND k % 14 = 0
+  UNION ALL
+  SELECT 3, 'delete', k, CAST(floor(p * 100 + 0.5) AS BIGINT), pr
+  FROM base WHERE pr <> '1-URGENT' AND k % 10 = 3 AND k % 7 <> 0
+) ch
+"""
+
+
+def _mlrec(mpath: str, content: int, seq: int, added_by: int) -> dict:
+    """One manifest-list record with counts derived from the manifest
+    itself. `seq` is the manifest's ORIGINAL commit sequence number —
+    a carried-over manifest keeps the sequence it was added under
+    (spec §Manifest Lists), never the re-referencing snapshot's."""
+    _, entries, _ = ocf_read(mpath)
+
+    def _cnt(st):
+        return sum(1 for e in entries if e["status"] == st)
+
+    def _rows(st):
+        return sum(
+            e["data_file"]["record_count"]
+            for e in entries
+            if e["status"] == st
+        )
+
+    return {
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": 1,
+        "added_snapshot_id": added_by,
+        "added_files_count": _cnt(_ST_ADDED),
+        "existing_files_count": _cnt(_ST_EXISTING),
+        "deleted_files_count": _cnt(_ST_DELETED),
+        "added_rows_count": _rows(_ST_ADDED),
+        "existing_rows_count": _rows(_ST_EXISTING),
+        "deleted_rows_count": _rows(_ST_DELETED),
+    }
+
+
+def _append_snapshot(
+    meta_dir: str,
+    version: int,
+    snap_id: int,
+    seq: int,
+    ts: int,
+    mlist: str,
+    operation: str,
+) -> None:
+    """Commit one snapshot: read v<version-1>.metadata.json, append the
+    snapshot + log entry, write v<version>.metadata.json, bump the
+    hint — one metadata version per commit, the HadoopCatalog rule."""
+    with open(os.path.join(meta_dir, f"v{version - 1}.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "manifest-list": mlist,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+    )
+    tm["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snap_id})
+    tm["current-snapshot-id"] = snap_id
+    tm["last-sequence-number"] = seq
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 6-snapshot fixture described on _CHANGELOG_ORACLE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_changelog")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    _S4, _S5, _S6 = _S3 + 1, _S3 + 2, _S3 + 3
+    _T4, _T5, _T6 = _T3 + 60_000, _T3 + 120_000, _T3 + 180_000
+
+    # --- s4: CDC upsert. Replacement rows land as TWO shards per
+    # partition (repartition(2)) so the s6 compaction below has real
+    # work; equality-delete keys land range-split across two files,
+    # the way a real CDC writer shards a commit.
+    o.filter(
+        (F.col("o_orderkey") % 14 == 0)
+        & (F.col("o_orderpriority") != "1-URGENT")
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    ).repartition(2).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s4"))
+    ins_entries = [
+        _entry(_ST_ADDED, _S4, 4, p, v) for p, v in _pfiles(data_dir, "s4")
+    ]
+    eq_dir = os.path.join(meta_dir, "eqdel")
+    o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey"
+    ).repartitionByRange(2, "o_orderkey").write.mode("overwrite").parquet(
+        eq_dir
+    )
+    eq_files = [
+        os.path.join(eq_dir, f)
+        for f in sorted(os.listdir(eq_dir))
+        if f.endswith(".parquet")
+    ]
+    m4i = _write_manifest(
+        meta_dir, "m4-upsert-data.avro", ins_entries
+    )
+    m4d = _write_manifest(
+        meta_dir,
+        "m4-upsert-deletes.avro",
+        [
+            _entry(_ST_ADDED, _S4, 4, p, None, equality_ids=[1], content=2)
+            for p in eq_files
+        ],
+    )
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-upsert.avro")
+    ocf_write(
+        l4,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _mlrec(m3, 0, 3, _S3),
+            _mlrec(m4i, 0, 4, _S4),
+            _mlrec(m4d, 1, 4, _S4),
+        ],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 4, _S4, 4, _T4, l4, "overwrite")
+
+    # --- s5: position deletes of the % 10 == 3 rows still live after
+    # s4 (% 7 == 0 already gone). Positions are per-file ordinals of
+    # the CURRENT live files; the collect is ∝ deleted rows — they are
+    # the commit payload.
+    meta = _iceberg_table_meta(root)
+    live, _ = _iceberg_files(_iceberg_snapshot(meta))
+    pval_by_path = {p: v for p, v, _, _ in live}
+    hits = (
+        spark.read.parquet(*sorted(pval_by_path))
+        .select(
+            _norm_file_uri(F.input_file_name()).alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter(
+            (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .collect()
+    )
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for r in hits:
+        by_part.setdefault(pval_by_path[r["fp"]], []).append(
+            (r["fp"], r["pos"])
+        )
+    pos_entries = []
+    for pval, pairs in sorted(by_part.items()):
+        pairs.sort()
+        dpath = os.path.join(
+            meta_dir, f"posdel-{pval.replace(' ', '_')}-s5.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([p for p, _ in pairs], pa.string()),
+                    "pos": pa.array([x for _, x in pairs], pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        pos_entries.append(_entry(_ST_ADDED, _S5, 5, dpath, pval, content=1))
+    m5d = _write_manifest(meta_dir, "m5-posdel.avro", pos_entries)
+    l5 = os.path.join(meta_dir, f"snap-{_S5}-1-posdel.avro")
+    ocf_write(
+        l5,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _mlrec(m3, 0, 3, _S3),
+            _mlrec(m4i, 0, 4, _S4),
+            _mlrec(m4d, 1, 4, _S4),
+            _mlrec(m5d, 1, 5, _S5),
+        ],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 5, _S5, 5, _T5, l5, "delete")
+
+    # --- s6: compaction (REPLACE) of the s4 shards — per partition the
+    # two shards rewrite into one seq-6 file. Safe to rewrite at seq 6
+    # because nothing deletes against those files: the eq deletes are
+    # seq 4 (strict <) and the pos files reference other paths. A
+    # changelog reader must skip this snapshot wholesale (spec: replace
+    # snapshots carry no logical change); one that classifies on entry
+    # status alone re-emits every s4 row as delete+insert and fails
+    # the value hash.
+    s4_by_part: dict[str, list[str]] = {}
+    for p, v in _pfiles(data_dir, "s4"):
+        s4_by_part.setdefault(v, []).append(p)
+    compact_entries = []
+    for v, paths in sorted(s4_by_part.items()):
+        out_dir = os.path.join(data_dir, "s6", f"o_orderpriority={v}")
+        spark.read.parquet(*sorted(paths)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        (new_file,) = [
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        compact_entries.append(_entry(_ST_ADDED, _S6, 6, new_file, v))
+        compact_entries.extend(
+            _entry(_ST_DELETED, _S6, 4, p, v) for p in sorted(paths)
+        )
+    # survivors of m3 carry over EXISTING with their original ids
+    for e in ocf_read(m3)[1]:
+        if e["status"] == _ST_DELETED:
+            continue
+        compact_entries.append(
+            {**e, "status": _ST_EXISTING}
+        )
+    m6 = _write_manifest(meta_dir, "m6-compact.avro", compact_entries)
+    l6 = os.path.join(meta_dir, f"snap-{_S6}-1-compact.avro")
+    ocf_write(
+        l6,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _mlrec(m6, 0, 6, _S6),
+            _mlrec(m4d, 1, 4, _S4),
+            _mlrec(m5d, 1, 5, _S5),
+        ],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 6, _S6, 6, _T6, l6, "replace")
+    return root
+
+
+def _changelog_plan(root: str, from_id: int) -> dict:
+    """Driver-side changelog planning: walk every snapshot AFTER
+    `from_id` (exclusive) up to the current one and classify what each
+    commit did. Bounded metadata: one Avro row per manifest + per file
+    — the same working set any Iceberg planner holds.
+
+    Returns per-path maps (path → ordinal / seq metadata) consumed by
+    the distributed side. Replace snapshots (compaction — no logical
+    change) are skipped per the spec's changelog rule."""
+    meta = _iceberg_table_meta(root)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    ordered = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    lo = ordered.index(from_id)
+    inserted: list[tuple[str, str, int]] = []  # path, pval, ordinal
+    removed: list[tuple[str, str, int]] = []
+    eq_files: list[dict] = []  # path, seq, ordinal, n
+    pos_files: list[dict] = []
+    base: dict[str, tuple[str, int]] = {}  # path → (pval, data_seq)
+    for ordinal, sid in enumerate(ordered[lo + 1 :], start=1):
+        snap = by_id[sid]
+        if snap["summary"]["operation"] == "replace":
+            continue  # rearrangement only — no logical change
+        _, manifests, _ = ocf_read(snap["manifest-list"])
+        has_deletes = False
+        for m in manifests:
+            _, entries, _ = ocf_read(m["manifest_path"])
+            for e in entries:
+                df = e["data_file"]
+                pval = next(iter((df["partition"] or {}).values()), None)
+                if m["content"] == 0 and df["content"] == 0:
+                    if (
+                        e["status"] == _ST_ADDED
+                        and e["snapshot_id"] == sid
+                    ):
+                        inserted.append((df["file_path"], pval, ordinal))
+                    elif (
+                        e["status"] == _ST_DELETED
+                        and e["snapshot_id"] == sid
+                    ):
+                        removed.append((df["file_path"], pval, ordinal))
+                elif (
+                    m["content"] == 1
+                    and e["status"] == _ST_ADDED
+                    and e["snapshot_id"] == sid
+                ):
+                    rec = {
+                        "path": df["file_path"],
+                        "seq": e["sequence_number"],
+                        "ordinal": ordinal,
+                        "n": df["record_count"],
+                    }
+                    if df["content"] == 2:
+                        if df.get("equality_ids") != [1]:
+                            raise ValueError(
+                                "unsupported equality_ids "
+                                f"{df.get('equality_ids')}; this table keys "
+                                "on field 1 (o_orderkey)"
+                            )
+                        eq_files.append(rec)
+                        has_deletes = True
+                    elif df["content"] == 1:
+                        pos_files.append(rec)
+                        has_deletes = True
+        if has_deletes:
+            # candidate targets: data files live at the PREDECESSOR
+            # snapshot — what this commit's deletes can reach
+            prev = ordered[ordered.index(sid) - 1]
+            for p, v, _, seq in _iceberg_files(_iceberg_snapshot(
+                meta, snapshot_id=prev
+            ))[0]:
+                base.setdefault(p, (v, seq))
+    return {
+        "inserted": inserted,
+        "removed": removed,
+        "eq_files": eq_files,
+        "pos_files": pos_files,
+        "base": base,
+    }
+
+
+def _scan_rows(
+    spark: SparkSession,
+    files: list[tuple[str, str, int]],
+    change_type: str,
+    with_coords: bool = False,
+):
+    """ONE distributed scan per partition VALUE over the given files
+    (the identity partition column is manifest metadata, not file
+    content), with each row's change ordinal attached via a broadcast
+    path→ordinal map — plan size is O(partition values), independent
+    of file and commit counts."""
+    if not files:
+        return None
+    by_val: dict[str, list[str]] = {}
+    for p, v, _ in files:
+        by_val.setdefault(v, []).append(p)
+    cols = ["o_orderkey", "o_totalprice"]
+    scans = []
+    for v, paths in sorted(by_val.items()):
+        s = spark.read.parquet(*sorted(set(paths))).select(
+            *cols,
+            F.lit(v).alias("o_orderpriority"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
+            *(
+                [F.col("_metadata.row_index").alias("_pos")]
+                if with_coords
+                else []
+            ),
+        )
+        scans.append(s)
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    omap = spark.createDataFrame(
+        sorted({(p, o) for p, _, o in files}),
+        "file_path string, change_ordinal int",
+    )
+    df = df.join(F.broadcast(omap), df["_fp"] == omap["file_path"]).drop(
+        "file_path"
+    )
+    if change_type:
+        df = df.withColumn("change_type", F.lit(change_type))
+    return df
+
+
+_CHANGELOG_OUT = [
+    "change_ordinal",
+    "change_type",
+    "o_orderkey",
+    "price_cents",
+    "o_orderpriority",
+]
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    return df.select(
+        "change_ordinal",
+        "change_type",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderpriority",
+    )
+
+
+@register("src_iceberg_changelog", oracle=_CHANGELOG_ORACLE)
+def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG SCAN — classify every row-level change between
+    two snapshots, INCLUDING row-level delete commits (spec §Snapshots,
+    §Position/Equality Delete Files; the delete-aware sibling of
+    `src_iceberg_incremental`, and the CDC twin of `src_delta_cdf`): a
+    downstream consumer of a 100 TB table reads O(changed rows), never
+    O(table), and sees inserts AND deletes so it can maintain a
+    materialized view or replicate to another store.
+
+    Emitted per snapshot in (from, to], 1-based `change_ordinal`:
+    - data files ADDED by the snapshot → their rows as `insert`
+    - data files removed (entry status DELETED) → their rows as
+      `delete` (partition-drop shape)
+    - equality-delete files added → the matching rows of OLDER
+      (data_seq STRICTLY below) live data files as `delete` — the
+      strict bound is what keeps same-commit upsert replacements alive
+    - position-delete files added → the (file, pos) rows of live data
+      files with data_seq ≤ the delete's as `delete`
+    - `replace` snapshots (compaction) contribute NOTHING — the spec's
+      changelog rule; a reader keying on entry status alone re-emits
+      every compacted row as delete+insert and fails the value hash.
+
+    Scale: planning is the bounded driver-side manifest walk every
+    Iceberg planner does; rows flow through ONE distributed scan per
+    side (inserted files, removed files, delete-candidate base, eq
+    keys, pos pairs — each a single multi-path scan grouped by
+    partition value) and delete application is ONE join per modality
+    with stats-gated broadcast, independent of how many delete files
+    or commits landed in the range (plan-gated in tests/test_plans.py).
+    """
+    root = _stage_changelog_table(spark, sf_dir)
+    plan = _changelog_plan(root, from_id=_S2)
+
+    parts: list[DataFrame] = []
+    ins = _scan_rows(spark, plan["inserted"], "insert")
+    if ins is not None:
+        parts.append(_finish(ins))
+    rem = _scan_rows(spark, plan["removed"], "delete")
+    if rem is not None:
+        parts.append(_finish(rem))
+
+    base_files = [
+        (p, v, 0) for p, (v, _) in sorted(plan["base"].items())
+    ]
+    if base_files and (plan["eq_files"] or plan["pos_files"]):
+        base = _scan_rows(spark, base_files, "", with_coords=True).drop(
+            "change_ordinal"
+        )
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, (_, s) in sorted(plan["base"].items())],
+            "bpath string, data_seq long",
+        )
+        base = base.join(
+            F.broadcast(seq_map), base["_fp"] == seq_map["bpath"]
+        )
+        if plan["eq_files"]:
+            # ONE unioned key scan tagged with each file's sequence and
+            # ordinal via a broadcast map, ONE inner join
+            dmap = spark.createDataFrame(
+                [(d["path"], d["seq"], d["ordinal"])
+                 for d in plan["eq_files"]],
+                "dpath string, dseq long, change_ordinal int",
+            )
+            keys = (
+                spark.read.parquet(
+                    *sorted(d["path"] for d in plan["eq_files"])
+                )
+                .withColumn("dpath", _norm_file_uri(F.input_file_name()))
+                .join(F.broadcast(dmap), "dpath")
+                .select(
+                    F.col("o_orderkey").alias("_delkey"),
+                    "dseq",
+                    "change_ordinal",
+                )
+            )
+            n_eq = sum(d["n"] for d in plan["eq_files"])
+            eq_rows = base.join(
+                _maybe_broadcast_deletes(keys, n_eq),
+                (base["o_orderkey"] == keys["_delkey"])
+                & (base["data_seq"] < keys["dseq"]),  # STRICT: upserts live
+            ).withColumn("change_type", F.lit("delete"))
+            parts.append(_finish(eq_rows))
+        if plan["pos_files"]:
+            dmap = spark.createDataFrame(
+                [(d["path"], d["seq"], d["ordinal"])
+                 for d in plan["pos_files"]],
+                "dpath string, dseq long, change_ordinal int",
+            )
+            pairs = (
+                spark.read.parquet(
+                    *sorted(d["path"] for d in plan["pos_files"])
+                )
+                .withColumn("dpath", _norm_file_uri(F.input_file_name()))
+                .join(F.broadcast(dmap), "dpath")
+                .select("file_path", "pos", "dseq", "change_ordinal")
+            )
+            n_pos = sum(d["n"] for d in plan["pos_files"])
+            pos_rows = base.join(
+                _maybe_broadcast_deletes(pairs, n_pos),
+                (base["_fp"] == pairs["file_path"])
+                & (base["_pos"] == pairs["pos"])
+                & (base["data_seq"] <= pairs["dseq"]),  # spec ordering rule
+            ).withColumn("change_type", F.lit("delete"))
+            parts.append(_finish(pos_rows))
+
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "change_ordinal int, change_type string, o_orderkey long, "
+            "price_cents long, o_orderpriority string",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- Delta DELETE via deletion vector (write path) ---------------------------
+
+_DV_DELETE_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderkey % 10 <> 7 AND o_orderkey % 10 <> 4
+GROUP BY o_orderkey % 2
+"""
+
+
+def _dv_snapshot(log_dir: str) -> dict[str, dict | None]:
+    """Replay the Delta log driver-side: live data files → their
+    CURRENT DeletionVectorDescriptor (or None). Within a version,
+    removes apply before adds, so the DV-rewrite commit shape
+    (remove(path, old DV) + add(path, new DV)) resolves to the new
+    descriptor. Bounded by live-file count — snapshot state."""
+    live: dict[str, dict | None] = {}
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.endswith(".json"):
+            continue
+        adds: dict[str, dict | None] = {}
+        removes: set[str] = set()
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    adds[act["add"]["path"]] = act["add"].get(
+                        "deletionVector"
+                    )
+                elif "remove" in act:
+                    removes.add(act["remove"]["path"])
+        for p in removes:
+            live.pop(p, None)
+        live.update(adds)
+    return live
+
+
+def _delta_delete_to_dv(
+    spark: SparkSession, root: str, predicate
+) -> int:
+    """Execute `DELETE WHERE predicate` against the Delta table at
+    `root` by EMITTING DELETION VECTORS (delta-io PROTOCOL.md
+    §Deletion Vectors, §Writer Requirements for Deletion Vectors): for
+    each live file with matching rows, write the file's new DV (the
+    union of its existing DV and the newly matched positions) into one
+    on-disk DV file for the whole commit, then commit
+    remove(path, dataChange) + add(path, new DV) per touched file. The
+    data parquet files are NEVER rewritten — O(deleted rows) commit
+    cost, the modern engine answer at 100 TB (file rewrite is
+    `sink_delta_replacewhere`'s job).
+
+    The matched-position collect IS the commit payload (∝ deleted
+    rows); the matching itself runs as one distributed scan over the
+    live files with the CURRENT DVs anti-joined first, so an already
+    DV-deleted row is never re-deleted (its position would otherwise
+    churn every subsequent DV). Returns the new version number."""
+    log_dir = os.path.join(root, "_delta_log")
+    data_dir = os.path.join(root, "data")
+    live = _dv_snapshot(log_dir)
+    cur_positions: dict[str, set[int]] = {}
+    for path, dv in live.items():
+        if dv is not None and dv.get("storageType"):
+            cur_positions[path] = set(dv_read(dv, root))
+    scan = spark.read.parquet(
+        *sorted(os.path.join(root, p) for p in live)
+    ).select(
+        "o_orderkey",
+        _norm_file_uri(F.input_file_name()).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    existing = [
+        (os.path.join(root, p), pos)
+        for p, posset in cur_positions.items()
+        for pos in posset
+    ]
+    if existing:
+        cur = spark.createDataFrame(existing, "_fp string, _pos long")
+        scan = scan.join(F.broadcast(cur), ["_fp", "_pos"], "left_anti")
+    hits = scan.filter(predicate).select("_fp", "_pos").collect()
+    if not hits:
+        return max(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json")
+        )
+    by_file: dict[str, set[int]] = {}
+    for r in hits:
+        rel = os.path.relpath(r["_fp"], root)
+        by_file.setdefault(rel, set()).add(r["_pos"])
+    touched = sorted(by_file)
+    merged = [
+        sorted(
+            by_file[rel]
+            | cur_positions.get(rel, set())
+        )
+        for rel in touched
+    ]
+    descs = dv_on_disk_descriptors(merged, root, prefix="dv")
+    version = 1 + max(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json")
+    )
+    lines = [json.dumps({"commitInfo": {"operation": "DELETE"}})]
+    for rel, desc in zip(touched, descs):
+        lines.append(
+            json.dumps({"remove": {"path": rel, "dataChange": True}})
+        )
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+        )
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return version
+
+
+@register("sink_delta_delete_dv", oracle=_DV_DELETE_ORACLE)
+def q_sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETE emitting DELETION VECTORS (the WRITE side of
+    `src_delta_deletion_vector`): two successive deletes against the
+    same two-file table — v1 drops o_orderkey % 10 == 7, v2 drops
+    % 10 == 4 — each committing remove+add with a fresh on-disk DV
+    (spec `storageType: "u"`, Z85 uuid path form) while the parquet
+    data files stay byte-identical (asserted in
+    tests/test_delta_protocol.py). The second delete exercises the
+    DV-merge rule: a file's new DV must carry the UNION of its old DV
+    and the new positions, and the matching scan must apply the
+    current DV first so already-deleted rows don't re-enter the
+    payload.
+
+    Graded read-back goes through the SAME descriptor decode +
+    broadcast anti-join path as the reader key, so writer and reader
+    are held to one contract. Oracle: all rows except % 10 ∈ {7, 4}.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_dv_write")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+                for p in sorted(_delta_list_files(data_dir))
+            )
+            + "\n"
+        )
+
+    _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 7)
+    _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 4)
+
+    # read back through the descriptor decode + anti-join contract
+    live = _dv_snapshot(log_dir)
+    del_rows = []
+    for rel, dv in live.items():
+        if dv is not None and dv.get("storageType"):
+            fp = os.path.join(root, rel)
+            for pos in dv_read(dv, root):
+                del_rows.append((fp, pos))
+    data = spark.read.parquet(
+        *sorted(os.path.join(root, p) for p in live)
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        _norm_file_uri(F.input_file_name()).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if del_rows:
+        dv_frame = spark.createDataFrame(del_rows, "_fp string, _pos long")
+        data = data.join(F.broadcast(dv_frame), ["_fp", "_pos"], "left_anti")
+    return data.groupBy(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

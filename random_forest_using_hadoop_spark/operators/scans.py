@@ -27,6 +27,20 @@ def _tmp(sf_dir: str, tag: str) -> str:
     return os.path.join(_TMP_ROOT, f"{tag}_{sf_tag}")
 
 
+def _norm_file_uri(col):
+    """`input_file_name()` → the raw staged filesystem path: strip the
+    file: scheme and decode ONLY %XX escapes. Plain `url_decode` is
+    form-decoding (application/x-www-form-urlencoded) and would also
+    turn a literal '+' into a space — but Hadoop's path URIs never
+    encode '+', so a data file named `a+b.parquet` would stop matching
+    the planner's raw path and its rows would be silently dropped
+    (inner joins) or its deletes left unapplied (anti-joins). Escaping
+    '+' to %2B first makes url_decode a pure percent-decoder, the exact
+    inverse of the URI encoding input_file_name applies."""
+    c = F.regexp_replace(col, "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
 # --- B1: full parquet scan ---------------------------------------------------
 
 

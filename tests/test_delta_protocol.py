@@ -20,6 +20,7 @@ import random_forest_using_hadoop_spark as engine
 from random_forest_using_hadoop_spark.operators.scans import (
     _delta_commit,
     _delta_latest_live_files,
+    _delta_list_files,
     _delta_live_files,
     _delta_max_version,
     _delta_stage_history,
@@ -780,3 +781,161 @@ def test_clustering_domain_discovery_and_tombstone(tmp_path):
         ],
     )
     assert _delta_clustering_columns(log_dir) == []
+
+
+# --- r14: DELETE via deletion-vector WRITE path --------------------------------
+
+
+def _file_digests(data_dir):
+    import hashlib
+
+    out = {}
+    for f in sorted(os.listdir(data_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(data_dir, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_dv_delete_leaves_data_files_byte_identical(spark):
+    """The whole point of the DV write path: a DELETE commits a
+    deletion vector against the UNTOUCHED file. Both deletes of the
+    graded key must leave every data parquet byte-identical to its
+    pre-delete state — a rewrite (the replaceWhere shape) here means
+    the sink silently fell back to O(file) cost."""
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _delta_delete_to_dv,
+        _dv_snapshot,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(SF_DIR, "delta_dv_write_unit")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    o.coalesce(2).write.mode("append").parquet(data_dir)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+                for p in sorted(_delta_list_files(data_dir))
+            )
+            + "\n"
+        )
+    before = _file_digests(data_dir)
+    v1 = _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 7)
+    v2 = _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 4)
+    assert (v1, v2) == (1, 2)
+    assert _file_digests(data_dir) == before, (
+        "DELETE rewrote a data file instead of emitting a DV"
+    )
+    # live snapshot: every file carries a DV whose cardinality equals
+    # the file's matching rows for BOTH predicates (merge rule)
+    live = _dv_snapshot(log_dir)
+    assert set(live) == {f"data/{p}" for p in before}
+    total_card = sum(dv["cardinality"] for dv in live.values() if dv)
+    expected = (
+        load_table(spark, SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(7, 4))
+        .count()
+    )
+    assert total_card == expected
+
+
+def test_dv_delete_merge_is_union_not_replace(spark):
+    """Second DELETE on the same file must UNION positions with the
+    existing DV (and never re-delete an already-dead row): deleting the
+    same predicate twice is a no-op commit, and two disjoint deletes
+    accumulate."""
+    from random_forest_using_hadoop_spark.delta_format import dv_read
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _delta_delete_to_dv,
+        _dv_snapshot,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(SF_DIR, "delta_dv_merge_unit")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    o.coalesce(1).write.mode("append").parquet(data_dir)
+    (fname,) = _delta_list_files(data_dir)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps({"add": {"path": f"data/{fname}", "dataChange": True}})
+            + "\n"
+        )
+    _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 7)
+    pos_first = set(
+        dv_read(_dv_snapshot(log_dir)[f"data/{fname}"], root)
+    )
+    # repeat delete: zero new matches → NO new commit version
+    v = _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 7)
+    assert v == 1, "idempotent re-delete must not commit"
+    # disjoint second delete: union grows, superset of the first
+    _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 10 == 4)
+    pos_both = set(
+        dv_read(_dv_snapshot(log_dir)[f"data/{fname}"], root)
+    )
+    assert pos_first < pos_both
+    n7 = o.filter(F.col("o_orderkey") % 10 == 7).count()
+    n74 = o.filter((F.col("o_orderkey") % 10).isin(7, 4)).count()
+    assert (len(pos_first), len(pos_both)) == (n7, n74)
+
+
+def test_stats_skipping_keeps_files_with_partial_stats(spark, tmp_path):
+    """A file whose add.stats JSON parses but lacks min/max for the
+    probed column must be KEPT (r13 advice finding): real writers stat
+    only the first N columns, so a null bound means 'unknown', and the
+    tri-valued overlap predicate would otherwise evaluate to NULL and
+    silently prune a live file."""
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _stats_surviving_files,
+        _stats_surviving_files_for,
+    )
+
+    log_dir = str(tmp_path / "_delta_log")
+    os.makedirs(log_dir)
+    adds = [
+        # (path, stats json): a disjoint-range file (prunable), an
+        # overlapping file, a stats-less file, and the hazard cases —
+        # stats present but bounds missing for the probed column,
+        # entirely or one-sided
+        ("data/disjoint.parquet",
+         '{"numRecords":10,"minValues":{"o_orderkey":1000},'
+         '"maxValues":{"o_orderkey":2000}}'),
+        ("data/overlap.parquet",
+         '{"numRecords":10,"minValues":{"o_orderkey":1},'
+         '"maxValues":{"o_orderkey":50}}'),
+        ("data/nostats.parquet", None),
+        ("data/othercols.parquet",
+         '{"numRecords":10,"minValues":{"o_custkey":7},'
+         '"maxValues":{"o_custkey":9}}'),
+        ("data/onesided.parquet",
+         '{"numRecords":10,"minValues":{"o_orderkey":1},'
+         '"maxValues":{}}'),
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for path, stats in adds:
+            act = {"add": {"path": path, "dataChange": True}}
+            if stats is not None:
+                act["add"]["stats"] = stats
+            fh.write(json.dumps(act) + "\n")
+    expected = sorted(
+        p for p, _ in adds if p != "data/disjoint.parquet"
+    )
+    assert _stats_surviving_files(spark, log_dir, 1, 100) == expected
+    assert (
+        _stats_surviving_files_for(spark, log_dir, "o_orderkey", 1, 100)
+        == expected
+    )

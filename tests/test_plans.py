@@ -1407,7 +1407,10 @@ def test_delta_row_tracking_ids_unique_and_watermarked(spark):
 
     from pyspark.sql import functions as F
 
-    from random_forest_using_hadoop_spark.operators.scans import _tmp
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _norm_file_uri,
+        _tmp,
+    )
 
     engine.REGISTRY["src_delta_row_tracking"].fn(spark, SF_DIR).collect()
     root = _tmp(SF_DIR, "delta_rowtrack")
@@ -1432,9 +1435,7 @@ def test_delta_row_tracking_ids_unique_and_watermarked(spark):
     ids = (
         spark.read.parquet(*sorted(os.path.join(root, a["path"]) for a in adds))
         .select(
-            F.url_decode(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-            ).alias("_fp"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         .join(F.broadcast(base_map), F.col("_fp") == base_map["file_path"])
@@ -1556,3 +1557,121 @@ def test_iceberg_rollback_keeps_history_reachable(spark):
     assert {p for p, _, _ in f1} < {p for p, _, _ in f2}
     # s3 dropped the urgent partition; s2 still carries it
     assert {v for _, v, _ in f2} - {v for _, v, _ in f3} == {"1-URGENT"}
+
+
+# --- r14: Iceberg changelog scan gates ------------------------------------------
+
+
+def test_changelog_single_scan_per_side_and_join_constant(spark):
+    """src_iceberg_changelog's scale claim: plan size depends on the
+    number of PARTITION VALUES (identity-partition restoration) and
+    delete MODALITIES — never on how many delete files or commits
+    landed in the range. The fixture stages 2 equality-delete files and
+    one position-delete file per affected partition; both must ride
+    ONE scan relation each, and delete application must be exactly one
+    join per modality."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import _S2
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _changelog_plan,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["src_iceberg_changelog"].fn(spark, SF_DIR)
+    plan = _changelog_plan(_tmp(SF_DIR, "iceberg_changelog"), from_id=_S2)
+    n_ins_pvals = len({v for _, v, _ in plan["inserted"]})
+    n_rem_pvals = len({v for _, v, _ in plan["removed"]})
+    n_base_pvals = len({v for v, _ in plan["base"].values()})
+    assert len(plan["eq_files"]) >= 2, "fixture must shard eq deletes"
+    assert len(plan["pos_files"]) >= 2, "fixture must shard pos deletes"
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # one relation per pval per side; the base side appears in both
+    # delete branches; ONE relation for ALL eq files, ONE for ALL pos
+    expected_relations = (
+        n_ins_pvals + n_rem_pvals + 2 * n_base_pvals + 2
+    )
+    assert opt.count("Relation [") == expected_relations, opt
+    # joins: ins+rem ordinal maps (2) + per delete modality: base
+    # ordinal map + base seq map + delete-file map + ONE apply (4×2)
+    assert opt.count("Join ") == 10, opt
+
+
+def test_changelog_delete_apply_broadcast_is_stats_gated(spark):
+    """With the manifest-cardinality gate forced shut and size-based
+    auto-broadcast off, the two delete-APPLY joins must shuffle — the
+    bounded metadata maps may stay hinted, but nothing forces a 100 TB
+    delete backlog through every executor."""
+    from random_forest_using_hadoop_spark.operators import iceberg_ext
+
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_cap = iceberg_ext._DELETE_BROADCAST_MAX_ROWS
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        iceberg_ext._DELETE_BROADCAST_MAX_ROWS = 0
+        df = engine.REGISTRY["src_iceberg_changelog"].fn(spark, SF_DIR)
+        phys = df._jdf.queryExecution().sparkPlan().toString()
+        shuffled = phys.count("SortMergeJoin") + phys.count(
+            "ShuffledHashJoin"
+        )
+        assert shuffled == 2, (
+            f"expected the 2 delete-apply joins to shuffle, got "
+            f"{shuffled}:\n{phys}"
+        )
+    finally:
+        iceberg_ext._DELETE_BROADCAST_MAX_ROWS = old_cap
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_changelog_skips_replace_snapshots(spark):
+    """The s6 compaction (operation=replace) must contribute NOTHING:
+    no ordinal beyond 3, no s6 data path on the insert side, and no
+    removed-file entries for the compacted s4 shards."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import _S2
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _changelog_plan,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["src_iceberg_changelog"].fn(spark, SF_DIR)
+    root = _tmp(SF_DIR, "iceberg_changelog")
+    plan = _changelog_plan(root, from_id=_S2)
+    ordinals = (
+        {o for _, _, o in plan["inserted"]}
+        | {o for _, _, o in plan["removed"]}
+        | {d["ordinal"] for d in plan["eq_files"]}
+        | {d["ordinal"] for d in plan["pos_files"]}
+    )
+    assert max(ordinals) == 3
+    assert not any("/s6/" in p for p, _, _ in plan["inserted"])
+    assert not any("/s4/" in p for p, _, _ in plan["removed"])
+
+
+def test_changelog_carried_manifests_keep_original_sequence(spark):
+    """Fixture fidelity (the r13 advice finding, applied here from the
+    start): a manifest-list entry for a carried-over manifest must keep
+    the sequence number it was COMMITTED under, not be re-stamped with
+    the referencing snapshot's."""
+    import json as _json
+    import os
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["src_iceberg_changelog"].fn(spark, SF_DIR)
+    root = _tmp(SF_DIR, "iceberg_changelog")
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "v6.metadata.json")) as fh:
+        meta = _json.load(fh)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    committed_seq: dict[str, int] = {}
+    for snap in meta["snapshots"]:
+        _, manifests, _ = ocf_read(snap["manifest-list"])
+        for m in manifests:
+            path, seq = m["manifest_path"], m["sequence_number"]
+            if m["added_snapshot_id"] == snap["snapshot-id"]:
+                committed_seq.setdefault(path, seq)
+            else:
+                assert committed_seq.get(path, seq) == seq, (
+                    f"carried manifest {os.path.basename(path)} re-stamped "
+                    f"to seq {seq} in snapshot {snap['snapshot-id']}"
+                )
