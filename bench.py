@@ -10,9 +10,21 @@ fresh plan — BASELINE.md's numbers are warm runs, and at sf0.1 the first
 run is dominated by fixed JVM/codegen cost that a real cluster amortizes
 away. Single-run wall time on this box jitters up to ±30% (measured
 7.9–12.7 s for identical CC code within one session), so the minimum is
-the signal; the raw per-run samples go to STDERR ({"runs": ...}) so a
-reader can see the noise band while the driver's bounded stdout tail
-still holds every headline key.
+the signal.
+
+Output contract (the driver records only the LAST 2,000 chars of
+combined stdout+stderr, so the stdout line must stay well under that —
+BENCH_r12/r13.json were truncated past parseability before this split):
+
+- stdout: ONE compact JSON line with the HEADLINE keys' minima, rounded
+  to 2 decimals. tests/test_bench_line.py gates the worst-case line
+  under 1,500 chars so adding keys can't silently re-break the record.
+- bench_full.json (repo root): the full sweep — HEADLINE + EXTENDED
+  minima at 4 decimals plus every raw per-run sample. Commit this file
+  per round; it is the round-over-round regression record for the
+  staging-dominated lake keys that no longer fit on the stdout line.
+- stderr: silent by default; SPARK_GRAFT_BENCH_VERBOSE=1 restores the
+  {"runs": ...} dump for interactive use.
 """
 
 from __future__ import annotations
@@ -22,7 +34,12 @@ import json
 import os
 import sys
 import time
+import warnings
 from pathlib import Path
+
+# the pyspark UDF type-hint UserWarning prints at import time — part
+# of the stderr budget the driver's bounded output tail pays for
+warnings.filterwarnings("ignore")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -32,6 +49,13 @@ from random_forest_using_hadoop_spark.session import get_spark
 # Headline set mirrors BASELINE.md's workloads; any registered key may be
 # added. Keys not yet in the registry are skipped silently so bench.py
 # stays runnable mid-build.
+#
+# HEADLINE keys print on the stdout line (driver-recorded). EXTENDED
+# keys are timed in the same process under the same protocol but their
+# minima live only in bench_full.json — they are the staging-dominated
+# lake-format keys whose cost is fixture re-staging (scaling probe:
+# flat across the sf decade), kept benched for regression tracking but
+# rotated off the byte-bounded stdout record.
 HEADLINE = [
     "agg_hash_groupby",   # TPC-H-Q1-shape agg          (BASELINE q_pricing_summary)
     "join_multiway",      # star join + agg             (BASELINE q_join_3way)
@@ -60,83 +84,62 @@ HEADLINE = [
     # back toward the old shapes is visible round-over-round:
     "dedup_embedding",
     "dedup_ngram_jaccard",
-    # r11 additions — the Delta-protocol reader layer (r10's new
-    # surface; its keys re-stage their commit history every run, so the
-    # timing covers staging + log replay + audit — the number is
-    # staging-dominated, which the scaling probe measured flat across
-    # the sf decade: 0.88×/0.98×/1.21× per 10× step):
-    "src_delta_log",
-    "src_delta_checkpoint",
+    # lake-format representatives — one per protocol family so a
+    # regression in the shared reader/writer machinery (log replay,
+    # Avro codec, DV decode, anti-join plans) stays visible on the
+    # driver record; the rest of the lake surface is in EXTENDED:
+    "src_delta_log",             # Delta log replay foundation
+    "src_delta_checkpoint",      # checkpoint bootstrap
+    "src_delta_deletion_vector", # DV decode + row_index anti-join
+    "src_delta_cdf",             # change-data-feed assembly
+    "sink_delta_replacewhere",   # atomic overwrite txn
+    "src_iceberg_snapshot",      # Avro manifest-chain foundation
+    "src_iceberg_pos_delete",    # position-delete anti-join
+    "src_iceberg_eq_delete",     # equality-delete strict-sequence join
+    "src_iceberg_refs",          # tag/branch snapshot refs
+    "sink_iceberg_compact",      # REPLACE-snapshot rewrite
+    "src_iceberg_v3_dv",         # v3 Puffin deletion vectors
+    "src_lake_uniform",          # dual-format (UniForm) read
+    # r14 — delete-aware incremental CDC between Iceberg snapshots and
+    # the Delta DV-emitting DELETE:
+    "src_iceberg_changelog",
+    "sink_delta_delete_dv",
+]
+
+# Timed every run, recorded in bench_full.json only (see module
+# docstring). All carry BASELINE.md ¶ anchors; the scaling probe
+# measured each flat (1.0–1.5× per 10× sf step) because fixture
+# re-staging dominates their cost.
+EXTENDED = [
     "src_delta_partition_prune",
     "stream_delta_commits",
-    # r11 additions — the protocol-generality keys (column mapping,
-    # stats skipping, deletion vectors, change data feed, replaceWhere
-    # overwrite), anchored in the same session so their 2× criterion is
-    # decidable from day one rather than a round later:
     "src_delta_column_mapping",
     "src_delta_stats_skipping",
-    "src_delta_deletion_vector",
-    "src_delta_cdf",
-    "sink_delta_replacewhere",
-    # r11 second wave — txn idempotence, timestamp time travel, and the
-    # VARIANT round-trip, anchored in the same session as the above:
     "sink_delta_txn_idempotent",
     "src_delta_time_travel_ts",
     "fn_variant_shred",
     "src_delta_checkpoint_v2",
     "sink_delta_vacuum",
-    # r12 additions — the Iceberg v2 reader layer (manifest-list →
-    # manifest → pruned scan through the from-scratch Avro codec) and
-    # the timestampNtz reader feature; like the delta keys these
-    # re-stage their table every run, so the numbers are
-    # staging-dominated (scaling probe: 1.07–1.53× per 10× step):
-    "src_iceberg_snapshot",
     "src_iceberg_time_travel",
     "src_iceberg_partition_prune",
     "src_delta_timestamp_ntz",
-    # r12 second wave — Iceberg row-level position deletes and
-    # field-id/name-mapping schema evolution:
-    "src_iceberg_pos_delete",
     "src_iceberg_schema_evolution",
-    # r12 third wave — manifest value-bounds file skipping and the
-    # equality-delete (CDC upsert) shape:
     "src_iceberg_stats_prune",
-    "src_iceberg_eq_delete",
-    # r12 maintenance pair — snapshot expiry (storage reclaim) and
-    # small-file compaction (REPLACE snapshot):
     "sink_iceberg_expire_snapshots",
-    "sink_iceberg_compact",
-    # r12 — the typeWidening reader feature (int->long in-scan widening):
     "src_delta_type_widening",
-    # r12 — bucket-transform point lookups and incremental append scans:
     "src_iceberg_bucket_transform",
     "src_iceberg_incremental",
-    # r12 — the variantType reader feature (binary VARIANT through a
-    # staged Delta table):
     "src_delta_variant_type",
-    # r12 — temporal transform pruning and the streaming commit tail:
     "src_iceberg_year_transform",
     "stream_iceberg_commits",
-    # r13 — partition-spec evolution, the v3 trio (Puffin deletion
-    # vectors, row lineage, default values), and liquid clustering:
     "src_iceberg_spec_evolution",
-    "src_iceberg_v3_dv",
     "src_iceberg_v3_row_lineage",
     "src_iceberg_v3_default_values",
     "src_delta_liquid_clustering",
-    # r13 second wave — Delta row tracking (the protocol twin of v3
-    # row lineage) and conjunctive multi-field spec pruning:
     "src_delta_row_tracking",
     "src_iceberg_multifield_spec",
-    # r13 third wave — snapshot refs (tags/WAP branches) and the
-    # UniForm-style dual-format read:
-    "src_iceberg_refs",
-    "src_lake_uniform",
-    # r13 fourth wave — the two metadata-cost tiers: manifest-level
-    # summary pruning and log-compaction bootstrap:
     "src_iceberg_manifest_prune",
     "src_delta_log_compaction",
-    # r13 fifth wave — the inspection surface and metadata-only restore:
     "src_iceberg_meta_files",
     "sink_iceberg_rollback",
 ]
@@ -192,9 +195,20 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     engine.load_all()
-    spark = get_spark("rf_engine_bench")
+    # progress bars write ~KBs of \r-frames to stderr per stage; the
+    # driver keeps only the last 2,000 chars of COMBINED output, so any
+    # stderr noise risks displacing the one stdout line that matters
+    spark = get_spark(
+        "rf_engine_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # the JVM writes WARN-level noise (FileStreamSink metadata probes
+    # on every _delta_log json read) with full stack traces to stderr —
+    # ~240 KB per bench run, enough to displace the stdout line from
+    # the driver's combined-output tail
+    spark.sparkContext.setLogLevel("ERROR")
 
-    active = [k for k in HEADLINE if k in engine.REGISTRY]
+    active = [k for k in HEADLINE + EXTENDED if k in engine.REGISTRY]
     for key in active:  # untimed warmup pass: BASELINE.md records *warm*
         clear_ml_cache(spark, key)  # runs; first execution of each plan
         engine.REGISTRY[key].fn(spark, sf_dir).collect()  # pays JIT/codegen
@@ -215,25 +229,37 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    # stdout: ONE COMPACT line — per-key minima only. The driver
-    # records a bounded tail of stdout, and the full per-run arrays
-    # once pushed the first headline keys out of the committed record
-    # (BENCH_r12.json "tail" truncation); the noise band goes to
-    # stderr for humans instead.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "repeat": max(1, opts.repeat),
-                "sf": sf,
-            }
-        )
+
+    headline = {k: round(timings[k], 2) for k in HEADLINE if k in timings}
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_time_total",
+            "value": round(sum(headline.values()), 2),
+            "unit": "sec",
+            "queries": headline,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
-    print(json.dumps({"runs": runs}), file=sys.stderr)
-    spark.stop()
+    full = {
+        "sf": sf,
+        "repeat": max(1, opts.repeat),
+        "queries": timings,
+        "runs": runs,
+    }
+    Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
+    # stdout: ONE COMPACT line — headline minima only, 2 decimals. The
+    # driver keeps just the last 2,000 chars of combined stdout+stderr;
+    # the full per-run arrays (printed through r12) and then the 58-key
+    # minima dict (r13, 2,007 bytes) both overflowed that tail and left
+    # BENCH_r12/r13.json unparseable, so everything beyond this line
+    # now goes to bench_full.json.
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+        print(json.dumps({"runs": runs}), file=sys.stderr)
+    spark.stop()  # shutdown noise flushes BEFORE the line that matters
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

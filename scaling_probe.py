@@ -97,8 +97,8 @@ def main() -> None:
     if opts.all:
         keys = list(engine.REGISTRY)
     else:
-        keys = opts.keys or [k for k in bench.HEADLINE + EXTRA
-                             if k in engine.REGISTRY]
+        keys = opts.keys or [k for k in bench.HEADLINE + bench.EXTENDED
+                             + EXTRA if k in engine.REGISTRY]
     sf_dirs = SF_DIRS
     if opts.sfs:
         sf_dirs = [f"/root/testdata/sf{s}" for s in opts.sfs.split(",")]
