@@ -100,10 +100,11 @@ HEADLINE = [
     "sink_iceberg_compact",      # REPLACE-snapshot rewrite
     "src_iceberg_v3_dv",         # v3 Puffin deletion vectors
     "src_lake_uniform",          # dual-format (UniForm) read
-    # r14 — delete-aware incremental CDC between Iceberg snapshots and
-    # the Delta DV-emitting DELETE:
+    # r14 — delete-aware incremental CDC between Iceberg snapshots,
+    # the Delta DV-emitting DELETE, and Iceberg v3 variant columns:
     "src_iceberg_changelog",
     "sink_delta_delete_dv",
+    "src_iceberg_v3_variant",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

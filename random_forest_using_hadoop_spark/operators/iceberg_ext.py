@@ -3085,7 +3085,10 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, m3_manifests, _ = ocf_read(m3)
     (m3_data,) = [m["manifest_path"] for m in m3_manifests]
     recs = []
-    for mpath, content, added_by in ((m3_data, 0, _S3), (m4, 1, _S4)):
+    for mpath, content, added_by, mseq in (
+        (m3_data, 0, _S3, 3),  # carried manifest keeps its COMMIT seq
+        (m4, 1, _S4, 4),
+    ):
         _, entries, _ = ocf_read(mpath)
         recs.append(
             {
@@ -3093,7 +3096,7 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
                 "content": content,
-                "sequence_number": 4,
+                "sequence_number": mseq,
                 "min_sequence_number": 1,
                 "added_snapshot_id": added_by,
                 "added_files_count": sum(
@@ -3127,6 +3130,12 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
         tm = json.load(fh)
     tm["format-version"] = 3  # v3 commit; prior snapshots remain readable
+    # v3 REQUIRES next-row-id (spec §Table Metadata): on upgrade it
+    # initializes the row-lineage assignment counter — 0 here because
+    # no pre-upgrade file carries a first_row_id (readers treat their
+    # lineage as unavailable); the s4 delete assigns no new rows, so
+    # its first-row-id equals the counter and the counter stays put
+    tm["next-row-id"] = 0
     tm["snapshots"].append(
         {
             "snapshot-id": _S4,
@@ -3135,6 +3144,7 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifest-list": l4,
             "summary": {"operation": "delete"},
             "schema-id": 0,
+            "first-row-id": 0,
         }
     )
     tm["snapshot-log"].append({"timestamp-ms": _T4, "snapshot-id": _S4})
@@ -3575,8 +3585,17 @@ def q_src_iceberg_v3_default_values(
                 "deleted_rows_count": 0,
             }
         )
+    # one manifest list PER SNAPSHOT: s1's list holds only the s1
+    # manifest (a time-travel or ref read of s1 must not see s2's
+    # rows — the r13 advice finding), s2's holds both
+    l1 = os.path.join(meta_dir, f"snap-{_S1}-1-fixture.avro")
+    ocf_write(
+        l1, _MANIFEST_FILE_SCHEMA, recs[:1], metadata={"format-version": "3"}
+    )
     l2 = os.path.join(meta_dir, f"snap-{_S2}-1-fixture.avro")
     ocf_write(l2, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "3"})
+    rows_s1 = recs[0]["added_rows_count"]
+    rows_s2 = recs[1]["added_rows_count"]
     meta = {
         "format-version": 3,
         "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-v3de",
@@ -3584,6 +3603,9 @@ def q_src_iceberg_v3_default_values(
         "last-sequence-number": 2,
         "last-updated-ms": _T2,
         "last-column-id": 4,
+        # v3-required row-lineage counter: each append assigns ids for
+        # the rows it added, so the counter is the cumulative row count
+        "next-row-id": rows_s1 + rows_s2,
         "schemas": [
             {
                 "type": "struct",
@@ -3621,9 +3643,10 @@ def q_src_iceberg_v3_default_values(
                 "snapshot-id": _S1,
                 "sequence-number": 1,
                 "timestamp-ms": _T1,
-                "manifest-list": l2,
+                "manifest-list": l1,
                 "summary": {"operation": "append"},
                 "schema-id": 0,
+                "first-row-id": 0,
             },
             {
                 "snapshot-id": _S2,
@@ -3632,6 +3655,7 @@ def q_src_iceberg_v3_default_values(
                 "manifest-list": l2,
                 "summary": {"operation": "append"},
                 "schema-id": 1,
+                "first-row-id": rows_s1,
             },
         ],
         "snapshot-log": [

@@ -38,6 +38,7 @@ from random_forest_using_hadoop_spark.operators.iceberg_ext import (
     _ST_ADDED,
     _ST_DELETED,
     _ST_EXISTING,
+    _S1,
     _S2,
     _S3,
     _T3,
@@ -596,6 +597,217 @@ def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Iceberg v3 VARIANT columns ----------------------------------------------
+
+_V3VAR_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           / 1000000.0 AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("src_iceberg_v3_variant", oracle=_V3VAR_ORACLE)
+def q_src_iceberg_v3_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 VARIANT columns (table spec v3 §Primitive Types:
+    `variant` — semi-structured values with the same binary
+    value/metadata encoding Delta and Spark 4 share): the schema
+    declares field 3 as `variant`, data files carry Spark's native
+    shredded encoding, and a reader shreds typed paths back out with
+    `try_variant_get` inside whole-stage codegen — no JSON re-parsing
+    per row, the 100 TB reason the type exists. The Iceberg twin of
+    `src_delta_variant_type`, closing the one v3 reader feature the
+    v3 trio (DVs, row lineage, defaults) left uncovered.
+
+    Staged: an unpartitioned v3 table; s1 appends the even-event_id
+    file plus a DECOY duplicate, s2 rewrites s1's manifest (even file
+    EXISTING, decoy DELETED) and appends the odd file. A
+    directory-listing reader double-counts the decoy; a reader that
+    loses the variant metadata or coerces types fails the value hash
+    (fixed-point double sum + distinct users through the payload).
+
+    Scale: planning is the bounded manifest walk; the live files read
+    in ONE distributed scan (unpartitioned — no per-partition
+    branches); shredding is columnar, no UDF.
+    """
+    from random_forest_using_hadoop_spark.helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    enc = ev.select(
+        "event_id",
+        "event_type",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("user_id").alias("u"), F.col("value").alias("v")
+                )
+            )
+        ).alias("payload"),
+    )
+    root = _tmp(sf_dir, "iceberg_v3var")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    def _one_file(df: DataFrame, sub: str) -> str:
+        out = os.path.join(data_dir, sub)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        (f,) = [
+            os.path.join(out, x)
+            for x in os.listdir(out)
+            if x.endswith(".parquet")
+        ]
+        return f
+
+    evens = _one_file(enc.filter(F.col("event_id") % 2 == 0), "s1")
+    decoy = _one_file(enc.filter(F.col("event_id") % 2 == 0), "s1decoy")
+    odds = _one_file(enc.filter(F.col("event_id") % 2 == 1), "s2")
+    # record counts come from the WRITER (one count per slice) — the
+    # default footer probe uses pyarrow, which cannot open parquet
+    # carrying the VARIANT logical type
+    n_even = enc.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = enc.filter(F.col("event_id") % 2 == 1).count()
+
+    def _uentry(
+        status: int, sid: int, seq: int, path: str, n: int
+    ) -> dict:
+        ent = _entry(status, sid, seq, path, None, record_count=n)
+        ent["data_file"]["partition"] = {"o_orderpriority": None}
+        return ent
+
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-variant.avro",
+        [
+            _uentry(_ST_ADDED, _S1, 1, evens, n_even),
+            _uentry(_ST_ADDED, _S1, 1, decoy, n_even),
+        ],
+    )
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-variant.avro",
+        [
+            _uentry(_ST_EXISTING, _S1, 1, evens, n_even),
+            _uentry(_ST_DELETED, _S2, 1, decoy, n_even),
+            _uentry(_ST_ADDED, _S2, 2, odds, n_odd),
+        ],
+    )
+    l1 = os.path.join(meta_dir, f"snap-{_S1}-1-variant.avro")
+    ocf_write(
+        l1, _MANIFEST_FILE_SCHEMA, [_mlrec(m1, 0, 1, _S1)],
+        metadata={"format-version": "3"},
+    )
+    l2 = os.path.join(meta_dir, f"snap-{_S2}-1-variant.avro")
+    ocf_write(
+        l2, _MANIFEST_FILE_SCHEMA, [_mlrec(m2, 0, 2, _S2)],
+        metadata={"format-version": "3"},
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-v3va",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": _T3,
+        "last-column-id": 3,
+        "next-row-id": n_even + n_odd,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "event_id",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "event_type",
+                        "required": False,
+                        "type": "string",
+                    },
+                    {
+                        "id": 3,
+                        "name": "payload",
+                        "required": False,
+                        "type": "variant",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": _S2,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T3,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "first-row-id": 0,
+            },
+            {
+                "snapshot-id": _S2,
+                "sequence-number": 2,
+                "timestamp-ms": _T3 + 60_000,
+                "manifest-list": l2,
+                "summary": {"operation": "overwrite"},
+                "schema-id": 0,
+                "first-row-id": n_even,
+            },
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": _T3, "snapshot-id": _S1},
+            {"timestamp-ms": _T3 + 60_000, "snapshot-id": _S2},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # --- reader: v3 gate + schema-declared variant field + one scan
+    meta = _iceberg_table_meta(root)
+    if meta["format-version"] != 3:
+        raise ValueError("variant columns require format-version 3")
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    var_fields = [f for f in schema["fields"] if f["type"] == "variant"]
+    assert var_fields and var_fields[0]["name"] == "payload", (
+        "table schema must declare the variant column"
+    )
+    data_files, _ = _iceberg_files(_iceberg_snapshot(meta))
+    if not data_files:
+        return spark.createDataFrame(
+            [], "event_type string, n_rows long, sum_value double, "
+            "n_users long"
+        )
+    data = spark.read.parquet(*sorted(p for p, _, _, _ in data_files))
+    assert dict(data.dtypes)["payload"] == "variant"
+    return data.select(
+        "event_type",
+        F.try_variant_get("payload", "$.u", "long").alias("uid"),
+        F.try_variant_get("payload", "$.v", "double").alias("val"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("val").alias("sum_value"),
+        F.countDistinct("uid").cast("bigint").alias("n_users"),
+    )
 
 
 # --- Delta DELETE via deletion vector (write path) ---------------------------
