@@ -1675,3 +1675,38 @@ def test_changelog_carried_manifests_keep_original_sequence(spark):
                     f"carried manifest {os.path.basename(path)} re-stamped "
                     f"to seq {seq} in snapshot {snap['snapshot-id']}"
                 )
+
+
+def test_norm_file_uri_survives_plus_and_space(spark, tmp_path):
+    """The planner/scan path-join contract (r13 advice): a data file
+    whose directory carries a literal '+' AND a space must still
+    equi-join between input_file_name (URI-encoded) and the planner's
+    raw staged path. Plain url_decode is form-decoding and turns the
+    '+' into a space — _norm_file_uri must not."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _norm_file_uri,
+    )
+
+    hostile = tmp_path / "pri=a+b c" / "part-0.parquet"
+    os.makedirs(hostile.parent)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(
+        str(hostile.parent)
+    )
+    (real,) = [
+        str(hostile.parent / f)
+        for f in os.listdir(hostile.parent)
+        if f.endswith(".parquet")
+    ]
+    got = (
+        spark.read.parquet(real)
+        .select(_norm_file_uri(F.input_file_name()).alias("fp"))
+        .distinct()
+        .collect()
+    )
+    assert [r["fp"] for r in got] == [real], (
+        f"normalized scan path {got} != raw staged path {real}"
+    )
