@@ -101,10 +101,12 @@ HEADLINE = [
     "src_iceberg_v3_dv",         # v3 Puffin deletion vectors
     "src_lake_uniform",          # dual-format (UniForm) read
     # r14 — delete-aware incremental CDC between Iceberg snapshots,
-    # the Delta DV-emitting DELETE, and Iceberg v3 variant columns:
+    # the Delta DV-emitting DELETE, Iceberg v3 variant columns, and
+    # the eq-delete UPSERT (MERGE) writer:
     "src_iceberg_changelog",
     "sink_delta_delete_dv",
     "src_iceberg_v3_variant",
+    "sink_iceberg_upsert",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

@@ -599,6 +599,172 @@ def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Iceberg UPSERT writer (equality-delete MERGE) -----------------------------
+
+_UPSERT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 7.0
+                WHEN o_orderkey % 5 = 0 THEN o_totalprice + 5.0
+                ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+def _iceberg_upsert_commit(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    snap_id: int,
+    seq: int,
+    ts: int,
+    version: int,
+) -> None:
+    """Commit one UPSERT batch the way a CDC writer lands it (spec
+    §Equality Delete Files): the batch's rows become seq-N data files,
+    its KEYS become one seq-N global equality-delete file, and the new
+    manifest list carries every prior manifest UNCHANGED (commits are
+    O(batch), never O(table) — nothing existing is read or rewritten).
+    The strict `data_seq < delete_seq` rule at read time makes the
+    same-commit inserts survive their own delete."""
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    batch.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, f"s{seq}"))
+    ins = [
+        _entry(_ST_ADDED, snap_id, seq, p, v)
+        for p, v in _pfiles(data_dir, f"s{seq}")
+    ]
+    eq_path = os.path.join(meta_dir, f"eqdel-s{seq}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = [r["o_orderkey"] for r in batch.select("o_orderkey").collect()]
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(sorted(keys), pa.int64())}), eq_path
+    )
+    mi = _write_manifest(meta_dir, f"m{seq}-upsert-data.avro", ins)
+    md = _write_manifest(
+        meta_dir,
+        f"m{seq}-upsert-del.avro",
+        [_entry(_ST_ADDED, snap_id, seq, eq_path, None,
+                equality_ids=[1], content=2)],
+    )
+    meta = _iceberg_table_meta(root)
+    prev = _iceberg_snapshot(meta)
+    _, carried, _ = ocf_read(prev["manifest-list"])
+    recs = [
+        _mlrec(
+            m["manifest_path"], m["content"], m["sequence_number"],
+            m["added_snapshot_id"],
+        )
+        for m in carried
+    ]
+    recs.append(_mlrec(mi, 0, seq, snap_id))
+    recs.append(_mlrec(md, 1, seq, snap_id))
+    ml = os.path.join(meta_dir, f"snap-{snap_id}-1-upsert.avro")
+    ocf_write(ml, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "2"})
+    _append_snapshot(meta_dir, version, snap_id, seq, ts, ml, "overwrite")
+
+
+@register("sink_iceberg_upsert", oracle=_UPSERT_ORACLE)
+def q_sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg UPSERT (MERGE) WRITER — the write-side twin of
+    `src_iceberg_eq_delete`: each batch commits its rows as new data
+    files plus ONE equality-delete file over its keys, touching nothing
+    that exists (the Flink-CDC pattern that keeps a 100 TB table's
+    merge cost O(batch)). TWO batches land so the layering rule is
+    graded: batch 2's delete (seq 5) must kill batch 1's seq-4 rows for
+    overlapping keys (% 15 == 0) while batch 2's own inserts survive
+    the strict `<`, and untouched base rows pass through.
+
+    Staged: the shared three-snapshot base (live = non-urgent rows),
+    then s4 = upsert of % 5 == 0 keys at price + 5, s5 = upsert of
+    % 3 == 0 keys at price + 7.
+
+    Read-back applies ALL eq-delete files in one unioned key scan and
+    ONE anti-join on `(key, data_seq < dseq)` — plan depth independent
+    of how many upsert batches have landed (gated in
+    tests/test_plans.py::test_iceberg_upsert_single_anti_join);
+    broadcast is stats-gated on manifest record counts.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_upsert")
+    _iceberg_stage(spark, o, root)
+    live_src = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    _S4, _S5 = _S3 + 1, _S3 + 2
+    _iceberg_upsert_commit(
+        spark,
+        root,
+        live_src.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+        ),
+        _S4, 4, _T3 + 60_000, 4,
+    )
+    _iceberg_upsert_commit(
+        spark,
+        root,
+        live_src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+        ),
+        _S5, 5, _T3 + 120_000, 5,
+    )
+
+    # --- read back through the strict-sequence eq-delete contract
+    meta = _iceberg_table_meta(root)
+    data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
+    by_val: dict[str, list[str]] = {}
+    for p, v, _, _ in data_files:
+        by_val.setdefault(v, []).append(p)
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    df = scans[0]
+    for s in scans[1:]:
+        df = df.unionByName(s)
+    eq = [d for d in delete_files if d["content"] == 2]
+    if eq:
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, _, _, s in data_files],
+            "bpath string, data_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["bpath"])
+        dmap = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in eq], "dpath string, dseq long"
+        )
+        keys = (
+            spark.read.parquet(*sorted(d["path"] for d in eq))
+            .withColumn("dpath", _norm_file_uri(F.input_file_name()))
+            .join(F.broadcast(dmap), "dpath")
+            .select(F.col("o_orderkey").alias("_delkey"), "dseq")
+        )
+        df = df.join(
+            _maybe_broadcast_deletes(keys, sum(d["n"] for d in eq)),
+            (df["o_orderkey"] == keys["_delkey"])
+            & (df["data_seq"] < keys["dseq"]),
+            "left_anti",
+        )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
 # --- Iceberg v3 VARIANT columns ----------------------------------------------
 
 _V3VAR_ORACLE = """
