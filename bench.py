@@ -107,6 +107,7 @@ HEADLINE = [
     "sink_delta_delete_dv",
     "src_iceberg_v3_variant",
     "sink_iceberg_upsert",
+    "sink_delta_merge_cdf",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

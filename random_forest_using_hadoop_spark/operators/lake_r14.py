@@ -249,7 +249,7 @@ def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
             (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 7 != 0)
         )
         .collect()
-    )
+    ) if pval_by_path else []  # adversarial corpus: nothing live at s4
     by_part: dict[str, list[tuple[str, int]]] = {}
     for r in hits:
         by_part.setdefault(pval_by_path[r["fp"]], []).append(
@@ -599,6 +599,284 @@ def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Delta MERGE writer with Change Data Feed ----------------------------------
+
+# matched-key window: a fixed literal so the oracle states the same
+# predicate; at real scale only the base files whose stats interval
+# overlaps [0, bound] rewrite — the rest stay byte-identical
+_MERGE_KEY_BOUND = 1000
+
+_MERGE_CDF_ORACLE = f"""
+WITH ev AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 2 = 0
+),
+ins AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 10 = 1
+),
+upd AS (SELECT k, p FROM ev WHERE k % 10 = 6 AND k <= {_MERGE_KEY_BOUND}),
+del AS (SELECT k, p FROM ev WHERE k % 10 = 2 AND k <= {_MERGE_KEY_BOUND}),
+fin AS (
+  SELECT CASE WHEN k % 10 = 6 AND k <= {_MERGE_KEY_BOUND} THEN p + 2.0
+              ELSE p END AS p
+  FROM ev WHERE NOT (k % 10 = 2 AND k <= {_MERGE_KEY_BOUND})
+  UNION ALL
+  SELECT p FROM ins
+)
+SELECT section, change_type, n_rows, total_cents FROM (
+  SELECT 'feed' AS section, 'insert' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS total_cents
+  FROM ins
+  UNION ALL
+  SELECT 'feed', 'update_preimage', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT)
+  FROM upd
+  UNION ALL
+  SELECT 'feed', 'update_postimage', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CAST(floor((p + 2.0) * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT)
+  FROM upd
+  UNION ALL
+  SELECT 'feed', 'delete', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT)
+  FROM del
+  UNION ALL
+  SELECT 'final', 'row', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT)
+  FROM fin
+) t
+"""
+
+
+@register("sink_delta_merge_cdf", oracle=_MERGE_CDF_ORACLE)
+def q_sink_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE WRITER with CHANGE DATA FEED output (delta-io
+    PROTOCOL.md §Add CDC File): one MERGE batch carrying updates
+    (key % 10 == 6, price + 2), deletes (% 10 == 2) and inserts (the
+    odd % 10 == 1 keys), matched keys bounded to ≤ 1000 so the rewrite
+    is FILE-PRUNED — the writer joins the matched-key bounds against
+    each base file's add.stats interval and rewrites ONLY overlapping
+    files; everything else stays byte-identical (gated in
+    tests/test_plans.py::test_merge_cdf_rewrites_only_overlapping_files).
+    The commit lands cdc files (pre/postimage, delete AND insert rows —
+    a MERGE's feed carries all four), adds (rewritten slice + insert
+    file) and removes (the rewritten originals).
+
+    The MERGE itself is a genuine JOIN — candidate scan left-joined to
+    the source on key (broadcast stats-gated via the shared
+    cardinality cap), delete-matched rows dropped, update-matched
+    prices replaced — not a literal predicate; a 100 TB merge shuffles
+    source and candidates on the key past the cap.
+
+    Graded read-back derives version 1's feed FROM THE CDC FILES ALONE
+    (the spec rule — deriving from the rewritten add double-counts
+    every untouched row in the rewritten file) plus the final snapshot
+    through live-file replay; five spine rows (insert/pre/post/delete/
+    final) so empty slices on adversarial corpora still grade.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_merge_cdf")
+    data_dir = os.path.join(root, "data")
+    cdc_dir = os.path.join(root, "_change_data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ev = o.filter(F.col("o_orderkey") % 2 == 0)
+
+    # v0: base as FOUR range-clustered files, each add carrying its
+    # true min/max key stats (the zone map the rewrite prunes on)
+    ev.repartitionByRange(4, "o_orderkey").write.mode("overwrite").parquet(
+        data_dir
+    )
+    file_stats = (
+        spark.read.parquet(data_dir)
+        .groupBy(_norm_file_uri(F.input_file_name()).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("num"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()  # ≤4 rows: commit-payload metadata
+    )
+    lines = [
+        json.dumps(
+            {
+                "add": {
+                    "path": os.path.relpath(r["fp"], root),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": r["num"],
+                            "minValues": {"o_orderkey": r["lo"]},
+                            "maxValues": {"o_orderkey": r["hi"]},
+                        }
+                    ),
+                }
+            }
+        )
+        for r in sorted(file_stats, key=lambda r: r["fp"])
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # --- the MERGE source: (key, op, new_price)
+    bound = _MERGE_KEY_BOUND
+    src = (
+        ev.filter(
+            (F.col("o_orderkey") % 10 == 6) & (F.col("o_orderkey") <= bound)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("update").alias("op"),
+            (F.col("o_totalprice") + F.lit(2.0)).alias("new_price"),
+        )
+        .unionByName(
+            ev.filter(
+                (F.col("o_orderkey") % 10 == 2)
+                & (F.col("o_orderkey") <= bound)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 1)
+
+    # file pruning: matched-key bounds vs each add's stats interval —
+    # driver-side over ≤4 metadata rows, the planner working set
+    mm = src.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    touched, untouched = [], []
+    for r in file_stats:
+        rel = os.path.relpath(r["fp"], root)
+        if (
+            mm["lo"] is not None
+            and not (r["hi"] < mm["lo"] or r["lo"] > mm["hi"])
+        ):
+            touched.append(rel)
+        else:
+            untouched.append(rel)
+
+    def _write_slice(df: DataFrame, out_dir: str, tag: str) -> list[str]:
+        sub = os.path.join(out_dir, tag)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        rel = os.path.relpath(sub, root)
+        return [
+            f"{rel}/{f}"
+            for f in sorted(os.listdir(sub))
+            if f.endswith(".parquet")
+        ]
+
+    new_files, cdc_files = [], []
+    n_src = src.count()  # bounded: the batch IS the commit's input
+    if touched:
+        cand = spark.read.parquet(
+            *[os.path.join(root, p) for p in sorted(touched)]
+        )
+        joined = cand.join(
+            _maybe_broadcast_deletes(src, n_src),
+            cand["o_orderkey"] == src["k"],
+            "left",
+        )
+        rewritten = joined.filter(
+            F.col("op").isNull() | (F.col("op") == "update")
+        ).select(
+            "o_orderkey",
+            F.when(F.col("op") == "update", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        new_files += _write_slice(rewritten, data_dir, "v1")
+        pre = joined.filter(F.col("op") == "update").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = joined.filter(F.col("op") == "update").select(
+            "o_orderkey",
+            F.col("new_price").alias("o_totalprice"),
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        dels = joined.filter(F.col("op") == "delete").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("delete").alias("_change_type"),
+        )
+        cdc_files += _write_slice(
+            pre.unionByName(post).unionByName(dels), cdc_dir, "v1"
+        )
+    ins_cdc = inserts.select(
+        "o_orderkey", "o_totalprice", F.lit("insert").alias("_change_type")
+    )
+    cdc_files += _write_slice(ins_cdc, cdc_dir, "v1ins")
+    new_files += _write_slice(inserts, data_dir, "v1ins")
+    lines = (
+        [json.dumps({"cdc": {"path": p, "dataChange": False}})
+         for p in cdc_files]
+        + [json.dumps({"add": {"path": p, "dataChange": True}})
+           for p in new_files]
+        + [json.dumps({"remove": {"path": p, "dataChange": True}})
+           for p in sorted(touched)]
+    )
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # --- read back: v1 feed FROM cdc files alone + final snapshot
+    feed = (
+        spark.read.parquet(*[os.path.join(root, p) for p in cdc_files])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("cents"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("insert",), ("update_preimage",), ("update_postimage",),
+         ("delete",)],
+        "_change_type string",
+    )
+    feed_rows = spine.join(feed, "_change_type", "left").select(
+        F.lit("feed").alias("section"),
+        F.col("_change_type").alias("change_type"),
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n_rows"),
+        F.coalesce("cents", F.lit(0).cast("bigint")).alias("total_cents"),
+    )
+    live = _dv_snapshot(log_dir)  # adds-minus-removes replay (no DVs here)
+    final = spark.read.parquet(
+        *sorted(os.path.join(root, p) for p in live)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("total_cents"),
+    ).select(
+        F.lit("final").alias("section"),
+        F.lit("row").alias("change_type"),
+        "n_rows",
+        "total_cents",
+    )
+    return feed_rows.unionByName(final)
+
+
 # --- Iceberg UPSERT writer (equality-delete MERGE) -----------------------------
 
 _UPSERT_ORACLE = """
@@ -720,6 +998,10 @@ def q_sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- read back through the strict-sequence eq-delete contract
     meta = _iceberg_table_meta(root)
     data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
+    if not data_files:  # adversarial corpus: all-urgent base, empty batches
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
     by_val: dict[str, list[str]] = {}
     for p, v, _, _ in data_files:
         by_val.setdefault(v, []).append(p)

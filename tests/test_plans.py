@@ -1762,3 +1762,48 @@ def test_iceberg_upsert_commit_is_o_batch(spark):
     carried = [m for m in manifests if "m3-fixture" in m["manifest_path"]]
     assert carried and carried[0]["sequence_number"] == 3
     assert _digests() == base_digests
+
+
+def test_merge_cdf_rewrites_only_overlapping_files(spark):
+    """sink_delta_merge_cdf's pruning contract: the MERGE removes (and
+    rewrites) EXACTLY the base files whose add.stats key interval
+    overlaps the matched-key bounds — on the range-clustered sf0.01
+    layout at least one base file must survive untouched, and no
+    non-overlapping file may appear in the remove set."""
+    import json as _json
+    import os
+
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _MERGE_KEY_BOUND,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["sink_delta_merge_cdf"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "delta_merge_cdf")
+    log_dir = os.path.join(root, "_delta_log")
+    stats_by_path, removed = {}, set()
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        for line in fh:
+            add = _json.loads(line).get("add")
+            if add:
+                s = _json.loads(add["stats"])
+                stats_by_path[add["path"]] = (
+                    s["minValues"]["o_orderkey"],
+                    s["maxValues"]["o_orderkey"],
+                )
+    with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
+        for line in fh:
+            rm = _json.loads(line).get("remove")
+            if rm:
+                removed.add(rm["path"])
+    overlapping = {
+        p for p, (lo, hi) in stats_by_path.items() if lo <= _MERGE_KEY_BOUND
+    }
+    assert removed == overlapping, (
+        f"rewrite set {sorted(removed)} != stats-overlap set "
+        f"{sorted(overlapping)}"
+    )
+    untouched = set(stats_by_path) - removed
+    assert untouched, "bound pruned nothing on the range-clustered layout"
+    for p in untouched:
+        assert os.path.exists(os.path.join(root, p))
