@@ -108,6 +108,7 @@ HEADLINE = [
     "src_iceberg_v3_variant",
     "sink_iceberg_upsert",
     "sink_delta_merge_cdf",
+    "stream_delta_cdf",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

@@ -588,48 +588,14 @@ GROUP BY version, change_type
 """
 
 
-@register("src_delta_cdf", oracle=_CDF_ORACLE)
-def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHANGE DATA FEED read (delta-io PROTOCOL.md §Add CDC File): a
-    commit that rewrites data files also writes row-level change files
-    under `_change_data/`, referenced by `cdc` actions, each row tagged
-    `_change_type` ∈ {insert, update_preimage, update_postimage,
-    delete}. A downstream consumer reads the FEED — O(changed rows) —
-    instead of diffing snapshots — O(table) — which is the only viable
-    shape when a 100 TB table changes a few million rows per commit.
-    This closes the CDC residual stream_delta_commits documents
-    ("real row-level deletes need the protocol's Change Data Feed").
-
-    Staged history over the even-orderkey slice: v0 = pure INSERT (no
-    cdc action — per spec the feed for an add-only commit IS its added
-    rows), v1 = UPDATE adding 1.00 to every o_orderkey % 10 == 0 price
-    (file rewritten; cdc file carries the preimage AND postimage rows),
-    v2 = DELETE of o_orderkey % 20 == 0 (file rewritten; cdc file
-    carries the deleted rows at their post-update prices), v3 =
-    FULL-TABLE DELETE as a cdc-LESS remove-only commit (a whole-file
-    delete writes no cdc files — the removed files themselves ARE the
-    delete feed). The spec rules the oracle enforces: when a commit
-    carries ANY cdc action the reader must take the feed FROM the cdc
-    files alone — deriving it from the rewritten add/remove files
-    double-counts every untouched row in the rewritten file; when a
-    commit carries NO cdc action, rows in dataChange adds are inserts
-    AND rows in dataChange removes are deletes — a reader that derives
-    only the insert half silently loses every full-file delete.
-
-    Reader plan: the log is bounded driver metadata (one collect);
-    cdc files and insert-derived add files are then read in ONE
-    distributed scan each, rows tagged to versions via input_file_name
-    against a broadcast (file → version) map, one grouped agg — jobs
-    per refresh are constant, not ∝ versions, the same shape as
-    _cdc_version_stats. Price arithmetic note: the post-update cents
-    use the IEEE sequence floor((p + 1.0)*100 + 0.5) on BOTH engines —
-    (p+1.0)*100 and p*100+100 can floor differently, so the oracle
-    states the exact staged expression.
-    """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    root = _tmp(sf_dir, "delta_cdf")
+def _stage_cdf_history(spark: SparkSession, o: DataFrame, root: str) -> None:
+    """Stage the shared four-commit CDF history under `root` (wiped
+    first) over the even-orderkey slice: v0 INSERT (no cdc action),
+    v1 UPDATE (+1.00 on % 10 == 0; rewrite + pre/postimage cdc file),
+    v2 DELETE (% 20 == 0; rewrite + delete-row cdc file), v3
+    FULL-TABLE DELETE (remove-only, cdc-less — the removed files ARE
+    the feed). Shared by src_delta_cdf (batch) and stream_delta_cdf
+    (availableNow streaming) so protocol fixes land in one place."""
     data_dir = os.path.join(root, "data")
     cdc_dir = os.path.join(root, "_change_data")
     log_dir = os.path.join(root, "_delta_log")
@@ -650,12 +616,12 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # v0: INSERT evens (no cdc action — feed derives from the add)
     v0_files = _write_slice(ev, data_dir, "v0")
-    _delta_commit_lines = [
+    lines = [
         json.dumps({"add": {"path": p, "dataChange": True}})
         for p in v0_files
     ]
     with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
-        fh.write("\n".join(_delta_commit_lines) + "\n")
+        fh.write("\n".join(lines) + "\n")
 
     # v1: UPDATE — +1.00 on %10 keys; rewrite file + cdc pre/postimage
     updated = ev.withColumn(
@@ -703,6 +669,52 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+@register("src_delta_cdf", oracle=_CDF_ORACLE)
+def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read (delta-io PROTOCOL.md §Add CDC File): a
+    commit that rewrites data files also writes row-level change files
+    under `_change_data/`, referenced by `cdc` actions, each row tagged
+    `_change_type` ∈ {insert, update_preimage, update_postimage,
+    delete}. A downstream consumer reads the FEED — O(changed rows) —
+    instead of diffing snapshots — O(table) — which is the only viable
+    shape when a 100 TB table changes a few million rows per commit.
+    This closes the CDC residual stream_delta_commits documents
+    ("real row-level deletes need the protocol's Change Data Feed").
+
+    Staged history over the even-orderkey slice: v0 = pure INSERT (no
+    cdc action — per spec the feed for an add-only commit IS its added
+    rows), v1 = UPDATE adding 1.00 to every o_orderkey % 10 == 0 price
+    (file rewritten; cdc file carries the preimage AND postimage rows),
+    v2 = DELETE of o_orderkey % 20 == 0 (file rewritten; cdc file
+    carries the deleted rows at their post-update prices), v3 =
+    FULL-TABLE DELETE as a cdc-LESS remove-only commit (a whole-file
+    delete writes no cdc files — the removed files themselves ARE the
+    delete feed). The spec rules the oracle enforces: when a commit
+    carries ANY cdc action the reader must take the feed FROM the cdc
+    files alone — deriving it from the rewritten add/remove files
+    double-counts every untouched row in the rewritten file; when a
+    commit carries NO cdc action, rows in dataChange adds are inserts
+    AND rows in dataChange removes are deletes — a reader that derives
+    only the insert half silently loses every full-file delete.
+
+    Reader plan: the log is bounded driver metadata (one collect);
+    cdc files and insert-derived add files are then read in ONE
+    distributed scan each, rows tagged to versions via input_file_name
+    against a broadcast (file → version) map, one grouped agg — jobs
+    per refresh are constant, not ∝ versions, the same shape as
+    _cdc_version_stats. Price arithmetic note: the post-update cents
+    use the IEEE sequence floor((p + 1.0)*100 + 0.5) on BOTH engines —
+    (p+1.0)*100 and p*100+100 can floor differently, so the oracle
+    states the exact staged expression.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_cdf")
+    log_dir = os.path.join(root, "_delta_log")
+    _stage_cdf_history(spark, o, root)
 
     # --- reader ---------------------------------------------------------
     act_schema = T.StructType(

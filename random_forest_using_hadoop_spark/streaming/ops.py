@@ -901,3 +901,189 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows long, total_cents long"
     )
+
+
+# --- streaming Change Data Feed consumption -----------------------------------
+
+# same oracle as the batch sibling src_delta_cdf — the streaming
+# consumer must converge to the identical feed
+from random_forest_using_hadoop_spark.operators.delta_ext import (  # noqa: E402
+    _CDF_ORACLE as _STREAM_CDF_ORACLE,
+)
+
+
+@register("stream_delta_cdf", oracle=_STREAM_CDF_ORACLE)
+def q_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED consumption (delta-io PROTOCOL.md
+    §Add CDC File; the streaming sibling of `src_delta_cdf`, and the
+    row-level upgrade of `stream_delta_commits` whose docstring names
+    CDF as its residual): `readStream` tails `_delta_log/`
+    (availableNow) and each micro-batch classifies its versions by the
+    spec rule — a version WITH cdc actions feeds from the cdc files
+    ALONE (deriving from the rewritten adds double-counts untouched
+    rows); a cdc-less version's dataChange adds are inserts and its
+    dataChange removes are deletes (a full-file DELETE writes no cdc
+    files). This is how a downstream materialized view follows a
+    100 TB table at O(changed rows) with streaming semantics.
+
+    Scale: the streamed frame is the action tail (driver-class
+    metadata); each micro-batch issues a CONSTANT number of jobs — one
+    scan over ALL its cdc files, one over insert-derived adds, one
+    over delete-derived removes, each tagged to versions via
+    input_file_name against a broadcast action map (the
+    _cdc_version_stats pattern), never one job per version. The sink
+    is at-least-once-safe: batch ids already merged are skipped, and
+    the contribution is computed fully before touching the
+    accumulator.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _stage_cdf_history,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_stream_cdf")
+    log_dir = os.path.join(root, "_delta_log")
+    _stage_cdf_history(spark, o, root)
+
+    log_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "remove",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("dataChange", T.BooleanType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "cdc", T.StructType([T.StructField("path", T.StringType())])
+            ),
+        ]
+    )
+    # (version, change_type) → [rows, cents]
+    acc: dict[tuple[int, str], list[int]] = {}
+    done_batches: set[int] = set()
+
+    def _feed_stats(paths_with_version, tag_col: bool) -> list:
+        """ONE distributed scan over the given (path, version) set; rows
+        tagged to versions via a broadcast file map. `tag_col` reads
+        the staged _change_type column (cdc files); otherwise the
+        caller supplies the type."""
+        fmap = spark.createDataFrame(
+            [(os.path.basename(p), v) for p, v in paths_with_version],
+            "fname string, version int",
+        )
+        cols = ["version", "_change_type"] if tag_col else ["version"]
+        return (
+            spark.read.parquet(
+                *sorted({os.path.join(root, p) for p, _ in paths_with_version})
+            )
+            .withColumn(
+                "fname",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(fmap), "fname")
+            .groupBy(*cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("cents"),
+            )
+            .collect()  # bounded: one row per (version, type) in batch
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in done_batches:
+            return
+        acts = (
+            batch_df.withColumn(
+                "version",
+                F.regexp_extract(
+                    F.input_file_name(), r"(\d+)\.json", 1
+                ).cast("int"),
+            )
+            .select("version", "add", "remove", "cdc")
+            .collect()  # bounded: action metadata ∝ files per batch
+        )
+        cdc_vs = {
+            r["version"]
+            for r in acts
+            if r["cdc"] is not None and r["cdc"]["path"] is not None
+        }
+        cdc_paths = [
+            (r["cdc"]["path"], r["version"])
+            for r in acts
+            if r["cdc"] is not None and r["cdc"]["path"] is not None
+        ]
+        ins_paths = [
+            (r["add"]["path"], r["version"])
+            for r in acts
+            if r["add"] is not None
+            and r["add"]["path"] is not None
+            and r["add"]["dataChange"]
+            and r["version"] not in cdc_vs
+        ]
+        del_paths = [
+            (r["remove"]["path"], r["version"])
+            for r in acts
+            if r["remove"] is not None
+            and r["remove"]["path"] is not None
+            and r["remove"]["dataChange"]
+            and r["version"] not in cdc_vs
+        ]
+        local: dict[tuple[int, str], list[int]] = {}
+        if cdc_paths:
+            for r in _feed_stats(cdc_paths, tag_col=True):
+                local[(r["version"], r["_change_type"])] = [
+                    r["n"], r["cents"]
+                ]
+        if ins_paths:
+            for r in _feed_stats(ins_paths, tag_col=False):
+                local[(r["version"], "insert")] = [r["n"], r["cents"]]
+        if del_paths:
+            for r in _feed_stats(del_paths, tag_col=False):
+                local[(r["version"], "delete")] = [r["n"], r["cents"]]
+        for k, (n, c) in local.items():  # atomic merge, then mark done
+            got = acc.setdefault(k, [0, 0])
+            got[0] += n
+            got[1] += c
+        done_batches.add(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="delta_stream_cdf_ckpt_")
+    query = (
+        spark.readStream.schema(log_schema)
+        .json(log_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [
+        (v, t, n, c) for (v, t), (n, c) in sorted(acc.items()) if n
+    ]
+    return spark.createDataFrame(
+        rows, "version int, change_type string, n_rows long, total_cents long"
+    )
