@@ -109,6 +109,7 @@ HEADLINE = [
     "sink_iceberg_upsert",
     "sink_delta_merge_cdf",
     "stream_delta_cdf",
+    "sink_iceberg_rewrite_deletes",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

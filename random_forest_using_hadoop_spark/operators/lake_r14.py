@@ -1047,6 +1047,165 @@ def q_sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Iceberg delete-file maintenance (rewrite_position_delete_files) -----------
+
+_REWRITE_DEL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 7.0
+                WHEN o_orderkey % 5 = 0 THEN o_totalprice + 5.0
+                ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_rewrite_deletes", oracle=_REWRITE_DEL_ORACLE)
+def q_sink_iceberg_rewrite_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg DELETE-FILE MAINTENANCE (the `rewrite_position_delete_
+    files` / delete-compaction action): a CDC-heavy table accumulates
+    equality/position delete files that every subsequent read must
+    re-apply — the maintenance commit MATERIALIZES them, rewriting the
+    affected data files with deletes applied and committing a REPLACE
+    snapshot whose manifest list carries NO delete manifests, so reads
+    return to pure scans. Completes the maintenance quartet
+    (compact / expire_snapshots / rollback / rewrite_deletes).
+
+    Staged: the sink_iceberg_upsert history (base + two eq-delete
+    upsert batches), then the maintenance commit: read live state WITH
+    deletes applied (one distributed scan + ONE anti-join — the normal
+    read path), rewrite one file per partition at seq 6, list = the
+    single rewrite manifest (data entries ADDED at s6, every prior
+    data file DELETED for incremental consumers, delete files dropped).
+
+    Graded: the post-maintenance read must equal the pre-maintenance
+    upsert semantics exactly (same oracle as sink_iceberg_upsert); the
+    plan gate asserts the final manifest list carries zero delete
+    manifests and the post-maintenance scan plans NO anti-join
+    (tests/test_plans.py::test_rewrite_deletes_leaves_pure_scans).
+
+    Scale: the rewrite is O(live data) — the cost a maintenance window
+    pays ONCE so every later read stops paying the anti-join; at
+    100 TB this runs per-partition (the staging writes per-partition
+    files exactly so).
+    """
+    # stage via the upsert key's own staging (it restages its root from
+    # scratch at call time; the returned read-back plan is not needed)
+    q_sink_iceberg_upsert(spark, sf_dir)
+    root = _tmp(sf_dir, "iceberg_upsert")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+
+    meta = _iceberg_table_meta(root)
+    cur = _iceberg_snapshot(meta)
+    data_files, delete_files = _iceberg_files(cur)
+    _S6 = _S3 + 3
+    if data_files:
+        # live state WITH deletes applied — the normal read path
+        by_val: dict[str, list[str]] = {}
+        for p, v, _, _ in data_files:
+            by_val.setdefault(v, []).append(p)
+        scans = [
+            spark.read.parquet(*sorted(paths)).select(
+                "o_orderkey",
+                "o_totalprice",
+                F.lit(v).alias("o_orderpriority"),
+                _norm_file_uri(F.input_file_name()).alias("_fp"),
+            )
+            for v, paths in sorted(by_val.items())
+        ]
+        df = scans[0]
+        for s in scans[1:]:
+            df = df.unionByName(s)
+        eq = [d for d in delete_files if d["content"] == 2]
+        if eq:
+            seq_map = spark.createDataFrame(
+                [(p, s) for p, _, _, s in data_files],
+                "bpath string, data_seq long",
+            )
+            df = df.join(
+                F.broadcast(seq_map), df["_fp"] == seq_map["bpath"]
+            )
+            dmap = spark.createDataFrame(
+                [(d["path"], d["seq"]) for d in eq],
+                "dpath string, dseq long",
+            )
+            keys = (
+                spark.read.parquet(*sorted(d["path"] for d in eq))
+                .withColumn("dpath", _norm_file_uri(F.input_file_name()))
+                .join(F.broadcast(dmap), "dpath")
+                .select(F.col("o_orderkey").alias("_delkey"), "dseq")
+            )
+            df = df.join(
+                _maybe_broadcast_deletes(keys, sum(d["n"] for d in eq)),
+                (df["o_orderkey"] == keys["_delkey"])
+                & (df["data_seq"] < keys["dseq"]),
+                "left_anti",
+            )
+        # rewrite: one file per partition at seq 6, deletes materialized
+        df.select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).coalesce(1).write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(os.path.join(data_dir, "s6"))
+        entries = [
+            _entry(_ST_ADDED, _S6, 6, p, v)
+            for p, v in _pfiles(data_dir, "s6")
+        ]
+        # prior data files leave as DELETED (visible one snapshot for
+        # incremental consumers, per spec); delete files are DROPPED —
+        # materialized, they must not survive into the new list
+        entries += [
+            _entry(_ST_DELETED, _S6, s, p, v)
+            for p, v, _, s in sorted(data_files)
+        ]
+        m6 = _write_manifest(meta_dir, "m6-rewrite-deletes.avro", entries)
+        l6 = os.path.join(meta_dir, f"snap-{_S6}-1-rewrite.avro")
+        ocf_write(
+            l6,
+            _MANIFEST_FILE_SCHEMA,
+            [_mlrec(m6, 0, 6, _S6)],
+            metadata={"format-version": "2"},
+        )
+        _append_snapshot(
+            meta_dir, 6, _S6, 6, _T3 + 180_000, l6, "replace"
+        )
+
+    # --- post-maintenance read: pure scan, no delete application
+    meta = _iceberg_table_meta(root)
+    data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
+    assert not delete_files, "maintenance left delete files behind"
+    if not data_files:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    by_val2: dict[str, list[str]] = {}
+    for p, v, _, _ in data_files:
+        by_val2.setdefault(v, []).append(p)
+    scans2 = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+        )
+        for v, paths in sorted(by_val2.items())
+    ]
+    out = scans2[0]
+    for s in scans2[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
 # --- Iceberg v3 VARIANT columns ----------------------------------------------
 
 _V3VAR_ORACLE = """

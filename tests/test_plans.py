@@ -1807,3 +1807,35 @@ def test_merge_cdf_rewrites_only_overlapping_files(spark):
     assert untouched, "bound pruned nothing on the range-clustered layout"
     for p in untouched:
         assert os.path.exists(os.path.join(root, p))
+
+
+def test_rewrite_deletes_leaves_pure_scans(spark):
+    """sink_iceberg_rewrite_deletes' contract: after the maintenance
+    REPLACE commit, the manifest list carries ZERO delete manifests and
+    the post-maintenance read plans NO anti-join — reads stop paying
+    the delete-application cost the maintenance window bought out."""
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    df = engine.REGISTRY["sink_iceberg_rewrite_deletes"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" not in plan, plan
+    root = _tmp(SF_DIR, "iceberg_upsert")
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    assert snap["summary"]["operation"] == "replace"
+    _, manifests, _ = ocf_read(snap["manifest-list"])
+    assert all(m["content"] == 0 for m in manifests), (
+        "delete manifests survived the rewrite"
+    )
+    # history intact: the pre-maintenance snapshot is still readable
+    # and still carries its delete manifests
+    prev = meta["snapshot-log"][-2]["snapshot-id"]
+    _, prev_manifests, _ = ocf_read(
+        _iceberg_snapshot(meta, snapshot_id=prev)["manifest-list"]
+    )
+    assert any(m["content"] == 1 for m in prev_manifests)
