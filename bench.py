@@ -110,6 +110,8 @@ HEADLINE = [
     "sink_delta_merge_cdf",
     "stream_delta_cdf",
     "sink_iceberg_rewrite_deletes",
+    "sink_delta_restore",
+    "sink_iceberg_publish_wap",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

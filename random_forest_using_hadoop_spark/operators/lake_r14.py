@@ -1417,6 +1417,247 @@ def q_src_iceberg_v3_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Delta RESTORE (version rollback as a forward commit) ----------------------
+
+_RESTORE_ORACLE = """
+SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderkey % 2
+"""
+
+
+@register("sink_delta_restore", oracle=_RESTORE_ORACLE)
+def q_sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE — roll the table back to an earlier version as a
+    FORWARD commit (the protocol has no pointer to flip, unlike
+    Iceberg's `sink_iceberg_rollback`): version N+1 re-adds every file
+    live at the target version but not now, and removes every file
+    live now but not then. No data file is written or rewritten —
+    RESTORE is O(files diffed), the metadata cost that makes "undo the
+    bad compaction" instant at 100 TB, and history stays intact (the
+    rolled-back version is still time-travel-readable).
+
+    Staged: the shared three-commit history (v0 evens in 2 files, v1
+    odds, v2 compaction of v0 — dataChange false), then RESTORE to
+    v1: the diff re-adds v0's two files and removes v2's compacted
+    file. The restore actions carry dataChange TRUE even though the
+    content happens to be identical here — downstream consumers cannot
+    assume they ever saw the re-added files, so the protocol treats a
+    restore as a data change (delta-spark stamps it the same way).
+
+    Graded: the post-restore snapshot must equal v1's content exactly
+    — the full even+odd slice (all orders rows). A restore that diffs
+    against v0, forgets the removes, or re-adds the compacted file
+    double-counts and fails the hash.
+    tests/test_delta_protocol.py::test_restore_is_metadata_only_and_reversible
+    pins the byte-identical data dir, the exact live-set flip, and v2
+    still being readable.
+    """
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_commit,
+        _delta_latest_live_files,
+        _delta_live_files,
+        _delta_stage_history,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_restore")
+    log_dir = os.path.join(root, "_delta_log")
+    _delta_stage_history(spark, o, root)
+
+    # live sets now (v2) and at the restore target (v1) — bounded
+    # metadata from the shared replay helper, one row per (version,
+    # file)
+    by_v: dict[int, set[str]] = {}
+    for r in _delta_live_files(spark, log_dir).collect():
+        by_v.setdefault(r["version"], set()).add(r["fname"])
+    target, current = by_v.get(1, set()), by_v.get(2, set())
+    _delta_commit(
+        log_dir,
+        3,
+        adds=target - current,      # v0's files come back
+        removes=current - target,   # the compacted file goes
+        data_change=True,
+    )
+
+    live = _delta_latest_live_files(spark, root)
+    data = spark.read.parquet(
+        *sorted(os.path.join(root, "data", f) for f in live)
+    )
+    return data.groupBy(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+# --- Iceberg WAP publish (fast-forward a branch to main) -----------------------
+
+_WAP_ORACLE = """
+SELECT section, o_orderpriority, n_rows, total_cents FROM (
+  SELECT 'before' AS section, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'after', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(floor(
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 3.0
+                  ELSE o_totalprice END * 100 + 0.5) AS BIGINT)) AS BIGINT)
+  FROM orders
+  GROUP BY o_orderpriority
+) t
+"""
+
+
+@register("sink_iceberg_publish_wap", oracle=_WAP_ORACLE)
+def q_sink_iceberg_publish_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH — the branch workflow `refs` exist
+    for (spec §Snapshot References): a pipeline WRITES to an audit
+    branch (s4, invisible to main's readers), audits it, then
+    PUBLISHES by fast-forwarding `main` to the branch's snapshot — a
+    METADATA-ONLY commit: one new metadata.json, zero data or manifest
+    files written (gated in
+    tests/test_plans.py::test_wap_publish_is_metadata_only). This is
+    how a 100 TB table takes an all-or-nothing multi-file update
+    without readers ever seeing a half-written state.
+
+    Staged: the shared base (live = non-urgent after s3), then s4 on
+    branch `audit`: re-insert the urgent rows at price + 3.00 (the
+    audited correction), manifest list carrying m3 + the new manifest.
+    Before publish, `main` still resolves to s3; after the
+    fast-forward both `main` and the current snapshot are s4.
+
+    Graded both sides in one output: section 'before' = the
+    pre-publish main read (non-urgent only — a reader that resolves
+    the branch too early leaks unaudited rows here), section 'after'
+    = the published state (non-urgent originals + urgent at +3.00).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_wap")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    _S4 = _S3 + 1
+
+    # s4 on branch `audit`: the corrected urgent slice at seq 4
+    o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(3.0)
+    ).coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s4"))
+    m4 = _write_manifest(
+        meta_dir,
+        "m4-wap.avro",
+        [_entry(_ST_ADDED, _S4, 4, p, v) for p, v in _pfiles(data_dir, "s4")],
+    )
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-wap.avro")
+    ocf_write(
+        l4,
+        _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m3, 0, 3, _S3), _mlrec(m4, 0, 4, _S4)],
+        metadata={"format-version": "2"},
+    )
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": _S4,
+            "sequence-number": 4,
+            "timestamp-ms": _T3 + 60_000,
+            "manifest-list": l4,
+            "summary": {"operation": "append", "wap.id": "audit-1"},
+            "schema-id": 0,
+        }
+    )
+    tm["last-sequence-number"] = 4
+    # branch ref only — main and current-snapshot-id stay at s3: the
+    # write is INVISIBLE to main's readers until publish
+    tm["refs"] = {
+        "main": {"snapshot-id": _S3, "type": "branch"},
+        "audit": {"snapshot-id": _S4, "type": "branch"},
+    }
+    with open(os.path.join(meta_dir, "v4.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("4")
+
+    def _read_main(meta: dict) -> DataFrame | None:
+        snap = _iceberg_snapshot(meta, ref="main")
+        files, _ = _iceberg_files(snap)
+        if not files:
+            return None
+        by_val: dict[str, list[str]] = {}
+        for p, v, _, _ in files:
+            by_val.setdefault(v, []).append(p)
+        scans = [
+            spark.read.parquet(*sorted(paths)).select(
+                "o_orderkey",
+                "o_totalprice",
+                F.lit(v).alias("o_orderpriority"),
+            )
+            for v, paths in sorted(by_val.items())
+        ]
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
+
+    before = _read_main(_iceberg_table_meta(root))
+
+    # PUBLISH: fast-forward main — metadata-only pointer move
+    with open(os.path.join(meta_dir, "v4.metadata.json")) as fh:
+        tm = json.load(fh)
+    tm["refs"]["main"]["snapshot-id"] = _S4
+    tm["current-snapshot-id"] = _S4
+    tm["snapshot-log"].append(
+        {"timestamp-ms": _T3 + 120_000, "snapshot-id": _S4}
+    )
+    with open(os.path.join(meta_dir, "v5.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("5")
+
+    after = _read_main(_iceberg_table_meta(root))
+
+    def _agg(df: DataFrame | None, section: str) -> DataFrame:
+        if df is None:
+            return spark.createDataFrame(
+                [],
+                "section string, o_orderpriority string, n_rows long, "
+                "total_cents long",
+            )
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        ).select(
+            F.lit(section).alias("section"),
+            "o_orderpriority",
+            "n_rows",
+            "total_cents",
+        )
+
+    return _agg(before, "before").unionByName(_agg(after, "after"))
+
+
 # --- Delta DELETE via deletion vector (write path) ---------------------------
 
 _DV_DELETE_ORACLE = """

@@ -939,3 +939,48 @@ def test_stats_skipping_keeps_files_with_partial_stats(spark, tmp_path):
         _stats_surviving_files_for(spark, log_dir, "o_orderkey", 1, 100)
         == expected
     )
+
+
+def test_restore_is_metadata_only_and_reversible(spark):
+    """sink_delta_restore's contract: the restore commit touches ZERO
+    data bytes (every parquet under data/ byte-identical across the
+    restore), flips the live set to EXACTLY the target version's, and
+    leaves the rolled-back version time-travel-readable."""
+    import hashlib
+
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_live_files,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(SF_DIR, "delta_restore_unit")
+    log_dir = os.path.join(root, "_delta_log")
+    data_dir = os.path.join(root, "data")
+    _delta_stage_history(spark, o, root)
+
+    def _digests():
+        return {
+            f: hashlib.md5(
+                open(os.path.join(data_dir, f), "rb").read()
+            ).hexdigest()
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")
+        }
+
+    def _by_v():
+        out: dict[int, set] = {}
+        for r in _delta_live_files(spark, log_dir).collect():
+            out.setdefault(r["version"], set()).add(r["fname"])
+        return out
+
+    before = _digests()
+    by_v = _by_v()
+    target, current = by_v[1], by_v[2]
+    # the key's restore diff, applied in place
+    _delta_commit(log_dir, 3, target - current, current - target)
+    assert _digests() == before, "restore wrote or rewrote data bytes"
+    by_v = _by_v()
+    assert by_v[3] == by_v[1], "restore must reproduce v1's live set"
+    assert by_v[2] != by_v[1], "v2 (the undone compaction) still readable"

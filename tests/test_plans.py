@@ -1839,3 +1839,51 @@ def test_rewrite_deletes_leaves_pure_scans(spark):
         _iceberg_snapshot(meta, snapshot_id=prev)["manifest-list"]
     )
     assert any(m["content"] == 1 for m in prev_manifests)
+
+
+def test_wap_publish_is_metadata_only(spark):
+    """sink_iceberg_publish_wap's contract: the PUBLISH commit writes
+    ONE new metadata.json and nothing else — no data file, no manifest,
+    no manifest list. Proven by diffing the tree around the publish:
+    v5.metadata.json must reference only objects that already existed
+    at v4."""
+    import json as _json
+    import os
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    engine.REGISTRY["sink_iceberg_publish_wap"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_wap")
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "v4.metadata.json")) as fh:
+        pre = _json.load(fh)
+    with open(os.path.join(meta_dir, "v5.metadata.json")) as fh:
+        post = _json.load(fh)
+    # the published snapshot set is IDENTICAL — publish created nothing
+    assert [s["snapshot-id"] for s in post["snapshots"]] == [
+        s["snapshot-id"] for s in pre["snapshots"]
+    ]
+    assert {s["snapshot-id"]: s["manifest-list"]
+            for s in post["snapshots"]} == {
+        s["snapshot-id"]: s["manifest-list"] for s in pre["snapshots"]
+    }
+    # only the pointers moved
+    assert pre["refs"]["main"]["snapshot-id"] != _iceberg_main(post)
+    assert post["current-snapshot-id"] == _iceberg_main(post)
+    assert post["refs"]["audit"] == pre["refs"]["audit"]
+    # pre-publish main resolves to a snapshot that cannot see the wap
+    # manifest; post-publish main can
+    def _paths(meta, ref):
+        sid = meta["refs"][ref]["snapshot-id"]
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        _, ms, _ = ocf_read(snap["manifest-list"])
+        return {m["manifest_path"] for m in ms}
+
+    assert _paths(post, "main") > _paths(pre, "main")
+
+
+def _iceberg_main(meta):
+    return meta["refs"]["main"]["snapshot-id"]
