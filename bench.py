@@ -112,6 +112,7 @@ HEADLINE = [
     "sink_iceberg_rewrite_deletes",
     "sink_delta_restore",
     "sink_iceberg_publish_wap",
+    "pipe_boilerplate_strip",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

@@ -1140,3 +1140,140 @@ def q_pipe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("coverage"),
         F.round(1.0 - ratio, 6).alias("oov_rate"),
     )
+
+
+# --- boilerplate stripping (r14) -----------------------------------------------
+
+# Deterministic per-source decoration BOTH engines apply identically:
+# the synthetic corpus has no natural boilerplate (random tokens never
+# repeat at aligned positions), so the op decorates each document with
+# the header a crawler actually sees — making the mechanism gradable
+# while the math stays fully data-derived.
+_BP_HEADER = (
+    "copyright {src} all rights reserved terms privacy cookie notice"
+)
+_BP_CHUNK = 8          # aligned non-overlapping token chunks ("lines")
+_BP_FRACTION = 0.5     # chunk is boilerplate at df >= max(2, 50% docs)
+
+_BOILERPLATE_ORACLE = f"""
+WITH decorated AS (
+  SELECT doc_id, source,
+         'copyright ' || source ||
+         ' all rights reserved terms privacy cookie notice ' || text AS t
+  FROM documents
+),
+w AS (SELECT doc_id, source, string_split(t, ' ') AS words FROM decorated),
+c AS (
+  SELECT doc_id, source,
+         array_to_string(
+           words[(i-1)*{_BP_CHUNK}+1:(i)*{_BP_CHUNK}], ' '
+         ) AS chunk
+  FROM (
+    SELECT doc_id, source, words,
+           unnest(range(1, CAST(ceil(len(words)/{_BP_CHUNK}.0) AS BIGINT) + 1))
+               AS i
+    FROM w
+  )
+),
+df AS (SELECT source, chunk, COUNT(DISTINCT doc_id) AS dfreq
+       FROM c GROUP BY 1, 2),
+tot AS (SELECT source, COUNT(DISTINCT doc_id) AS ndocs FROM c GROUP BY 1),
+flag AS (
+  SELECT c.doc_id, c.source, c.chunk,
+         (dfreq >= GREATEST(2.0, {_BP_FRACTION} * ndocs)) AS is_bp
+  FROM c JOIN df USING (source, chunk) JOIN tot USING (source)
+)
+SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS chunks_total,
+       CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+           AS chunks_removed,
+       CAST(SUM(CASE WHEN is_bp THEN 0 ELSE length(chunk) END) AS BIGINT)
+           AS chars_retained
+FROM flag
+GROUP BY source
+"""
+
+
+@register("pipe_boilerplate_strip", oracle=_BOILERPLATE_ORACLE)
+def q_pipe_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE STRIPPING — the Common-Crawl-style cleanup every
+    web-scale training corpus needs: a text unit that recurs across
+    many documents of the SAME source (headers, footers, cookie
+    banners, nav bars) is template, not content, and keeping it
+    poisons dedup, quality scores, and the LM itself. Unit here =
+    aligned non-overlapping 8-token chunks (this corpus is
+    single-line; on real crawl text the unit is the line — the math is
+    identical); a chunk is boilerplate when its per-source document
+    frequency reaches max(2, 50% of the source's docs).
+
+    The corpus is decorated with a deterministic per-source header
+    (both engines apply the same expression) because random synthetic
+    tokens never repeat at aligned positions — the header's first
+    chunk must come out removed in EVERY doc, the mixed
+    header/content chunk must survive, and a reader that mis-aligns
+    chunking, computes df globally instead of per-source, or counts
+    df per occurrence instead of per document fails on values.
+
+    Scale (100 TB): explode to chunks (linear), df = one groupBy on
+    (source, chunk), flagging = one equi-join back on the same key —
+    all bucketed shuffles on bounded keys; no windows, no driver
+    loops, no UDF. The chunk df table is the only intermediate and is
+    itself a candidate for a frequency cutoff at extreme scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    decorated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("copyright "),
+            F.col("source"),
+            F.lit(" all rights reserved terms privacy cookie notice "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    words = decorated.select(
+        "doc_id", "source", F.split("t", " ").alias("words")
+    )
+    chunks = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("words") / F.lit(float(_BP_CHUNK))).cast("int"),
+            )
+        ).alias("i"),
+        "words",
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice("words", (F.col("i") - 1) * _BP_CHUNK + 1, _BP_CHUNK),
+            " ",
+        ).alias("chunk"),
+    )
+    dfreq = chunks.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    tot = chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    flagged = (
+        chunks.join(dfreq, ["source", "chunk"])
+        .join(F.broadcast(tot), "source")
+        .withColumn(
+            "is_bp",
+            F.col("dfreq")
+            >= F.greatest(F.lit(2.0), F.lit(_BP_FRACTION) * F.col("ndocs")),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("chunks_total"),
+        F.sum(F.col("is_bp").cast("bigint")).alias("chunks_removed"),
+        F.sum(
+            F.when(F.col("is_bp"), F.lit(0)).otherwise(F.length("chunk"))
+        ).cast("bigint").alias("chars_retained"),
+    )
