@@ -113,6 +113,8 @@ HEADLINE = [
     "sink_delta_restore",
     "sink_iceberg_publish_wap",
     "pipe_boilerplate_strip",
+    "sink_delta_clone",
+    "pipe_dsir_weights",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

@@ -1499,6 +1499,120 @@ def q_sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Delta SHALLOW CLONE --------------------------------------------------------
+
+_CLONE_ORACLE = """
+SELECT section, CAST(o_orderkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM (
+  SELECT 'source' AS section, o_orderkey, o_totalprice AS price
+  FROM orders
+  UNION ALL
+  SELECT 'clone', o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT 'clone', o_orderkey, o_totalprice + 9.0 FROM orders
+  WHERE o_orderkey % 2 = 1
+) t
+GROUP BY section, o_orderkey % 2
+"""
+
+
+@register("sink_delta_clone", oracle=_CLONE_ORACLE)
+def q_sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE — a zero-copy table fork (delta-io
+    PROTOCOL.md: `add.path` "can be an absolute path or a relative
+    path"; a shallow clone's commit references the SOURCE table's data
+    files by absolute path): the clone costs O(live files) of metadata
+    regardless of table size — the instant dev/test/experiment fork a
+    100 TB table needs — and then evolves independently: appends land
+    in the clone's own directory and the source never sees them.
+
+    Staged: the shared three-commit source history, then the clone's
+    v0 (absolute-path adds of the source's live files) and v1 (the
+    clone's OWN append: odd keys at price + 9.00). Graded both sides
+    in one output: section 'source' must show the source UNCHANGED by
+    the clone's append (a clone that writes into the source's log or
+    directory fails here); section 'clone' = source content + the
+    appended rows. A reader that resolves absolute add paths against
+    the clone root reads garbage; one that copies data defeats the
+    point (gated: the clone's data dir holds ONLY its own append —
+    tests/test_delta_protocol.py::test_shallow_clone_copies_no_data).
+    """
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    src_root = _tmp(sf_dir, "delta_clone_src")
+    clone_root = _tmp(sf_dir, "delta_clone")
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_stage_history,
+    )
+
+    _delta_stage_history(spark, o, src_root)
+    shutil.rmtree(clone_root, ignore_errors=True)
+    clone_log = os.path.join(clone_root, "_delta_log")
+    clone_data = os.path.join(clone_root, "data")
+    os.makedirs(clone_log)
+
+    # clone v0: absolute-path adds of the source's live files — pure
+    # metadata, O(live files), zero data bytes
+    src_live = _delta_latest_live_files(spark, src_root)
+    lines = [json.dumps({"commitInfo": {"operation": "CLONE"}})] + [
+        json.dumps(
+            {
+                "add": {
+                    "path": os.path.join(src_root, "data", f),
+                    "dataChange": True,
+                }
+            }
+        )
+        for f in sorted(src_live)
+    ]
+    with open(os.path.join(clone_log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # clone v1: its OWN append — lands under the CLONE's directory
+    o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(9.0)
+    ).coalesce(1).write.mode("append").parquet(clone_data)
+    with open(os.path.join(clone_log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+                for p in sorted(_delta_list_files(clone_data))
+            )
+            + "\n"
+        )
+
+    def _read(root: str, section: str) -> DataFrame:
+        # resolve each live add per the spec: absolute paths verbatim,
+        # relative paths against the table root
+        live = _dv_snapshot(os.path.join(root, "_delta_log"))
+        paths = sorted(
+            p if os.path.isabs(p) else os.path.join(root, p) for p in live
+        )
+        return spark.read.parquet(*paths).select(
+            F.lit(section).alias("section"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+        )
+
+    both = _read(src_root, "source").unionByName(_read(clone_root, "clone"))
+    return both.groupBy(
+        "section", (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
 # --- Iceberg WAP publish (fast-forward a branch to main) -----------------------
 
 _WAP_ORACLE = """

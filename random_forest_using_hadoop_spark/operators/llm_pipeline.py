@@ -1277,3 +1277,128 @@ def q_pipe_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_bp"), F.lit(0)).otherwise(F.length("chunk"))
         ).cast("bigint").alias("chars_retained"),
     )
+
+
+# --- DSIR-style importance weighting (r14) ---------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al., 2023,
+# arXiv:2302.03169): weight each raw document by how much its hashed
+# n-gram profile looks like the TARGET distribution vs the RAW
+# distribution. The published method scores log p_target - log p_raw;
+# floating logs are not bit-portable across engines, so this
+# implementation grades the integer-exact linear variant — per-bucket
+# scaled frequency DELTA (ppm_target - ppm_raw, integer floor
+# division) summed over the document's token buckets. Ranking
+# behavior is the same shape (target-like docs score high); the
+# deviation is documented here and in the docstring.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_SCALE = 1_000_000  # parts-per-million, integer
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         (('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT
+          % {_DSIR_BUCKETS}) AS b
+  FROM documents
+),
+raw_f AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+raw_t AS (SELECT COUNT(*) AS n FROM tok),
+tgt_f AS (SELECT b, COUNT(*) AS c FROM tok
+          WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tgt_t AS (SELECT COUNT(*) AS n FROM tok WHERE lang = '{_DSIR_TARGET_LANG}'),
+delta AS (
+  -- GREATEST(n, 1): a corpus with no target-language docs must score
+  -- every bucket at -ppm_raw, not divide by zero (mirrors the Spark
+  -- side's tgt_n guard)
+  SELECT raw_f.b,
+         CAST(COALESCE(tgt_f.c, 0) * {_DSIR_SCALE}
+              // GREATEST(tgt_t.n, 1) AS BIGINT)
+         - CAST(raw_f.c * {_DSIR_SCALE} // raw_t.n AS BIGINT) AS d
+  FROM raw_f
+  LEFT JOIN tgt_f USING (b), raw_t, tgt_t
+),
+scored AS (
+  SELECT tok.doc_id, tok.lang, SUM(delta.d) AS score
+  FROM tok JOIN delta USING (b)
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS score_sum,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected
+FROM scored
+GROUP BY lang
+"""
+
+
+@register("pipe_dsir_weights", oracle=_DSIR_ORACLE)
+def q_pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style DATA SELECTION — importance-weight every raw
+    document toward a target domain (here: the `en` slice) from hashed
+    unigram profiles, the technique behind quality-targeted pretraining
+    mixes (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"). Per md5-hashed token bucket the weight
+    contribution is the integer ppm-frequency DELTA between target and
+    raw corpus (the published method uses log-ratios; integer deltas
+    keep the score bit-portable across engines — same high-scores-
+    target-like ranking shape, documented deviation). A document's
+    score sums its buckets' deltas; docs with positive score lean
+    target-like. Graded per lang: the target language must come out
+    with the highest selection rate — a hash mismatch, a frequency
+    table built on the wrong corpus, or a non-integer division breaks
+    the value hash.
+
+    Scale (100 TB): two bounded frequency tables (256 buckets — the
+    hashed-feature trick is exactly what makes DSIR O(corpus) at
+    scale), broadcast-joined back to the token stream; one groupBy per
+    doc, one per lang. No UDF — the md5 bucket is a JVM expression.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw_f = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_f = tok.filter(F.col("lang") == _DSIR_TARGET_LANG).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    raw_n = max(tok.count(), 1)
+    # degenerate corpus: no target slice — every delta is -ppm_raw
+    tgt_n = max(
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG).count(), 1
+    )
+    delta = (
+        raw_f.join(tgt_f, "b", "left")
+        .select(
+            "b",
+            (
+                F.floor(
+                    F.coalesce("c_tgt", F.lit(0))
+                    * F.lit(_DSIR_SCALE)
+                    / F.lit(tgt_n)
+                ).cast("bigint")
+                - F.floor(
+                    F.col("c_raw") * F.lit(_DSIR_SCALE) / F.lit(raw_n)
+                ).cast("bigint")
+            ).alias("d"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(delta), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("d").alias("score"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+        F.sum((F.col("score") > 0).cast("bigint")).alias("n_selected"),
+    )

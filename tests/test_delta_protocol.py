@@ -984,3 +984,33 @@ def test_restore_is_metadata_only_and_reversible(spark):
     by_v = _by_v()
     assert by_v[3] == by_v[1], "restore must reproduce v1's live set"
     assert by_v[2] != by_v[1], "v2 (the undone compaction) still readable"
+
+
+def test_shallow_clone_copies_no_data(spark):
+    """sink_delta_clone's contract: the clone commit is pure metadata —
+    its v0 adds reference the SOURCE's files by absolute path, the
+    clone's data directory holds ONLY its own v1 append, and the
+    source's log gains no version from the clone's lifecycle."""
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_max_version,
+    )
+
+    engine.REGISTRY["sink_delta_clone"].fn(spark, SF_DIR).collect()
+    src_root = _tmp(SF_DIR, "delta_clone_src")
+    clone_root = _tmp(SF_DIR, "delta_clone")
+    v0_adds = []
+    with open(
+        os.path.join(clone_root, "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        for line in fh:
+            add = json.loads(line).get("add")
+            if add:
+                v0_adds.append(add["path"])
+    assert v0_adds and all(
+        os.path.isabs(p) and p.startswith(src_root) for p in v0_adds
+    ), v0_adds
+    clone_files = _delta_list_files(os.path.join(clone_root, "data"))
+    assert len(clone_files) == 1, (
+        f"clone data dir must hold only its own append: {clone_files}"
+    )
+    assert _delta_max_version(os.path.join(src_root, "_delta_log")) == 2
