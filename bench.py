@@ -115,6 +115,7 @@ HEADLINE = [
     "pipe_boilerplate_strip",
     "sink_delta_clone",
     "pipe_dsir_weights",
+    "stream_iceberg_changelog",
 ]
 
 # Timed every run, recorded in bench_full.json only (see module

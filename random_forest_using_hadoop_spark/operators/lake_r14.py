@@ -514,7 +514,13 @@ def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     root = _stage_changelog_table(spark, sf_dir)
     plan = _changelog_plan(root, from_id=_S2)
+    return _changelog_rows(spark, plan)
 
+
+def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
+    """Row-level changelog assembly from a [[_changelog_plan]] result —
+    shared by the batch key above and the streaming twin below (one
+    protocol surface, graded twice)."""
     parts: list[DataFrame] = []
     ins = _scan_rows(spark, plan["inserted"], "insert")
     if ins is not None:
@@ -597,6 +603,152 @@ def q_src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- streaming Iceberg changelog consumption -------------------------------------
+
+_STREAM_CHANGELOG_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pr
+  FROM orders
+),
+feed AS (
+  SELECT 1 AS change_ordinal, 'delete' AS change_type,
+         CAST(floor(p * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM base WHERE pr = '1-URGENT'
+  UNION ALL
+  SELECT 2, 'delete', CAST(floor(p * 100 + 0.5) AS BIGINT)
+  FROM base WHERE pr <> '1-URGENT' AND k % 7 = 0
+  UNION ALL
+  SELECT 2, 'insert', CAST(floor((p + 10.0) * 100 + 0.5) AS BIGINT)
+  FROM base WHERE pr <> '1-URGENT' AND k % 14 = 0
+  UNION ALL
+  SELECT 3, 'delete', CAST(floor(p * 100 + 0.5) AS BIGINT)
+  FROM base WHERE pr <> '1-URGENT' AND k % 10 = 3 AND k % 7 <> 0
+)
+SELECT change_ordinal, change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents
+FROM feed
+GROUP BY change_ordinal, change_type
+"""
+
+
+@register("stream_iceberg_changelog", oracle=_STREAM_CHANGELOG_ORACLE)
+def q_stream_iceberg_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Iceberg CHANGELOG consumption — completes the CDC
+    matrix (Delta batch `src_delta_cdf` / Delta stream
+    `stream_delta_cdf` / Iceberg batch `src_iceberg_changelog` /
+    Iceberg stream = THIS): `readStream` tails the table's
+    metadata.json versions (availableNow, the `stream_iceberg_commits`
+    transport) and each micro-batch classifies the snapshots it has
+    not yet processed through the SAME delete-aware planner and
+    row-assembly the batch key grades (`_changelog_plan` +
+    `_changelog_rows`) — inserts, removed-file deletes, eq-delete and
+    pos-delete row deletes, with `replace` compaction snapshots
+    contributing nothing.
+
+    At-least-once-safe: snapshots are deduped by id across batches and
+    each batch's contribution is computed fully before the accumulator
+    merge. Per batch the work is ONE filtered aggregation over the
+    shared row assembly (constant jobs), never one job per snapshot.
+    Emits (change_ordinal, change_type) aggregates — the consumer-side
+    rollup of the batch key's row-level feed, graded against the same
+    staged truth.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    root = _stage_changelog_table(spark, sf_dir)
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    ordered = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    lo = ordered.index(_S2)
+    ordinal_of = {
+        sid: i for i, sid in enumerate(ordered[lo + 1 :], start=1)
+    }
+    plan = _changelog_plan(root, from_id=_S2)
+
+    meta_schema = T.StructType(
+        [
+            T.StructField(
+                "snapshots",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("snapshot-id", T.LongType()),
+                            T.StructField("sequence-number", T.LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    done_snaps: set[int] = set()
+    done_batches: set[int] = set()
+    acc: dict[tuple[int, str], list[int]] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in done_batches:
+            return
+        seen: set[int] = set()
+        for r in batch_df.select(
+            F.explode("snapshots").alias("s")
+        ).collect():  # bounded: snapshot metadata rows
+            if r["s"]["snapshot-id"] is not None:
+                seen.add(r["s"]["snapshot-id"])
+        todo = sorted(
+            ordinal_of[sid]
+            for sid in seen - done_snaps
+            if sid in ordinal_of
+        )
+        local: dict[tuple[int, str], list[int]] = {}
+        if todo:
+            rows = (
+                _changelog_rows(spark, plan)
+                .filter(F.col("change_ordinal").isin(todo))
+                .groupBy("change_ordinal", "change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price_cents").alias("c"),
+                )
+                .collect()  # bounded: one row per (ordinal, type)
+            )
+            for r in rows:
+                local[(r["change_ordinal"], r["change_type"])] = [
+                    r["n"], r["c"]
+                ]
+        for k, (n, c) in local.items():  # atomic merge, then mark done
+            got = acc.setdefault(k, [0, 0])
+            got[0] += n
+            got[1] += c
+        done_snaps.update(seen)
+        done_batches.add(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="iceberg_stream_cl_ckpt_")
+    query = (
+        spark.readStream.schema(meta_schema)
+        .option("pathGlobFilter", "*.metadata.json")
+        .json(meta_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [
+        (o, t, n, c) for (o, t), (n, c) in sorted(acc.items()) if n
+    ]
+    return spark.createDataFrame(
+        rows,
+        "change_ordinal int, change_type string, n_rows long, "
+        "total_cents long",
+    )
 
 
 # --- Delta MERGE writer with Change Data Feed ----------------------------------
