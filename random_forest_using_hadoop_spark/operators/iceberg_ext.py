@@ -297,8 +297,12 @@ def _write_manifest_list(
     under (spec §Manifest Lists) — re-stamping it with the referencing
     snapshot's seq was the r13 advice finding; derive each manifest's
     own seq from its ADDED/DELETED entries (the ones its committing
-    snapshot stamped), falling back to the list's seq for
-    entry-less manifests."""
+    snapshot stamped). A carried manifest holding ONLY EXISTING
+    entries (every original add compacted away) has no such stamp; its
+    EXISTING entries keep their ORIGINAL sequence numbers, so the min
+    over ALL entries is a faithful lower bound — falling back to the
+    referencing list's seq would re-introduce the exact re-stamping
+    bug. Only a fully entry-less manifest takes the list's seq."""
     recs = []
     for mpath, added_by in manifests:
         _, entries, _ = ocf_read(mpath)
@@ -307,9 +311,19 @@ def _write_manifest_list(
                 e["sequence_number"]
                 for e in entries
                 if e["status"] in (_ST_ADDED, _ST_DELETED)
+                and e["sequence_number"] is not None
             ),
-            default=seq,
+            default=None,
         )
+        if own_seq is None:
+            own_seq = min(
+                (
+                    e["sequence_number"]
+                    for e in entries
+                    if e["sequence_number"] is not None
+                ),
+                default=seq,
+            )
         recs.append(
             {
                 "manifest_path": mpath,

@@ -335,6 +335,12 @@ def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+# sentinel removal ordinal for base files never removed in the window —
+# larger than any real change_ordinal so `change_ordinal < removed_ord`
+# is vacuously true for them
+_LIVE_FOREVER = 2**31 - 1
+
+
 def _changelog_plan(root: str, from_id: int) -> dict:
     """Driver-side changelog planning: walk every snapshot AFTER
     `from_id` (exclusive) up to the current one and classify what each
@@ -353,6 +359,13 @@ def _changelog_plan(root: str, from_id: int) -> dict:
     eq_files: list[dict] = []  # path, seq, ordinal, n
     pos_files: list[dict] = []
     base: dict[str, tuple[str, int]] = {}  # path → (pval, data_seq)
+    # path → FIRST ordinal whose commit removed it (entry status
+    # DELETED). A delete file only applies to files live at its own
+    # snapshot, so a base candidate captured from an EARLIER
+    # predecessor stops being a target once removed — without this a
+    # later equality-delete with a higher seq would re-emit a
+    # removed file's rows on top of the removal's own delete rows.
+    removed_at: dict[str, int] = {}
     for ordinal, sid in enumerate(ordered[lo + 1 :], start=1):
         snap = by_id[sid]
         if snap["summary"]["operation"] == "replace":
@@ -375,6 +388,7 @@ def _changelog_plan(root: str, from_id: int) -> dict:
                         and e["snapshot_id"] == sid
                     ):
                         removed.append((df["file_path"], pval, ordinal))
+                        removed_at.setdefault(df["file_path"], ordinal)
                 elif (
                     m["content"] == 1
                     and e["status"] == _ST_ADDED
@@ -411,7 +425,13 @@ def _changelog_plan(root: str, from_id: int) -> dict:
         "removed": removed,
         "eq_files": eq_files,
         "pos_files": pos_files,
-        "base": base,
+        # (pval, data_seq, removed_ordinal) — removed_ordinal is the
+        # first ordinal that dropped the file (deletes at that ordinal
+        # or later must not target it); _LIVE_FOREVER when never removed
+        "base": {
+            p: (v, seq, removed_at.get(p, _LIVE_FOREVER))
+            for p, (v, seq) in base.items()
+        },
     }
 
 
@@ -433,10 +453,14 @@ def _scan_rows(
         by_val.setdefault(v, []).append(p)
     cols = ["o_orderkey", "o_totalprice"]
     scans = []
-    for v, paths in sorted(by_val.items()):
+    # None-safe ordering: an unpartitioned entry carries a None
+    # partition value and must not TypeError against string values
+    for v, paths in sorted(
+        by_val.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
         s = spark.read.parquet(*sorted(set(paths))).select(
             *cols,
-            F.lit(v).alias("o_orderpriority"),
+            F.lit(v).cast("string").alias("o_orderpriority"),
             _norm_file_uri(F.input_file_name()).alias("_fp"),
             *(
                 [F.col("_metadata.row_index").alias("_pos")]
@@ -530,15 +554,15 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
         parts.append(_finish(rem))
 
     base_files = [
-        (p, v, 0) for p, (v, _) in sorted(plan["base"].items())
+        (p, v, 0) for p, (v, _, _) in sorted(plan["base"].items())
     ]
     if base_files and (plan["eq_files"] or plan["pos_files"]):
         base = _scan_rows(spark, base_files, "", with_coords=True).drop(
             "change_ordinal"
         )
         seq_map = spark.createDataFrame(
-            [(p, s) for p, (_, s) in sorted(plan["base"].items())],
-            "bpath string, data_seq long",
+            [(p, s, r) for p, (_, s, r) in sorted(plan["base"].items())],
+            "bpath string, data_seq long, removed_ord int",
         )
         base = base.join(
             F.broadcast(seq_map), base["_fp"] == seq_map["bpath"]
@@ -567,7 +591,12 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
             eq_rows = base.join(
                 _maybe_broadcast_deletes(keys, n_eq),
                 (base["o_orderkey"] == keys["_delkey"])
-                & (base["data_seq"] < keys["dseq"]),  # STRICT: upserts live
+                & (base["data_seq"] < keys["dseq"])  # STRICT: upserts live
+                # file must still be live at the delete's snapshot — a
+                # base file removed at ordinal k is not a target for
+                # deletes at ordinal >= k (its rows already flowed
+                # through the removal's own delete emission)
+                & (keys["change_ordinal"] < base["removed_ord"]),
             ).withColumn("change_type", F.lit("delete"))
             parts.append(_finish(eq_rows))
         if plan["pos_files"]:
@@ -589,7 +618,8 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
                 _maybe_broadcast_deletes(pairs, n_pos),
                 (base["_fp"] == pairs["file_path"])
                 & (base["_pos"] == pairs["pos"])
-                & (base["data_seq"] <= pairs["dseq"]),  # spec ordering rule
+                & (base["data_seq"] <= pairs["dseq"])  # spec ordering rule
+                & (pairs["change_ordinal"] < base["removed_ord"]),
             ).withColumn("change_type", F.lit("delete"))
             parts.append(_finish(pos_rows))
 

@@ -1381,14 +1381,14 @@ def q_pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b",
             (
-                F.floor(
-                    F.coalesce("c_tgt", F.lit(0))
-                    * F.lit(_DSIR_SCALE)
-                    / F.lit(tgt_n)
-                ).cast("bigint")
-                - F.floor(
-                    F.col("c_raw") * F.lit(_DSIR_SCALE) / F.lit(raw_n)
-                ).cast("bigint")
+                # exact integer floor division (`div`), matching the
+                # oracle's `//` — routing through F.floor(double /)
+                # loses exactness past 2^53/SCALE bucket counts
+                F.expr(
+                    f"(coalesce(c_tgt, 0L) * {_DSIR_SCALE}L)"
+                    f" div {tgt_n}L"
+                )
+                - F.expr(f"(c_raw * {_DSIR_SCALE}L) div {raw_n}L")
             ).alias("d"),
         )
     )

@@ -1580,7 +1580,7 @@ def test_changelog_single_scan_per_side_and_join_constant(spark):
     plan = _changelog_plan(_tmp(SF_DIR, "iceberg_changelog"), from_id=_S2)
     n_ins_pvals = len({v for _, v, _ in plan["inserted"]})
     n_rem_pvals = len({v for _, v, _ in plan["removed"]})
-    n_base_pvals = len({v for v, _ in plan["base"].values()})
+    n_base_pvals = len({v for v, _, _ in plan["base"].values()})
     assert len(plan["eq_files"]) >= 2, "fixture must shard eq deletes"
     assert len(plan["pos_files"]) >= 2, "fixture must shard pos deletes"
     opt = df._jdf.queryExecution().optimizedPlan().toString()
@@ -1887,3 +1887,130 @@ def test_wap_publish_is_metadata_only(spark):
 
 def _iceberg_main(meta):
     return meta["refs"]["main"]["snapshot-id"]
+
+
+def test_changelog_removed_file_not_retargeted_by_later_deletes(spark):
+    """r14 advice (lake_r14.py _changelog_plan): a data file captured
+    into the delete-candidate base from an EARLY predecessor but
+    REMOVED (entry status DELETED) at ordinal k must not be re-targeted
+    by an equality delete at ordinal > k — its rows already flowed
+    through the removal's own delete emission, and the seq predicate
+    alone (data_seq < dseq) still passes after removal. Bespoke
+    4-commit window: eq-delete (ord 1) → remove file X (ord 2) →
+    eq-delete matching X's keys (ord 3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_write
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _MANIFEST_FILE_SCHEMA,
+        _S2,
+        _S3,
+        _ST_DELETED,
+        _ST_EXISTING,
+        _T3,
+        _entry,
+        _iceberg_stage,
+        _pfiles,
+        _write_manifest,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _ST_ADDED,
+        _append_snapshot,
+        _changelog_plan,
+        _changelog_rows,
+        _mlrec,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    o = spark.createDataFrame(
+        [
+            (k, 100.0 + k, "1-URGENT" if k % 5 == 0 else "3-MEDIUM")
+            for k in range(1, 21)
+        ],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    )
+    root = _tmp(SF_DIR, "iceberg_changelog_rmtest")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    (x_even,) = [
+        p for p, v in _pfiles(data_dir, "s1") if v == "3-MEDIUM"
+    ]  # evens not %5: {2,4,6,8,12,14,16,18}
+    (x_odd,) = [
+        p for p, v in _pfiles(data_dir, "s2") if v == "3-MEDIUM"
+    ]  # odds not %5: {1,3,7,9,11,13,17,19}
+    _S4, _S5, _S6 = _S3 + 1, _S3 + 2, _S3 + 3
+
+    def _eqdel(name: str, keys: list[int]) -> str:
+        path = os.path.join(meta_dir, name)
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array(keys, pa.int64())}), path
+        )
+        return path
+
+    # ordinal 1 (S4): eq-delete key 3 (lives in the surviving odd file)
+    m4d = _write_manifest(
+        meta_dir,
+        "m4-rmtest-del.avro",
+        [_entry(_ST_ADDED, _S4, 4, _eqdel("eq-s4.parquet", [3]), None,
+                equality_ids=[1], content=2)],
+    )
+    l4 = os.path.join(meta_dir, f"snap-{_S4}-1-rmtest.avro")
+    ocf_write(
+        l4, _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m3, 0, 3, _S3), _mlrec(m4d, 1, 4, _S4)],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 4, _S4, 4, _T3 + 60_000, l4, "overwrite")
+
+    # ordinal 2 (S5): REMOVE x_even (rewrite-style manifest)
+    m5 = _write_manifest(
+        meta_dir,
+        "m5-rmtest-rm.avro",
+        [
+            _entry(_ST_DELETED, _S5, 5, x_even, "3-MEDIUM"),
+            _entry(_ST_EXISTING, _S2, 2, x_odd, "3-MEDIUM"),
+        ],
+    )
+    l5 = os.path.join(meta_dir, f"snap-{_S5}-1-rmtest.avro")
+    ocf_write(
+        l5, _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m5, 0, 5, _S5), _mlrec(m4d, 1, 4, _S4)],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 5, _S5, 5, _T3 + 120_000, l5, "delete")
+
+    # ordinal 3 (S6): eq-delete keys {8 (only ever in x_even), 9 (odd)}
+    m6d = _write_manifest(
+        meta_dir,
+        "m6-rmtest-del.avro",
+        [_entry(_ST_ADDED, _S6, 6, _eqdel("eq-s6.parquet", [8, 9]), None,
+                equality_ids=[1], content=2)],
+    )
+    l6 = os.path.join(meta_dir, f"snap-{_S6}-1-rmtest.avro")
+    ocf_write(
+        l6, _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m5, 0, 5, _S5), _mlrec(m4d, 1, 4, _S4),
+         _mlrec(m6d, 1, 6, _S6)],
+        metadata={"format-version": "2"},
+    )
+    _append_snapshot(meta_dir, 6, _S6, 6, _T3 + 180_000, l6, "overwrite")
+
+    plan = _changelog_plan(root, from_id=_S3)
+    # the removed file is marked with its removal ordinal in base
+    assert plan["base"][x_even][2] == 2
+    rows = sorted(
+        (r["change_ordinal"], r["change_type"], r["o_orderkey"])
+        for r in _changelog_rows(spark, plan).collect()
+    )
+    expected = sorted(
+        [(1, "delete", 3)]
+        + [(2, "delete", k) for k in (2, 4, 6, 8, 12, 14, 16, 18)]
+        + [(3, "delete", 9)]  # key 8 is ONLY in the removed file: no row
+    )
+    assert rows == expected, rows
