@@ -290,6 +290,17 @@ def ocf_read(path: str) -> tuple[dict, list, dict[str, str]]:
     accepts the null and deflate codecs."""
     with open(path, "rb") as fh:
         data = fh.read()
+    return ocf_read_bytes(data, source=path)
+
+
+def ocf_read_bytes(
+    data: bytes, source: str = "<bytes>"
+) -> tuple[dict, list, dict[str, str]]:
+    """Decode an Avro OCF from an in-memory buffer — the entry point a
+    DISTRIBUTED reader uses (`binaryFile` scan hands each executor the
+    file content; no local-filesystem assumption). `source` labels
+    error messages."""
+    path = source
     if data[:4] != AVRO_MAGIC:
         raise ValueError(f"not an Avro OCF: bad magic in {path}")
     dec = _Decoder(data, 4)

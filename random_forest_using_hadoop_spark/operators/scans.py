@@ -1823,3 +1823,133 @@ def q_src_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- Avro OCF source (from-scratch codec, fully distributed) -----------------
+
+_AVRO_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+_AVRO_ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "orders_slice",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderpriority", "type": "string"},
+    ],
+}
+
+
+@register("src_avro", oracle=_AVRO_ORACLE)
+def q_src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF as a USER-FACING row data source (Avro spec §Object
+    Container Files) — the codec that already backs the Iceberg
+    manifest layer (iceberg_format.py), promoted to a first-class
+    source the way CSV/JSON/XML/ORC are. Both directions are
+    DISTRIBUTED: staging writes one OCF shard per partition from the
+    executors (`mapInPandas` + the from-scratch encoder), and the read
+    is a `binaryFile` scan whose per-file decode runs executor-side on
+    the file CONTENT (`ocf_read_bytes` — no local-filesystem
+    assumption), so neither direction ever routes rows through the
+    driver.
+
+    Scale doctrine: Avro is a row-oriented interchange format — no
+    column pruning, no predicate pushdown, no stats. Parallelism here
+    is per-file (one OCF shard = one decode task), which is exactly how
+    a 100 TB Avro landing zone is laid out (thousands of shards);
+    within a shard the spec's sync-marker splits could subdivide
+    further, but the engine's doctrine (src_orc_text, src_xml) stands:
+    land it once, rewrite columnar immediately."""
+    import shutil
+
+    from pyspark import cloudpickle
+
+    from random_forest_using_hadoop_spark import iceberg_format as _icefmt
+
+    cloudpickle.register_pickle_by_value(_icefmt)
+    _ocf_write = _icefmt.ocf_write
+    _ocf_read_bytes = _icefmt.ocf_read_bytes
+    schema = _AVRO_ORDERS_SCHEMA
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out_dir = _tmp(sf_dir, "avro_orders")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_shards(it):
+        import os as _os
+
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        recs: list[dict] = []
+        for pdf in it:
+            recs.extend(
+                {
+                    "o_orderkey": int(k),
+                    "o_totalprice": float(p),
+                    "o_orderpriority": str(v),
+                }
+                for k, p, v in zip(
+                    pdf["o_orderkey"],
+                    pdf["o_totalprice"],
+                    pdf["o_orderpriority"],
+                )
+            )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            _ocf_write(
+                _os.path.join(out_dir, f"part-{pid:05d}.avro"),
+                schema,
+                recs,
+            )
+        yield _pd.DataFrame({"n": _pd.Series([len(recs)], dtype="int64")})
+
+    o.repartition(4).mapInPandas(_write_shards, schema="n long").collect()
+
+    out_schema = (
+        "o_orderkey long, o_totalprice double, o_orderpriority string"
+    )
+    if not any(f.endswith(".avro") for f in os.listdir(out_dir)):
+        rows = spark.createDataFrame([], out_schema)  # empty corpus
+    else:
+
+        def _decode(it):
+            import pandas as _pd
+
+            for pdf in it:
+                for content, path in zip(pdf["content"], pdf["path"]):
+                    _, recs, _ = _ocf_read_bytes(
+                        bytes(content), source=path
+                    )
+                    if recs:
+                        yield _pd.DataFrame.from_records(recs)[
+                            [
+                                "o_orderkey",
+                                "o_totalprice",
+                                "o_orderpriority",
+                            ]
+                        ]
+
+        rows = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .load(out_dir)
+            .select("content", "path")
+            .mapInPandas(_decode, schema=out_schema)
+        )
+    return rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("total_cents"),
+    )
