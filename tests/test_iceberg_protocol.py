@@ -365,3 +365,63 @@ def test_upsert_eqdelete_file_written_by_executor(spark):
         assert not os.path.exists(
             os.path.join(root, "metadata", f"eqdel-s{seq}.staging")
         )
+
+
+def test_ref_lifecycle_expiry_is_reachability_driven(spark):
+    """sink_iceberg_ref_lifecycle's physical contract: ref expiry drops
+    old-audit + tmp-branch; snapshot expiry then removes s1 and s5 from
+    metadata, deletes s5's whole tree (list + manifest + data files)
+    and s1's manifest list — but KEEPS s1's data files, which retained
+    s2/s3 manifests still reference (reachability, not ownership,
+    drives cleanup). Second expiry run is a no-op."""
+    import glob
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _S1,
+        _S2,
+        _S3,
+        _T3,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        iceberg_create_ref,
+        iceberg_expire_snapshots,
+    )
+
+    engine.REGISTRY["sink_iceberg_ref_lifecycle"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_ref_lifecycle")
+    meta = _iceberg_table_meta(root)
+    assert set(meta["refs"]) == {"main", "keep-audit", "wap-branch"}
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert ids == {_S2, _S3, _S3 + 1}
+    assert _S1 not in {e["snapshot-id"] for e in meta["snapshot-log"]}
+    # s5's tree is gone from disk
+    assert glob.glob(os.path.join(root, "data", "s5tmp", "**", "*.parquet"),
+                     recursive=True) == []
+    assert not os.path.exists(os.path.join(root, "metadata", "m-s5tmp.avro"))
+    assert glob.glob(
+        os.path.join(root, "metadata", f"snap-{_S3 + 2}-*.avro")
+    ) == []
+    assert glob.glob(
+        os.path.join(root, "metadata", f"snap-{_S1}-*.avro")
+    ) == []
+    # s1's DATA files survive: retained manifests still reference them
+    retained_files = set()
+    for s in meta["snapshots"]:
+        _, ms, _ = ocf_read(s["manifest-list"])
+        for m in ms:
+            _, es, _ = ocf_read(m["manifest_path"])
+            retained_files |= {
+                e["data_file"]["file_path"] for e in es
+            }
+    s1_files = {p for p in retained_files if "/data/s1/" in p}
+    assert s1_files and all(os.path.exists(p) for p in s1_files)
+    # idempotent: nothing else is expirable
+    again = iceberg_expire_snapshots(root, older_than_ms=_T3 + 300_000)
+    assert again == {"expired_snapshots": 0, "deleted_files": 0}
+    # writer refuses duplicates and unknown snapshots
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_create_ref(root, "keep-audit", _S2, "tag")
+    with pytest.raises(ValueError, match="not in table metadata"):
+        iceberg_create_ref(root, "ghost", 42, "tag")
