@@ -398,3 +398,339 @@ def q_sink_iceberg_ref_lifecycle(
             "total_cents"
         ),
     )
+
+
+# --- Delta writer-side CHECK constraints + generated columns --------------------
+
+#: writer features this engine's constrained writer implements; a table
+#: demanding anything else must be REFUSED, never written half-right
+#: (delta-io PROTOCOL.md §Writer Version Requirements)
+_WRITER_FEATURES_OK = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+}
+
+
+class DeltaWriteRejected(ValueError):
+    """A commit was refused: CHECK-constraint violation, generated-
+    column mismatch, or a writer feature this engine does not
+    implement. The table is untouched — rejection happens BEFORE any
+    log entry is written."""
+
+
+def _delta_snapshot_actions(log_dir: str) -> tuple[dict, dict, int]:
+    """Replay the log driver-side for the WRITER's working set: the
+    latest `protocol` and `metaData` actions and the current version.
+    Bounded metadata — same shape as _dv_snapshot."""
+    protocol: dict = {}
+    meta: dict = {}
+    version = -1
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.endswith(".json"):
+            continue
+        version = max(version, int(fname.split(".")[0]))
+        with open(os.path.join(log_dir, fname)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    protocol = act["protocol"]
+                elif "metaData" in act:
+                    meta = act["metaData"]
+    if version < 0:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    return protocol, meta, version
+
+
+def delta_constrained_append(
+    spark: SparkSession, root: str, batch: DataFrame
+) -> int:
+    """APPEND enforcing the table's declared write-time contracts
+    (delta-io PROTOCOL.md §CHECK Constraints, §Generated Columns,
+    §Writer Version Requirements):
+
+    - the protocol gate REFUSES tables demanding writer features this
+      engine does not implement (writing anyway would corrupt the
+      contract every other writer relies on);
+    - generated columns (`delta.generationExpression` in the schema
+      field metadata) are COMPUTED when absent from the batch and
+      VALIDATED when supplied — a supplied value that disagrees with
+      the expression rejects the commit;
+    - every `delta.constraints.*` expression in metaData.configuration
+      must hold on every row — SQL CHECK semantics, so NULL passes and
+      only FALSE violates.
+
+    All validation is DISTRIBUTED: each rule costs one executor-side
+    count over the batch (Catalyst folds them into the batch's plan);
+    the driver sees per-rule violation counts, never rows. A rejected
+    batch raises :class:`DeltaWriteRejected` BEFORE anything is
+    staged. Returns the committed version."""
+    log_dir = os.path.join(root, "_delta_log")
+    protocol, meta, version = _delta_snapshot_actions(log_dir)
+    demanded = set(protocol.get("writerFeatures") or [])
+    if protocol.get("minWriterVersion", 1) >= 7:
+        unknown = demanded - _WRITER_FEATURES_OK
+        if unknown:
+            raise DeltaWriteRejected(
+                f"table demands unimplemented writer features "
+                f"{sorted(unknown)}"
+            )
+    schema = json.loads(meta["schemaString"])
+    out_cols: list[str] = []
+    checks: list[tuple[str, str]] = []  # (label, violation predicate)
+    for field in schema["fields"]:
+        name = field["name"]
+        out_cols.append(name)
+        gen = (field.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if gen is None:
+            continue
+        if name in batch.columns:
+            # supplied value must agree with the expression (spec rule)
+            checks.append(
+                (
+                    f"generated column {name}",
+                    f"NOT ({name} <=> ({gen}))",
+                )
+            )
+        else:
+            batch = batch.withColumn(name, F.expr(gen))
+    for key, expr in sorted((meta.get("configuration") or {}).items()):
+        if key.startswith("delta.constraints."):
+            # SQL CHECK: only FALSE violates — NULL passes
+            checks.append(
+                (
+                    f"CHECK {key.removeprefix('delta.constraints.')}",
+                    f"NOT COALESCE(CAST(({expr}) AS BOOLEAN), TRUE)",
+                )
+            )
+    missing = [c for c in out_cols if c not in batch.columns]
+    if missing:
+        raise DeltaWriteRejected(f"batch lacks columns {missing}")
+    if checks:
+        # ONE pass: every rule's violation count in a single aggregate
+        counts = batch.agg(
+            *(
+                F.sum(F.expr(pred).cast("bigint")).alias(f"v{i}")
+                for i, (_, pred) in enumerate(checks)
+            )
+        ).collect()[0]
+        for i, (label, _) in enumerate(checks):
+            if (counts[f"v{i}"] or 0) > 0:
+                raise DeltaWriteRejected(
+                    f"{label} violated by {counts[f'v{i}']} row(s); "
+                    "commit refused"
+                )
+    new_version = version + 1
+    sub = f"c{new_version}"
+    out_dir = os.path.join(root, "data", sub)
+    batch.select(*out_cols).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    adds = [
+        json.dumps(
+            {"add": {"path": f"data/{sub}/{f}", "dataChange": True}}
+        )
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".parquet")
+    ]
+    lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})] + adds
+    with open(
+        os.path.join(log_dir, f"{new_version:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(lines) + "\n")
+    return new_version
+
+
+_CHECK_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "o_orderkey",
+                "type": "long",
+                "nullable": True,
+                "metadata": {},
+            },
+            {
+                "name": "o_totalprice",
+                "type": "double",
+                "nullable": True,
+                "metadata": {},
+            },
+            {
+                "name": "o_orderpriority",
+                "type": "string",
+                "nullable": True,
+                "metadata": {},
+            },
+            {
+                "name": "price_cents",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.generationExpression": (
+                        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                    )
+                },
+            },
+        ],
+    }
+)
+
+
+def _stage_constrained_table(root: str) -> str:
+    import shutil
+
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": [
+                    "checkConstraints",
+                    "generatedColumns",
+                ],
+            }
+        },
+        {
+            "metaData": {
+                "id": "check-constraint-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _CHECK_SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.constraints.price_range": (
+                        "o_totalprice > 0.0 AND o_totalprice < 1000000.0"
+                    ),
+                    "delta.constraints.key_present": (
+                        "o_orderkey IS NOT NULL"
+                    ),
+                },
+            }
+        },
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return log_dir
+
+
+_CHECK_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice + 5.0 ELSE o_totalprice END
+           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_delta_check_constraint", oracle=_CHECK_ORACLE)
+def q_sink_delta_check_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta WRITER-side CHECK constraints + generated columns
+    (PROTOCOL.md §CHECK Constraints, §Generated Columns) — until now
+    the protocol gate only refused READS of tables demanding
+    unimplemented features; this writer enforces the declared
+    contracts on every commit:
+
+    - two valid appends land (non-urgent base rows, then urgent rows
+      corrected to +5.00), with `price_cents` COMPUTED from its
+      generation expression because the batches don't supply it;
+    - a batch carrying a negative price (violates CHECK price_range),
+      a batch with a NULL key (violates CHECK key_present), and a
+      batch supplying a WRONG price_cents (disagrees with the
+      generation expression) are each REJECTED with no log entry —
+      asserted inline: the graded read-back only proceeds if all
+      three rejections fired and the version count is exactly 2+1.
+
+    Graded: per-priority counts + cents where cents comes from the
+    GENERATED column as read back from the committed files — a writer
+    that mis-evaluates the expression, or lands a rejected batch,
+    fails the value hash.
+
+    Scale: validation is one executor-side aggregate per batch (all
+    rules folded into a single pass), the parquet lands via executor
+    write, and the commit is O(files) JSON — nothing about enforcement
+    reads the existing table.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_check_write")
+    log_dir = _stage_constrained_table(root)
+    v1 = delta_constrained_append(
+        spark, root, o.filter(F.col("o_orderpriority") != "1-URGENT")
+    )
+    rejected = 0
+    bad_batches = [
+        # CHECK price_range: one literal negative-price row
+        spark.createDataFrame(
+            [(1, -5.0, "1-URGENT")],
+            "o_orderkey long, o_totalprice double, o_orderpriority string",
+        ),
+        # CHECK key_present: NULL key (NULL price would PASS the range
+        # check per SQL semantics — that case is pinned in the tests)
+        spark.createDataFrame(
+            [(None, 10.0, "1-URGENT")],
+            "o_orderkey long, o_totalprice double, o_orderpriority string",
+        ),
+        # generated-column mismatch: supplied cents off by one
+        spark.createDataFrame(
+            [(2, 10.0, "1-URGENT", 1001)],
+            "o_orderkey long, o_totalprice double, "
+            "o_orderpriority string, price_cents long",
+        ),
+    ]
+    for bad in bad_batches:
+        try:
+            delta_constrained_append(spark, root, bad)
+        except DeltaWriteRejected:
+            rejected += 1
+    v2 = delta_constrained_append(
+        spark,
+        root,
+        o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+        ),
+    )
+    if rejected != 3 or (v1, v2) != (1, 2):
+        raise AssertionError(
+            f"constraint gate failed: rejected={rejected}, "
+            f"versions=({v1}, {v2})"
+        )
+    live = sorted(
+        p
+        for fname in os.listdir(log_dir)
+        if fname.endswith(".json")
+        for p in _live_paths(os.path.join(log_dir, fname))
+    )
+    return (
+        spark.read.parquet(*(os.path.join(root, p) for p in live))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def _live_paths(commit_file: str) -> list[str]:
+    out = []
+    with open(commit_file) as fh:
+        for line in fh:
+            if line.strip():
+                act = json.loads(line)
+                if "add" in act:
+                    out.append(act["add"]["path"])
+    return out

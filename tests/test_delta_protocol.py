@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import random_forest_using_hadoop_spark as engine
@@ -1095,3 +1097,71 @@ def test_dv_delete_build_is_distributed_and_wide(spark):
     kept = data.join(F.broadcast(dv_frame), ["_fp", "_pos"], "left_anti")
     assert kept.count() == 125_000
     assert kept.filter(F.col("o_orderkey") % 2 == 0).count() == 0
+
+
+def test_check_constraint_writer_gate(spark):
+    """Writer-side enforcement semantics (PROTOCOL.md §CHECK
+    Constraints / §Generated Columns): a violating batch leaves the
+    log UNCHANGED; NULL passes a CHECK (SQL tri-valued rule — only
+    FALSE violates); a table demanding an unimplemented writer
+    feature is refused outright; a supplied generated column that
+    agrees with its expression is accepted."""
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        DeltaWriteRejected,
+        _stage_constrained_table,
+        delta_constrained_append,
+    )
+
+    root = _tmp(SF_DIR, "delta_check_unit")
+    log_dir = _stage_constrained_table(root)
+    sch = (
+        "o_orderkey long, o_totalprice double, o_orderpriority string"
+    )
+
+    def _log_files():
+        return sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+
+    before = _log_files()
+    with pytest.raises(DeltaWriteRejected, match="price_range"):
+        delta_constrained_append(
+            spark, root, spark.createDataFrame([(1, -1.0, "X")], sch)
+        )
+    assert _log_files() == before, "rejected batch must not commit"
+    # NULL price: CHECK evaluates NULL → passes (key_present holds)
+    v = delta_constrained_append(
+        spark, root, spark.createDataFrame([(1, None, "X")], sch)
+    )
+    assert v == 1
+    # supplied generated column that AGREES is accepted
+    v = delta_constrained_append(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, 10.0, "X", 1000)],
+            sch + ", price_cents long",
+        ),
+    )
+    assert v == 2
+    # unimplemented writer feature → refuse before any validation
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": [
+                            "checkConstraints",
+                            "identityColumns",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaWriteRejected, match="identityColumns"):
+        delta_constrained_append(
+            spark, root, spark.createDataFrame([(3, 1.0, "X")], sch)
+        )
