@@ -28,6 +28,7 @@ from random_forest_using_hadoop_spark.operators.iceberg_ext import (
     _T1,
     _T3,
     _entry,
+    _iceberg_expire_snapshots,
     _iceberg_live_files,
     _iceberg_snapshot,
     _iceberg_stage,
@@ -131,100 +132,21 @@ def iceberg_expire_refs(root: str, now_ms: int) -> list[str]:
     return expired
 
 
-def _snapshot_tree_paths(
-    snapshots: list[dict],
-) -> tuple[set[str], set[str], set[str]]:
-    """(manifest-list paths, manifest paths, data/delete file paths)
-    reachable from the given snapshots — the driver-side metadata walk
-    every expireSnapshots implementation does. Entries of EVERY status
-    count as reachable: a DELETED entry still references a file that a
-    retained historical snapshot may read."""
-    lists: set[str] = set()
-    manifests: set[str] = set()
-    files: set[str] = set()
-    for s in snapshots:
-        ml = s["manifest-list"]
-        lists.add(ml)
-        _, ms, _ = ocf_read(ml)
-        for m in ms:
-            mp = m["manifest_path"]
-            manifests.add(mp)
-            _, es, _ = ocf_read(mp)
-            for e in es:
-                files.add(e["data_file"]["file_path"])
-    return lists, manifests, files
-
-
 def iceberg_expire_snapshots(
     root: str, older_than_ms: int
 ) -> dict[str, int]:
-    """EXPIRE SNAPSHOTS honoring refs (spec §Table Metadata;
-    Iceberg's `expireSnapshots(olderThan)` contract): a snapshot is
-    RETAINED iff it is (a) pinned by any surviving ref — every tag's
-    snapshot and every branch's head, `main` included — or (b) newer
-    than the cutoff, or (c) within a branch's
-    `min-snapshots-to-keep` newest log ancestors. Everything else is
-    removed from `snapshots` + `snapshot-log`, then the orphaned
-    FILES are physically deleted: expired manifest lists always;
-    manifests and data/delete files only when no retained snapshot
-    reaches them (manifests are shared across snapshots — reachability
-    is the only safe rule). Expire a tag first (iceberg_expire_refs)
-    and the snapshot it pinned becomes expirable here — the lifecycle
-    the graded fixture walks.
-
-    Scale: planning is the bounded manifest walk (one Avro row per
-    manifest/file — same working set as any Iceberg planner); deletes
-    are O(expired files). Run it from a maintenance job, not a reader.
-    """
-    tm = _iceberg_table_meta(root)
-    refs = tm.get("refs") or {
-        "main": {
-            "snapshot-id": tm["current-snapshot-id"],
-            "type": "branch",
-        }
+    """Ref-aware EXPIRE SNAPSHOTS — thin stats wrapper over the ONE
+    expiry implementation, `iceberg_ext._iceberg_expire_snapshots`
+    (ref pins + horizon + min-snapshots-to-keep retention, then
+    reachability-driven physical cleanup). Returns counts for the
+    lifecycle audit trail."""
+    before = len(_iceberg_table_meta(root)["snapshots"])
+    deleted = _iceberg_expire_snapshots(root, older_than_ms)
+    after = len(_iceberg_table_meta(root)["snapshots"])
+    return {
+        "expired_snapshots": before - after,
+        "deleted_files": len(deleted),
     }
-    by_id = {s["snapshot-id"]: s for s in tm["snapshots"]}
-    retained_ids = {
-        r["snapshot-id"] for r in refs.values() if r["snapshot-id"] in by_id
-    }
-    retained_ids |= {
-        s["snapshot-id"]
-        for s in tm["snapshots"]
-        if s["timestamp-ms"] > older_than_ms
-    }
-    # branch history retention over the snapshot-log (main's lineage)
-    log_ids = [e["snapshot-id"] for e in tm.get("snapshot-log", [])]
-    for r in refs.values():
-        keep_n = r.get("min-snapshots-to-keep")
-        if r["type"] == "branch" and keep_n and r["snapshot-id"] in log_ids:
-            upto = log_ids.index(r["snapshot-id"]) + 1
-            retained_ids |= set(log_ids[max(0, upto - keep_n) : upto])
-    expired = [
-        s for s in tm["snapshots"] if s["snapshot-id"] not in retained_ids
-    ]
-    if not expired:
-        return {"expired_snapshots": 0, "deleted_files": 0}
-    retained = [
-        s for s in tm["snapshots"] if s["snapshot-id"] in retained_ids
-    ]
-    keep_l, keep_m, keep_f = _snapshot_tree_paths(retained)
-    drop_l, drop_m, drop_f = _snapshot_tree_paths(expired)
-    doomed = sorted(
-        (drop_l - keep_l) | (drop_m - keep_m) | (drop_f - keep_f)
-    )
-    tm["snapshots"] = retained
-    tm["snapshot-log"] = [
-        e
-        for e in tm.get("snapshot-log", [])
-        if e["snapshot-id"] in retained_ids
-    ]
-    _write_meta(root, tm)  # commit the prune BEFORE deleting files
-    deleted = 0
-    for p in doomed:
-        if os.path.exists(p):
-            os.remove(p)
-            deleted += 1
-    return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
 
 _REF_LIFECYCLE_ORACLE = """
