@@ -154,6 +154,12 @@ EXTENDED = [
     "src_delta_log_compaction",
     "src_iceberg_meta_files",
     "sink_iceberg_rollback",
+    # r15 — Avro OCF source, Iceberg ref lifecycle writes, Delta
+    # writer-side CHECK constraints (all fixture-staging dominated,
+    # like the rest of this tier):
+    "src_avro",
+    "sink_iceberg_ref_lifecycle",
+    "sink_delta_check_constraint",
 ]
 
 
