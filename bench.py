@@ -160,6 +160,7 @@ EXTENDED = [
     "src_avro",
     "sink_iceberg_ref_lifecycle",
     "sink_delta_check_constraint",
+    "sink_iceberg_pos_delete",
 ]
 
 

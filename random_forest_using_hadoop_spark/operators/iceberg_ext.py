@@ -1104,13 +1104,31 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = _iceberg_table_meta(root)
     snap = _iceberg_snapshot(meta)
     data_files, delete_files = _iceberg_files(snap)
-    if not data_files:
+    df = _scan_apply_pos_deletes(spark, data_files, delete_files)
+    if df is None:
         return spark.createDataFrame(
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
-    # per-partition-value scans with the (file, position) coordinate
-    # captured AT SCAN LEVEL (_metadata.row_index does not survive a
-    # union — it must be projected on the scan relation itself)
+    return _cents_agg(df)
+
+
+def _scan_apply_pos_deletes(
+    spark: SparkSession,
+    data_files: list[tuple],
+    delete_files: list[dict],
+) -> DataFrame | None:
+    """The v2 position-delete READ path, shared by the reader key above
+    and the lake_r15 DELETE writer (which must apply the CURRENT
+    deletes before matching, so an already-deleted row never re-enters
+    a commit payload): per-partition-value scans with the (file,
+    position) coordinate captured AT SCAN LEVEL (_metadata.row_index
+    does not survive a union), then ONE anti-join on (file, pos) gated
+    by the spec's `data_seq <= delete_seq` ordering rule, broadcast
+    stats-gated on manifest record counts. Returns rows with the
+    normalized `_fp` and `_pos` coordinates kept, or None when no data
+    files are live."""
+    if not data_files:
+        return None
     by_val: dict[str, list[str]] = {}
     for p, v, _, _ in data_files:
         by_val.setdefault(v, []).append(p)
@@ -1119,7 +1137,11 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             F.lit(v).alias("o_orderpriority"),
-            F.input_file_name().alias("_fp"),
+            # normalize the scan's file URI to the staged
+            # absolute-path form the delete files reference
+            # (input_file_name percent-encodes e.g. the space in
+            # `o_orderpriority=4-NOT SPECIFIED`)
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         for v, paths in sorted(by_val.items())
@@ -1150,14 +1172,6 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(dseq), "dpath")
             .select("file_path", "pos", "dseq")
         )
-        # normalize the scan's file URI to the staged absolute-path
-        # form the delete files reference: strip the file: scheme and
-        # URL-decode (input_file_name percent-encodes e.g. the space in
-        # `o_orderpriority=4-NOT SPECIFIED`)
-        df = df.withColumn(
-            "_fp",
-            _norm_file_uri("_fp"),
-        )
         df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
         n_del = sum(d["n"] for d in delete_files)
         df = df.join(
@@ -1166,8 +1180,8 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (df["_pos"] == dels["pos"])
             & (df["data_seq"] <= dels["dseq"]),  # spec ordering rule
             "left_anti",
-        )
-    return _cents_agg(df)
+        ).drop("file_path", "data_seq")
+    return df
 
 
 # --- schema evolution (field-id projection + name mapping) ---------------------

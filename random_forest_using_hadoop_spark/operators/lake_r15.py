@@ -29,15 +29,20 @@ from random_forest_using_hadoop_spark.operators.iceberg_ext import (
     _T3,
     _entry,
     _iceberg_expire_snapshots,
+    _iceberg_files,
     _iceberg_live_files,
     _iceberg_snapshot,
     _iceberg_stage,
     _iceberg_table_meta,
     _pfiles,
+    _scan_apply_pos_deletes,
     _scan_with_partition,
     _write_manifest,
 )
-from random_forest_using_hadoop_spark.operators.lake_r14 import _mlrec
+from random_forest_using_hadoop_spark.operators.lake_r14 import (
+    _append_snapshot,
+    _mlrec,
+)
 from random_forest_using_hadoop_spark.operators.scans import _tmp
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
@@ -656,3 +661,168 @@ def _live_paths(commit_file: str) -> list[str]:
                 if "add" in act:
                     out.append(act["add"]["path"])
     return out
+
+
+# --- Iceberg position-delete WRITER (DELETE WHERE → pos-delete files) -----------
+
+
+def iceberg_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    snap_id: int,
+    seq: int,
+    ts: int,
+    version: int,
+) -> int:
+    """Execute `DELETE WHERE predicate` by EMITTING POSITION-DELETE
+    FILES (spec §Position Delete Files) — the Iceberg twin of
+    `_delta_delete_to_dv`, with the same fully-distributed shape:
+
+    - the match runs over the live rows WITH THE CURRENT POSITION
+      DELETES APPLIED FIRST (shared read path
+      `_scan_apply_pos_deletes`), so an already-deleted row never
+      re-enters a commit payload — re-running the same DELETE commits
+      nothing;
+    - matched (file, pos) pairs aggregate per PARTITION VALUE
+      executor-side (`groupBy` + `applyInPandas`); each group writes
+      one spec-ordered pos-delete parquet from the executor (delete
+      files are partition-scoped under a partitioned spec) and
+      returns one descriptor row — the driver collects O(partitions)
+      descriptors, never positions;
+    - the commit carries every prior manifest UNCHANGED plus one new
+      DELETE manifest (content 1): O(deleted rows) total cost, zero
+      data files rewritten.
+
+    Returns the number of delete files committed (0 = no-op, no
+    commit)."""
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    data_files, delete_files = _iceberg_files(snap)
+    rows = _scan_apply_pos_deletes(spark, data_files, delete_files)
+    if rows is None:
+        return 0
+    hits = rows.filter(predicate).select("o_orderpriority", "_fp", "_pos")
+    _meta_dir, _seq = meta_dir, seq
+
+    def _write_posdel(pdf):
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        pval = pdf["o_orderpriority"].iloc[0]
+        pairs = sorted(
+            zip(pdf["_fp"], (int(x) for x in pdf["_pos"]))
+        )  # spec: delete files sort by (file_path, pos)
+        path = _os.path.join(
+            _meta_dir,
+            f"posdel-{str(pval).replace(' ', '_')}-s{_seq}.parquet",
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array(
+                        [p for p, _ in pairs], _pa.string()
+                    ),
+                    "pos": _pa.array([x for _, x in pairs], _pa.int64()),
+                }
+            ),
+            path,
+        )
+        return _pd.DataFrame({"pval": [str(pval)], "path": [path]})
+
+    descs = sorted(
+        (r["pval"], r["path"])
+        for r in hits.groupBy("o_orderpriority")
+        .applyInPandas(_write_posdel, schema="pval string, path string")
+        .collect()  # O(touched partitions): the commit's delete files
+    )
+    if not descs:
+        return 0
+    m_del = _write_manifest(
+        meta_dir,
+        f"m{seq}-delete-where.avro",
+        [
+            _entry(_ST_ADDED, snap_id, seq, path, pval, content=1)
+            for pval, path in descs
+        ],
+    )
+    _, carried, _ = ocf_read(snap["manifest-list"])
+    recs = [
+        _mlrec(
+            m["manifest_path"], m["content"], m["sequence_number"],
+            m["added_snapshot_id"],
+        )
+        for m in carried
+    ]
+    recs.append(_mlrec(m_del, 1, seq, snap_id))
+    ml = os.path.join(meta_dir, f"snap-{snap_id}-1-delete-where.avro")
+    ocf_write(
+        ml, _MANIFEST_FILE_SCHEMA, recs, metadata={"format-version": "2"}
+    )
+    _append_snapshot(meta_dir, version, snap_id, seq, ts, ml, "delete")
+    return len(descs)
+
+
+_POSDEL_WRITE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+  AND o_orderkey % 10 NOT IN (7, 4)
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_pos_delete", oracle=_POSDEL_WRITE_ORACLE)
+def q_sink_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DELETE WHERE emitting POSITION-DELETE files — the WRITE
+    side of `src_iceberg_pos_delete` and the format twin of
+    `sink_delta_delete_dv` (same row-level-delete duty, inverse
+    layering: scannable parquet pairs instead of roaring bitmaps).
+    TWO successive deletes land against the shared base — s4 drops
+    o_orderkey % 10 == 7, s5 drops % 10 IN (7, 4) — the second's
+    predicate OVERLAPS the first, so its matching scan must apply the
+    current deletes first: s5's files may contain only the % 10 == 4
+    rows (re-emitting the dead % 7 positions would churn every
+    downstream incremental consumer; gated in
+    tests/test_iceberg_protocol.py). Data parquet files stay
+    byte-identical; both commits carry prior manifests unchanged.
+
+    Graded read-back goes through the SAME shared
+    `_scan_apply_pos_deletes` path as the reader key — writer and
+    reader are held to one contract. Oracle: non-urgent rows with
+    % 10 NOT IN (7, 4).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_posdel_write")
+    _iceberg_stage(spark, o, root)
+    _S4, _S5 = _S3 + 1, _S3 + 2
+    iceberg_delete_where(
+        spark, root, F.col("o_orderkey") % 10 == 7,
+        _S4, 4, _T3 + 60_000, 4,
+    )
+    iceberg_delete_where(
+        spark, root, (F.col("o_orderkey") % 10).isin(7, 4),
+        _S5, 5, _T3 + 120_000, 5,
+    )
+    meta = _iceberg_table_meta(root)
+    data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
+    df = _scan_apply_pos_deletes(spark, data_files, delete_files)
+    if df is None:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

@@ -425,3 +425,70 @@ def test_ref_lifecycle_expiry_is_reachability_driven(spark):
         iceberg_create_ref(root, "keep-audit", _S2, "tag")
     with pytest.raises(ValueError, match="not in table metadata"):
         iceberg_create_ref(root, "ghost", 42, "tag")
+
+
+def test_pos_delete_writer_applies_current_deletes_first(spark):
+    """sink_iceberg_pos_delete's write contract: the second DELETE's
+    predicate overlaps the first (% 10 IN (7,4) after % 10 == 7), so
+    its files may contain ONLY the newly-dead % 4 positions; data
+    parquets stay byte-identical; re-running a DELETE whose rows are
+    all dead commits NOTHING; and only the per-partition descriptor
+    aggregation may collect."""
+    import hashlib
+    import inspect
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _S3,
+        _T3,
+        _iceberg_files,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _meta_version,
+        iceberg_delete_where,
+    )
+
+    src = inspect.getsource(iceberg_delete_where)
+    assert src.count(".collect()") == 1
+    assert src.index("applyInPandas") < src.index(".collect()")
+
+    def _digests(paths):
+        out = {}
+        for p in sorted(paths):
+            with open(p, "rb") as fh:
+                out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    engine.REGISTRY["sink_iceberg_pos_delete"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_posdel_write")
+    meta = _iceberg_table_meta(root)
+    data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
+    assert {d["seq"] for d in delete_files} == {4, 5}
+    # s5 files: every position's row is % 10 == 4 (never a re-emitted 7)
+    live_paths = {p for p, _, _, _ in data_files}
+    keyed = {}
+    for p in live_paths:
+        keyed[p] = pq.read_table(p).column("o_orderkey").to_pylist()
+    for d in delete_files:
+        if d["seq"] != 5:
+            continue
+        t = pq.read_table(d["path"])
+        for fp, pos in zip(
+            t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+        ):
+            assert keyed[fp][pos] % 10 == 4, (
+                f"s5 re-emitted an already-dead position: key "
+                f"{keyed[fp][pos]}"
+            )
+    # re-running the same DELETE: zero files, zero commits
+    before = (_digests(live_paths), _meta_version(root))
+    n = iceberg_delete_where(
+        spark, root, (F.col("o_orderkey") % 10).isin(7, 4),
+        _S3 + 3, 6, _T3 + 180_000, 6,
+    )
+    assert n == 0
+    assert (_digests(live_paths), _meta_version(root)) == before
