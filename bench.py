@@ -161,6 +161,7 @@ EXTENDED = [
     "sink_iceberg_ref_lifecycle",
     "sink_delta_check_constraint",
     "sink_iceberg_pos_delete",
+    "sink_delta_checkpoint_write",
 ]
 
 

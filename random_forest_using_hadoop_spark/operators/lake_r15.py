@@ -43,7 +43,12 @@ from random_forest_using_hadoop_spark.operators.lake_r14 import (
     _append_snapshot,
     _mlrec,
 )
-from random_forest_using_hadoop_spark.operators.scans import _tmp
+from random_forest_using_hadoop_spark.operators.scans import (
+    _delta_latest_live_files,
+    _delta_live_files,
+    _delta_max_version,
+    _tmp,
+)
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
@@ -825,4 +830,217 @@ def q_sink_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
+    )
+
+
+# --- Delta classic-checkpoint WRITER ---------------------------------------------
+
+
+def delta_write_checkpoint(
+    spark: SparkSession, root: str, parts: int = 1
+) -> tuple[int, int]:
+    """Write a CLASSIC CHECKPOINT for the table's latest version
+    (delta-io PROTOCOL.md §Checkpoints): the full table state — latest
+    `protocol` and `metaData` plus one `add` row per live file (with
+    `dataChange: false`, checkpoint rows are not changes) — landed as
+    parquet, plus the `_last_checkpoint` pointer. `parts=1` writes the
+    single-file `<v>.checkpoint.parquet` form; `parts>1` writes the
+    sharded `<v>.checkpoint.<i>.<n>.parquet` form (the one writers
+    switch to when single-file production becomes the bottleneck),
+    with `parts` recorded in `_last_checkpoint` so readers can
+    validate completeness.
+
+    The state assembly is DISTRIBUTED: live adds come from the same
+    log-replay fold the readers use (`_delta_live_files`,
+    max_by(is_add, u) — never a directory listing) and the shards are
+    written by executors; the driver only renames them into the spec's
+    naming scheme (a metadata op) and writes the bounded pointer file.
+    At 100 TB the live-add state is millions of rows — exactly why it
+    must never be collected.
+
+    Returns (checkpoint version, total action rows)."""
+    log_dir = os.path.join(root, "_delta_log")
+    v = _delta_max_version(log_dir)
+    protocol, meta, _ = _delta_snapshot_actions(log_dir)
+    adds = (
+        _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == v)
+        .select(
+            F.struct(
+                F.col("path").alias("path"),
+                F.lit(False).alias("dataChange"),
+            ).alias("add")
+        )
+    )
+    prot_df = spark.range(1).select(
+        F.struct(
+            F.lit(int(protocol.get("minReaderVersion", 1)))
+            .cast("int")
+            .alias("minReaderVersion"),
+            F.lit(int(protocol.get("minWriterVersion", 2)))
+            .cast("int")
+            .alias("minWriterVersion"),
+        ).alias("protocol")
+    )
+    meta_df = spark.range(1).select(
+        F.struct(
+            F.lit(meta.get("id", "")).alias("id"),
+            F.lit(meta.get("schemaString", "")).alias("schemaString"),
+        ).alias("metaData")
+    )
+    state = adds.unionByName(
+        prot_df, allowMissingColumns=True
+    ).unionByName(meta_df, allowMissingColumns=True)
+    staging = os.path.join(log_dir, f".ckpt-{v}.staging")
+    state.repartition(max(1, parts)).write.mode("overwrite").parquet(
+        staging
+    )
+    shards = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    n = len(shards)
+    if n == 1:
+        names = [f"{v:020d}.checkpoint.parquet"]
+    else:
+        names = [
+            f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+            for i in range(1, n + 1)
+        ]
+    for shard, name in zip(shards, names):
+        os.replace(
+            os.path.join(staging, shard), os.path.join(log_dir, name)
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    size = state.count()
+    lc = {"version": v, "size": size}
+    if n > 1:
+        lc["parts"] = n
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump(lc, fh)
+    return v, size
+
+
+_CKPT_WRITE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_delta_checkpoint_write", oracle=_CKPT_WRITE_ORACLE)
+def q_sink_delta_checkpoint_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta CHECKPOINT WRITER — the write side of
+    `src_delta_checkpoint` / the multipart reader path: after three
+    JSON commits (non-urgent evens, non-urgent odds, urgent slice) the
+    writer lands a TWO-PART classic checkpoint at v2 and the
+    `_last_checkpoint` pointer; the graded flow then DELETES the
+    covered v0–v2 commit files (the log-compaction sufficiency proof:
+    the checkpoint must be a COMPLETE snapshot, because on a real
+    table those commits age out) and appends v3 removing the urgent
+    file. The read-back bootstraps through the production reader
+    (`_delta_latest_live_files`: checkpoint shards + JSON tail) — a
+    checkpoint that dropped an add, double-counted one, or mis-named a
+    shard fails on rows or is refused by the completeness validator.
+
+    Scale: state assembly is the distributed log-replay fold, shards
+    are executor-written, and the driver handles only renames + the
+    bounded pointer — nothing O(live files) ever reaches it.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_ckpt_write")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def _commit(version: int, df: DataFrame, sub: str, head=()) -> list[str]:
+        out = os.path.join(data_dir, sub)
+        df.repartition(1).write.mode("overwrite").parquet(out)
+        rels = [
+            f"data/{sub}/{f}"
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+        lines = list(head) + [
+            json.dumps({"add": {"path": p, "dataChange": True}})
+            for p in rels
+        ]
+        with open(
+            os.path.join(log_dir, f"{version:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+        return rels
+
+    live_src = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    head = (
+        json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "ckpt-write-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": "{}",
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        ),
+    )
+    _commit(0, live_src.filter(F.col("o_orderkey") % 2 == 0), "c0", head)
+    _commit(1, live_src.filter(F.col("o_orderkey") % 2 == 1), "c1")
+    urgent_rels = _commit(
+        2, o.filter(F.col("o_orderpriority") == "1-URGENT"), "c2"
+    )
+
+    v, _ = delta_write_checkpoint(spark, root, parts=2)
+    # sufficiency proof: the covered commits age out; the checkpoint
+    # must reconstruct the v2 state alone
+    for i in range(v + 1):
+        os.remove(os.path.join(log_dir, f"{i:020d}.json"))
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"remove": {"path": p, "dataChange": True}})
+                for p in urgent_rels
+            )
+            + "\n"
+        )
+
+    fnames = _delta_latest_live_files(spark, root)
+    all_files = {
+        f: os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    paths = sorted(all_files[f] for f in fnames)
+    if not paths:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
     )

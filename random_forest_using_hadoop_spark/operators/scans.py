@@ -1406,6 +1406,11 @@ def _delta_latest_live_files(spark: SparkSession, root: str) -> set[str]:
         F.col("add.path").alias("path"),
         F.lit(True).alias("is_add"),
         F.lit(ckpt_v).alias("u"),
+    ).filter(
+        # a spec checkpoint carries protocol/metaData (and possibly
+        # remove-tombstone) rows alongside the adds — their null
+        # add.path must not survive as a phantom live file
+        F.col("path").isNotNull()
     )
     tail_files = [
         os.path.join(log_dir, f"{v:020d}.json")

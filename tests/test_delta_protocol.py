@@ -1165,3 +1165,46 @@ def test_check_constraint_writer_gate(spark):
         delta_constrained_append(
             spark, root, spark.createDataFrame([(3, 1.0, "X")], sch)
         )
+
+
+def test_checkpoint_writer_multipart_contract(spark):
+    """delta_write_checkpoint's contract: shards follow the spec's
+    `<v>.checkpoint.<i>.<n>.parquet` naming with `parts` recorded in
+    _last_checkpoint; the state rows carry protocol + metaData
+    alongside the adds; deleting one shard makes the completeness
+    validator REFUSE the read (never a silent partial snapshot); and
+    the writer never collects state (executor-written shards,
+    driver-side renames only)."""
+    import inspect
+
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        delta_write_checkpoint,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import (
+        _delta_latest_live_files,
+    )
+
+    assert ".collect()" not in inspect.getsource(delta_write_checkpoint)
+
+    engine.REGISTRY["sink_delta_checkpoint_write"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "delta_ckpt_write")
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        lc = json.load(fh)
+    assert lc["parts"] == 2 and lc["version"] == 2
+    shards = sorted(
+        f for f in os.listdir(log_dir) if ".checkpoint." in f
+    )
+    assert shards == [
+        f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+        f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    ]
+    # state carries protocol + metaData rows alongside adds
+    both = spark.read.parquet(*(os.path.join(log_dir, s) for s in shards))
+    assert both.filter(F.col("protocol").isNotNull()).count() == 1
+    assert both.filter(F.col("metaData").isNotNull()).count() == 1
+    assert lc["size"] == both.count()
+    # a missing shard must refuse, not half-read
+    os.remove(os.path.join(log_dir, shards[1]))
+    with pytest.raises(ValueError, match="missing shards"):
+        _delta_latest_live_files(spark, root)
