@@ -838,3 +838,154 @@ def q_emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_shift"
         )
     )
+
+
+# --- SemDeDup: semantic dedup inside coarse embedding clusters -------------------
+
+_SEMDEDUP_K_MIN = 8   # cell-count floor (micro corpora)
+_SEMDEDUP_TAU = 0.30  # within-cell cosine duplicate threshold
+
+# K = max(8, ceil(sqrt(n/2))) balances the quantizer's two cost terms —
+# assignment is n·K dot products, within-cell pairing is ~n·(n/K)/2 —
+# at K = sqrt(n/2) both are n^1.5 (the best an EXACT one-level SemDeDup
+# can do; see the docstring for the 100 TB two-level path)
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+kk AS (SELECT GREATEST({_SEMDEDUP_K_MIN},
+                       CAST(CEIL(SQRT(COUNT(*) / 2.0)) AS BIGINT))
+              AS k FROM v),
+c AS (SELECT vec_id AS cid, ve AS ce FROM v, kk WHERE vec_id < kk.k),
+corpus AS (SELECT v.* FROM v, kk WHERE v.vec_id >= kk.k),
+pairs AS (
+  SELECT corpus.vec_id, corpus.ve, c.cid,
+         list_inner_product(corpus.ve, corpus.ve)
+           - 2.0 * list_inner_product(corpus.ve, c.ce)
+           + list_inner_product(c.ce, c.ce) AS dist2
+  FROM corpus JOIN c ON TRUE
+),
+assigned AS (
+  SELECT vec_id, ve, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cid) AS rk
+    FROM pairs
+  ) WHERE rk = 1
+),
+dup AS (
+  SELECT a.cid, a.vec_id AS ka, b.vec_id AS kb
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.ve, b.ve)
+        / (sqrt(list_inner_product(a.ve, a.ve))
+           * sqrt(list_inner_product(b.ve, b.ve))) >= {_SEMDEDUP_TAU}
+),
+pop AS (SELECT cid, COUNT(*) AS n_assigned FROM assigned GROUP BY cid),
+dp  AS (SELECT cid, COUNT(*) AS n_pairs    FROM dup      GROUP BY cid),
+rem AS (SELECT cid, COUNT(DISTINCT kb) AS n_removed FROM dup GROUP BY cid)
+SELECT c.cid AS centroid_id,
+       CAST(COALESCE(pop.n_assigned, 0) AS BIGINT) AS n_assigned,
+       CAST(COALESCE(dp.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(pop.n_assigned, 0) - COALESCE(rem.n_removed, 0)
+            AS BIGINT) AS n_kept
+FROM c
+LEFT JOIN pop USING (cid)
+LEFT JOIN dp  USING (cid)
+LEFT JOIN rem USING (cid)
+"""
+
+
+@register("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    then find near-duplicates ONLY within each cluster — the published
+    recipe that removed ~50% of LAION/C4 at minimal quality cost, and
+    the missing tier between exact/minhash dedup (surface overlap) and
+    nothing: paraphrases and re-encodes share no n-grams but sit at
+    high embedding cosine.
+
+    Pipeline (each stage a graded column): assign every corpus vector
+    to its nearest of K seed centroids (squared-L2, centroid-id
+    tie-break — the [[q_sim_centroid_assign]] pass), pair vectors
+    WITHIN a cell at cosine ≥ {_SEMDEDUP_TAU}, and keep one canonical
+    representative per duplicate relation (drop any vector with a
+    lower-id near-dup — the same survivor rule as
+    [[q_dedup_canonical_keep]]). Output per cell: population, dup
+    pairs, removed, kept.
+
+    Scale: assignment is a K-row broadcast + per-vector argmin (one
+    shuffle); the pair stage is an EQUI-JOIN on the cell id — the
+    whole point of SemDeDup's clustering is that the quadratic term is
+    per-cell. K = ⌈sqrt(n/2)⌉ balances the two cost terms (assignment
+    n·K vs pairing n²/(2K)) at n^1.5 total — the best an EXACT
+    one-level quantizer can do (probe: raw 10×-step 2.25, α≈1.76). At
+    100 TB the assignment side drops to the two-level ANN path the
+    engine already grades (sim_ann_ivf's coarse cells + nprobe) and K
+    follows the paper's fixed 50k with per-cell matmuls — the pair
+    stage's equi-join shape is unchanged. No cross-cell pair is ever
+    formed; cosine is the JVM-side fold, bit-identical to the oracle's
+    sequential list_inner_product."""
+    import math
+
+    v = _vectors(spark, sf_dir)
+    # K grows with the corpus (one driver-side metadata count, like
+    # dedup_embedding's block grid) at the balance point of the two
+    # cost terms — see the _SEMDEDUP_ORACLE comment
+    k = max(_SEMDEDUP_K_MIN, math.ceil(math.sqrt(v.count() / 2.0)))
+    c = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
+    )
+    corpus = v.filter(F.col("vec_id") >= k)
+    dist2 = (
+        _dot(F.col("ve"), F.col("ve"))
+        - 2.0 * _dot(F.col("ve"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
+    )
+    scored = corpus.join(F.broadcast(c)).select(
+        "vec_id", "ve", "cid", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "ve", "cid")
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("ka"), F.col("ve").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("kb"), F.col("ve").alias("vb")
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(
+            _cosine(F.col("va"), F.col("vb")) >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("cid", "ka", "kb")
+    )
+    pop = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned")
+    )
+    dp = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+    )
+    rem = dup.groupBy("cid").agg(
+        F.countDistinct("kb").cast("bigint").alias("n_removed")
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        c.select(F.col("cid"))
+        .join(pop, "cid", "left")
+        .join(dp, "cid", "left")
+        .join(rem, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.coalesce("n_assigned", z).alias("n_assigned"),
+            F.coalesce("n_dup_pairs", z).alias("n_dup_pairs"),
+            F.coalesce("n_removed", z).alias("n_removed"),
+            (
+                F.coalesce("n_assigned", z) - F.coalesce("n_removed", z)
+            ).cast("bigint").alias("n_kept"),
+        )
+    )
