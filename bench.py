@@ -84,6 +84,9 @@ HEADLINE = [
     # back toward the old shapes is visible round-over-round:
     "dedup_embedding",
     "dedup_ngram_jaccard",
+    # r15 — SemDeDup within-cell semantic dedup (balanced-K quantizer),
+    # tracked like the other dedup family representatives:
+    "dedup_semantic",
     # lake-format representatives — one per protocol family so a
     # regression in the shared reader/writer machinery (log replay,
     # Avro codec, DV decode, anti-join plans) stays visible on the

@@ -949,6 +949,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "ve", "cid")
+        # materialize ONCE: four downstream consumers (both pair
+        # sides, the population agg, the spine join) would otherwise
+        # each replay the n·K assignment pass — the same pattern as
+        # graph_bfs_hops' frontier
+        .localCheckpoint()
     )
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("ka"), F.col("ve").alias("va")

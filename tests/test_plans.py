@@ -124,6 +124,10 @@ _PYTHON_EVAL_ALLOWED = {
     # codec with no SQL form, run over the BOUNDED per-DV descriptor
     # frame (one row per delete file), never over data rows
     "src_iceberg_v3_dv": {"MapInPandas"},
+    # r15: Avro OCF decode — a binary row codec with no SQL form, run
+    # per FILE over the binaryFile scan (one Arrow batch per shard),
+    # the operator's whole point (same class as the multimodal codecs)
+    "src_avro": {"MapInPandas"},
 }
 _PYTHON_EVAL_MARKERS = (
     "BatchEvalPython",
