@@ -165,6 +165,8 @@ EXTENDED = [
     "sink_delta_check_constraint",
     "sink_iceberg_pos_delete",
     "sink_delta_checkpoint_write",
+    "sink_delta_checkpoint_v2",
+    "sink_iceberg_schema_evolution",
 ]
 
 

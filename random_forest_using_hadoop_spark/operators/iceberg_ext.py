@@ -1186,6 +1186,55 @@ def _scan_apply_pos_deletes(
 
 # --- schema evolution (field-id projection + name mapping) ---------------------
 
+def _scan_with_name_mapping(
+    spark: SparkSession, meta: dict
+) -> DataFrame | None:
+    """Field-id projection to the CURRENT schema through
+    `schema.name-mapping.default` (spec §Column Projection), shared by
+    the schema-evolution reader and the lake_r15 ALTER-schema writer's
+    read-back: live files are grouped by PHYSICAL footer schema
+    (bounded by schema versions, not file count — the same grouping a
+    real planner's scan-task assembly does), each group projects every
+    current field from whichever historical physical name it carries
+    (null-filled with the declared type when the column postdates the
+    files), and the groups union to one frame. None when no files are
+    live."""
+    import pyarrow.parquet as pq
+
+    current = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    names_by_id = {m["field-id"]: set(m["names"]) for m in mapping}
+    spark_types = {"long": "bigint", "double": "double", "string": "string"}
+    files = _iceberg_live_files(_iceberg_snapshot(meta))
+    groups: dict[tuple, list[str]] = {}
+    for path, _, _ in files:
+        cols = tuple(pq.read_schema(path).names)
+        groups.setdefault(cols, []).append(path)
+    parts = []
+    for cols, paths in sorted(groups.items()):
+        raw = spark.read.parquet(*sorted(paths))
+        proj = []
+        for fld in current["fields"]:
+            phys = [c for c in cols if c in names_by_id[fld["id"]]]
+            if phys:
+                proj.append(F.col(phys[0]).alias(fld["name"]))
+            else:  # column added after these files were written
+                proj.append(
+                    F.lit(None)
+                    .cast(spark_types[fld["type"]])
+                    .alias(fld["name"])
+                )
+        parts.append(raw.select(*proj))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 _EVO_ORACLE = """
 SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
             ELSE '<missing>' END AS order_status,
@@ -1330,41 +1379,11 @@ def q_src_iceberg_schema_evolution(
 
     # --- reader: field-id projection through the name mapping
     meta = _iceberg_table_meta(root)
-    current = next(
-        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-    )
-    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
-    names_by_id = {m["field-id"]: set(m["names"]) for m in mapping}
-    spark_types = {"long": "bigint", "double": "double", "string": "string"}
-    files = _iceberg_live_files(_iceberg_snapshot(meta))
-    # group files by PHYSICAL schema (footer column names) — bounded by
-    # schema versions, one driver-side footer read per file
-    groups: dict[tuple, list[str]] = {}
-    for path, _, _ in files:
-        cols = tuple(pq.read_schema(path).names)
-        groups.setdefault(cols, []).append(path)
-    parts = []
-    for cols, paths in sorted(groups.items()):
-        raw = spark.read.parquet(*sorted(paths))
-        proj = []
-        for fld in current["fields"]:
-            phys = [c for c in cols if c in names_by_id[fld["id"]]]
-            if phys:
-                proj.append(F.col(phys[0]).alias(fld["name"]))
-            else:  # column added after these files were written
-                proj.append(
-                    F.lit(None)
-                    .cast(spark_types[fld["type"]])
-                    .alias(fld["name"])
-                )
-        parts.append(raw.select(*proj))
-    if not parts:
+    df = _scan_with_name_mapping(spark, meta)
+    if df is None:
         return spark.createDataFrame(
             [], "order_status string, n_rows long, total_cents long"
         )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
     return df.groupBy(
         F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias(
             "order_status"

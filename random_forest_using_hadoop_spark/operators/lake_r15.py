@@ -36,8 +36,10 @@ from random_forest_using_hadoop_spark.operators.iceberg_ext import (
     _iceberg_table_meta,
     _pfiles,
     _scan_apply_pos_deletes,
+    _scan_with_name_mapping,
     _scan_with_partition,
     _write_manifest,
+    _write_manifest_list,
 )
 from random_forest_using_hadoop_spark.operators.lake_r14 import (
     _append_snapshot,
@@ -1043,4 +1045,424 @@ def q_sink_delta_checkpoint_write(
                 )
             ).alias("total_cents"),
         )
+    )
+
+
+# --- Delta V2 (sidecar) checkpoint WRITER ----------------------------------------
+
+
+def delta_write_checkpoint_v2(
+    spark: SparkSession, root: str, sidecars: int = 2
+) -> tuple[int, int]:
+    """Write a V2 CHECKPOINT (PROTOCOL.md §V2 Spec Checkpoints — the
+    checkpoints-with-sidecar-files feature) for the latest version:
+    the live add state lands as `sidecars` parquet shards under
+    `_delta_log/_sidecars/` (EXECUTOR-written — checkpoint production
+    parallelizes, which is the feature's whole reason to exist), and a
+    small MANIFEST `<v>.checkpoint.<uuid>.parquet` holding the
+    `checkpointMetadata` row plus one `sidecar` row per shard (bounded
+    O(shards) metadata, driver-written like any commit finalize), plus
+    the `_last_checkpoint` pointer. The manifest also carries an empty
+    `add` column so readers that union manifest-adds with sidecar-adds
+    (the spec allows adds in either place) see a well-formed schema
+    even for an empty table.
+
+    Returns (checkpoint version, number of sidecar shards)."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(root, "_delta_log")
+    v = _delta_max_version(log_dir)
+    adds = (
+        _delta_live_files(spark, log_dir)
+        .filter(F.col("version") == v)
+        .select(
+            F.struct(
+                F.col("path").alias("path"),
+                F.lit(False).alias("dataChange"),
+            ).alias("add")
+        )
+    )
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    staging = os.path.join(log_dir, f".ckpt-v2-{v}.staging")
+    adds.repartition(max(1, sidecars)).write.mode("overwrite").parquet(
+        staging
+    )
+    u = _uuid.uuid4()
+    shard_names = []
+    for i, shard in enumerate(
+        sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    ):
+        name = f"{u}-{i:05d}.parquet"
+        os.replace(
+            os.path.join(staging, shard), os.path.join(side_dir, name)
+        )
+        shard_names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    n = len(shard_names)
+    add_type = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    sidecar_type = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64())]
+    )
+    manifest = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": v}] + [None] * n,
+                pa.struct([("version", pa.int64())]),
+            ),
+            "sidecar": pa.array(
+                [None]
+                + [
+                    {
+                        "path": s,
+                        "sizeInBytes": os.path.getsize(
+                            os.path.join(side_dir, s)
+                        ),
+                    }
+                    for s in shard_names
+                ],
+                sidecar_type,
+            ),
+            "add": pa.array([None] * (n + 1), add_type),
+        }
+    )
+    pq.write_table(
+        manifest,
+        os.path.join(log_dir, f"{v:020d}.checkpoint.{u}.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v}, fh)
+    return v, n
+
+
+@register("sink_delta_checkpoint_v2", oracle=_CKPT_WRITE_ORACLE)
+def q_sink_delta_checkpoint_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 CHECKPOINT WRITER — completes the checkpoint surface
+    (classic single-file ✓, sharded multi-part ✓, v2 READ ✓, and now
+    v2 WRITE): same graded flow as `sink_delta_checkpoint_write` —
+    three commits, checkpoint at v2 (here: manifest + TWO
+    executor-written sidecar shards), DELETE the covered commits (the
+    sufficiency proof), append a remove tail, bootstrap through the
+    production reader's v2 path (manifest → sidecars → JSON tail). A
+    writer that drops an add between shards, mis-sizes a sidecar row,
+    or names the manifest outside the `<v>.checkpoint.<uuid>.parquet`
+    scheme fails on rows or is not discovered at all.
+
+    Scale: the state fold and shard writes are the same distributed
+    pipeline as the classic writer; the driver handles shard renames,
+    the O(shards) manifest, and the bounded pointer — at a few million
+    live files the shards are what make checkpoint production
+    parallel, the exact bottleneck the feature exists to remove.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_ckpt_v2_write")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    def _commit(version: int, df: DataFrame, sub: str, head=()) -> list[str]:
+        out = os.path.join(data_dir, sub)
+        df.repartition(1).write.mode("overwrite").parquet(out)
+        rels = [
+            f"data/{sub}/{f}"
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+        lines = list(head) + [
+            json.dumps({"add": {"path": p, "dataChange": True}})
+            for p in rels
+        ]
+        with open(
+            os.path.join(log_dir, f"{version:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+        return rels
+
+    live_src = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    head = (
+        json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ),
+    )
+    _commit(0, live_src.filter(F.col("o_orderkey") % 2 == 0), "c0", head)
+    _commit(1, live_src.filter(F.col("o_orderkey") % 2 == 1), "c1")
+    urgent_rels = _commit(
+        2, o.filter(F.col("o_orderpriority") == "1-URGENT"), "c2"
+    )
+
+    v, _ = delta_write_checkpoint_v2(spark, root, sidecars=2)
+    for i in range(v + 1):
+        os.remove(os.path.join(log_dir, f"{i:020d}.json"))
+    with open(os.path.join(log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps({"remove": {"path": p, "dataChange": True}})
+                for p in urgent_rels
+            )
+            + "\n"
+        )
+
+    fnames = _delta_latest_live_files(spark, root)
+    all_files = {
+        f: os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    paths = sorted(all_files[f] for f in fnames)
+    if not paths:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_rows long, total_cents long"
+        )
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+# --- Iceberg ALTER TABLE writer (schema evolution) -------------------------------
+
+
+def iceberg_alter_schema(
+    root: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[int, str] | None = None,
+) -> int:
+    """ALTER TABLE — add columns and/or rename columns BY FIELD ID
+    (spec §Schemas, §Schema Evolution): one new schema version appended
+    to `schemas`, `current-schema-id` flipped, `last-column-id`
+    advanced monotonically, and `schema.name-mapping.default` extended
+    so files written under ANY historical name keep resolving (the
+    rename stays metadata-only — field id 2 is field id 2 whatever the
+    files call it). Pure metadata commit; no file is touched. Refuses
+    unknown field ids, duplicate names, and id reuse — the failure
+    modes that silently corrupt projection. Returns the new schema id.
+    """
+    tm = _iceberg_table_meta(root)
+    cur = next(
+        s for s in tm["schemas"] if s["schema-id"] == tm["current-schema-id"]
+    )
+    fields = [dict(f) for f in cur["fields"]]
+    names = {f["name"] for f in fields}
+    last_id = tm.get("last-column-id", max(f["id"] for f in fields))
+    mapping = json.loads(
+        (tm.get("properties") or {}).get(
+            "schema.name-mapping.default", "null"
+        )
+    ) or [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
+    by_id = {m["field-id"]: m for m in mapping}
+    for fid, new_name in sorted((rename or {}).items()):
+        fld = next((f for f in fields if f["id"] == fid), None)
+        if fld is None:
+            raise ValueError(f"no field with id {fid} in current schema")
+        if new_name in names:
+            raise ValueError(f"column name {new_name!r} already in use")
+        names.discard(fld["name"])
+        fld["name"] = new_name
+        names.add(new_name)
+        if new_name not in by_id[fid]["names"]:
+            by_id[fid]["names"].append(new_name)
+    for name, typ in add or []:
+        if name in names:
+            raise ValueError(f"column name {name!r} already in use")
+        last_id += 1
+        fields.append(
+            {"id": last_id, "name": name, "required": False, "type": typ}
+        )
+        names.add(name)
+        mapping.append({"field-id": last_id, "names": [name]})
+    new_id = max(s["schema-id"] for s in tm["schemas"]) + 1
+    tm["schemas"].append(
+        {"type": "struct", "schema-id": new_id, "fields": fields}
+    )
+    tm["current-schema-id"] = new_id
+    tm["last-column-id"] = last_id
+    tm.setdefault("properties", {})["schema.name-mapping.default"] = (
+        json.dumps(mapping)
+    )
+    _write_meta(root, tm)
+    return new_id
+
+
+_EVO_WRITE_ORACLE = """
+SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus
+            ELSE '<missing>' END AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("sink_iceberg_schema_evolution", oracle=_EVO_WRITE_ORACLE)
+def q_sink_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg SCHEMA-EVOLUTION WRITER — the ALTER TABLE side of
+    `src_iceberg_schema_evolution`: the v0 table (o_orderkey,
+    o_totalprice) lands a first generation of files; `iceberg_alter_
+    schema` then RENAMES field 2 to `price` and ADDS `o_orderstatus`
+    (field 4) in one metadata-only commit; a second generation lands
+    under the NEW physical names; and the read-back goes through the
+    SAME shared name-mapping projection as the reader key — a writer
+    that re-uses a field id, forgets the mapping entry for a historical
+    name, or fails to advance last-column-id loses the old
+    generation's prices or mislabels the added column, and fails the
+    value hash.
+
+    Graded split: keys % 3 == 0 are generation-1 (status reads
+    '<missing>'), the rest generation-2. Validation refusals (unknown
+    field id, duplicate name) are pinned in
+    tests/test_iceberg_protocol.py.
+
+    Scale: ALTER is one metadata.json write regardless of table size —
+    the entire point of id-based projection; the generations read as
+    one distributed scan per physical schema, not per file.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = _tmp(sf_dir, "iceberg_evo_write")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    def _flat(sub: str) -> list[str]:
+        base = os.path.join(data_dir, sub)
+        return [
+            os.path.join(base, f)
+            for f in sorted(os.listdir(base))
+            if f.endswith(".parquet")
+        ]
+
+    # generation 1 under schema v0
+    o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(data_dir, "s1")
+    )
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-evo.avro",
+        [_entry(_ST_ADDED, _S1, 1, p, None) for p in _flat("s1")],
+    )
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    schema_v0 = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ],
+    }
+    tm = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-evow",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": _T1,
+        "last-column-id": 2,
+        "schemas": [schema_v0],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": _S1,
+        "snapshots": [
+            {
+                "snapshot-id": _S1,
+                "sequence-number": 1,
+                "timestamp-ms": _T1,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": _T1, "snapshot-id": _S1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # ALTER TABLE: rename field 2 → price, add o_orderstatus (field 3)
+    iceberg_alter_schema(
+        root, add=[("o_orderstatus", "string")], rename={2: "price"}
+    )
+
+    # generation 2 under the NEW physical names
+    _S2loc = _S1 + 1
+    o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(data_dir, "s2")
+    )
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-evo.avro",
+        [_entry(_ST_ADDED, _S2loc, 2, p, None) for p in _flat("s2")],
+    )
+    ml2 = _write_manifest_list(
+        meta_dir, _S2loc, 2, [(m1, _S1), (m2, _S2loc)]
+    )
+    tm = _iceberg_table_meta(root)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": _S2loc,
+            "sequence-number": 2,
+            "timestamp-ms": _T1 + 60_000,
+            "manifest-list": ml2,
+            "summary": {"operation": "append"},
+            "schema-id": tm["current-schema-id"],
+        }
+    )
+    tm["snapshot-log"].append(
+        {"timestamp-ms": _T1 + 60_000, "snapshot-id": _S2loc}
+    )
+    tm["current-snapshot-id"] = _S2loc
+    tm["last-sequence-number"] = 2
+    _write_meta(root, tm)
+
+    df = _scan_with_name_mapping(spark, _iceberg_table_meta(root))
+    if df is None:
+        return spark.createDataFrame(
+            [], "order_status string, n_rows long, total_cents long"
+        )
+    return df.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias(
+            "order_status"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
     )

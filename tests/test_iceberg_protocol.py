@@ -492,3 +492,55 @@ def test_pos_delete_writer_applies_current_deletes_first(spark):
     )
     assert n == 0
     assert (_digests(live_paths), _meta_version(root)) == before
+
+
+def test_alter_schema_writer_refusals_and_mapping(spark):
+    """iceberg_alter_schema's contract: rename keeps the field ID and
+    extends the name mapping with the historical name intact; add
+    advances last-column-id monotonically and never reuses an id;
+    unknown field ids and duplicate names are refused with the
+    metadata untouched."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _meta_version,
+        iceberg_alter_schema,
+    )
+
+    engine.REGISTRY["sink_iceberg_schema_evolution"].fn(
+        spark, SF_DIR
+    ).collect()
+    root = _tmp(SF_DIR, "iceberg_evo_write")
+    tm = _iceberg_table_meta(root)
+    cur = next(
+        s for s in tm["schemas"] if s["schema-id"] == tm["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    assert by_name["price"]["id"] == 2, "rename must keep the field id"
+    assert by_name["o_orderstatus"]["id"] == 3
+    assert tm["last-column-id"] == 3
+    mapping = {
+        m["field-id"]: m["names"]
+        for m in json.loads(
+            tm["properties"]["schema.name-mapping.default"]
+        )
+    }
+    assert mapping[2] == ["o_totalprice", "price"], (
+        "historical physical name must stay resolvable"
+    )
+    v_before = _meta_version(root)
+    with pytest.raises(ValueError, match="no field with id"):
+        iceberg_alter_schema(root, rename={42: "ghost"})
+    with pytest.raises(ValueError, match="already in use"):
+        iceberg_alter_schema(root, add=[("price", "double")])
+    with pytest.raises(ValueError, match="already in use"):
+        iceberg_alter_schema(root, rename={1: "price"})
+    assert _meta_version(root) == v_before, "refusals must not commit"
+    # a further add must not reuse id 3
+    iceberg_alter_schema(root, add=[("note", "string")])
+    tm = _iceberg_table_meta(root)
+    cur = next(
+        s for s in tm["schemas"] if s["schema-id"] == tm["current-schema-id"]
+    )
+    assert {f["name"]: f["id"] for f in cur["fields"]}["note"] == 4
