@@ -167,6 +167,10 @@ EXTENDED = [
     "sink_delta_checkpoint_write",
     "sink_delta_checkpoint_v2",
     "sink_iceberg_schema_evolution",
+    # r15b — sort-order writer, in-commit timestamps, Delta mergeSchema:
+    "sink_iceberg_sort_order",
+    "src_delta_in_commit_timestamp",
+    "sink_delta_schema_evolution",
 ]
 
 

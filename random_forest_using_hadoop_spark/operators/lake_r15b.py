@@ -1,0 +1,722 @@
+"""Round-15b lake-format operators: the Iceberg SORT-ORDER writer
+(`ALTER TABLE ... WRITE ORDERED BY` + the range-clustered write it
+plans), Delta `inCommitTimestamp` commits (clock-skew-proof timestamp
+time travel), and the Delta writer-side SCHEMA EVOLUTION
+(`mergeSchema` append).
+
+Reference analog: none citable (the reference checkout is empty —
+SURVEY.md §0); semantics follow the public Iceberg table spec
+(§Sorting, §Sort Orders) and delta-io PROTOCOL.md (§In-Commit
+Timestamps, §Schema Serialization / writer schema evolution), matching
+what `ALTER TABLE t WRITE ORDERED BY`, `delta.enableInCommitTimestamps`
+and `spark.databricks.delta.schema.autoMerge` do in the real systems.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+    _S1,
+    _ST_ADDED,
+    _T1,
+    _entry,
+    _iceberg_table_meta,
+    _sv_double,
+    _sv_double_de,
+    _write_manifest,
+    _write_manifest_list,
+)
+from random_forest_using_hadoop_spark.operators.scans import (
+    _delta_latest_live_files,
+    _delta_list_files,
+    _delta_live_files,
+    _tmp,
+)
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- Iceberg sort-order writer -------------------------------------------------
+
+
+def iceberg_set_sort_order(root: str, source_id: int) -> int:
+    """`ALTER TABLE ... WRITE ORDERED BY <field>` — append a new sort
+    order (identity transform, asc, nulls-first) to `sort-orders` and
+    flip `default-sort-order-id`, one metadata-only commit (spec
+    §Sort Orders: orders are immutable and additive, like schemas and
+    partition specs). O(1) regardless of table size."""
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _write_meta,
+    )
+
+    tm = _iceberg_table_meta(root)
+    existing = tm.get("sort-orders") or [{"order-id": 0, "fields": []}]
+    field_names = {
+        f["id"]: f["name"]
+        for s in tm["schemas"]
+        for f in s["fields"]
+    }
+    if source_id not in field_names:
+        raise ValueError(
+            f"WRITE ORDERED BY references unknown field id {source_id}"
+        )
+    order_id = max(o["order-id"] for o in existing) + 1
+    tm["sort-orders"] = existing + [
+        {
+            "order-id": order_id,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": source_id,
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            ],
+        }
+    ]
+    tm["default-sort-order-id"] = order_id
+    _write_meta(root, tm)
+    return order_id
+
+
+def _sorted_write_plan(tm: dict, df: DataFrame, n_files: int) -> DataFrame:
+    """Plan the physical write the table's DECLARED sort order demands:
+    resolve default-sort-order-id → source field id → column name, then
+    range-repartition + local sort on it. This is exactly what a real
+    engine's write path does for `WRITE ORDERED BY` — a range shuffle
+    (disjoint per-task key ranges) followed by a task-local sort, so
+    every data file covers a narrow, non-overlapping value range and
+    metrics-based file skipping gets its selectivity. Scales as one
+    shuffle of the batch being written, never O(table)."""
+    order_id = tm.get("default-sort-order-id", 0)
+    order = next(
+        o for o in tm.get("sort-orders", []) if o["order-id"] == order_id
+    )
+    if not order["fields"]:
+        return df  # unsorted order 0: append as-is
+    src = order["fields"][0]["source-id"]
+    col = next(
+        f["name"]
+        for s in tm["schemas"]
+        for f in s["fields"]
+        if f["id"] == src
+    )
+    return df.repartitionByRange(n_files, col).sortWithinPartitions(col)
+
+
+_SORT_ORACLE = """
+SELECT CAST(LEAST(CAST(floor(o_totalprice / 75000) AS BIGINT), 7)
+            AS BIGINT) AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS lo_cents,
+       CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS hi_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("sink_iceberg_sort_order", oracle=_SORT_ORACLE)
+def q_sink_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT-ORDER WRITER: create the table (sort order 0 =
+    unsorted), run `iceberg_set_sort_order` (the metadata-only `WRITE
+    ORDERED BY o_totalprice` commit), then land one generation of data
+    files through `_sorted_write_plan` — the range-shuffle + local-sort
+    physical plan the declared order demands — and commit them with
+    exact per-file value bounds read from the parquet footers.
+
+    Runtime gates (raise, not warn):
+    - the ≥2 committed files' [min, max] o_totalprice intervals are
+      PAIRWISE DISJOINT — the clustering property a sorted write exists
+      to produce (overlapping files ⇒ the range shuffle was skipped);
+    - a narrow range query planned from the committed manifest bounds
+      opens a PROPER subset of files — the payoff: on 100 TB a
+      selective predicate on the sort column scans the few files whose
+      bounds intersect, not the table.
+
+    Graded on content through the committed metadata chain (manifest →
+    bounds-pruned file set → scan): fixed 75k-wide price buckets with
+    n_rows / total / min / max cents — a writer that drops rows in the
+    shuffle, commits wrong bounds, or mis-serializes a manifest fails
+    the hash. Within-file sortedness is pinned by
+    tests/test_iceberg_protocol.py reading one file directly.
+
+    Scale: the sort is one range shuffle of the written batch; the
+    commit is O(files); the gates are O(files) driver-side metadata.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "iceberg_sort_order")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ],
+    }
+    tm = {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-iceberg-sort",
+        "location": root,
+        "last-sequence-number": 0,
+        "last-updated-ms": _T1,
+        "last-column-id": 2,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(tm, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # ALTER TABLE ... WRITE ORDERED BY o_totalprice (field id 2)
+    iceberg_set_sort_order(root, source_id=2)
+    tm = _iceberg_table_meta(root)
+    if tm["default-sort-order-id"] != 1:
+        raise ValueError("sort-order commit did not take effect")
+
+    # sorted write planned FROM the declared order, then commit with bounds
+    _sorted_write_plan(tm, o, 8).write.mode("overwrite").parquet(
+        os.path.join(data_dir, "s1")
+    )
+    import pyarrow.parquet as pq
+
+    base = os.path.join(data_dir, "s1")
+    entries, ranges = [], []
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(base, f)
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.to_arrow_schema().names.index("o_totalprice")
+        stats = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats)
+        ranges.append((lo, hi, path))
+        bounds = (
+            [{"key": 2, "value": _sv_double(lo)}],
+            [{"key": 2, "value": _sv_double(hi)}],
+        )
+        entries.append(_entry(_ST_ADDED, _S1, 1, path, None, bounds=bounds))
+    m1 = _write_manifest(meta_dir, "m1-sorted.avro", entries)
+    l1 = _write_manifest_list(meta_dir, _S1, 1, [(m1, _S1)])
+    tm["last-sequence-number"] = 1
+    tm["current-snapshot-id"] = _S1
+    tm["snapshots"] = [
+        {
+            "snapshot-id": _S1,
+            "sequence-number": 1,
+            "timestamp-ms": _T1,
+            "manifest-list": l1,
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+    ]
+    tm["snapshot-log"] = [{"timestamp-ms": _T1, "snapshot-id": _S1}]
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _write_meta,
+    )
+
+    _write_meta(root, tm)
+
+    # gate 1: pairwise-disjoint file ranges (the sorted-write contract)
+    ranges.sort()
+    for (lo_a, hi_a, pa), (lo_b, hi_b, pb) in zip(ranges, ranges[1:]):
+        if hi_a > lo_b:
+            raise ValueError(
+                f"sorted write produced overlapping files: "
+                f"[{lo_a},{hi_a}] {pa} vs [{lo_b},{hi_b}] {pb}"
+            )
+
+    # gate 2: bounds-planned pruning — decode the COMMITTED manifest's
+    # bounds and plan a narrow range query; it must open a proper subset
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+
+    _, m_entries, _ = ocf_read(m1)
+    if len(ranges) < 2:
+        raise ValueError("sorted write produced fewer than 2 files")
+    anchor = ranges[min(2, len(ranges) - 1)][0]
+    q_lo, q_hi = anchor, anchor + 1000.0  # inside one file
+    survivors = []
+    for e in m_entries:
+        df_rec = e["data_file"]
+        lo_map = {p["key"]: p["value"] for p in df_rec["lower_bounds"] or []}
+        hi_map = {p["key"]: p["value"] for p in df_rec["upper_bounds"] or []}
+        if 2 not in lo_map or 2 not in hi_map:
+            survivors.append(df_rec["file_path"])  # stats-less: keep
+            continue
+        if _sv_double_de(hi_map[2]) >= q_lo and _sv_double_de(
+            lo_map[2]
+        ) <= q_hi:
+            survivors.append(df_rec["file_path"])
+    if not survivors or len(survivors) >= len(m_entries):
+        raise ValueError(
+            f"bounds pruning opened {len(survivors)}/{len(m_entries)} "
+            "files for a sub-file range — sorted-write clustering lost"
+        )
+
+    # graded read-back through the committed chain (all files)
+    files = [e["data_file"]["file_path"] for e in m_entries]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        spark.read.parquet(*sorted(files))
+        .withColumn(
+            "price_bucket",
+            F.least(
+                F.floor(F.col("o_totalprice") / 75000).cast("bigint"),
+                F.lit(7).cast("bigint"),
+            ),
+        )
+        .withColumn("cents", cents)
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# --- Delta in-commit timestamps ------------------------------------------------
+
+_ICT_ORACLE = """
+SELECT s.snapshot,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES ('asof_early'), ('asof_mid'), ('asof_latest')) AS s(snapshot)
+LEFT JOIN orders o
+       ON ((s.snapshot = 'asof_early' AND o.o_orderkey % 2 = 0)
+        OR (s.snapshot = 'asof_mid'
+            AND (o.o_orderkey % 2 = 0 OR o.o_orderkey % 4 = 1))
+        OR s.snapshot = 'asof_latest')
+GROUP BY s.snapshot
+"""
+
+
+@register("src_delta_in_commit_timestamp", oracle=_ICT_ORACLE)
+def q_src_delta_in_commit_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS (writer feature `inCommitTimestamp`,
+    minWriterVersion 7): each commit carries its authoritative time in
+    `commitInfo.inCommitTimestamp` (epoch ms, strictly monotonic per
+    spec), so timestamp time travel survives log-file re-uploads and
+    clock skew — the failure mtime-based resolution is documented to
+    have. Staged ADVERSARIALLY: three commits v0/v1/v2 (even keys,
+    %4==1, %4==3) with ICTs 200 s apart but file mtimes REVERSED
+    (v0 newest), so a reader trusting mtimes resolves every timestamp
+    to the WRONG version.
+
+    Runtime gates: ICTs strictly increasing (spec invariant); the
+    mtime-only resolution at ts_mid DIFFERS from the ICT resolution
+    (proves the adversarial fixture actually bites); the protocol
+    action demands minWriterVersion 7 + writerFeatures
+    [inCommitTimestamp] (reader version stays 1 — ICT is writer-only).
+
+    Graded: three as-of snapshots (early → v0, mid → v1, latest → v2)
+    resolved through `_delta_resolve_timestamp` (ICT-aware), replayed
+    as ONE distributed scan with rows fanned to snapshots via a
+    broadcast join — resolution is a bounded log-tail read; the data
+    path is one scan regardless of snapshot count.
+    """
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_resolve_timestamp,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tmp(sf_dir, "delta_ict")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    base_ict_ms = 1_700_000_000_000
+    mtime_epoch = 1_000_000_000
+    slices = [
+        F.col("o_orderkey") % 2 == 0,
+        F.col("o_orderkey") % 4 == 1,
+        F.col("o_orderkey") % 4 == 3,
+    ]
+    for v, pred in enumerate(slices):
+        before = _delta_list_files(data_dir)
+        o.filter(pred).coalesce(1).write.mode("append").parquet(data_dir)
+        adds = _delta_list_files(data_dir) - before
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "operation": "WRITE",
+                        "inCommitTimestamp": base_ict_ms + 200_000 * v,
+                    }
+                }
+            )
+        ]
+        if v == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": ["inCommitTimestamp"],
+                        }
+                    }
+                )
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "delta-ict-fixture",
+                            "format": {"provider": "parquet"},
+                            "configuration": {
+                                "delta.enableInCommitTimestamps": "true"
+                            },
+                        }
+                    }
+                )
+            )
+        lines += [
+            json.dumps(
+                {"add": {"path": f"data/{p}", "dataChange": True}}
+            )
+            for p in sorted(adds)
+        ]
+        commit_path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(commit_path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        # adversarial mtimes: REVERSED order, v0 newest
+        t = mtime_epoch + 100 * (len(slices) - 1 - v)
+        os.utime(commit_path, (t, t))
+
+    # gate: ICT monotonicity (spec invariant)
+    icts = []
+    for v in range(len(slices)):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                info = json.loads(line).get("commitInfo")
+                if info and "inCommitTimestamp" in info:
+                    icts.append(info["inCommitTimestamp"])
+                    break
+    if icts != sorted(icts) or len(set(icts)) != len(icts):
+        raise ValueError(f"inCommitTimestamps not strictly monotonic: {icts}")
+
+    ts_early = (base_ict_ms + 100_000) / 1000.0  # between ICT0 and ICT1
+    ts_mid = (base_ict_ms + 300_000) / 1000.0  # between ICT1 and ICT2
+    ts_late = (base_ict_ms + 10_000_000) / 1000.0
+    v_early = _delta_resolve_timestamp(log_dir, ts_early)
+    v_mid = _delta_resolve_timestamp(log_dir, ts_mid)
+    v_late = _delta_resolve_timestamp(log_dir, ts_late)
+    if (v_early, v_mid, v_late) != (0, 1, 2):
+        raise ValueError(
+            f"ICT resolution wrong: {(v_early, v_mid, v_late)} != (0, 1, 2)"
+        )
+
+    # gate: mtime-only resolution must DISAGREE (the fixture bites)
+    mtime_best = -1
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f.split(".", 1)[0].isdigit():
+            if os.path.getmtime(os.path.join(log_dir, f)) <= ts_mid:
+                mtime_best = max(mtime_best, int(f.split(".", 1)[0]))
+    if mtime_best == v_mid:
+        raise ValueError(
+            "adversarial mtimes did not bite — fixture lost its point"
+        )
+
+    labels = spark.createDataFrame(
+        [(v_early, "asof_early"), (v_mid, "asof_mid"),
+         (v_late, "asof_latest")],
+        "version int, snapshot string",
+    )
+    live = (
+        _delta_live_files(spark, log_dir)
+        .join(F.broadcast(labels), "version")
+        .select("snapshot", "fname")
+    )
+    data = spark.read.parquet(data_dir).withColumn(
+        "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_snap = (
+        data.join(F.broadcast(live), "fname")
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("asof_early",), ("asof_mid",), ("asof_latest",)],
+        "snapshot string",
+    )
+    return spine.join(per_snap, "snapshot", "left").select(
+        "snapshot",
+        F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce("total_cents", F.lit(0))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+# --- Delta writer-side schema evolution ----------------------------------------
+
+
+def _delta_schema_string(fields: list[tuple[str, str]]) -> str:
+    """Serialize a Delta `schemaString` (Spark-JSON struct form)."""
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _delta_latest_schema(log_dir: str) -> list[tuple[str, str]]:
+    """Latest metaData action's schema as [(name, type)] — one bounded
+    log-tail read (real tables serve this from the checkpoint)."""
+    latest = None
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                md = json.loads(line).get("metaData")
+                if md is not None and "schemaString" in md:
+                    latest = md["schemaString"]
+    if latest is None:
+        raise ValueError("table has no metaData action — not a Delta table")
+    return [
+        (f["name"], f["type"])
+        for f in json.loads(latest)["fields"]
+    ]
+
+
+def delta_append_merge_schema(
+    batch: DataFrame, root: str, version: int
+) -> bool:
+    """`mergeSchema` APPEND: diff the batch's schema against the
+    table's current metaData schema. New top-level columns are APPENDED
+    to the schema and a new metaData action rides the same commit;
+    a batch that CHANGES an existing column's type is REFUSED (Delta
+    only auto-merges additive changes — anything else needs an explicit
+    overwriteSchema). Schema-stable appends emit NO metaData action —
+    re-stamping identical metadata every commit bloats the checkpoint.
+
+    Returns whether the commit carried a schema change. Scale: the
+    diff is O(columns) driver-side; the data write is the batch's own
+    distributed write; the commit is O(files added).
+    """
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    current = _delta_latest_schema(log_dir)
+    cur_types = dict(current)
+    batch_fields = [
+        (f.name, f.dataType.simpleString()) for f in batch.schema.fields
+    ]
+    for name, typ in batch_fields:
+        if name in cur_types and cur_types[name] != typ:
+            raise ValueError(
+                f"mergeSchema cannot change column '{name}' from "
+                f"{cur_types[name]} to {typ} — only additive evolution "
+                "is auto-merged"
+            )
+    new_cols = [
+        (n, t) for n, t in batch_fields if n not in cur_types
+    ]
+    merged = current + new_cols
+
+    before = _delta_list_files(data_dir)
+    batch.write.mode("append").parquet(data_dir)
+    adds = _delta_list_files(data_dir) - before
+    lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+    if new_cols:
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "delta-evo-fixture",
+                        "format": {"provider": "parquet"},
+                        "schemaString": _delta_schema_string(merged),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+        )
+    lines += [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(adds)
+    ]
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return bool(new_cols)
+
+
+_DELTA_EVO_ORACLE = """
+SELECT CASE WHEN o_orderkey % 4 <> 0 THEN o_orderstatus
+            ELSE '<missing>' END AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("sink_delta_schema_evolution", oracle=_DELTA_EVO_ORACLE)
+def q_sink_delta_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta WRITER-SIDE SCHEMA EVOLUTION (`mergeSchema` append), the
+    Delta sibling of `sink_iceberg_schema_evolution`: v0 lands
+    generation 1 (keys %4==0) under (o_orderkey, o_totalprice); v1
+    appends generation 2 WITH `o_orderstatus` — the writer diffs the
+    schemas, appends the new column, and rides the new `metaData`
+    action in the SAME commit; v2 appends an empty-schema-change slice
+    to prove schema-stable appends emit NO metaData re-stamp (gated —
+    re-stamping every commit is the checkpoint-bloat anti-pattern).
+
+    Type-changing batches are refused (pinned in
+    tests/test_delta_protocol.py) — Delta auto-merges only additive
+    evolution.
+
+    The read-back resolves the LATEST schema from the log and reads
+    every live file under it in ONE distributed scan — parquet scans
+    under an explicit schema fill files that predate a column with
+    nulls (the protocol's evolution contract), surfaced here as
+    '<missing>'. Graded: per-status n_rows + cents; a writer that
+    re-stamps, drops the metaData action, or reorders columns fails.
+
+    Scale: schema diff O(columns); one scan regardless of generation
+    count; commits O(files added).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = _tmp(sf_dir, "delta_schema_evo")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    # v0: generation 1 under the two-column schema
+    gen1 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen1.coalesce(1).write.mode("append").parquet(data_dir)
+    v0_adds = _delta_list_files(data_dir)
+    lines = [
+        json.dumps({"commitInfo": {"operation": "WRITE"}}),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "delta-evo-fixture",
+                    "format": {"provider": "parquet"},
+                    "schemaString": _delta_schema_string(
+                        [("o_orderkey", "bigint"),
+                         ("o_totalprice", "double")]
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        ),
+    ] + [
+        json.dumps({"add": {"path": f"data/{p}", "dataChange": True}})
+        for p in sorted(v0_adds)
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # v1: generation 2 WITH the new column → schema change must ride it
+    gen2a = o.filter(
+        (F.col("o_orderkey") % 4 != 0) & (F.col("o_orderkey") % 2 == 1)
+    )
+    changed = delta_append_merge_schema(gen2a.coalesce(1), root, 1)
+    if not changed:
+        raise ValueError("v1 append should have evolved the schema")
+
+    # v2: same schema again → NO metaData re-stamp (gated)
+    gen2b = o.filter(
+        (F.col("o_orderkey") % 4 != 0) & (F.col("o_orderkey") % 2 == 0)
+    )
+    changed = delta_append_merge_schema(gen2b.coalesce(1), root, 2)
+    if changed:
+        raise ValueError("schema-stable append re-stamped metaData")
+    with open(os.path.join(log_dir, f"{2:020d}.json")) as fh:
+        if any("metaData" in json.loads(ln) for ln in fh if ln.strip()):
+            raise ValueError("v2 commit carries a spurious metaData action")
+
+    # read-back under the latest resolved schema — nulls fill gen 1
+    from pyspark.sql import types as T
+
+    fields = _delta_latest_schema(log_dir)
+    spark_types = {
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+    }
+    read_schema = T.StructType(
+        [T.StructField(n, spark_types[t]) for n, t in fields]
+    )
+    live = _delta_latest_live_files(spark, root)
+    files = [os.path.join(data_dir, f) for f in sorted(live)]
+    return (
+        spark.read.schema(read_schema).parquet(*files)
+        .withColumn(
+            "order_status",
+            F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")),
+        )
+        .groupBy("order_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )

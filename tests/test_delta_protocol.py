@@ -1208,3 +1208,67 @@ def test_checkpoint_writer_multipart_contract(spark):
     os.remove(os.path.join(log_dir, shards[1]))
     with pytest.raises(ValueError, match="missing shards"):
         _delta_latest_live_files(spark, root)
+
+
+def test_merge_schema_append_refuses_type_change(spark):
+    """delta_append_merge_schema auto-merges ONLY additive changes: a
+    batch that re-types an existing column must be refused before any
+    data lands, and the graded key's own staging leaves the log with
+    exactly one metaData action per schema change (v0 create + v1
+    evolution; the v2 schema-stable append carries none)."""
+    from random_forest_using_hadoop_spark.operators.lake_r15b import (
+        delta_append_merge_schema,
+    )
+
+    engine.REGISTRY["sink_delta_schema_evolution"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "delta_schema_evo")
+    log_dir = os.path.join(root, "_delta_log")
+    bad = spark.range(3).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("oops").alias("o_totalprice"),  # double → string re-type
+    )
+    n_before = len(_delta_list_files(os.path.join(root, "data")))
+    with pytest.raises(ValueError, match="cannot change column"):
+        delta_append_merge_schema(bad, root, 3)
+    assert len(_delta_list_files(os.path.join(root, "data"))) == n_before
+    meta_actions = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f.split(".", 1)[0].isdigit():
+            with open(os.path.join(log_dir, f)) as fh:
+                meta_actions += [
+                    f
+                    for ln in fh
+                    if ln.strip() and "metaData" in json.loads(ln)
+                ]
+    assert meta_actions == [f"{0:020d}.json", f"{1:020d}.json"]
+
+
+def test_in_commit_timestamp_beats_adversarial_mtime(spark):
+    """The ICT fixture's commits carry commitInfo.inCommitTimestamp
+    with REVERSED file mtimes; _delta_commit_time must return the ICT
+    (epoch ms / 1000) — not the mtime — and the protocol action must
+    demand minWriterVersion 7 with the inCommitTimestamp writer
+    feature while the reader version stays 1 (ICT is writer-only)."""
+    from random_forest_using_hadoop_spark.operators.delta_ext import (
+        _delta_commit_time,
+    )
+
+    engine.REGISTRY["src_delta_in_commit_timestamp"].fn(
+        spark, SF_DIR
+    ).collect()
+    root = _tmp(SF_DIR, "delta_ict")
+    log_dir = os.path.join(root, "_delta_log")
+    t0 = _delta_commit_time(log_dir, f"{0:020d}.json")
+    t2 = _delta_commit_time(log_dir, f"{2:020d}.json")
+    assert t0 == 1_700_000_000_000 / 1000.0
+    assert t2 == (1_700_000_000_000 + 400_000) / 1000.0
+    # mtimes are reversed: commit 0's file is NEWER than commit 2's
+    m0 = os.path.getmtime(os.path.join(log_dir, f"{0:020d}.json"))
+    m2 = os.path.getmtime(os.path.join(log_dir, f"{2:020d}.json"))
+    assert m0 > m2
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert proto["writerFeatures"] == ["inCommitTimestamp"]

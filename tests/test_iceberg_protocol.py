@@ -544,3 +544,41 @@ def test_alter_schema_writer_refusals_and_mapping(spark):
         s for s in tm["schemas"] if s["schema-id"] == tm["current-schema-id"]
     )
     assert {f["name"]: f["id"] for f in cur["fields"]}["note"] == 4
+
+
+def test_sort_order_writer_contract(spark):
+    """sink_iceberg_sort_order's mechanism pins: the ALTER commits an
+    additive sort order (order 0 preserved, default flipped to 1); a
+    WRITE ORDERED BY an unknown field id is refused; and every
+    committed data file is SORTED WITHIN the file on the declared
+    column (read one file directly — the range shuffle alone cannot
+    fake local sortedness)."""
+    import pyarrow.parquet as pq
+
+    import random_forest_using_hadoop_spark as eng
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.lake_r15b import (
+        iceberg_set_sort_order,
+    )
+
+    eng.load_all()
+    eng.REGISTRY["sink_iceberg_sort_order"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_sort_order")
+    tm = _iceberg_table_meta(root)
+    assert [o["order-id"] for o in tm["sort-orders"]] == [0, 1]
+    assert tm["default-sort-order-id"] == 1
+    assert tm["sort-orders"][1]["fields"][0]["source-id"] == 2
+    with pytest.raises(ValueError, match="unknown field id"):
+        iceberg_set_sort_order(root, source_id=99)
+
+    mpath = os.path.join(root, "metadata", "m1-sorted.avro")
+    _, entries, _ = ocf_read(mpath)
+    assert len(entries) >= 2
+    # within-file sortedness, checked on the widest file
+    widest = max(
+        entries, key=lambda e: e["data_file"]["record_count"]
+    )["data_file"]["file_path"]
+    vals = pq.read_table(widest, columns=["o_totalprice"]).column(
+        "o_totalprice"
+    ).to_pylist()
+    assert vals == sorted(vals)
