@@ -167,10 +167,14 @@ EXTENDED = [
     "sink_delta_checkpoint_write",
     "sink_delta_checkpoint_v2",
     "sink_iceberg_schema_evolution",
-    # r15b — sort-order writer, in-commit timestamps, Delta mergeSchema:
+    # r15b — sort-order writer, in-commit timestamps, Delta mergeSchema,
+    # and the SFT/mixture/LM-pruning pipeline trio:
     "sink_iceberg_sort_order",
     "src_delta_in_commit_timestamp",
     "sink_delta_schema_evolution",
+    "pipe_sft_pack_mask",
+    "pipe_sampling_temperature",
+    "pipe_ngram_prune_curve",
 ]
 
 

@@ -35,3 +35,4 @@ import random_forest_using_hadoop_spark.operators.iceberg_ext  # noqa: F401
 import random_forest_using_hadoop_spark.operators.lake_r14  # noqa: F401
 import random_forest_using_hadoop_spark.operators.lake_r15  # noqa: F401
 import random_forest_using_hadoop_spark.operators.lake_r15b  # noqa: F401
+import random_forest_using_hadoop_spark.operators.llm_r15b  # noqa: F401

@@ -1,0 +1,320 @@
+"""Round-15b LLM training-data pipeline operators: SFT chat-template
+assembly with loss-mask accounting, temperature-scaled mixture
+sampling weights, and the count-threshold n-gram LM pruning curve.
+
+Reference analog: none citable (the reference checkout is empty —
+SURVEY.md §0); the semantics are the standard public recipes:
+instruction-tuning formatting with prompt-loss masking (T5/FLAN-style
+SFT), alpha-temperature language sampling (multilingual pretraining,
+arXiv:1901.07291 §3.1), and count-threshold n-gram pruning (what KenLM
+build pipelines do to bound model size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+# --- SFT chat-template assembly + loss-mask manifest ---------------------------
+
+_SYS = "<|system|>You are a helpful assistant.<|user|>"
+_ASST = "<|assistant|>"
+_END = "<|end|>"
+
+_SFT_ORACLE = f"""
+WITH ex AS (
+  SELECT lang,
+         substr(text, 1, GREATEST(1, CAST(floor(length(text) / 3) AS INT)))
+             AS prompt,
+         substr(text,
+                GREATEST(1, CAST(floor(length(text) / 3) AS INT)) + 1)
+             AS resp
+  FROM documents
+),
+fmt AS (
+  SELECT lang,
+         '{_SYS}' || prompt || '{_ASST}' || resp || '{_END}' AS formatted,
+         CAST(length('{_SYS}') + length(prompt) + length('{_ASST}')
+              AS BIGINT) AS masked_chars,
+         CAST(length(resp) + length('{_END}') AS BIGINT) AS trained_chars
+  FROM ex
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(length(formatted)) AS BIGINT) AS total_chars,
+       CAST(SUM(masked_chars) AS BIGINT) AS masked_chars,
+       CAST(SUM(trained_chars) AS BIGINT) AS trained_chars,
+       CAST(bit_xor(('0x' || substr(md5(formatted), 1, 15))::BIGINT)
+            AS BIGINT) AS checksum_xor
+FROM fmt
+GROUP BY lang
+"""
+
+
+@register("pipe_sft_pack_mask", oracle=_SFT_ORACLE)
+def q_pipe_sft_pack_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT FORMATTING + LOSS MASKING: assemble each document into a
+    chat-templated training example (system + user prompt = the first
+    third of the text, assistant response = the rest) and account the
+    loss mask — everything through the end of the assistant tag is
+    MASKED (prompt tokens carry no gradient), the response + end tag
+    is TRAINED. The per-lang manifest carries example counts, char
+    budgets on both sides of the mask, and an order-independent
+    60-bit md5 XOR checksum of the exact formatted strings — two
+    pipelines (or two engines) agree on the checksum iff they produce
+    byte-identical training examples, the property an SFT data job
+    must guarantee before tokens ever reach a trainer.
+
+    Every quantity is computed from length() arithmetic on the same
+    template constants on both engines; the mask boundary is
+    masked = len(system block) + len(prompt) + len(assistant tag),
+    trained = len(response) + len(end tag), and
+    masked + trained == len(formatted) by construction.
+
+    Scale: stateless per-row projection (no shuffle until the 5-key
+    lang rollup, which partial-aggregates map-side); the checksum
+    replaces any collect-and-compare of example text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "lang",
+        F.expr(
+            "substring(text, 1, greatest(1, cast(floor(length(text)/3) "
+            "as int)))"
+        ).alias("prompt"),
+        F.expr(
+            "substring(text, greatest(1, cast(floor(length(text)/3) "
+            "as int)) + 1)"
+        ).alias("resp"),
+    )
+    fmt = ex.select(
+        "lang",
+        F.concat(
+            F.lit(_SYS), F.col("prompt"), F.lit(_ASST), F.col("resp"),
+            F.lit(_END),
+        ).alias("formatted"),
+        (
+            F.lit(len(_SYS)) + F.length("prompt") + F.lit(len(_ASST))
+        ).cast("bigint").alias("masked_chars"),
+        (F.length("resp") + F.lit(len(_END))).cast("bigint").alias(
+            "trained_chars"
+        ),
+    )
+    return fmt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum(F.length("formatted")).cast("bigint").alias("total_chars"),
+        F.sum("masked_chars").cast("bigint").alias("masked_chars"),
+        F.sum("trained_chars").cast("bigint").alias("trained_chars"),
+        F.expr(
+            "cast(bit_xor(cast(conv(substring(md5(formatted), 1, 15), "
+            "16, 10) as bigint)) as bigint)"
+        ).alias("checksum_xor"),
+    )
+
+
+# --- temperature-scaled mixture sampling weights -------------------------------
+
+_TEMP_ORACLE = """
+WITH tok AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+  FROM tok GROUP BY lang
+),
+scaled AS (
+  SELECT lang, n_docs, lang_tokens,
+         CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000.0 + 0.5)
+              AS BIGINT) AS ir
+  FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+       CAST((lang_tokens * 1000000)
+            // (SELECT SUM(lang_tokens) FROM scaled) AS BIGINT)
+           AS raw_ppm,
+       CAST((ir * 1000000) // (SELECT SUM(ir) FROM scaled) AS BIGINT)
+           AS temp_ppm,
+       (ir * 1000000) // (SELECT SUM(ir) FROM scaled)
+           > (lang_tokens * 1000000) // (SELECT SUM(lang_tokens) FROM scaled)
+           AS upweighted
+FROM scaled
+"""
+
+
+@register("pipe_sampling_temperature", oracle=_TEMP_ORACLE)
+def q_pipe_sampling_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS (alpha = 0.5): the standard
+    multilingual-pretraining rebalance — sampling probability
+    proportional to (token share)^alpha, which upweights low-resource
+    languages and downweights the head. Output per lang: doc/token
+    counts, the raw token share, the temperature-scaled share (both
+    integer ppm), and whether temperature moved the lang UP.
+
+    Determinism doctrine: alpha = 0.5 is computed via sqrt — the one
+    power IEEE 754 requires to be correctly rounded, so both engines
+    produce the identical double — quantized to integer milli-units
+    BEFORE normalization, and the shares come from exact INTEGER
+    division (the pipe_dsir_weights r15 fix doctrine: never route a
+    portable ratio through double division).
+
+    Scale: one token-count projection (no explode — size(split())),
+    one 5-key partial agg, and a broadcast of the two scalar totals;
+    changing alpha to any dyadic p/2^k stays in exact sqrt chains.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select(
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("lang_tokens"),
+        )
+        .withColumn(
+            "ir",
+            F.floor(
+                F.sqrt(F.col("lang_tokens").cast("double")) * 1000.0
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("tot_tokens"),
+        F.sum("ir").alias("tot_ir"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.expr("(lang_tokens * 1000000) div tot_tokens")
+            .cast("bigint")
+            .alias("raw_ppm"),
+            F.expr("(ir * 1000000) div tot_ir")
+            .cast("bigint")
+            .alias("temp_ppm"),
+            F.expr(
+                "(ir * 1000000) div tot_ir > "
+                "(lang_tokens * 1000000) div tot_tokens"
+            ).alias("upweighted"),
+        )
+    )
+
+
+# --- n-gram count-threshold pruning curve --------------------------------------
+
+_PRUNE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(s) AS token, generate_subscripts(s, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+big AS (
+  SELECT doc_id, token,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+  FROM tok
+),
+bg AS (
+  SELECT token, next, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM big WHERE next IS NOT NULL GROUP BY token, next
+),
+hist AS (
+  SELECT c2, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c2) AS BIGINT) AS mass
+  FROM bg GROUP BY c2
+),
+tot AS (
+  SELECT CAST(SUM(n_types) AS BIGINT) AS all_types,
+         CAST(SUM(mass) AS BIGINT) AS all_mass
+  FROM hist
+)
+SELECT t.threshold,
+       CAST(COALESCE(SUM(h.n_types), 0) AS BIGINT) AS surviving_types,
+       CAST(tot.all_types - COALESCE(SUM(h.n_types), 0) AS BIGINT)
+           AS pruned_types,
+       CAST((COALESCE(SUM(h.mass), 0) * 1000000) // tot.all_mass AS BIGINT)
+           AS coverage_ppm
+FROM (VALUES (1), (2), (3), (4), (5)) AS t(threshold)
+LEFT JOIN hist h ON h.c2 >= t.threshold
+CROSS JOIN tot
+GROUP BY t.threshold, tot.all_types, tot.all_mass
+"""
+
+
+@register("pipe_ngram_prune_curve", oracle=_PRUNE_ORACLE)
+def q_pipe_ngram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM PRUNING CURVE: for count thresholds 1..5, how many bigram
+    types survive `count >= t` pruning and what fraction of the corpus
+    token mass they still cover (integer ppm) — the size/coverage
+    trade-off table a count-based LM build consults before committing
+    a model size.
+
+    Scale shape is the point: the bigram table reduces FIRST to a
+    count-of-counts HISTOGRAM (rows bounded by distinct count values —
+    tens, by Zipf, regardless of corpus size), and the 5-threshold
+    curve is computed from that histogram — the per-threshold pass
+    never rescans the corpus or the bigram table. The bigram extract
+    itself is transform() over the token array (no per-doc window
+    shuffle), one groupBy on the bigram key with map-side partials.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(split(text, ' ')[i - 1] as token, "
+                    "split(text, ' ')[i] as next))"
+                )
+            ).alias("b")
+        )
+        .select("b.token", "b.next")
+        .groupBy("token", "next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    hist = bg.groupBy("c2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c2").cast("bigint").alias("mass"),
+    )
+    tot = hist.agg(
+        F.sum("n_types").cast("bigint").alias("all_types"),
+        F.sum("mass").cast("bigint").alias("all_mass"),
+    )
+    thresholds = F.broadcast(
+        hist.sparkSession.createDataFrame(
+            [(t,) for t in range(1, 6)], "threshold int"
+        )
+    )
+    return (
+        thresholds.join(hist, F.col("c2") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("n_types"), F.lit(0))
+            .cast("bigint")
+            .alias("surv"),
+            F.coalesce(F.sum("mass"), F.lit(0)).cast("bigint").alias("m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.col("surv").alias("surviving_types"),
+            (F.col("all_types") - F.col("surv"))
+            .cast("bigint")
+            .alias("pruned_types"),
+            F.expr("(m * 1000000) div all_mass")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
