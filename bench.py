@@ -175,6 +175,7 @@ EXTENDED = [
     "pipe_sft_pack_mask",
     "pipe_sampling_temperature",
     "pipe_ngram_prune_curve",
+    "src_iceberg_puffin_stats",
 ]
 
 

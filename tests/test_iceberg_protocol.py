@@ -582,3 +582,61 @@ def test_sort_order_writer_contract(spark):
         "o_totalprice"
     ).to_pylist()
     assert vals == sorted(vals)
+
+
+def test_puffin_stats_drive_broadcast_decision(spark):
+    """The statistics file is only useful if a planner CONSUMES it:
+    with autoBroadcastJoinThreshold disabled (so Spark itself would
+    pick sort-merge), a join whose small side's ndv — read from the
+    committed Puffin footer via iceberg_ndv_map, no data scan —
+    is under the dim cap gets an explicit broadcast hint and plans a
+    BroadcastHashJoin; the high-ndv side must NOT qualify. Also pins
+    the footer structure: two theta-type blobs, ndv property present,
+    and the fixture's exact priority ndv (5)."""
+    from pyspark.sql import functions as F
+
+    import random_forest_using_hadoop_spark as eng
+    from random_forest_using_hadoop_spark.iceberg_format import (
+        puffin_read_footer,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r15b import (
+        iceberg_ndv_map,
+    )
+
+    eng.load_all()
+    eng.REGISTRY["src_iceberg_puffin_stats"].fn(spark, SF_DIR).collect()
+    root = _tmp(SF_DIR, "iceberg_puffin_stats")
+    ndv = iceberg_ndv_map(root)
+    assert ndv["o_orderpriority"] == 5
+    assert ndv["o_orderkey"] > 100  # KMV estimate of a high-card key
+
+    tm = _iceberg_table_meta(root)
+    footer = puffin_read_footer(tm["statistics"][0]["statistics-path"])
+    assert len(footer["blobs"]) == 2
+    assert all(
+        b["type"] == "apache-datasketches-theta-v1" for b in footer["blobs"]
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = o.select("o_orderpriority").distinct().withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build = (
+            F.broadcast(dim) if ndv["o_orderpriority"] <= 1000 else dim
+        )
+        plan = (
+            o.join(build, "o_orderpriority")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the high-ndv side must not qualify for the dim cap
+        assert not ndv["o_orderkey"] <= 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
