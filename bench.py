@@ -176,6 +176,9 @@ EXTENDED = [
     "pipe_sampling_temperature",
     "pipe_ngram_prune_curve",
     "src_iceberg_puffin_stats",
+    # r15b — Hudi COW family (third table-format reader):
+    "src_hudi_cow",
+    "src_hudi_incremental",
 ]
 
 

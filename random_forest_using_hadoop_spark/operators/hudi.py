@@ -1,0 +1,399 @@
+"""Apache Hudi COPY-ON-WRITE reader: timeline-resolved snapshot and
+time-travel reads over a staged Hudi table layout.
+
+Implemented from the PUBLIC Hudi spec (hudi.apache.org/tech-specs):
+`.hoodie/hoodie.properties` + a flat timeline of
+`<instant>.commit[.requested|.inflight]` action files; data files named
+`<fileId>_<writeToken>_<instantTime>.parquet` inside partition paths;
+COW writes produce a NEW FILE SLICE (a new base file under the same
+fileId) per touched file group, and a snapshot read picks, per file
+group, the latest slice whose instant is a COMPLETED commit ≤ the
+requested instant. Incomplete instants (requested/inflight without the
+completed action file) are invisible — that is Hudi's MVCC isolation.
+
+Reference analog: none citable (the reference checkout is empty —
+SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from random_forest_using_hadoop_spark.operators.scans import (
+    _norm_file_uri,
+    _tmp,
+)
+from random_forest_using_hadoop_spark.registry import register
+from random_forest_using_hadoop_spark.sources import load_table
+
+_BASE_RE = re.compile(
+    r"^(?P<file_id>.+)_(?P<token>\d+-\d+-\d+)_(?P<instant>\d{14})\.parquet$"
+)
+
+
+def _hudi_completed_commits(root: str) -> list[str]:
+    """Completed commit instants from the timeline — files named
+    exactly `<14-digit instant>.commit`. `.requested` / `.inflight`
+    markers alone mean the write never completed: its data files are
+    garbage the cleaner will reap, never part of any snapshot. One
+    bounded driver-side listing (the timeline is metadata)."""
+    tdir = os.path.join(root, ".hoodie")
+    out = []
+    for f in os.listdir(tdir):
+        m = re.match(r"^(\d{14})\.commit$", f)
+        if m:
+            out.append(m.group(1))
+    return sorted(out)
+
+
+def _hudi_base_files(root: str) -> list[dict]:
+    """All base files with their (partition, file_id, instant) parsed
+    from the spec's naming scheme. O(files) driver-side — the listing a
+    real reader gets from the commit metadata / metadata table instead
+    of a filesystem walk; both are planner-class metadata."""
+    out = []
+    for part in sorted(os.listdir(root)):
+        pdir = os.path.join(root, part)
+        if part == ".hoodie" or not os.path.isdir(pdir):
+            continue
+        for f in sorted(os.listdir(pdir)):
+            m = _BASE_RE.match(f)
+            if m:
+                out.append(
+                    {
+                        "partition": part,
+                        "file_id": m.group("file_id"),
+                        "instant": m.group("instant"),
+                        "path": os.path.join(pdir, f),
+                    }
+                )
+    return out
+
+
+def _hudi_snapshot_files(root: str, as_of: str | None = None) -> list[str]:
+    """Snapshot file set per the COW read rule: latest file slice per
+    file group among COMPLETED commits ≤ `as_of` (default: latest).
+    Slices from incomplete or newer instants are skipped entirely."""
+    completed = set(_hudi_completed_commits(root))
+    if not completed:
+        raise ValueError(f"no completed commits in {root}/.hoodie")
+    horizon = as_of or max(completed)
+    best: dict[tuple[str, str], dict] = {}
+    for bf in _hudi_base_files(root):
+        if bf["instant"] not in completed or bf["instant"] > horizon:
+            continue
+        key = (bf["partition"], bf["file_id"])
+        if key not in best or bf["instant"] > best[key]["instant"]:
+            best[key] = bf
+    return sorted(b["path"] for b in best.values())
+
+
+_HUDI_ORACLE = """
+WITH latest AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+),
+c1 AS (
+  SELECT o_orderpriority, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT 'latest' AS snapshot, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM latest GROUP BY o_orderpriority
+UNION ALL
+SELECT 'asof_c1', o_orderpriority,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM c1 GROUP BY o_orderpriority
+"""
+
+
+@register("src_hudi_cow", oracle=_HUDI_ORACLE)
+def q_src_hudi_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi COPY-ON-WRITE snapshot + time-travel read over a staged
+    table with a three-instant history:
+
+    - c1 COMMIT: even-orderkey rows, one file group per
+      o_orderpriority partition, Hudi meta columns stamped
+      (_hoodie_commit_time / _hoodie_record_key / _hoodie_partition_path);
+    - c2 COMMIT (UPSERT): the 1-URGENT file group gets a NEW FILE
+      SLICE — same fileId, newer instant — containing its c1 rows with
+      o_totalprice + 1000 (the update) MERGED with the partition's odd
+      keys (the insert). The other four file groups are untouched: COW
+      rewrites only touched groups, never the table;
+    - c3 INFLIGHT: a `.commit.requested` + `.inflight` pair WITHOUT
+      the completed action, plus a poison data file (prices doubled)
+      under a newer slice of a healthy group — a reader that trusts
+      directory listings over the timeline, or that misses the
+      completed-action check, silently reads poison and fails the
+      value hash.
+
+    Both snapshots resolve through the timeline (`asof_c1` = time
+    travel to the first instant; `latest` must pick the c2 slice for
+    1-URGENT and c1 slices elsewhere, and NEVER the c3 file), then one
+    distributed scan reads the union of both file sets with rows
+    fanned to snapshots via a broadcast (fname → snapshot) join.
+
+    Scale: timeline + file-group resolution are O(files) metadata;
+    the data path is a single scan regardless of snapshot count; an
+    upsert's cost is O(touched file groups) — the COW contract.
+    """
+    root, prios, (c1, c2, c3) = _hudi_stage(spark, sf_dir)
+
+    # resolve both snapshots through the timeline
+    latest_files = _hudi_snapshot_files(root)
+    c1_files = _hudi_snapshot_files(root, as_of=c1)
+    if any(f"_{c3}.parquet" in f for f in latest_files):
+        raise ValueError("inflight instant leaked into the snapshot")
+    if len(latest_files) != len(prios):
+        raise ValueError(
+            f"expected one slice per file group, got {len(latest_files)}"
+        )
+
+    labels = spark.createDataFrame(
+        [(os.path.basename(f), "latest") for f in latest_files]
+        + [(os.path.basename(f), "asof_c1") for f in c1_files],
+        "fname string, snapshot string",
+    )
+    all_files = sorted(set(latest_files) | set(c1_files))
+    # partition paths may contain spaces ('4-NOT SPECIFIED'):
+    # input_file_name() is a percent-encoded URI, so normalize through
+    # _norm_file_uri before taking the basename (the r13 advice trap)
+    data = spark.read.parquet(*all_files).withColumn(
+        "fname",
+        F.element_at(
+            F.split(_norm_file_uri(F.input_file_name()), "/"), -1
+        ),
+    )
+    return (
+        data.join(F.broadcast(labels), "fname")
+        .groupBy("snapshot", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
+
+
+def _hudi_stage(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[str], tuple[str, str, str]]:
+    """Stage the shared three-instant COW table (see q_src_hudi_cow's
+    docstring for the history). Returns (root, partitions, instants)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "hudi_cow")
+    shutil.rmtree(root, ignore_errors=True)
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=orders_cow\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.version=6\n"
+            "hoodie.table.recordkey.fields=o_orderkey\n"
+            "hoodie.table.partition.fields=o_orderpriority\n"
+        )
+    c1, c2, c3 = "20240101000000", "20240102000000", "20240103000000"
+
+    def _meta(df: DataFrame, instant: str) -> DataFrame:
+        return df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+            F.col("o_orderpriority").alias("_hoodie_partition_path"),
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+
+    def _write_slice(df: DataFrame, part: str, file_id: str, instant: str):
+        """One base file = one file slice: write to a scratch dir,
+        then a single driver-side rename into the spec's
+        `<fileId>_<writeToken>_<instant>.parquet` name. O(1) renames
+        per slice — the data write itself is distributed."""
+        scratch = os.path.join(root, "_scratch")
+        shutil.rmtree(scratch, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        pdir = os.path.join(root, part)
+        os.makedirs(pdir, exist_ok=True)
+        src = next(
+            f for f in os.listdir(scratch) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(scratch, src),
+            os.path.join(pdir, f"{file_id}_0-1-0_{instant}.parquet"),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    prios = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
+    evens = _meta(o.filter(F.col("o_orderkey") % 2 == 0), c1)
+    # ONE distributed job writes every file group: partitionBy on a
+    # duplicate column (the data keeps o_orderpriority — our reader
+    # passes explicit file lists, never dir-inference), repartition by
+    # the same column so each group lands as exactly one base file;
+    # the per-file renames into the spec's naming are O(groups).
+    scratch = os.path.join(root, "_scratch_c1")
+    evens.withColumn("pp", F.col("o_orderpriority")).repartition(
+        "pp"
+    ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+    for d in os.listdir(scratch):
+        if not d.startswith("pp="):
+            continue
+        p = d[3:]
+        pdir = os.path.join(root, p)
+        os.makedirs(pdir, exist_ok=True)
+        parts = [
+            f
+            for f in os.listdir(os.path.join(scratch, d))
+            if f.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            raise ValueError(f"expected 1 base file per group, got {parts}")
+        os.rename(
+            os.path.join(scratch, d, parts[0]),
+            os.path.join(pdir, f"fg-{p}_0-1-0_{c1}.parquet"),
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+    stats1 = {p: {"fileId": f"fg-{p}"} for p in sorted(prios)}
+    with open(os.path.join(hdir, f"{c1}.commit.requested"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hdir, f"{c1}.inflight"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hdir, f"{c1}.commit"), "w") as fh:
+        json.dump(
+            {"operationType": "INSERT", "partitionToWriteStats": stats1}, fh
+        )
+
+    # c2: upsert = new slice for the 1-URGENT group only
+    urgent = "1-URGENT"
+    updated = o.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderpriority") == urgent)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    inserted = o.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderpriority") == urgent)
+    )
+    _write_slice(
+        _meta(updated.unionByName(inserted), c2),
+        urgent,
+        f"fg-{urgent}",
+        c2,
+    )
+    with open(os.path.join(hdir, f"{c2}.commit.requested"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hdir, f"{c2}.inflight"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hdir, f"{c2}.commit"), "w") as fh:
+        json.dump(
+            {
+                "operationType": "UPSERT",
+                "partitionToWriteStats": {
+                    urgent: {"fileId": f"fg-{urgent}"}
+                },
+            },
+            fh,
+        )
+
+    # c3: INFLIGHT poison — newer slice of a healthy group, prices
+    # doubled, completed action deliberately absent
+    victim = sorted(p for p in prios if p != urgent)[0]
+    poison = _meta(
+        o.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.col("o_orderpriority") == victim)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        c3,
+    )
+    _write_slice(poison, victim, f"fg-{victim}", c3)
+    with open(os.path.join(hdir, f"{c3}.commit.requested"), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hdir, f"{c3}.inflight"), "w") as fh:
+        fh.write("")
+    return root, sorted(prios), (c1, c2, c3)
+
+
+_HUDI_INCR_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inserted,
+       CAST(SUM(CAST(floor(
+           (CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("src_hudi_incremental", oracle=_HUDI_INCR_ORACLE)
+def q_src_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL QUERY over the shared COW fixture: records
+    written in the instant range (c1, c2] — Hudi's CDC-lite read mode.
+    On COW the incremental set is the rows of each NEW file slice
+    committed in the range whose `_hoodie_commit_time` falls in the
+    range — the slice rewrite carries forward old rows stamped with
+    their ORIGINAL commit time, so the filter must run on the meta
+    column, not just the file list... except that an upsert rewrites
+    the carried rows WITH the new commit time (they were re-written,
+    hence re-emitted): the spec emits every row of the new slice, and
+    a consumer dedups by record key. Here the c2 slice holds the
+    urgent partition's updates (+1000) and inserts (odd keys), all
+    stamped c2 — the graded output proves the incremental read emits
+    EXACTLY the c2 slice (other partitions contribute nothing, the
+    inflight c3 contributes nothing) with an inserted-row count split
+    out via the record-key parity.
+
+    Scale: the file list for an incremental read is O(slices committed
+    in the range) — the whole point versus diffing two snapshots; one
+    distributed scan of exactly those files.
+    """
+    root, prios, (c1, c2, c3) = _hudi_stage(spark, sf_dir)
+    completed = set(_hudi_completed_commits(root))
+    in_range = [
+        bf
+        for bf in _hudi_base_files(root)
+        if c1 < bf["instant"] <= c2 and bf["instant"] in completed
+    ]
+    if not in_range:
+        raise ValueError("incremental range (c1, c2] resolved no slices")
+    if any(bf["instant"] == c3 for bf in in_range):
+        raise ValueError("inflight instant leaked into incremental range")
+    data = spark.read.parquet(*sorted(bf["path"] for bf in in_range))
+    return (
+        data.filter(
+            (F.col("_hoodie_commit_time") > c1)
+            & (F.col("_hoodie_commit_time") <= c2)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("o_orderkey") % 2 == 1).cast("bigint")
+            ).alias("n_inserted"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )
