@@ -1272,3 +1272,31 @@ def test_in_commit_timestamp_beats_adversarial_mtime(spark):
     assert proto["minReaderVersion"] == 1
     assert proto["minWriterVersion"] == 7
     assert proto["writerFeatures"] == ["inCommitTimestamp"]
+
+
+def test_rename_column_refusals(spark):
+    """delta_rename_column must refuse: a missing source column, a
+    logical-name collision, and any table NOT in columnMapping.mode =
+    name (without the mapping, a rename orphans the files' columns)."""
+    from random_forest_using_hadoop_spark.operators.lake_r15b import (
+        delta_rename_column,
+    )
+
+    engine.REGISTRY["sink_delta_column_mapping_rename"].fn(
+        spark, SF_DIR
+    ).collect()
+    root = _tmp(SF_DIR, "delta_cmap_rename")
+    with pytest.raises(ValueError, match="no such column"):
+        delta_rename_column(root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        delta_rename_column(root, "price", "o_orderkey")
+    # a table with metaData but NO column mapping refuses outright
+    engine.REGISTRY["sink_delta_schema_evolution"].fn(spark, SF_DIR).collect()
+    unmapped = _tmp(SF_DIR, "delta_schema_evo")
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        delta_rename_column(unmapped, "o_orderkey", "k")
+    # and a log with no metaData action at all is not a table
+    plain = _tmp(SF_DIR, "delta_unit")
+    _stage(spark)
+    with pytest.raises(ValueError, match="no metaData"):
+        delta_rename_column(plain, "o_orderkey", "k")
