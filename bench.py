@@ -179,6 +179,7 @@ EXTENDED = [
     # r15b — Hudi COW family (third table-format reader):
     "src_hudi_cow",
     "src_hudi_incremental",
+    "stream_hudi_commits",
     "sink_delta_column_mapping_rename",
     "src_iceberg_partition_stats",
 ]

@@ -397,3 +397,137 @@ def q_src_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+# --- streaming commit tail -----------------------------------------------------
+
+_STREAM_HUDI_ORACLE = """
+SELECT s.seq,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_written,
+       CAST(COALESCE(SUM(CAST(floor(
+           (CASE WHEN s.seq = 2 AND o.o_orderkey % 2 = 0
+                 THEN o.o_totalprice + 1000
+                 ELSE o.o_totalprice END) * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM (VALUES (1), (2)) AS s(seq)
+LEFT JOIN orders o
+       ON ((s.seq = 1 AND o.o_orderkey % 2 = 0)
+        OR (s.seq = 2 AND o.o_orderpriority = '1-URGENT'))
+GROUP BY s.seq
+"""
+
+
+@register("stream_hudi_commits", oracle=_STREAM_HUDI_ORACLE)
+def q_stream_hudi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tail of the Hudi timeline (the Hudi sibling of
+    stream_delta_commits / stream_iceberg_commits — completes the
+    three-format streaming CDC matrix): Structured Streaming watches
+    `.hoodie/` with pathGlobFilter `*.commit` — which by construction
+    matches ONLY completed actions, so the inflight c3 instant (and
+    its poison data file) can never enter a micro-batch — and each
+    batch resolves its newly visible instants to the file slices that
+    instant wrote, computing per-commit written-row stats.
+
+    Graded per commit ordinal: seq 1 = the even-key base insert,
+    seq 2 = the 1-URGENT upsert slice (its updates at +1000 AND its
+    inserts — a COW slice re-emits every row it rewrote, the
+    incremental-consumer contract). The foreachBatch sink follows the
+    at-least-once discipline: instants already processed are skipped,
+    each batch's contribution is computed fully before the atomic
+    driver-side merge, and batch ids are deduped.
+
+    Scale: the stream input is the timeline (bounded metadata); each
+    refresh reads O(slices written by new commits), never the table.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    root, prios, (c1, c2, c3) = _hudi_stage(spark, sf_dir)
+    hdir = os.path.join(root, ".hoodie")
+
+    commit_schema = T.StructType(
+        [T.StructField("operationType", T.StringType())]
+    )
+    done_instants: set[str] = set()
+    done_batches: set[int] = set()
+    acc: dict[str, list[int]] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_id in done_batches:
+            return
+        instants = set()
+        for r in batch_df.select("src").collect():  # bounded: timeline rows
+            m = re.search(r"(\d{14})\.commit$", r["src"])
+            if m:
+                instants.add(m.group(1))
+        todo = sorted(instants - done_instants)
+        new_results: dict[str, list[int]] = {}
+        for inst in todo:
+            paths = sorted(
+                bf["path"]
+                for bf in _hudi_base_files(root)
+                if bf["instant"] == inst
+            )
+            if not paths:
+                new_results[inst] = [0, 0]
+                continue
+            row = (
+                spark.read.parquet(*paths)
+                .filter(F.col("_hoodie_commit_time") == inst)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.floor(
+                            F.col("o_totalprice") * 100 + F.lit(0.5)
+                        ).cast("bigint")
+                    ).alias("c"),
+                )
+                .collect()[0]
+            )
+            new_results[inst] = [row["n"], row["c"] or 0]
+        for inst, (n, c) in new_results.items():
+            got = acc.setdefault(inst, [0, 0])
+            got[0] += n
+            got[1] += c
+        done_instants.update(todo)
+        done_batches.add(batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="hudi_stream_ckpt_")
+    query = (
+        spark.readStream.schema(commit_schema)
+        .option("pathGlobFilter", "*.commit")
+        .json(hdir)
+        .withColumn("src", F.input_file_name())
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    query.stop()
+    if c3 in acc:
+        raise ValueError("inflight instant leaked into the stream")
+    ordinal = {c1: 1, c2: 2}
+    rows = [
+        (ordinal[inst], int(n), int(c))
+        for inst, (n, c) in sorted(acc.items())
+        if inst in ordinal
+    ]
+    spine = spark.createDataFrame([(1,), (2,)], "seq int")
+    got = (
+        spark.createDataFrame(
+            rows, "seq int, n_written bigint, total_cents bigint"
+        )
+        if rows
+        else spark.createDataFrame(
+            [], "seq int, n_written bigint, total_cents bigint"
+        )
+    )
+    return spine.join(got, "seq", "left").select(
+        "seq",
+        F.coalesce("n_written", F.lit(0).cast("bigint")).alias("n_written"),
+        F.coalesce("total_cents", F.lit(0).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
