@@ -182,6 +182,8 @@ EXTENDED = [
     "stream_hudi_commits",
     "sink_delta_column_mapping_rename",
     "src_iceberg_partition_stats",
+    "sql_recursive_cte",
+    "sql_pipe_syntax",
 ]
 
 
