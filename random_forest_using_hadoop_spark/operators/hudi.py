@@ -531,3 +531,297 @@ def q_stream_hudi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+# --- merge-on-read -------------------------------------------------------------
+
+_MOR_ORACLE = """
+WITH ro AS (
+  SELECT o_orderpriority, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+snap AS (
+  SELECT o_orderpriority, o_totalprice AS price
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 1000
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+        AND o_orderkey % 10 <> 6
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+)
+SELECT 'read_optimized' AS mode, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM ro GROUP BY o_orderpriority
+UNION ALL
+SELECT 'snapshot', o_orderpriority,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM snap GROUP BY o_orderpriority
+"""
+
+_MOR_LOG_SCHEMA = {
+    "type": "record",
+    "name": "mor_log_record",
+    "fields": [
+        {"name": "op", "type": "string"},
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderpriority", "type": "string"},
+    ],
+}
+
+
+@register("src_hudi_mor", oracle=_MOR_ORACLE)
+def q_src_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE-ON-READ: base files + a LOG FILE of
+    updates/deletes/inserts against one file group, read BOTH ways —
+
+    - READ-OPTIMIZED: base files only, logs ignored — the
+      lower-latency/stale-data trade MOR exists to offer;
+    - SNAPSHOT: base merged with the file group's log records at read
+      time — latest log record per record key wins over base, delete
+      tombstones drop the row, log-only keys are the inserts.
+
+    Staged: the c1 base insert (even keys per-partition file groups)
+    via a `.commit`; then a `.deltacommit` whose log file (named per
+    the spec's `.<fileId>_<baseInstant>.log.<version>_<token>` scheme,
+    hidden dotfile) carries the 1-URGENT group's changes: updates
+    (+1000 on even keys except %10==6), deletes (%10==6 tombstones),
+    inserts (the partition's odd keys). The log CONTAINER here is this
+    engine's Avro OCF codec standing in for the HoodieLogFormat block
+    framing — the merge semantics (key-level latest-wins, tombstones,
+    log-only inserts) are the spec's; the block container is
+    simplified and the docstring says so.
+
+    Both the log write AND the log decode run executor-side
+    (`mapInPandas` + binaryFile, the src_avro machinery) — logs are
+    data-sized, never driver payload. The merge is one left join of
+    base against the group's latest-per-key log state plus a union of
+    inserts — O(group + its log), the MOR compaction-debt shape.
+
+    Scale: read-optimized is a plain columnar scan; snapshot pays one
+    equi-join per log-bearing file group — exactly the cost profile
+    that makes real tables schedule compaction when log debt grows.
+    """
+    from pyspark import cloudpickle
+    from pyspark.sql import Window
+
+    from random_forest_using_hadoop_spark import iceberg_format as _icefmt
+
+    cloudpickle.register_pickle_by_value(_icefmt)
+    _ocf_write = _icefmt.ocf_write
+    _ocf_read_bytes = _icefmt.ocf_read_bytes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "hudi_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=orders_mor\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=6\n"
+            "hoodie.table.recordkey.fields=o_orderkey\n"
+            "hoodie.table.partition.fields=o_orderpriority\n"
+        )
+    c1, c2 = "20240101000000", "20240102000000"
+    urgent = "1-URGENT"
+
+    # c1: base files, one per partition, single distributed job
+    evens = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit(c1).alias("_hoodie_commit_time"),
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    scratch = os.path.join(root, "_scratch")
+    evens.withColumn("pp", F.col("o_orderpriority")).repartition(
+        "pp"
+    ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+    for d in os.listdir(scratch):
+        if not d.startswith("pp="):
+            continue
+        p = d[3:]
+        pdir = os.path.join(root, p)
+        os.makedirs(pdir, exist_ok=True)
+        parts = [
+            f
+            for f in os.listdir(os.path.join(scratch, d))
+            if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(scratch, d, parts[0]),
+            os.path.join(pdir, f"fg-{p}_0-1-0_{c1}.parquet"),
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+    for suffix in (".commit.requested", ".inflight", ".commit"):
+        with open(os.path.join(hdir, f"{c1}{suffix}"), "w") as fh:
+            fh.write("{}" if suffix == ".commit" else "")
+
+    # c2: deltacommit — ONE log file against the urgent file group,
+    # written executor-side
+    upd = o.filter(
+        (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderpriority") == urgent)
+        & (F.col("o_orderkey") % 10 != 6)
+    ).select(
+        F.lit("u").alias("op"), "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    dels = o.filter(
+        (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderpriority") == urgent)
+        & (F.col("o_orderkey") % 10 == 6)
+    ).select(
+        F.lit("d").alias("op"), "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"), "o_orderpriority",
+    )
+    ins = o.filter(
+        (F.col("o_orderkey") % 2 == 1)
+        & (F.col("o_orderpriority") == urgent)
+    ).select(
+        F.lit("i").alias("op"), "o_orderkey", "o_totalprice",
+        "o_orderpriority",
+    )
+    log_dir = os.path.join(root, urgent)
+    log_name = f".fg-{urgent}_{c1}.log.1_0-1-0"
+    log_schema = _MOR_LOG_SCHEMA
+
+    def _write_log(it):
+        import os as _os
+
+        import pandas as _pd
+
+        recs: list[dict] = []
+        for pdf in it:
+            recs.extend(
+                {
+                    "op": str(op),
+                    "o_orderkey": int(k),
+                    "o_totalprice": float(p),
+                    "o_orderpriority": str(v),
+                }
+                for op, k, p, v in zip(
+                    pdf["op"],
+                    pdf["o_orderkey"],
+                    pdf["o_totalprice"],
+                    pdf["o_orderpriority"],
+                )
+            )
+        if recs:
+            _ocf_write(_os.path.join(log_dir, log_name), log_schema, recs)
+        yield _pd.DataFrame({"n": _pd.Series([len(recs)], dtype="int64")})
+
+    upd.unionByName(dels).unionByName(ins).coalesce(1).mapInPandas(
+        _write_log, schema="n long"
+    ).collect()
+    for suffix in (".deltacommit.requested", ".inflight", ".deltacommit"):
+        with open(os.path.join(hdir, f"{c2}{suffix}"), "w") as fh:
+            fh.write("{}" if suffix.endswith(".deltacommit") else "")
+
+    # --- read-optimized: base files only
+    base_files = [
+        bf["path"] for bf in _hudi_base_files(root) if bf["instant"] == c1
+    ]
+    base = spark.read.parquet(*sorted(base_files))
+
+    # --- snapshot: merge the urgent group's log (executor-side decode).
+    # Log files are DOT-PREFIXED per the spec, and Spark's file sources
+    # (binaryFile included) silently skip hidden files — the reason
+    # real Hudi ships its own log reader instead of a Spark source.
+    # So: list the log paths driver-side (bounded metadata, like any
+    # file-slice listing) and fan the DECODE out over executors that
+    # open their assigned paths themselves.
+    log_paths = sorted(
+        os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if ".log." in f
+    )
+    if not log_paths:
+        raise ValueError("MOR fixture staged no log files")
+
+    def _decode_log(it):
+        import pandas as _pd
+
+        for pdf in it:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    _, recs, _ = _ocf_read_bytes(fh.read(), source=path)
+                if recs:
+                    yield _pd.DataFrame.from_records(recs)[
+                        ["op", "o_orderkey", "o_totalprice",
+                         "o_orderpriority"]
+                    ]
+
+    logs = (
+        spark.createDataFrame([(p,) for p in log_paths], "path string")
+        .repartition(len(log_paths))
+        .mapInPandas(
+            _decode_log,
+            schema="op string, o_orderkey long, o_totalprice double, "
+            "o_orderpriority string",
+        )
+    )
+    # latest log record per record key wins (single log version here,
+    # but the window is the general rule)
+    w = Window.partitionBy("o_orderkey").orderBy(F.lit(1).desc())
+    log_latest = (
+        logs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    base_u = base.filter(F.col("o_orderpriority") == urgent)
+    merged_u = (
+        base_u.alias("b")
+        .join(
+            log_latest.select(
+                "o_orderkey",
+                F.col("op").alias("l_op"),
+                F.col("o_totalprice").alias("l_price"),
+            ).alias("l"),
+            "o_orderkey",
+            "left",
+        )
+        .filter(F.coalesce(F.col("l_op"), F.lit("")) != "d")
+        .select(
+            "o_orderkey",
+            F.when(F.col("l_op") == "u", F.col("l_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            log_latest.filter(F.col("op") == "i").select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            )
+        )
+    )
+    snapshot = base.filter(F.col("o_orderpriority") != urgent).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).unionByName(merged_u)
+
+    def _agg(df: DataFrame, mode: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    return _agg(base, "read_optimized").unionByName(
+        _agg(snapshot, "snapshot")
+    ).select("mode", "o_orderpriority", "n_rows", "total_cents")
