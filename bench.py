@@ -181,6 +181,7 @@ EXTENDED = [
     "src_hudi_incremental",
     "stream_hudi_commits",
     "src_hudi_mor",
+    "sink_hudi_compaction",
     "sink_delta_column_mapping_rename",
     "src_iceberg_partition_stats",
     "sql_recursive_cte",

@@ -610,14 +610,35 @@ def q_src_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join per log-bearing file group — exactly the cost profile
     that makes real tables schedule compaction when log debt grows.
     """
+    root, urgent, c1, c2 = _hudi_stage_mor(spark, sf_dir)
+    base, snapshot = _hudi_mor_merged(spark, root, urgent, c1)
+
+    def _agg(df: DataFrame, mode: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    return _agg(base, "read_optimized").unionByName(
+        _agg(snapshot, "snapshot")
+    ).select("mode", "o_orderpriority", "n_rows", "total_cents")
+
+
+def _hudi_stage_mor(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str, str]:
+    """Stage the shared MOR fixture (see q_src_hudi_mor's docstring).
+    Returns (root, urgent_partition, base_instant, delta_instant)."""
     from pyspark import cloudpickle
-    from pyspark.sql import Window
 
     from random_forest_using_hadoop_spark import iceberg_format as _icefmt
 
     cloudpickle.register_pickle_by_value(_icefmt)
     _ocf_write = _icefmt.ocf_write
-    _ocf_read_bytes = _icefmt.ocf_read_bytes
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -730,8 +751,40 @@ def q_src_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for suffix in (".deltacommit.requested", ".inflight", ".deltacommit"):
         with open(os.path.join(hdir, f"{c2}{suffix}"), "w") as fh:
             fh.write("{}" if suffix.endswith(".deltacommit") else "")
+    return root, urgent, c1, c2
 
-    # --- read-optimized: base files only
+
+def _hudi_group_logs(root: str, part: str, base_instant: str) -> list[str]:
+    """Log files attached to `part`'s file group AT `base_instant` —
+    the spec's attachment rule: a log file binds to the base slice
+    whose instant is embedded in its name. After compaction writes a
+    newer base slice, these logs simply stop applying (their base
+    instant is older than the group's latest slice)."""
+    pdir = os.path.join(root, part)
+    if not os.path.isdir(pdir):
+        return []
+    return sorted(
+        os.path.join(pdir, f)
+        for f in os.listdir(pdir)
+        if f"_{base_instant}.log." in f
+    )
+
+
+def _hudi_mor_merged(
+    spark: SparkSession, root: str, urgent: str, c1: str
+) -> tuple[DataFrame, DataFrame]:
+    """(read_optimized, snapshot) DataFrames for the MOR fixture: base
+    files only, and base merged with the urgent group's log records
+    (latest-per-key wins, tombstones drop, log-only keys insert)."""
+    from pyspark import cloudpickle
+    from pyspark.sql import Window
+
+    from random_forest_using_hadoop_spark import iceberg_format as _icefmt
+
+    cloudpickle.register_pickle_by_value(_icefmt)
+    _ocf_read_bytes = _icefmt.ocf_read_bytes
+    log_dir = os.path.join(root, urgent)
+
     base_files = [
         bf["path"] for bf in _hudi_base_files(root) if bf["instant"] == c1
     ]
@@ -811,17 +864,121 @@ def q_src_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = base.filter(F.col("o_orderpriority") != urgent).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     ).unionByName(merged_u)
+    return base.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ), snapshot
 
-    def _agg(df: DataFrame, mode: str) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.lit(mode).alias("mode"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).alias("total_cents"),
-        )
-    return _agg(base, "read_optimized").unionByName(
-        _agg(snapshot, "snapshot")
-    ).select("mode", "o_orderpriority", "n_rows", "total_cents")
+
+_COMPACT_ORACLE = """
+WITH snap AS (
+  SELECT o_orderpriority, o_totalprice AS price
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + 1000
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+        AND o_orderkey % 10 <> 6
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM snap GROUP BY o_orderpriority
+"""
+
+
+@register("sink_hudi_compaction", oracle=_COMPACT_ORACLE)
+def q_sink_hudi_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MOR COMPACTION: materialize the urgent file group's merged
+    state (base ⊕ log: updates applied, tombstones dropped, inserts
+    added) into a NEW BASE SLICE under the same fileId at a new
+    instant, committed as a `.commit` action — after which the group's
+    log debt is zero and a READ-OPTIMIZED query returns what only a
+    snapshot query could see before.
+
+    Runtime gates:
+    - the log file binds to the OLD base instant by name, so after
+      compaction `_hudi_group_logs(new_instant)` is empty — a reader
+      that re-applied the old log to the new base would double-count
+      the +1000 updates and resurrect tombstoned rows;
+    - post-compaction read-optimized ≡ pre-compaction snapshot,
+      proven distributed: `exceptAll` in BOTH directions must be
+      empty (aggregate equality alone could mask compensating errors);
+    - the untouched file groups keep their original base slices (the
+      compactor is O(log-bearing groups), never O(table)).
+
+    Graded: the post-compaction read-optimized per-priority rollup —
+    equal to the MOR snapshot oracle, but now served from base files
+    alone.
+
+    Scale: compaction cost is one merge + one write per log-bearing
+    group — the background debt-paydown loop every MOR deployment
+    schedules; the equivalence proof is two anti-joins.
+    """
+    root, urgent, c1, c2 = _hudi_stage_mor(spark, sf_dir)
+    _, snapshot_before = _hudi_mor_merged(spark, root, urgent, c1)
+    snapshot_before = snapshot_before.localCheckpoint()
+
+    # compact: merged urgent state → new base slice at c3, .commit
+    c3 = "20240103000000"
+    merged_u = snapshot_before.filter(
+        F.col("o_orderpriority") == urgent
+    ).select(
+        F.lit(c3).alias("_hoodie_commit_time"),
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    scratch = os.path.join(root, "_scratch_compact")
+    shutil.rmtree(scratch, ignore_errors=True)
+    merged_u.coalesce(1).write.mode("overwrite").parquet(scratch)
+    src = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(scratch, src),
+        os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c3}.parquet"),
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    hdir = os.path.join(root, ".hoodie")
+    for suffix in (".commit.requested", ".inflight", ".commit"):
+        with open(os.path.join(hdir, f"{c3}{suffix}"), "w") as fh:
+            fh.write("{}" if suffix == ".commit" else "")
+
+    # gate: the old log no longer attaches to the group's latest slice
+    if _hudi_group_logs(root, urgent, c3):
+        raise ValueError("compaction left logs attached to the new slice")
+    if not _hudi_group_logs(root, urgent, c1):
+        raise ValueError("fixture lost its pre-compaction log")
+
+    # gate: untouched groups still serve their original slices
+    latest = _hudi_snapshot_files(root)
+    others = [f for f in latest if f"fg-{urgent}" not in f]
+    if not all(f"_{c1}.parquet" in f for f in others):
+        raise ValueError("compaction touched an unrelated file group")
+    mine = [f for f in latest if f"fg-{urgent}" in f]
+    if len(mine) != 1 or f"_{c3}.parquet" not in mine[0]:
+        raise ValueError("compacted slice did not become the latest")
+
+    # post-compaction read-optimized = base files of the LATEST slices
+    ro_after = spark.read.parquet(*sorted(latest)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # distributed equivalence proof, both directions
+    if ro_after.exceptAll(snapshot_before).limit(1).count() != 0:
+        raise ValueError("post-compaction read has rows snapshot lacked")
+    if snapshot_before.exceptAll(ro_after).limit(1).count() != 0:
+        raise ValueError("compaction lost rows the snapshot had")
+
+    return ro_after.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("total_cents"),
+    )
