@@ -186,6 +186,7 @@ EXTENDED = [
     "src_iceberg_partition_stats",
     "sql_recursive_cte",
     "sql_pipe_syntax",
+    "sink_iceberg_cherrypick",
 ]
 
 

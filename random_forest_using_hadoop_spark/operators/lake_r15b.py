@@ -1243,3 +1243,245 @@ def q_src_iceberg_partition_stats(
     return spark.read.parquet(entry["statistics-path"]).select(
         "partition_value", "data_file_count", "data_record_count"
     )
+
+
+# --- Iceberg cherry-pick -------------------------------------------------------
+
+_CHERRY_ORACLE = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority <> '1-URGENT' THEN o_totalprice
+              WHEN o_orderkey % 2 = 0 THEN o_totalprice + 7
+              ELSE o_totalprice + 2 END AS price
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM final
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_cherrypick", oracle=_CHERRY_ORACLE)
+def q_sink_iceberg_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHERRY-PICK (`cherrypick_snapshot`): apply ONE branch
+    snapshot's changes onto a main that has ADVANCED past the fork —
+    the case fast-forward (sink_iceberg_publish_wap) cannot handle.
+
+    History over the shared base (live after s3 = the non-urgent
+    rows): s4 on branch `feature` appends the urgent EVEN keys at
+    +7.00; s5 lands independently on MAIN appending the urgent ODD
+    keys at +2.00. Fast-forwarding main to s4 would LOSE s5; the
+    cherry-pick instead creates s6 on main = s5's manifests + a fresh
+    manifest materializing s4's added files, stamped by the new
+    snapshot (O(picked files) metadata, zero data bytes — the data
+    files are SHARED by path), with `source-snapshot-id` recorded in
+    the summary per the spec's cherry-pick convention.
+
+    Runtime gates: the data-file inventory is IDENTICAL before/after
+    the pick (a pick that copies data defeats the operation); the
+    `feature` branch head is untouched; s6's summary records
+    source-snapshot-id = s4.
+
+    Graded: main's post-pick content — non-urgent originals + urgent
+    evens at +7 (picked) + urgent odds at +2 (main's own advance). A
+    pick that drops s5's manifests, double-applies s4, or re-stamps
+    carried sequence numbers shifts counts or cents and fails.
+
+    Scale: the pick is O(picked manifests) metadata; main readers see
+    one atomic new snapshot.
+    """
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_write
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _MANIFEST_FILE_SCHEMA,
+        _S3,
+        _iceberg_files,
+        _iceberg_snapshot,
+        _iceberg_stage,
+        _pfiles,
+        _T3,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r14 import _mlrec
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _write_meta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_cherry")
+    _iceberg_stage(spark, o, root)
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    s4, s5, s6 = _S3 + 1, _S3 + 2, _S3 + 3
+    urgent = "1-URGENT"
+
+    # s4 on branch `feature`: urgent EVENS at +7
+    o.filter(
+        (F.col("o_orderpriority") == urgent)
+        & (F.col("o_orderkey") % 2 == 0)
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    ).coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s4"))
+    m4 = _write_manifest(
+        meta_dir,
+        "m4-cherry.avro",
+        [_entry(_ST_ADDED, s4, 4, p, v) for p, v in _pfiles(data_dir, "s4")],
+    )
+    m3 = os.path.join(meta_dir, "m3-fixture.avro")
+    l4 = os.path.join(meta_dir, f"snap-{s4}-cherry.avro")
+    ocf_write(
+        l4,
+        _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m3, 0, 3, _S3), _mlrec(m4, 0, 4, s4)],
+        metadata={"format-version": "2"},
+    )
+    tm = _iceberg_table_meta(root)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": s4,
+            "sequence-number": 4,
+            "timestamp-ms": _T3 + 60_000,
+            "manifest-list": l4,
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+    )
+    tm["last-sequence-number"] = 4
+    tm["refs"] = {
+        "main": {"snapshot-id": _S3, "type": "branch"},
+        "feature": {"snapshot-id": s4, "type": "branch"},
+    }
+    _write_meta(root, tm)
+
+    # s5 lands on MAIN independently: urgent ODDS at +2
+    o.filter(
+        (F.col("o_orderpriority") == urgent)
+        & (F.col("o_orderkey") % 2 == 1)
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
+    ).coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(data_dir, "s5"))
+    m5 = _write_manifest(
+        meta_dir,
+        "m5-cherry.avro",
+        [_entry(_ST_ADDED, s5, 5, p, v) for p, v in _pfiles(data_dir, "s5")],
+    )
+    l5 = os.path.join(meta_dir, f"snap-{s5}-cherry.avro")
+    ocf_write(
+        l5,
+        _MANIFEST_FILE_SCHEMA,
+        [_mlrec(m3, 0, 3, _S3), _mlrec(m5, 0, 5, s5)],
+        metadata={"format-version": "2"},
+    )
+    tm = _iceberg_table_meta(root)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": s5,
+            "sequence-number": 5,
+            "timestamp-ms": _T3 + 120_000,
+            "manifest-list": l5,
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+    )
+    tm["last-sequence-number"] = 5
+    tm["current-snapshot-id"] = s5
+    tm["refs"]["main"]["snapshot-id"] = s5
+    tm["snapshot-log"].append(
+        {"timestamp-ms": _T3 + 120_000, "snapshot-id": s5}
+    )
+    _write_meta(root, tm)
+
+    def _data_inventory() -> dict[str, int]:
+        out = {}
+        for dirpath, _, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    inv_before = _data_inventory()
+
+    # CHERRY-PICK s4 onto main → s6: s5's manifests + a fresh manifest
+    # of s4's added files stamped by the new snapshot
+    picked_files = _pfiles(data_dir, "s4")
+    m6 = _write_manifest(
+        meta_dir,
+        "m6-cherrypicked.avro",
+        [_entry(_ST_ADDED, s6, 6, p, v) for p, v in picked_files],
+    )
+    l6 = os.path.join(meta_dir, f"snap-{s6}-cherry.avro")
+    ocf_write(
+        l6,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            _mlrec(m3, 0, 3, _S3),
+            _mlrec(m5, 0, 5, s5),
+            _mlrec(m6, 0, 6, s6),
+        ],
+        metadata={"format-version": "2"},
+    )
+    tm = _iceberg_table_meta(root)
+    tm["snapshots"].append(
+        {
+            "snapshot-id": s6,
+            "sequence-number": 6,
+            "timestamp-ms": _T3 + 180_000,
+            "manifest-list": l6,
+            "summary": {
+                "operation": "append",
+                "source-snapshot-id": str(s4),
+            },
+            "schema-id": 0,
+        }
+    )
+    tm["last-sequence-number"] = 6
+    tm["current-snapshot-id"] = s6
+    tm["refs"]["main"]["snapshot-id"] = s6
+    tm["snapshot-log"].append(
+        {"timestamp-ms": _T3 + 180_000, "snapshot-id": s6}
+    )
+    _write_meta(root, tm)
+
+    # gates: shared data files, untouched branch, recorded provenance
+    if _data_inventory() != inv_before:
+        raise ValueError("cherry-pick wrote or changed data files")
+    tm2 = _iceberg_table_meta(root)
+    if tm2["refs"]["feature"]["snapshot-id"] != s4:
+        raise ValueError("cherry-pick moved the source branch")
+    s6_meta = next(
+        s for s in tm2["snapshots"] if s["snapshot-id"] == s6
+    )
+    if s6_meta["summary"].get("source-snapshot-id") != str(s4):
+        raise ValueError("cherry-pick lost its provenance summary")
+
+    # read main after the pick
+    snap = _iceberg_snapshot(tm2, ref="main")
+    files, _ = _iceberg_files(snap)
+    by_val: dict[str, list[str]] = {}
+    for p, v, _, _ in files:
+        by_val.setdefault(v, []).append(p)
+    scans = [
+        spark.read.parquet(*sorted(paths)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit(v).alias("o_orderpriority"),
+        )
+        for v, paths in sorted(by_val.items())
+    ]
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
