@@ -187,6 +187,7 @@ EXTENDED = [
     "sql_recursive_cte",
     "sql_pipe_syntax",
     "sink_iceberg_cherrypick",
+    "emb_pq_codebook",
 ]
 
 
