@@ -188,6 +188,7 @@ EXTENDED = [
     "sql_pipe_syntax",
     "sink_iceberg_cherrypick",
     "emb_pq_codebook",
+    "emb_pq_adc_search",
 ]
 
 

@@ -459,3 +459,239 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_distortion",
         )
     )
+
+
+# --- PQ asymmetric-distance (ADC) search ---------------------------------------
+
+_PQ_NQ = 5      # query vectors
+_PQ_TOPK = 10
+
+_ADC_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+dims AS (
+  SELECT vec_id, generate_subscripts(ve, 1) - 1 AS pos, unnest(ve) AS val
+  FROM e
+),
+ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+             ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) - 1 AS code
+  FROM e
+),
+cdims AS (
+  SELECT r.code, d.pos // 8 AS subspace, d.pos % 8 AS inner_i,
+         d.val AS cval
+  FROM ranked r JOIN dims d USING (vec_id)
+  WHERE r.code < {_PQ_K}
+),
+dist AS (
+  SELECT v.vec_id, c.subspace, c.code,
+         CAST(SUM(CAST(floor((v.val - c.cval) * (v.val - c.cval) * 1e9
+                             + 0.5) AS BIGINT)) AS BIGINT) AS d
+  FROM dims v
+  JOIN cdims c ON v.pos // 8 = c.subspace AND v.pos % 8 = c.inner_i
+  GROUP BY v.vec_id, c.subspace, c.code
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id, subspace ORDER BY d, code
+           ) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)), vec_id
+           ) AS qrn
+    FROM e
+  ) WHERE qrn <= {_PQ_NQ}
+),
+lut AS (
+  SELECT q.q_id, c.subspace, c.code,
+         CAST(SUM(CAST(floor((d.val - c.cval) * (d.val - c.cval) * 1e9
+                             + 0.5) AS BIGINT)) AS BIGINT) AS ld
+  FROM queries q
+  JOIN dims d ON d.vec_id = q.q_id
+  JOIN cdims c ON d.pos // 8 = c.subspace AND d.pos % 8 = c.inner_i
+  GROUP BY q.q_id, c.subspace, c.code
+),
+adc AS (
+  SELECT l.q_id, co.vec_id, CAST(SUM(l.ld) AS BIGINT) AS ad
+  FROM codes co
+  JOIN lut l ON l.subspace = co.subspace AND l.code = co.code
+  GROUP BY l.q_id, co.vec_id
+),
+adc_topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY ad, vec_id
+           ) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_TOPK}
+),
+exact AS (
+  SELECT q.q_id, d.vec_id,
+         CAST(SUM(CAST(floor((d.val - qd.val) * (d.val - qd.val) * 1e9
+                             + 0.5) AS BIGINT)) AS BIGINT) AS xd
+  FROM queries q
+  JOIN dims qd ON qd.vec_id = q.q_id
+  JOIN dims d ON d.pos = qd.pos
+  GROUP BY q.q_id, d.vec_id
+),
+exact_topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY xd, vec_id
+           ) AS rn
+    FROM exact
+  ) WHERE rn <= {_PQ_TOPK}
+)
+SELECT a.q_id,
+       CAST(COUNT(x.vec_id) AS BIGINT) AS n_recalled,
+       CAST({_PQ_TOPK} AS BIGINT) AS k
+FROM adc_topk a
+LEFT JOIN exact_topk x
+       ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+GROUP BY a.q_id
+"""
+
+
+@register("emb_pq_adc_search", oracle=_ADC_ORACLE)
+def q_emb_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE SEARCH (ADC) — the read side of
+    `emb_pq_codebook`, and the reason PQ exists: for each of {nq}
+    hash-chosen query vectors, build the per-subspace LOOKUP TABLE
+    (exact squared distance from the query's subvector to each of the
+    {k} codebook entries), score every corpus vector as the SUM of
+    {m} table lookups selected by its stored codes — never touching
+    the original vectors — and take the top-{topk}. The graded output
+    is the per-query RECALL against the exact ranker: how many of the
+    true top-{topk} the 4-byte codes preserved.
+
+    Same integer doctrine as the codebook key: every squared-distance
+    term is nano-quantized before summation, so LUTs, ADC scores,
+    exact scores, and both top-k rankings (ties by vec_id) are
+    bit-portable — the oracle reproduces the recall numbers exactly,
+    not approximately.
+
+    Scale: the LUT build is {nq}×{k}×{m} entries — broadcast-sized by
+    construction (that is ADC's trick: per-query work is O(k·dim) +
+    O(N·m) lookups, not O(N·dim)); the lookup join keys on
+    (subspace, code) against the N×{m} code table and partial-aggs
+    map-side; exact re-scoring exists here only as the audit.
+    """.format(nq=_PQ_NQ, k=_PQ_K, m=_PQ_M, topk=_PQ_TOPK)
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    dims = e.select("vec_id", F.posexplode("ve").alias("pos", "val"))
+    ranked = e.select(
+        "vec_id",
+        (
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(
+                        F.concat(
+                            F.lit("pq:"), F.col("vec_id").cast("string")
+                        )
+                    ),
+                    "vec_id",
+                )
+            )
+            - 1
+        ).alias("code"),
+    ).filter(F.col("code") < _PQ_K)
+    cdims = ranked.join(dims, "vec_id").select(
+        "code",
+        (F.col("pos") / 8).cast("int").alias("subspace"),
+        (F.col("pos") % 8).alias("inner_i"),
+        F.col("val").alias("cval"),
+    )
+    nano = lambda a, b: F.floor(  # noqa: E731 — shared quantizer
+        (a - b) * (a - b) * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    ddims = dims.withColumn(
+        "subspace", (F.col("pos") / 8).cast("int")
+    ).withColumn("inner_i", F.col("pos") % 8)
+    dist = (
+        ddims.join(F.broadcast(cdims), ["subspace", "inner_i"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(nano(F.col("val"), F.col("cval"))).alias("d"))
+    )
+    wass = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(wass))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    queries = e.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+        )
+        .alias("qrn"),
+    ).filter(F.col("qrn") <= _PQ_NQ).select(F.col("vec_id").alias("q_id"))
+    qdims = F.broadcast(
+        queries.join(ddims, queries.q_id == ddims.vec_id).select(
+            "q_id", "subspace", "inner_i", F.col("val").alias("qval")
+        )
+    )
+    lut = (
+        qdims.join(F.broadcast(cdims), ["subspace", "inner_i"])
+        .groupBy("q_id", "subspace", "code")
+        .agg(F.sum(nano(F.col("qval"), F.col("cval"))).alias("ld"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").alias("ad"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("ad", "vec_id")
+    adc_topk = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("q_id", "vec_id")
+    )
+    qfull = F.broadcast(
+        queries.join(dims, queries.q_id == dims.vec_id).select(
+            "q_id", "pos", F.col("val").alias("qval")
+        )
+    )
+    exact = (
+        dims.join(qfull, "pos")
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(nano(F.col("val"), F.col("qval"))).alias("xd"))
+    )
+    wx = Window.partitionBy("q_id").orderBy("xd", "vec_id")
+    exact_topk = (
+        exact.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("x_vec"))
+    )
+    return (
+        adc_topk.join(
+            F.broadcast(exact_topk),
+            (adc_topk.q_id == exact_topk.q_id)
+            & (adc_topk.vec_id == exact_topk.x_vec),
+            "left",
+        )
+        .groupBy(adc_topk.q_id)
+        .agg(
+            F.count(F.col("x_vec")).cast("bigint").alias("n_recalled"),
+            F.lit(_PQ_TOPK).cast("bigint").alias("k"),
+        )
+    )
