@@ -369,6 +369,41 @@ GROUP BY subspace, code
 """
 
 
+
+
+def _pq_bottomk_ids(e, seed: str, k: int):
+    """Distributed bottom-k by seeded hash: orderBy().limit() plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k
+    rows) — NOT the single-task global window a full-corpus
+    ROW_NUMBER would need. Returns (vec_id, rk) with rk = 0-based
+    hash-order rank, built driver-side from the k collected rows
+    (bounded by construction)."""
+    spark = e.sparkSession
+    rows = (
+        e.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit(seed), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(r["vec_id"], i) for i, r in enumerate(rows)],
+        "vec_id bigint, rk int",
+    )
+
+
+def _pq_anchor_codes(e):
+    """The PQ codebook's anchor vectors: bottom-_PQ_K by seeded hash,
+    code = hash-order rank (matches the oracle's ROW_NUMBER - 1)."""
+    return _pq_bottomk_ids(e, "pq:", _PQ_K).select(
+        "vec_id", F.col("rk").alias("code")
+    )
+
+
 @register("emb_pq_codebook", oracle=_PQ_ORACLE)
 def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION over the embedding corpus: split each
@@ -406,18 +441,7 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = e.select(
         "vec_id", F.posexplode("ve").alias("pos", "val")
     )
-    ranked = e.select(
-        "vec_id",
-        (
-            F.row_number().over(
-                Window.orderBy(
-                    F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))),
-                    "vec_id",
-                )
-            )
-            - 1
-        ).alias("code"),
-    ).filter(F.col("code") < _PQ_K)
+    ranked = _pq_anchor_codes(e)
     cdims = (
         ranked.join(dims, "vec_id")
         .select(
@@ -595,22 +619,7 @@ def q_emb_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("ve")
     )
     dims = e.select("vec_id", F.posexplode("ve").alias("pos", "val"))
-    ranked = e.select(
-        "vec_id",
-        (
-            F.row_number().over(
-                Window.orderBy(
-                    F.md5(
-                        F.concat(
-                            F.lit("pq:"), F.col("vec_id").cast("string")
-                        )
-                    ),
-                    "vec_id",
-                )
-            )
-            - 1
-        ).alias("code"),
-    ).filter(F.col("code") < _PQ_K)
+    ranked = _pq_anchor_codes(e)
     cdims = ranked.join(dims, "vec_id").select(
         "code",
         (F.col("pos") / 8).cast("int").alias("subspace"),
@@ -634,17 +643,9 @@ def q_emb_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "subspace", "code")
     )
-    queries = e.select(
-        "vec_id",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string"))),
-                "vec_id",
-            )
-        )
-        .alias("qrn"),
-    ).filter(F.col("qrn") <= _PQ_NQ).select(F.col("vec_id").alias("q_id"))
+    queries = _pq_bottomk_ids(e, "q:", _PQ_NQ).select(
+        F.col("vec_id").alias("q_id")
+    )
     qdims = F.broadcast(
         queries.join(ddims, queries.q_id == ddims.vec_id).select(
             "q_id", "subspace", "inner_i", F.col("val").alias("qval")
