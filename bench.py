@@ -189,6 +189,13 @@ EXTENDED = [
     "sink_iceberg_cherrypick",
     "emb_pq_codebook",
     "emb_pq_adc_search",
+    # r15c — Spark-4 SQL surface (session variables, collations), ANOVA,
+    # and the tokenizer-fertility / preference-pair accounting ops:
+    "sql_session_variables",
+    "sql_string_collation",
+    "agg_anova_oneway",
+    "pipe_tokenizer_fertility",
+    "pipe_pref_pair_margin",
 ]
 
 

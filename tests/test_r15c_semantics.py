@@ -1,0 +1,106 @@
+"""Round-15c semantics beyond generic oracle parity (sibling of
+test_r5/r7/r8_semantics.py): the Spark-4 variable/collation surface,
+ANOVA invariants, and the tokenizer-fertility / preference-pair
+accounting identities."""
+
+from __future__ import annotations
+
+import random_forest_using_hadoop_spark as engine
+from tests.conftest import SF_DIR, assert_parity
+
+engine.load_all()
+
+
+def _run(key, spark):
+    return engine.REGISTRY[key].fn(spark, SF_DIR)
+
+
+def _parity(key, spark, duck):
+    assert_parity(_run(key, spark), engine.REGISTRY[key].oracle, duck)
+
+
+def test_session_variables_parity_and_rerun(spark, duck):
+    """Parity plus the scripting trap: DECLARE OR REPLACE must make the
+    key idempotent within one session (a second run re-declares and
+    re-assigns the same variable instead of failing)."""
+    _parity("sql_session_variables", spark, duck)
+    _parity("sql_session_variables", spark, duck)  # same session, again
+
+
+def test_session_variable_value_is_the_mean_cents(spark, duck):
+    """The emitted cut_cents column equals the oracle-side exact
+    floor-division mean, pinning the SET VAR assignment itself."""
+    row = _run("sql_session_variables", spark).limit(1).collect()[0]
+    want = duck.execute(
+        "SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))"
+        " AS BIGINT) // COUNT(*) FROM customer"
+    ).fetchone()[0]
+    assert row["cut_cents"] == want
+
+
+def test_collation_collapses_variants(spark):
+    """Every segment must show exactly 3 binary spellings (lower /
+    Title / UPPER by custkey % 3) collapsing to 1 under UTF8_LCASE —
+    the semantic payload of the collation key."""
+    rows = _run("sql_string_collation", spark).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_binary_variants"] == 3, r
+        assert r["n_ci_variants"] == 1, r
+        if r["segment"] == "building":
+            assert r["n_building_ci"] == r["n_rows"]
+        else:
+            assert r["n_building_ci"] == 0
+
+
+def test_anova_decomposition_and_f_sign(spark):
+    """SSB + SSW must reconstruct the total sum of squares computed
+    independently (within fixed-point tolerance), and both components
+    must be positive — the ANOVA identity, not just a hash."""
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    row = _run("agg_anova_oneway", spark).collect()[0]
+    assert row["k"] == 5
+    assert row["ss_between"] > 0 and row["ss_within"] > 0
+    assert row["f_stat"] > 0
+    o = load_table(spark, SF_DIR, "orders")
+    y = F.col("o_totalprice") / 1000.0
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("q"),
+    ).collect()[0]
+    sst = stats["q"] - stats["s"] * stats["s"] / stats["n"]
+    got = row["ss_between"] + row["ss_within"]
+    # fixed-point quantization error is <= 0.5e-6 per row
+    assert abs(got - sst) < 1e-6 * stats["n"] + 1e-3, (got, sst)
+
+
+def test_fertility_english_anchor_is_unity(spark):
+    """fertility_vs_en for 'en' itself must be exactly 1000 milli, and
+    every language's toks_per_word must be >= 1000 (the BPE-ish regex
+    never merges across whitespace, so tokens >= words)."""
+    rows = {r["lang"]: r for r in _run("pipe_tokenizer_fertility", spark).collect()}
+    assert rows["en"]["fertility_vs_en_milli"] == 1000
+    for lang, r in rows.items():
+        assert r["toks_per_word_milli"] >= 1000, (lang, r)
+        assert r["bytes_per_tok_milli"] > 0
+
+
+def test_pref_pairs_bounded_by_buckets(spark):
+    """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
+    margin order min <= mean <= max holds; sum_margin consistency with
+    the milli mean pins the floor division."""
+    from random_forest_using_hadoop_spark.operators.analytics_r15c import (
+        _PREF_NB,
+    )
+
+    rows = _run("pipe_pref_pair_margin", spark).collect()
+    assert rows, "no languages produced pairs"
+    for r in rows:
+        assert 1 <= r["n_pairs"] <= _PREF_NB
+        assert r["min_margin"] >= 0
+        assert r["min_margin"] <= r["max_margin"]
+        assert r["mean_margin_milli"] == r["sum_margin"] * 1000 // r["n_pairs"]
