@@ -196,6 +196,9 @@ EXTENDED = [
     "agg_anova_oneway",
     "pipe_tokenizer_fertility",
     "pipe_pref_pair_margin",
+    # r15c — binary-Hamming embeddings and the IVF+PQ+refine composition:
+    "sim_hamming_binary",
+    "sim_ann_ivfpq",
 ]
 
 

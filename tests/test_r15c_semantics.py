@@ -89,6 +89,46 @@ def test_fertility_english_anchor_is_unity(spark):
         assert r["bytes_per_tok_milli"] > 0
 
 
+def test_hamming_binary_packing_and_recall_bounds(spark, duck):
+    """Parity plus structure: packed words fit 32 bits, distances are
+    bounded by 64 bits of disagreement, recall within [0, k]."""
+    _parity("sim_hamming_binary", spark, duck)
+    rows = _run("sim_hamming_binary", spark).collect()
+    from random_forest_using_hadoop_spark.operators.sim_r15c import (
+        _HB_NQ,
+        _HB_TOPK,
+    )
+
+    assert len(rows) == _HB_NQ
+    for r in rows:
+        assert 0 <= r["n_recalled"] <= _HB_TOPK
+        # top-k Hamming sum can never exceed k * 64 bits
+        assert 0 <= r["sum_hamming"] <= _HB_TOPK * 64
+
+
+def test_ivfpq_prunes_and_refine_recalls(spark, duck):
+    """IVF must actually prune (candidates ≈ nprobe/kc of the corpus,
+    never the whole corpus) and the exact-refined shortlist must beat
+    chance: with 2/8 cells probed on a near-structureless corpus the
+    per-query recall ceiling is the probed fraction, so the summed
+    recall across the 5 queries is gated at >= 10/50 (measured 17)."""
+    _parity("sim_ann_ivfpq", spark, duck)
+    rows = _run("sim_ann_ivfpq", spark).collect()
+    n_corpus = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    from random_forest_using_hadoop_spark.operators.sim_r15c import (
+        _IVF_KC,
+        _IVF_NPROBE,
+        _IVF_NQ,
+    )
+
+    assert len(rows) == _IVF_NQ
+    expect = n_corpus * _IVF_NPROBE / _IVF_KC
+    for r in rows:
+        assert r["n_candidates"] < n_corpus * 0.6, "no pruning happened"
+        assert 0.4 * expect < r["n_candidates"] < 1.6 * expect
+    assert sum(r["n_recalled"] for r in rows) >= 10
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
