@@ -199,6 +199,9 @@ EXTENDED = [
     # r15c — binary-Hamming embeddings and the IVF+PQ+refine composition:
     "sim_hamming_binary",
     "sim_ann_ivfpq",
+    # r15c — Hudi table services (cleaner, clustering replacecommit):
+    "sink_hudi_clean",
+    "sink_hudi_clustering",
 ]
 
 

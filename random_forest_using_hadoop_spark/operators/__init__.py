@@ -40,3 +40,4 @@ import random_forest_using_hadoop_spark.operators.hudi  # noqa: F401
 import random_forest_using_hadoop_spark.operators.sql4  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r15c  # noqa: F401
 import random_forest_using_hadoop_spark.operators.sim_r15c  # noqa: F401
+import random_forest_using_hadoop_spark.operators.lake_r15c  # noqa: F401

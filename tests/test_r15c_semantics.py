@@ -129,6 +129,54 @@ def test_ivfpq_prunes_and_refine_recalls(spark, duck):
     assert sum(r["n_recalled"] for r in rows) >= 10
 
 
+def test_hudi_clean_reclaims_only_superseded_completed_slices(spark, duck):
+    """After the clean key runs: the urgent group's c1 slice is gone,
+    the inflight c3 poison file is untouched, and the .clean action is
+    on the timeline — the two cleaner safety rules, pinned on disk."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_hudi_clean", spark, duck)
+    root = _tmp(SF_DIR, "hudi_cow")
+    names = {
+        f
+        for part in os.listdir(root)
+        if part != ".hoodie" and os.path.isdir(os.path.join(root, part))
+        for f in os.listdir(os.path.join(root, part))
+    }
+    assert "fg-1-URGENT_0-1-0_20240101000000.parquet" not in names
+    assert "fg-1-URGENT_0-1-0_20240102000000.parquet" in names
+    assert any("_20240103000000.parquet" in f for f in names), "poison gone"
+    assert os.path.exists(
+        os.path.join(root, ".hoodie", "20240104000000.clean")
+    )
+
+
+def test_hudi_clustering_replace_semantics(spark, duck):
+    """The replace-aware resolver must serve ONE hot-partition file at
+    latest but all 8 small groups below the replace instant, and the
+    replaced files must still exist on disk (clustering never deletes;
+    the cleaner does, later)."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.lake_r15c import (
+        _N_SMALL,
+        _snapshot_files_replace_aware,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_hudi_clustering", spark, duck)
+    root = _tmp(SF_DIR, "hudi_cluster")
+    urgent = "1-URGENT"
+    latest = _snapshot_files_replace_aware(root)
+    tt = _snapshot_files_replace_aware(root, as_of="20240101000000")
+    assert sum(1 for f in latest if f"/{urgent}/" in f) == 1
+    assert sum(1 for f in tt if f"/{urgent}/" in f) == _N_SMALL
+    on_disk = os.listdir(os.path.join(root, urgent))
+    assert sum(1 for f in on_disk if f.endswith(".parquet")) == _N_SMALL + 1
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
