@@ -202,6 +202,9 @@ EXTENDED = [
     # r15c — Hudi table services (cleaner, clustering replacecommit):
     "sink_hudi_clean",
     "sink_hudi_clustering",
+    # r15c — Iceberg metadata maintenance (manifest fold, orphan sweep):
+    "sink_iceberg_rewrite_manifests",
+    "sink_iceberg_remove_orphans",
 ]
 
 

@@ -445,3 +445,438 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_files_latest", F.lit(1).cast("bigint"))
     )
+
+
+# --- Iceberg rewrite-manifests ----------------------------------------------------
+
+_RWM_N = 6  # one small manifest per append — the metadata small-file problem
+_RWM_SB = 7051729675574597000  # snapshot-id base for the fixture
+_RWM_TB = 1_700_100_000_000    # timestamp base
+
+_RWM_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST({_RWM_N} AS BIGINT) AS n_manifests_before,
+       CAST(1 AS BIGINT) AS n_manifests_after
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _iceberg_meta_json(
+    root: str, snaps: list[tuple[int, int, int, str, str]]
+) -> dict:
+    """Table-metadata JSON for the given (id, seq, ts, list, op)
+    snapshots — the orders fixture schema shared by iceberg_ext."""
+    return {
+        "format-version": 2,
+        "table-uuid": "9f2a7b4e-1d15-4d29-8c3a-rwm-fixture0",
+        "location": root,
+        "last-sequence-number": snaps[-1][1],
+        "last-updated-ms": snaps[-1][2],
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": 1,
+                        "name": "o_orderkey",
+                        "required": False,
+                        "type": "long",
+                    },
+                    {
+                        "id": 2,
+                        "name": "o_totalprice",
+                        "required": False,
+                        "type": "double",
+                    },
+                    {
+                        "id": 3,
+                        "name": "o_orderpriority",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "source-id": 3,
+                        "field-id": 1000,
+                        "name": "o_orderpriority",
+                        "transform": "identity",
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "current-snapshot-id": snaps[-1][0],
+        "snapshots": [
+            {
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "timestamp-ms": ts,
+                "manifest-list": ml,
+                "summary": {"operation": op},
+                "schema-id": 0,
+            }
+            for sid, seq, ts, ml, op in snaps
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": ts, "snapshot-id": sid}
+            for sid, _, ts, _, _ in snaps
+        ],
+    }
+
+
+def _stage_many_appends(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Stage an Iceberg v2 table whose history is _RWM_N small appends
+    (slice i = o_orderkey % _RWM_N == i), each committing ONE new
+    manifest; the current manifest list carries all _RWM_N of them —
+    the metadata small-file problem rewrite_manifests exists to fix."""
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _ST_ADDED,
+        _entry,
+        _pfiles,
+        _write_manifest,
+        _write_manifest_list,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    manifests: list[tuple[str, int]] = []
+    snaps: list[tuple[int, int, int, str, str]] = []
+    for i in range(_RWM_N):
+        o.filter(F.col("o_orderkey") % _RWM_N == i).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(
+            os.path.join(data_dir, f"s{i + 1}")
+        )
+        files = _pfiles(data_dir, f"s{i + 1}")
+        sid, seq = _RWM_SB + i, i + 1
+        m = _write_manifest(
+            meta_dir,
+            f"m{i + 1}-rwm.avro",
+            [_entry(_ST_ADDED, sid, seq, p, v) for p, v in files],
+        )
+        manifests.append((m, sid))
+        ml = _write_manifest_list(meta_dir, sid, seq, list(manifests))
+        snaps.append((sid, seq, _RWM_TB + i * 60_000, ml, "append"))
+        with open(
+            os.path.join(meta_dir, f"v{i + 1}.metadata.json"), "w"
+        ) as fh:
+            json.dump(_iceberg_meta_json(root, snaps), fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(_RWM_N))
+
+
+@register("sink_iceberg_rewrite_manifests", oracle=_RWM_ORACLE)
+def q_sink_iceberg_rewrite_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REWRITE MANIFESTS — Iceberg's METADATA compaction (the planner-
+    side sibling of [[sink_iceberg_compact]]'s data compaction): after
+    {n} streaming appends the current manifest list names {n} small
+    manifests, so every scan plan opens {n} Avro files; the rewrite
+    folds all live entries into ONE manifest and commits a `replace`
+    snapshot whose list names just it. Data files are never touched.
+
+    The correctness heart is SEQUENCE-NUMBER INHERITANCE (spec
+    §Manifests): every folded entry becomes EXISTING but keeps its
+    ORIGINAL snapshot-id and data sequence number — re-stamping them
+    with the rewrite's sequence would instantly corrupt sequence-gated
+    deletes (an equality delete at seq k applies to data with seq < k;
+    a re-stamped file would escape it). Gated entry-by-entry against
+    the pre-rewrite (path → seq, snapshot) map, plus:
+
+    - the data-file inventory is byte-identical (md5 per file);
+    - the new list names exactly 1 manifest (was {n});
+    - the graded read through the rewritten metadata ≡ the
+      pre-rewrite snapshot, proven distributed (exceptAll both ways);
+    - time travel to the pre-rewrite snapshot still resolves (its
+      list and manifests are immutable history).
+
+    Scale: the rewrite reads+writes O(live entries) metadata rows and
+    zero data bytes; plan cost drops from O({n}) manifest opens to
+    O(1) — at a million files per 100 TB table, manifest fan-in is
+    the planning latency, which is why iceberg-core ships this as a
+    first-class action.
+    """.format(n=_RWM_N)
+    import hashlib
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _ST_DELETED,
+        _ST_EXISTING,
+        _iceberg_files,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+        _scan_with_partition,
+        _write_manifest,
+        _write_manifest_list,
+    )
+
+    root = _tmp(sf_dir, "iceberg_rwm")
+    _stage_many_appends(spark, sf_dir, root)
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    _, mlist, _ = ocf_read(snap["manifest-list"])
+    if len(mlist) != _RWM_N:
+        raise ValueError(f"fixture staged {len(mlist)} manifests")
+
+    def _data_md5s() -> dict[str, str]:
+        out = {}
+        for p, _, _, _ in _iceberg_files(snap)[0]:
+            with open(p, "rb") as fh:
+                out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before_md5 = _data_md5s()
+    before = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in _iceberg_files(snap)[0]]
+    ).localCheckpoint()
+
+    # fold every live entry into one manifest, inheritance preserved
+    want_seq: dict[str, tuple[int, int]] = {}
+    folded = []
+    for m in mlist:
+        _, entries, _ = ocf_read(m["manifest_path"])
+        for e in entries:
+            if e["status"] == _ST_DELETED:
+                continue
+            e2 = dict(e)
+            e2["status"] = _ST_EXISTING
+            folded.append(e2)
+            want_seq[e["data_file"]["file_path"]] = (
+                e["sequence_number"],
+                e["snapshot_id"],
+            )
+    new_sid = _RWM_SB + _RWM_N
+    new_seq = meta["last-sequence-number"] + 1
+    m_new = _write_manifest(meta_dir, "m-rewritten.avro", folded)
+    l_new = _write_manifest_list(meta_dir, new_sid, new_seq, [(m_new, new_sid)])
+    snaps = [
+        (
+            s["snapshot-id"],
+            s["sequence-number"],
+            s["timestamp-ms"],
+            s["manifest-list"],
+            s["summary"]["operation"],
+        )
+        for s in meta["snapshots"]
+    ] + [(new_sid, new_seq, _RWM_TB + _RWM_N * 60_000, l_new, "replace")]
+    v = _RWM_N + 1
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(_iceberg_meta_json(root, snaps), fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+    # gates
+    meta2 = _iceberg_table_meta(root)
+    snap2 = _iceberg_snapshot(meta2)
+    _, mlist2, _ = ocf_read(snap2["manifest-list"])
+    if len(mlist2) != 1:
+        raise ValueError(f"rewrite left {len(mlist2)} manifests")
+    _, entries2, _ = ocf_read(mlist2[0]["manifest_path"])
+    for e in entries2:
+        if e["status"] != _ST_EXISTING:
+            raise ValueError("folded entry lost EXISTING status")
+        path = e["data_file"]["file_path"]
+        if (e["sequence_number"], e["snapshot_id"]) != want_seq[path]:
+            raise ValueError(f"inheritance broken for {path}")
+    if _data_md5s() != before_md5:
+        raise ValueError("rewrite touched data files")
+    # prior snapshot still time-travels
+    prev = _iceberg_snapshot(meta2, snapshot_id=_RWM_SB + _RWM_N - 1)
+    _, prev_list, _ = ocf_read(prev["manifest-list"])
+    if len(prev_list) != _RWM_N:
+        raise ValueError("pre-rewrite snapshot lost its manifests")
+    after = _scan_with_partition(
+        spark, [(p, v_, n) for p, v_, n, _ in _iceberg_files(snap2)[0]]
+    )
+    if after.exceptAll(before).limit(1).count() != 0:
+        raise ValueError("rewrite added rows")
+    if before.exceptAll(after).limit(1).count() != 0:
+        raise ValueError("rewrite lost rows")
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _cents_agg,
+    )
+
+    return (
+        _cents_agg(after)
+        .withColumn(
+            "n_manifests_before", F.lit(_RWM_N).cast("bigint")
+        )
+        .withColumn("n_manifests_after", F.lit(1).cast("bigint"))
+    )
+
+
+# --- Iceberg orphan-file cleanup ---------------------------------------------------
+
+_ORPHAN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(2 AS BIGINT) AS n_orphans_removed,
+       CAST(1 AS BIGINT) AS n_young_kept
+FROM orders
+WHERE o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_iceberg_remove_orphans", oracle=_ORPHAN_ORACLE)
+def q_sink_iceberg_remove_orphans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REMOVE ORPHAN FILES — the third Iceberg maintenance loop
+    (besides [[sink_iceberg_expire_snapshots]] and
+    [[sink_iceberg_compact]]): files under the table location that NO
+    snapshot references — crashed-write leftovers, aborted compactions
+    — are reclaimed, with two safety rules this key gates:
+
+    - REACHABILITY over ALL snapshots, not just the current one: a
+      file only time travel can read is not an orphan; even a DELETED
+      manifest entry keeps its file alive (it is readable history
+      until the snapshot expires) — so the walk uses the full
+      reachable set, unlike expiry's readable-only set;
+    - an AGE CUTOFF: files newer than the horizon are kept even when
+      unreferenced, because an in-flight commit's freshly written
+      files are unreferenced BY DESIGN until its metadata swap lands
+      — deleting young files races active writers (the exact footgun
+      iceberg-core's remove_orphan_files defaults 3 days for).
+
+    Staged: the shared three-snapshot table plus three planted
+    orphans — an old data parquet, an old unreferenced manifest Avro,
+    and a YOUNG data parquet. The action must delete exactly the two
+    old ones, keep the young one, and leave every snapshot's read
+    (current AND time travel to s1) bit-identical, proven distributed.
+
+    Scale: one object-store listing + one metadata reachability walk
+    (both O(files)); deletes are embarrassingly parallel; zero data
+    bytes read.
+    """
+    import time
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _S1,
+        _entry,
+        _iceberg_files,
+        _iceberg_reachable,
+        _iceberg_snapshot,
+        _iceberg_stage,
+        _iceberg_table_meta,
+        _scan_with_partition,
+        _ST_ADDED,
+        _write_manifest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "iceberg_orphan")
+    _iceberg_stage(spark, o, root)
+    meta_dir = os.path.join(root, "metadata")
+    meta = _iceberg_table_meta(root)
+    snap = _iceberg_snapshot(meta)
+    live = _iceberg_files(snap)[0]
+
+    # plant orphans: two OLD (reclaimable), one YOUNG (protected)
+    now = time.time()
+    old = now - 7 * 86400
+    donor = live[0][0]
+    donor_dir = os.path.dirname(donor)
+    orphan_data = os.path.join(donor_dir, "orphan-aborted-write.parquet")
+    shutil.copyfile(donor, orphan_data)
+    os.utime(orphan_data, (old, old))
+    orphan_manifest = _write_manifest(
+        meta_dir,
+        "m-orphan-aborted.avro",
+        [_entry(_ST_ADDED, 999, 99, donor, live[0][1])],
+    )
+    os.utime(orphan_manifest, (old, old))
+    young = os.path.join(donor_dir, "orphan-young-inflight.parquet")
+    shutil.copyfile(donor, young)
+
+    before = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in live]
+    ).localCheckpoint()
+    s1_files_before = sorted(
+        p
+        for p, _, _, _ in _iceberg_files(
+            _iceberg_snapshot(meta, snapshot_id=_S1)
+        )[0]
+    )
+
+    # reachability over ALL snapshots (deleted entries included) plus
+    # the metadata spine itself (json versions + hint)
+    protected = _iceberg_reachable(
+        meta, {s["snapshot-id"] for s in meta["snapshots"]}
+    )
+    protected |= {
+        os.path.join(meta_dir, f)
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json") or f == "version-hint.text"
+    }
+    cutoff = now - 3600
+    removed = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if p in protected:
+                continue
+            if os.path.getmtime(p) >= cutoff:
+                continue
+            removed.append(p)
+    for p in sorted(removed):
+        os.remove(p)
+
+    # gates
+    if sorted(removed) != sorted([orphan_data, orphan_manifest]):
+        raise ValueError(f"orphan sweep removed the wrong set: {removed}")
+    if not os.path.exists(young):
+        raise ValueError("age cutoff violated: young file deleted")
+    meta2 = _iceberg_table_meta(root)
+    after_live = _iceberg_files(_iceberg_snapshot(meta2))[0]
+    after = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in after_live]
+    )
+    if after.exceptAll(before).limit(1).count() != 0:
+        raise ValueError("orphan sweep added rows")
+    if before.exceptAll(after).limit(1).count() != 0:
+        raise ValueError("orphan sweep lost rows")
+    s1_files_after = sorted(
+        p
+        for p, _, _, _ in _iceberg_files(
+            _iceberg_snapshot(meta2, snapshot_id=_S1)
+        )[0]
+    )
+    if s1_files_after != s1_files_before or not all(
+        os.path.exists(p) for p in s1_files_after
+    ):
+        raise ValueError("time-travel files harmed by the orphan sweep")
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _cents_agg,
+    )
+
+    return (
+        _cents_agg(after)
+        .withColumn("n_orphans_removed", F.lit(len(removed)).cast("bigint"))
+        .withColumn("n_young_kept", F.lit(1).cast("bigint"))
+    )

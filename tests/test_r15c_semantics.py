@@ -177,6 +177,74 @@ def test_hudi_clustering_replace_semantics(spark, duck):
     assert sum(1 for f in on_disk if f.endswith(".parquet")) == _N_SMALL + 1
 
 
+def test_rewrite_manifests_preserves_inheritance(spark, duck):
+    """After the rewrite key runs, the current manifest list must name
+    exactly one manifest whose entries are all EXISTING with original
+    (seq, snapshot) stamps, while the previous snapshot's list still
+    names all six — pinned on disk beyond the in-key gates."""
+    import os
+
+    from random_forest_using_hadoop_spark.iceberg_format import ocf_read
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _ST_EXISTING,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.lake_r15c import (
+        _RWM_N,
+        _RWM_SB,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_iceberg_rewrite_manifests", spark, duck)
+    root = _tmp(SF_DIR, "iceberg_rwm")
+    meta = _iceberg_table_meta(root)
+    assert len(meta["snapshots"]) == _RWM_N + 1
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    _, mlist, _ = ocf_read(_iceberg_snapshot(meta)["manifest-list"])
+    assert len(mlist) == 1
+    _, entries, _ = ocf_read(mlist[0]["manifest_path"])
+    assert entries and all(e["status"] == _ST_EXISTING for e in entries)
+    seqs = {e["sequence_number"] for e in entries}
+    assert seqs == set(range(1, _RWM_N + 1)), seqs
+    assert {e["snapshot_id"] for e in entries} == {
+        _RWM_SB + i for i in range(_RWM_N)
+    }
+    prev = _iceberg_snapshot(meta, snapshot_id=_RWM_SB + _RWM_N - 1)
+    assert os.path.exists(prev["manifest-list"])
+    _, prev_list, _ = ocf_read(prev["manifest-list"])
+    assert len(prev_list) == _RWM_N
+
+
+def test_remove_orphans_age_cutoff_and_reachability(spark, duck):
+    """Post-run disk state: both old orphans gone, the young
+    unreferenced file retained, every reachable file (including files
+    only DELETED entries name — time-travel history) still present."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_reachable,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_iceberg_remove_orphans", spark, duck)
+    root = _tmp(SF_DIR, "iceberg_orphan")
+    meta = _iceberg_table_meta(root)
+    reach = _iceberg_reachable(
+        meta, {s["snapshot-id"] for s in meta["snapshots"]}
+    )
+    missing = [p for p in reach if not os.path.exists(p)]
+    assert not missing, f"reachable files deleted: {missing}"
+    all_files = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(root)
+        for f in fs
+    }
+    assert not any("orphan-aborted" in f for f in all_files)
+    assert any("orphan-young-inflight" in f for f in all_files)
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
