@@ -205,6 +205,10 @@ EXTENDED = [
     # r15c — Iceberg metadata maintenance (manifest fold, orphan sweep):
     "sink_iceberg_rewrite_manifests",
     "sink_iceberg_remove_orphans",
+    # r15c — CCNet perplexity buckets, mixture epoch plan, naive Bayes:
+    "pipe_perplexity_bucket",
+    "pipe_mixture_epoch_plan",
+    "ml_naive_bayes_classifier",
 ]
 
 

@@ -41,3 +41,4 @@ import random_forest_using_hadoop_spark.operators.sql4  # noqa: F401
 import random_forest_using_hadoop_spark.operators.analytics_r15c  # noqa: F401
 import random_forest_using_hadoop_spark.operators.sim_r15c  # noqa: F401
 import random_forest_using_hadoop_spark.operators.lake_r15c  # noqa: F401
+import random_forest_using_hadoop_spark.operators.llm_r15c  # noqa: F401

@@ -245,6 +245,63 @@ def test_remove_orphans_age_cutoff_and_reachability(spark, duck):
     assert any("orphan-young-inflight" in f for f in all_files)
 
 
+def test_perplexity_buckets_are_balanced_and_ordered(spark):
+    """NTILE(3) balance (bucket sizes differ by ≤1 per language) and
+    the defining order: head's max cross-entropy ≤ middle's min would
+    be too strict at tie boundaries, but head.min ≤ middle.min ≤
+    tail.min and head.max ≤ tail.max must hold."""
+    rows = _run("pipe_perplexity_bucket", spark).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, b)
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert (
+            b["head"]["min_ce_milli"]
+            <= b["middle"]["min_ce_milli"]
+            <= b["tail"]["min_ce_milli"]
+        )
+        assert b["head"]["max_ce_milli"] <= b["tail"]["max_ce_milli"]
+
+
+def test_epoch_plan_conserves_budget(spark):
+    """Weights are an exact partition of (almost) 1e6 ppm (floor-
+    division shortfall < n_sources) and planned tokens re-assemble to
+    (almost) the 2x corpus budget; the smallest source must be
+    upsampled past 1.0 epochs under alpha=0.5."""
+    rows = _run("pipe_mixture_epoch_plan", spark).collect()
+    total_ppm = sum(r["weight_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+    tok_all = sum(r["n_tok"] for r in rows)
+    planned = sum(r["planned_tok"] for r in rows)
+    assert planned <= 2 * tok_all
+    assert planned > 2 * tok_all - 2 * len(rows) - tok_all // 100
+    smallest = min(rows, key=lambda r: r["n_tok"])
+    biggest = max(rows, key=lambda r: r["n_tok"])
+    assert smallest["epochs_milli"] > biggest["epochs_milli"]
+
+
+def test_naive_bayes_beats_prior_only_baseline(spark):
+    """The posterior must use the likelihood, not just the prior: a
+    prior-only classifier predicts the majority class for every doc,
+    so per-class accuracy would be 100% for 'en' and 0% elsewhere —
+    the graded output must show at least one non-majority class with
+    correct predictions AND overall accuracy at or above the majority
+    share."""
+    rows = _run("ml_naive_bayes_classifier", spark).collect()
+    n = sum(r["n_docs"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    majority = max(r["n_docs"] for r in rows)
+    assert correct >= majority, "worse than predicting the majority class"
+    non_major = [
+        r for r in rows if r["n_docs"] != majority and r["n_correct"] > 0
+    ]
+    assert non_major, "prior-only behavior: likelihood term inert"
+    assert 0 < correct <= n
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
