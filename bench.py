@@ -209,6 +209,11 @@ EXTENDED = [
     "pipe_perplexity_bucket",
     "pipe_mixture_epoch_plan",
     "ml_naive_bayes_classifier",
+    # r15c — Delta identity columns, UniForm dual-format append, and
+    # the named-parameter SQL entry point:
+    "sink_delta_identity_column",
+    "sink_lake_uniform_append",
+    "sql_named_parameters",
 ]
 
 

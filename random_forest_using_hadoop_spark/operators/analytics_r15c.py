@@ -452,3 +452,52 @@ def q_pipe_pref_pair_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_margin_milli"
         ),
     )
+
+
+# --- parameterized spark.sql (named parameter markers) ---------------------------
+
+_NAMED_PARAM_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS disc_cents
+FROM lineitem
+WHERE l_quantity >= 25.0 AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_named_parameters", oracle=_NAMED_PARAM_ORACLE)
+def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED `spark.sql` with NAMED MARKERS (the `:name` +
+    `args={...}` API, Spark 3.4+/4.0) — the SQL-injection-safe entry
+    point applications should use instead of string interpolation.
+    The statement binds a numeric threshold AND an array parameter
+    consumed by IN (via array_contains), exercising both scalar and
+    collection binding; the oracle is the same statement with
+    literals inlined, so the grade proves binding is semantically
+    identical to inlining.
+
+    Completes the dynamic-SQL family: [[sql_session_variables]] binds
+    positionally through EXECUTE IMMEDIATE, this key binds named
+    parameters through the session API.
+
+    Scale: parameters reach Catalyst as literals BEFORE optimization,
+    so predicate pushdown and partition pruning see the bound values
+    exactly as they would constants — zero plan cost for the safety.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "np_lineitem"
+    )
+    return spark.sql(
+        """SELECT l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS disc_cents
+           FROM np_lineitem
+           WHERE l_quantity >= :min_qty
+             AND array_contains(:flags, l_returnflag)
+           GROUP BY l_returnflag""",
+        args={"min_qty": 25.0, "flags": ["A", "R"]},
+    )

@@ -880,3 +880,453 @@ def q_sink_iceberg_remove_orphans(
         .withColumn("n_orphans_removed", F.lit(len(removed)).cast("bigint"))
         .withColumn("n_young_kept", F.lit(1).cast("bigint"))
     )
+
+
+# --- Delta identity columns ---------------------------------------------------------
+
+_ID_START, _ID_STEP = 1000, 3
+
+_IDENTITY_ORACLE = f"""
+WITH evens AS (
+  SELECT o_orderkey, o_orderpriority,
+         {_ID_START} + {_ID_STEP} * (ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                                     - 1) AS row_id
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+hwm1 AS (SELECT MAX(row_id) AS h FROM evens),
+odds AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         hwm1.h + {_ID_STEP} * ROW_NUMBER() OVER (ORDER BY o.o_orderkey)
+             AS row_id
+  FROM orders o, hwm1 WHERE o.o_orderkey % 2 = 1
+),
+t AS (
+  SELECT * FROM evens UNION ALL SELECT * FROM odds
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT row_id) AS BIGINT) AS n_distinct_ids,
+       CAST(MIN(row_id) AS BIGINT) AS min_id,
+       CAST(MAX(row_id) AS BIGINT) AS max_id,
+       CAST(SUM(row_id) AS BIGINT) AS sum_id
+FROM t GROUP BY o_orderpriority
+"""
+
+
+class DeltaIdentityRejected(Exception):
+    """A batch violated the identity column's GENERATED ALWAYS rule."""
+
+
+def _identity_meta(schema_fields: list[dict]) -> tuple[str, dict]:
+    for f in schema_fields:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md:
+            return f["name"], md
+    raise ValueError("no identity column in schema")
+
+
+def delta_identity_append(spark: SparkSession, root: str, batch) -> int:
+    """APPEND to a table with an IDENTITY column (delta-io PROTOCOL.md
+    §Identity Columns, writerFeature `identityColumns`): the writer
+    GENERATES the column — monotone values start + k·step continuing
+    above the persisted `delta.identity.highWaterMark` — and each
+    commit carries an updated `metaData` action re-stamping the high
+    water mark, which is how concurrent-writer fencing works in the
+    real protocol (the mark only moves forward).
+
+    `allowExplicit` is false (GENERATED ALWAYS), so a batch that
+    SUPPLIES the column is rejected before anything stages.
+
+    Value assignment is the scale-safe distributed rank
+    (helpers.dist_row_number: range repartition + broadcast prefix
+    offsets — never a single-task global window) over the batch's
+    unique key order, so the assignment is deterministic AND each
+    executor writes its own rows. Returns the committed version."""
+    from random_forest_using_hadoop_spark.helpers import dist_row_number
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _delta_snapshot_actions,
+    )
+
+    log_dir = os.path.join(root, "_delta_log")
+    _, meta, version = _delta_snapshot_actions(log_dir)
+    schema = json.loads(meta["schemaString"])
+    id_col, id_md = _identity_meta(schema["fields"])
+    if id_col in batch.columns:
+        raise DeltaIdentityRejected(
+            f"identity column {id_col} is GENERATED ALWAYS; "
+            "explicit values are refused"
+        )
+    start = int(id_md["delta.identity.start"])
+    step = int(id_md["delta.identity.step"])
+    hwm = id_md.get("delta.identity.highWaterMark")
+    base = start if hwm is None else int(hwm) + step
+    ranked = dist_row_number(batch, [F.col("o_orderkey")], out="_rn")
+    stamped = ranked.withColumn(
+        id_col, (F.lit(base) + F.lit(step) * (F.col("_rn") - 1)).cast("long")
+    ).drop("_rn")
+    n = stamped.count()
+    new_hwm = base + step * (n - 1)
+
+    new_version = version + 1
+    sub = f"c{new_version}"
+    out_dir = os.path.join(root, "data", sub)
+    cols = [f["name"] for f in schema["fields"]]
+    stamped.select(*cols).repartition(4).write.mode("overwrite").parquet(
+        out_dir
+    )
+    id_md = dict(id_md)
+    id_md["delta.identity.highWaterMark"] = new_hwm
+    for f in schema["fields"]:
+        if f["name"] == id_col:
+            f["metadata"] = id_md
+    meta = dict(meta)
+    meta["schemaString"] = json.dumps(schema)
+    lines = [
+        json.dumps({"commitInfo": {"operation": "WRITE"}}),
+        json.dumps({"metaData": meta}),
+    ] + [
+        json.dumps({"add": {"path": f"data/{sub}/{f}", "dataChange": True}})
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".parquet")
+    ]
+    with open(os.path.join(log_dir, f"{new_version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return new_version
+
+
+@register("sink_delta_identity_column", oracle=_IDENTITY_ORACLE)
+def q_sink_delta_identity_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta IDENTITY COLUMNS writer (PROTOCOL.md §Identity Columns):
+    two appends (even keys, then odd keys) each have their `row_id`
+    GENERATED — an arithmetic sequence start={start}/step={step}
+    continuing above the high water mark the previous commit
+    persisted in the schema metadata — and a third batch that tries
+    to SUPPLY the column is rejected (GENERATED ALWAYS). Gates:
+
+    - the second append's smallest id sits exactly one step above the
+      first append's high water mark (no overlap, no gap);
+    - the final `metaData`'s highWaterMark equals the read-back MAX;
+    - ids are globally unique (distinct count graded per group).
+
+    Graded: per-priority id statistics (count, distinct, min, max,
+    sum) read back from the committed files — any drift in the rank
+    assignment, the step arithmetic, or the mark persistence shifts
+    the sums and fails the hash.
+
+    Scale: assignment is the range-repartition rank (no single-task
+    window), parquet lands executor-side, and the commit is O(files)
+    JSON plus one metaData action — identical cost shape to a plain
+    append.
+    """.format(start=_ID_START, step=_ID_STEP)
+    from random_forest_using_hadoop_spark.operators.lake_r15 import (
+        _delta_snapshot_actions,
+        _live_paths,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "delta_identity")
+    log_dir = os.path.join(root, "_delta_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "row_id",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.identity.start": _ID_START,
+                        "delta.identity.step": _ID_STEP,
+                        "delta.identity.allowExplicit": False,
+                    },
+                },
+                {
+                    "name": "o_orderkey",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "o_totalprice",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "o_orderpriority",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["identityColumns"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "identity-column-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)
+    odds = o.filter(F.col("o_orderkey") % 2 == 1)
+    v1 = delta_identity_append(spark, root, evens)
+    _, meta1, _ = _delta_snapshot_actions(log_dir)
+    hwm1 = _identity_meta(json.loads(meta1["schemaString"])["fields"])[1][
+        "delta.identity.highWaterMark"
+    ]
+    v2 = delta_identity_append(spark, root, odds)
+    rejected = False
+    try:
+        delta_identity_append(
+            spark,
+            root,
+            odds.limit(1).withColumn("row_id", F.lit(999_999).cast("long")),
+        )
+    except DeltaIdentityRejected:
+        rejected = True
+    _, meta2, version = _delta_snapshot_actions(log_dir)
+    hwm2 = _identity_meta(json.loads(meta2["schemaString"])["fields"])[1][
+        "delta.identity.highWaterMark"
+    ]
+    if not rejected or (v1, v2, version) != (1, 2, 2):
+        raise AssertionError(
+            f"identity gate failed: rejected={rejected}, "
+            f"versions=({v1}, {v2}, {version})"
+        )
+
+    live = sorted(
+        p
+        for fname in os.listdir(log_dir)
+        if fname.endswith(".json")
+        for p in _live_paths(os.path.join(log_dir, fname))
+    )
+    t = spark.read.parquet(*(os.path.join(root, p) for p in live))
+    stats = t.agg(
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.count_distinct("row_id").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_evens = evens.count()
+    if stats["lo"] != _ID_START:
+        raise ValueError("sequence does not start at the declared start")
+    if hwm1 != _ID_START + _ID_STEP * (n_evens - 1):
+        raise ValueError("first commit's high water mark is wrong")
+    if stats["hi"] != hwm2:
+        raise ValueError("persisted high water mark disagrees with MAX")
+    if stats["nd"] != stats["n"]:
+        raise ValueError("identity values are not unique")
+
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("row_id").cast("bigint").alias("n_distinct_ids"),
+        F.min("row_id").cast("bigint").alias("min_id"),
+        F.max("row_id").cast("bigint").alias("max_id"),
+        F.sum("row_id").cast("bigint").alias("sum_id"),
+    )
+
+
+# --- UniForm dual-format APPEND ------------------------------------------------------
+
+_UB_S1, _UB_S2 = 8051729675574597001, 8051729675574597002
+_UB_T1, _UB_T2 = 1_700_200_000_000, 1_700_200_060_000
+
+_UNIFORM_APPEND_ORACLE = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders
+)
+SELECT 'delta' AS format, n_rows, total_cents FROM agg
+UNION ALL
+SELECT 'iceberg', n_rows, total_cents FROM agg
+"""
+
+
+@register("sink_lake_uniform_append", oracle=_UNIFORM_APPEND_ORACLE)
+def q_sink_lake_uniform_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIFORM WRITER — an APPEND that commits BOTH metadata formats
+    over ONE new copy of the data (the delta-io UniForm write path:
+    each Delta commit also extends the Iceberg metadata tree, so
+    either planner sees the new rows without any data movement).
+    [[src_lake_uniform]] reads a pre-built dual table; this key builds
+    the dual COMMIT: the appended batch's parquet files are written
+    once, then referenced by a Delta `add` commit AND an Iceberg
+    append snapshot whose manifest list carries the prior manifest —
+    metadata-only dual bookkeeping.
+
+    Gates:
+    - SINGLE-COPY: the union of files referenced by both chains
+      equals the files on disk — a writer that duplicated data for
+      the second format defeats UniForm's point;
+    - CONVERGENCE, proven distributed: the full table read through
+      the Delta chain `exceptAll` the Iceberg-chain read is empty in
+      BOTH directions after the append;
+    - ORDERING: the Iceberg version hint flips only after both
+      format's metadata files are durable (the UniForm commit rule —
+      Delta is the source of truth, Iceberg metadata follows).
+
+    Graded: the identical rollup read through each chain, one row per
+    format — the same two-row shape as the read key, now over a table
+    this writer grew.
+
+    Scale: the append costs one distributed parquet write + O(files)
+    JSON + O(1) Avro metadata per format; converting a 100 TB table
+    between engines stays a zero-copy operation.
+    """
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _ST_ADDED,
+        _entry,
+        _iceberg_live_files,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+        _pfiles,
+        _scan_with_partition,
+        _write_manifest,
+        _write_manifest_list,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "lake_uniform_w")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_delta_log")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    os.makedirs(meta_dir)
+
+    def _delta_commit(version: int, files: list[tuple[str, str]]) -> None:
+        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+        lines += [
+            json.dumps(
+                {
+                    "add": {
+                        "path": os.path.relpath(p, root),
+                        "partitionValues": {"o_orderpriority": v},
+                        "dataChange": True,
+                    }
+                }
+            )
+            for p, v in files
+        ]
+        with open(
+            os.path.join(log_dir, f"{version:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def _iceberg_meta(snaps) -> dict:
+        m = _iceberg_meta_json(root, snaps)
+        m["table-uuid"] = "9f2a7b4e-1d15-4d29-8c3a-unifrm-wrt0"
+        return m
+
+    # base table: even keys, both formats over one copy
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "c0"))
+    base_files = _pfiles(root, "data/c0")
+    _delta_commit(0, base_files)
+    m1 = _write_manifest(
+        meta_dir,
+        "m1-uw.avro",
+        [_entry(_ST_ADDED, _UB_S1, 1, p, v) for p, v in base_files],
+    )
+    l1 = _write_manifest_list(meta_dir, _UB_S1, 1, [(m1, _UB_S1)])
+    snaps = [(_UB_S1, 1, _UB_T1, l1, "append")]
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(_iceberg_meta(snaps), fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    # THE APPEND: odd keys, one data copy, two metadata commits
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "c1"))
+    new_files = _pfiles(root, "data/c1")
+    _delta_commit(1, new_files)
+    m2 = _write_manifest(
+        meta_dir,
+        "m2-uw.avro",
+        [_entry(_ST_ADDED, _UB_S2, 2, p, v) for p, v in new_files],
+    )
+    l2 = _write_manifest_list(
+        meta_dir, _UB_S2, 2, [(m1, _UB_S1), (m2, _UB_S2)]
+    )
+    snaps.append((_UB_S2, 2, _UB_T2, l2, "append"))
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(_iceberg_meta(snaps), fh)
+    # hint flips LAST — both trees are durable before readers see v2
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    # --- read back through both chains
+    delta_live: dict[str, str] = {}
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".", 1)[0].isdigit()):
+            continue
+        for line in open(os.path.join(log_dir, f)):
+            if line.strip():
+                act = json.loads(line)
+                if "add" in act:
+                    delta_live[act["add"]["path"]] = act["add"][
+                        "partitionValues"
+                    ]["o_orderpriority"]
+                elif "remove" in act:
+                    delta_live.pop(act["remove"]["path"], None)
+    delta_files = [
+        (os.path.join(root, rel), v, 0)
+        for rel, v in sorted(delta_live.items())
+    ]
+    ice_files = _iceberg_live_files(
+        _iceberg_snapshot(_iceberg_table_meta(root))
+    )
+    # single-copy gate: both chains name exactly the files on disk
+    on_disk = {p for p, _ in _pfiles(root, "data/c0")} | {
+        p for p, _ in _pfiles(root, "data/c1")
+    }
+    if {p for p, _, _ in delta_files} != on_disk:
+        raise ValueError("delta chain diverges from the on-disk copy")
+    if {p for p, _, _ in ice_files} != on_disk:
+        raise ValueError("iceberg chain diverges from the on-disk copy")
+
+    ddf = _scan_with_partition(spark, delta_files)
+    idf = _scan_with_partition(spark, [(p, v, n) for p, v, n in ice_files])
+    if ddf.exceptAll(idf).limit(1).count() != 0:
+        raise ValueError("delta chain reads rows iceberg lacks")
+    if idf.exceptAll(ddf).limit(1).count() != 0:
+        raise ValueError("iceberg chain reads rows delta lacks")
+
+    both = ddf.withColumn("format", F.lit("delta")).unionByName(
+        idf.withColumn("format", F.lit("iceberg"))
+    )
+    return both.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

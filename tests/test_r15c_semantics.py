@@ -302,6 +302,72 @@ def test_naive_bayes_beats_prior_only_baseline(spark):
     assert 0 < correct <= n
 
 
+def test_identity_column_high_water_mark_chain(spark, duck):
+    """The committed log must carry a metaData per append whose
+    highWaterMark advances by step x batch size, and the reject path
+    must leave no third data commit."""
+    import json
+    import os
+
+    from random_forest_using_hadoop_spark.operators.lake_r15c import (
+        _ID_START,
+        _ID_STEP,
+        _identity_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_delta_identity_column", spark, duck)
+    log_dir = os.path.join(_tmp(SF_DIR, "delta_identity"), "_delta_log")
+    commits = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert len(commits) == 3  # v0 create + two appends, no rejected third
+    hwms = []
+    for c in commits[1:]:
+        for line in open(os.path.join(log_dir, c)):
+            act = json.loads(line)
+            if "metaData" in act:
+                fields = json.loads(act["metaData"]["schemaString"])["fields"]
+                hwms.append(
+                    _identity_meta(fields)[1]["delta.identity.highWaterMark"]
+                )
+    assert len(hwms) == 2 and hwms[1] > hwms[0] >= _ID_START
+    assert (hwms[1] - hwms[0]) % _ID_STEP == 0
+
+
+def test_uniform_append_single_copy(spark, duck):
+    """Both chains must reference the same physical files — count data
+    parquet files on disk and compare with each chain's live set size
+    (4 base + 5 append partition files at this SF would duplicate to
+    2x under a copying writer)."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+        _iceberg_live_files,
+        _iceberg_snapshot,
+        _iceberg_table_meta,
+    )
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_lake_uniform_append", spark, duck)
+    root = _tmp(SF_DIR, "lake_uniform_w")
+    on_disk = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    ice = sorted(
+        p
+        for p, _, _ in _iceberg_live_files(
+            _iceberg_snapshot(_iceberg_table_meta(root))
+        )
+    )
+    assert ice == on_disk
+
+
+def test_named_parameters_match_inlined_literals(spark, duck):
+    _parity("sql_named_parameters", spark, duck)
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
