@@ -214,6 +214,10 @@ EXTENDED = [
     "sink_delta_identity_column",
     "sink_lake_uniform_append",
     "sql_named_parameters",
+    # r15c — Tier-A extensions and Hudi change-data-capture:
+    "ml_gbt_binary",
+    "ml_kmeans_cluster",
+    "src_hudi_cdc",
 ]
 
 

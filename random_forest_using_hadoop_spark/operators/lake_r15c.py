@@ -1330,3 +1330,277 @@ def q_sink_lake_uniform_append(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- Hudi change-data-capture read ---------------------------------------------------
+
+_CDC_ORACLE = """
+WITH ch AS (
+  SELECT 'U' AS op,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS before_cents,
+         CAST(floor((o_totalprice + 1000) * 100 + 0.5) AS BIGINT)
+             AS after_cents
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+        AND o_orderkey % 10 <> 6
+  UNION ALL
+  SELECT 'D', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+        AND o_orderkey % 10 = 6
+  UNION ALL
+  SELECT 'I', 0, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(before_cents) AS BIGINT) AS before_cents,
+       CAST(SUM(after_cents) AS BIGINT) AS after_cents
+FROM ch GROUP BY op
+"""
+
+_CDC_SCHEMA = {
+    "type": "record",
+    "name": "hudi_cdc_record",
+    "fields": [
+        {"name": "op", "type": "string"},
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "before_cents", "type": "long"},
+        {"name": "after_cents", "type": "long"},
+    ],
+}
+
+
+@register("src_hudi_cdc", oracle=_CDC_ORACLE)
+def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CHANGE-DATA-CAPTURE read (RFC-51 / Hudi 0.13's
+    `hoodie.table.cdc.enabled`): an upsert commit persists a
+    supplemental `-cdc` log file carrying op + BEFORE/AFTER images,
+    and a CDC query over the instant range serves those records
+    without diffing snapshots — upgrading [[src_hudi_incremental]]
+    (which only sees the post-image rows) to full before/after
+    semantics, the fourth cell of the engine's CDC matrix (Delta CDF,
+    Iceberg changelog, Hudi commit tail, now Hudi CDC).
+
+    Staged: c1 base insert (even keys per-priority file groups); c2
+    upserts the 1-URGENT group — +1000 updates (keys % 10 ≠ 6),
+    delete tombstones (% 10 = 6), odd-key inserts — writing the new
+    base slice AND the cdc log (this engine's Avro OCF container, as
+    in [[src_hudi_mor]]; write and decode both run executor-side).
+
+    The honesty gate recomputes the change set the EXPENSIVE way — a
+    distributed full-outer key diff of the c1 vs c2 snapshots — and
+    requires the cdc rows to match it exactly (`exceptAll` both
+    directions): a writer that logged wrong before-images would pass
+    aggregate counts but fails the diff.
+
+    Graded: per-op row counts + summed before/after cents.
+
+    Scale: the CDC read is O(changed rows) — the entire point: a 1%
+    upsert on a 100 TB table yields a CDC scan of that 1%, while the
+    snapshot-diff equivalent reads both full snapshots; the gate here
+    IS that expensive diff, run once to certify the cheap path.
+    """
+    from pyspark import cloudpickle
+
+    from random_forest_using_hadoop_spark import iceberg_format as _icefmt
+
+    cloudpickle.register_pickle_by_value(_icefmt)
+    _ocf_write = _icefmt.ocf_write
+    _ocf_read_bytes = _icefmt.ocf_read_bytes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "hudi_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    hdir = os.path.join(root, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    with open(os.path.join(hdir, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=orders_cdc\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.version=6\n"
+            "hoodie.table.cdc.enabled=true\n"
+            "hoodie.table.recordkey.fields=o_orderkey\n"
+            "hoodie.table.partition.fields=o_orderpriority\n"
+        )
+    c1, c2 = "20240101000000", "20240102000000"
+    urgent = "1-URGENT"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    # c1: per-priority base file groups, one distributed write
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)
+    scratch = os.path.join(root, "_scratch_c1")
+    evens.withColumn("pp", F.col("o_orderpriority")).repartition(
+        "pp"
+    ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+    for d in os.listdir(scratch):
+        if not d.startswith("pp="):
+            continue
+        p = d[3:]
+        pdir = os.path.join(root, p)
+        os.makedirs(pdir, exist_ok=True)
+        fs = [
+            f
+            for f in os.listdir(os.path.join(scratch, d))
+            if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(scratch, d, fs[0]),
+            os.path.join(pdir, f"fg-{p}_0-1-0_{c1}.parquet"),
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+    for suffix in (".commit.requested", ".inflight", ".commit"):
+        with open(os.path.join(hdir, f"{c1}{suffix}"), "w") as fh:
+            fh.write("{}" if suffix == ".commit" else "")
+
+    # c2: upsert the urgent group — new base slice + the CDC log
+    u = F.col("o_orderpriority") == urgent
+    even_u = (F.col("o_orderkey") % 2 == 0) & u
+    updates = o.filter(even_u & (F.col("o_orderkey") % 10 != 6)).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        cents.alias("before_cents"),
+        (cents + 100_000).alias("after_cents"),
+    )
+    deletes = o.filter(even_u & (F.col("o_orderkey") % 10 == 6)).select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        cents.alias("before_cents"),
+        F.lit(0).cast("bigint").alias("after_cents"),
+    )
+    inserts = o.filter((F.col("o_orderkey") % 2 == 1) & u).select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        F.lit(0).cast("bigint").alias("before_cents"),
+        cents.alias("after_cents"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+
+    # new slice = c1 urgent rows with updates applied, deletes dropped,
+    # inserts appended (cents/100 restores the double price domain)
+    merged = (
+        o.filter(even_u & (F.col("o_orderkey") % 10 != 6))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .unionByName(o.filter((F.col("o_orderkey") % 2 == 1) & u))
+    )
+    scratch = os.path.join(root, "_scratch_c2")
+    merged.coalesce(1).write.mode("overwrite").parquet(scratch)
+    src = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(scratch, src),
+        os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c2}.parquet"),
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    cdc_dir = os.path.join(root, urgent)
+    cdc_name = f".fg-{urgent}_{c2}-cdc.log.1_0-1-0"
+    cdc_schema = _CDC_SCHEMA
+
+    def _write_cdc(it):
+        import os as _os
+
+        import pandas as _pd
+
+        recs = []
+        for pdf in it:
+            recs.extend(
+                {
+                    "op": str(op),
+                    "o_orderkey": int(k),
+                    "before_cents": int(b),
+                    "after_cents": int(a),
+                }
+                for op, k, b, a in zip(
+                    pdf["op"],
+                    pdf["o_orderkey"],
+                    pdf["before_cents"],
+                    pdf["after_cents"],
+                )
+            )
+        if recs:
+            _ocf_write(_os.path.join(cdc_dir, cdc_name), cdc_schema, recs)
+        yield _pd.DataFrame({"n": _pd.Series([len(recs)], dtype="int64")})
+
+    n_cdc = (
+        changes.coalesce(1)
+        .mapInPandas(_write_cdc, schema="n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    for suffix in (".commit.requested", ".inflight", ".commit"):
+        with open(os.path.join(hdir, f"{c2}{suffix}"), "w") as fh:
+            fh.write(
+                json.dumps({"operationType": "UPSERT", "cdc": True})
+                if suffix == ".commit"
+                else ""
+            )
+
+    # --- CDC read: instant range (c1, c2], executor-side decode
+    cdc_paths = sorted(
+        os.path.join(root, urgent, f)
+        for f in os.listdir(os.path.join(root, urgent))
+        if "-cdc.log." in f and f.split("_")[1].split("-")[0] <= c2
+    )
+    if not cdc_paths:
+        raise ValueError("no cdc files for the instant range")
+
+    def _decode_cdc(it):
+        import pandas as _pd
+
+        for pdf in it:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    _, recs, _ = _ocf_read_bytes(fh.read(), source=path)
+                if recs:
+                    yield _pd.DataFrame.from_records(recs)[
+                        ["op", "o_orderkey", "before_cents", "after_cents"]
+                    ]
+
+    cdc = (
+        spark.createDataFrame([(p,) for p in cdc_paths], "path string")
+        .repartition(len(cdc_paths))
+        .mapInPandas(
+            _decode_cdc,
+            schema="op string, o_orderkey long, before_cents long, "
+            "after_cents long",
+        )
+    )
+
+    # honesty gate: cdc ≡ the distributed snapshot diff
+    before_snap = spark.read.parquet(
+        os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c1}.parquet")
+    ).select("o_orderkey", cents.alias("b"))
+    after_snap = spark.read.parquet(
+        os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c2}.parquet")
+    ).select("o_orderkey", cents.alias("a"))
+    diff = (
+        before_snap.join(after_snap, "o_orderkey", "full_outer")
+        .select(
+            F.when(F.col("b").isNull(), "I")
+            .when(F.col("a").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            "o_orderkey",
+            F.coalesce(F.col("b"), F.lit(0)).alias("before_cents"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("after_cents"),
+        )
+        .filter(
+            (F.col("op") != "U")
+            | (F.col("before_cents") != F.col("after_cents"))
+        )
+    )
+    if cdc.exceptAll(diff).limit(1).count() != 0:
+        raise ValueError("cdc log carries rows the snapshot diff lacks")
+    if diff.exceptAll(cdc).limit(1).count() != 0:
+        raise ValueError("cdc log missed rows the snapshot diff found")
+    if n_cdc != changes.count():
+        raise ValueError("cdc writer dropped records")
+
+    return cdc.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("before_cents").cast("bigint").alias("before_cents"),
+        F.sum("after_cents").cast("bigint").alias("after_cents"),
+    )

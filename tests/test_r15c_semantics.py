@@ -368,6 +368,41 @@ def test_named_parameters_match_inlined_literals(spark, duck):
     _parity("sql_named_parameters", spark, duck)
 
 
+def test_gbt_and_kmeans_invariants(spark, duck):
+    """The Tier-A extensions: every graded boolean must be True (the
+    oracle pins TRUE, so a False fails parity too — this test makes
+    the failure readable) and counts exact."""
+    for key in ("ml_gbt_binary", "ml_kmeans_cluster"):
+        _parity(key, spark, duck)
+        row = _run(key, spark).collect()[0]
+        for name, val in row.asDict().items():
+            if isinstance(val, bool):
+                assert val, (key, name)
+
+
+def test_hudi_cdc_log_is_hidden_and_scoped(spark, duck):
+    """The cdc log file must be dot-prefixed (invisible to plain Spark
+    file sources, like MOR logs) and attached to the upsert instant;
+    the base read of the table must NOT change when the cdc file is
+    present (CDC is supplemental, never part of the snapshot)."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("src_hudi_cdc", spark, duck)
+    root = _tmp(SF_DIR, "hudi_cdc")
+    urgent_dir = os.path.join(root, "1-URGENT")
+    cdc = [f for f in os.listdir(urgent_dir) if "-cdc.log." in f]
+    assert len(cdc) == 1 and cdc[0].startswith(".")
+    assert "_20240102000000-cdc" in cdc[0]
+    # supplemental: the snapshot file set contains no cdc entries
+    from random_forest_using_hadoop_spark.operators.hudi import (
+        _hudi_snapshot_files,
+    )
+
+    assert not any("-cdc" in f for f in _hudi_snapshot_files(root))
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
