@@ -218,6 +218,8 @@ EXTENDED = [
     "ml_gbt_binary",
     "ml_kmeans_cluster",
     "src_hudi_cdc",
+    # r15c — perceptual-hash image dedup over the real PNG codec:
+    "multimodal_phash_dedup",
 ]
 
 

@@ -648,3 +648,158 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pixel_sum long, roundtrip_ok boolean"
         ),
     )
+
+
+# --- perceptual-hash image dedup ----------------------------------------------
+
+# dHash geometry: 8 rows x 9 sample columns -> 64 horizontal-gradient
+# bits, packed into two 32-bit words (the binary-Hamming convention
+# sim_r15c uses). Samples are exact pixel picks at floor-divided grid
+# coordinates, not block means, so the oracle can re-derive every bit
+# from the source text with integer arithmetic alone.
+_PHASH_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_W_MOD} + {_W_OFF} AS w,
+         length(text) % {_H_MOD} + {_H_OFF} AS h
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), b -> CASE WHEN
+             ascii(text[((((b // 8) * h) // 8) * w
+                         + (((b % 8) * w) // 9)) % n + 1 :
+                        ((((b // 8) * h) // 8) * w
+                         + (((b % 8) * w) // 9)) % n + 1])
+             < ascii(text[((((b // 8) * h) // 8) * w
+                           + ((((b % 8) + 1) * w) // 9)) % n + 1 :
+                          ((((b // 8) * h) // 8) * w
+                           + ((((b % 8) + 1) * w) // 9)) % n + 1])
+             THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS h0,
+         CAST(list_sum(list_transform(range(32, 64), b -> CASE WHEN
+             ascii(text[((((b // 8) * h) // 8) * w
+                         + (((b % 8) * w) // 9)) % n + 1 :
+                        ((((b // 8) * h) // 8) * w
+                         + (((b % 8) * w) // 9)) % n + 1])
+             < ascii(text[((((b // 8) * h) // 8) * w
+                           + ((((b % 8) + 1) * w) // 9)) % n + 1 :
+                          ((((b // 8) * h) // 8) * w
+                           + ((((b % 8) + 1) * w) // 9)) % n + 1])
+             THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS h1
+  FROM p
+),
+all_hashes AS (
+  -- every doc's image, PLUS a brightness-shifted (+5 on every pixel)
+  -- VARIANT for doc_id % 17 = 0: a monotone shift preserves every
+  -- strict '<' gradient bit, so the variant's dHash EQUALS the
+  -- original's even though the payload bytes differ
+  SELECT h0, h1 FROM hashes
+  UNION ALL
+  SELECT h0, h1 FROM hashes WHERE doc_id % 17 = 0
+),
+groups AS (
+  SELECT h0, h1, CAST(COUNT(*) AS BIGINT) AS g
+  FROM all_hashes GROUP BY h0, h1
+)
+SELECT g AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM groups GROUP BY g
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE DEDUP: every document's PNG (the real
+    codec round trip, as in [[multimodal_decode]]) is reduced to a
+    64-bit dHASH — horizontal-gradient sign bits over an 8×9 grid of
+    exact pixel samples — and images are grouped by hash. The planted
+    duplicates are BRIGHTNESS-SHIFTED variants (+5 on every pixel for
+    doc_id % 17 = 0): their PNG bytes differ, so exact/byte-level
+    dedup can never pair them, but a monotone intensity shift
+    preserves every strict '<' gradient comparison, so their dHash
+    EQUALS the original's — precisely the invariance class perceptual
+    hashing exists for. The graded output is the hash-group-size
+    histogram with candidate-pair counts — the image-side analog of
+    [[dedup_exact]], built on [[sim_hamming_binary]]'s packed-word
+    convention so a Hamming-radius variant is one `bit_count(xor())`
+    away.
+
+    The hash is computed from PIXELS RECOVERED BY THE REAL PNG
+    DECODER (signature, CRCs, inflate, defilter) while the oracle
+    re-derives every sampled pixel from the source text via the
+    tiling rule — so a hash match certifies the decode reproduced
+    each sampled byte exactly, pixel-sum aggregates can't hide
+    transposed coordinates, and the grid arithmetic (floor-divided
+    sample coordinates) is bit-identical in both engines.
+
+    Scale: encode/hash run as two Arrow-batched ``mapInPandas``
+    stages (no per-row Python); the dedup itself is a groupBy on an
+    8-byte key — at 100 TB of images the hash table is the only
+    shuffled state, 64 bits per image, and near-dup search extends to
+    banding the two words exactly like the MinHash-LSH tier.
+    """
+    import pandas as pd
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                data = t.encode("utf-8")
+                n = len(data)
+                w, h = n % _W_MOD + _W_OFF, n % _H_MOD + _H_OFF
+                ids.append(int(i))
+                payloads.append(_png_encode(data, w, h))
+                if int(i) % 17 == 0:
+                    # the perceptual payload: a brightness-shifted COPY
+                    # (every pixel +5 — byte-different PNG, identical
+                    # gradient signs) under a synthetic image id
+                    ids.append(int(i) + 1_000_000_000)
+                    payloads.append(
+                        _png_encode(bytes(b + 5 for b in data), w, h)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h0s, h1s = [], []
+            for p in pdf["payload"]:
+                w, h, px = _png_decode(bytes(p))
+                h0 = h1 = 0
+                for b in range(64):
+                    r, c = b // 8, b % 8
+                    y = (r * h) // 8
+                    left = px[y * w + (c * w) // 9]
+                    right = px[y * w + ((c + 1) * w) // 9]
+                    if left < right:
+                        if b < 32:
+                            h0 |= 1 << b
+                        else:
+                            h1 |= 1 << (b - 32)
+                h0s.append(h0)
+                h1s.append(h1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "h0": h0s, "h1": h1s}
+            )
+
+    hashes = media.mapInPandas(
+        hash_batch, schema="doc_id long, h0 long, h1 long"
+    )
+    groups = hashes.groupBy("h0", "h1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    )
+    return groups.groupBy(F.col("g").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("g * (g - 1) div 2")).cast("bigint").alias(
+            "n_candidate_pairs"
+        ),
+    )

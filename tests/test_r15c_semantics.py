@@ -403,6 +403,20 @@ def test_hudi_cdc_log_is_hidden_and_scoped(spark, duck):
     assert not any("-cdc" in f for f in _hudi_snapshot_files(root))
 
 
+def test_phash_pairs_every_brightness_variant(spark, duck):
+    """Every planted brightness-shifted image (doc_id % 17 == 0) must
+    collide with its original — pair count == planted count, and no
+    group exceeds size 2 at this SF (no accidental 3-way collision).
+    Byte-level grouping could never find these: the payloads differ."""
+    _parity("multimodal_phash_dedup", spark, duck)
+    rows = {r["group_size"]: r for r in _run("multimodal_phash_dedup", spark).collect()}
+    planted = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0"
+    ).fetchone()[0]
+    assert rows[2]["n_candidate_pairs"] == planted
+    assert max(rows) == 2
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
