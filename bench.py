@@ -220,6 +220,8 @@ EXTENDED = [
     "src_hudi_cdc",
     # r15c — perceptual-hash image dedup over the real PNG codec:
     "multimodal_phash_dedup",
+    # r15c — inverted-index phrase search certified against the scan:
+    "text_inverted_phrase",
 ]
 
 

@@ -501,3 +501,129 @@ def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag""",
         args={"min_qty": 25.0, "flags": ["A", "R"]},
     )
+
+
+# --- inverted-index phrase search -------------------------------------------------
+
+_PHRASE_TOPN = 3  # query phrases: the corpus's top-3 trigrams
+
+_PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT * FROM (
+    SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+  ) WHERE token <> ''
+),
+tri AS (
+  SELECT t1.doc_id,
+         t1.token || ' ' || t2.token || ' ' || t3.token AS phrase
+  FROM tok t1
+  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+phrases AS (
+  SELECT phrase FROM (
+    SELECT phrase, COUNT(*) AS c FROM tri GROUP BY phrase
+  ) ORDER BY c DESC, phrase LIMIT {_PHRASE_TOPN}
+),
+via_index AS (
+  SELECT p.phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs_index
+  FROM phrases p JOIN tri t ON t.phrase = p.phrase
+  GROUP BY p.phrase
+),
+via_scan AS (
+  SELECT p.phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_scan
+  FROM phrases p
+  JOIN documents d
+    ON position(' ' || p.phrase || ' ' IN ' ' || d.text || ' ') > 0
+  GROUP BY p.phrase
+)
+SELECT i.phrase, i.n_occurrences, i.n_docs_index, s.n_docs_scan
+FROM via_index i JOIN via_scan s ON s.phrase = i.phrase
+"""
+
+
+@register("text_inverted_phrase", oracle=_PHRASE_ORACLE)
+def q_text_inverted_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX PHRASE SEARCH: build a positional postings table
+    (token → doc, position), answer the corpus's top-{n} trigram
+    phrase queries by POSITION-ADJACENCY JOINS over the index (the
+    search-engine mechanism: intersect postings, check pos+1/pos+2),
+    and certify each answer against the brute-force substring SCAN —
+    both counts are graded side by side, so an off-by-one in the
+    position algebra or a tokenizer drift between index build and
+    query time (the classic search-engine bug) breaks the hash.
+
+    The in-key gate additionally requires n_docs_index ==
+    n_docs_scan for every phrase before returning (the single-space
+    corpus makes token adjacency ≡ substring containment exactly).
+
+    Scale: the postings build is one explode + groupBy-free
+    projection; phrase evaluation is equi-joins on (doc, pos±k) —
+    index-side cost is O(postings of the phrase's tokens), while the
+    scan side is O(corpus) — the asymmetry that justifies inverted
+    indexes, stated by construction. Query selection is a
+    TakeOrdered top-{n}, never a global sort.
+    """.format(n=_PHRASE_TOPN)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    t1, t2, t3 = tok.alias("t1"), tok.alias("t2"), tok.alias("t3")
+    tri = (
+        t1.join(
+            t2,
+            (F.col("t2.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .join(
+            t3,
+            (F.col("t3.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t3.pos") == F.col("t1.pos") + 2),
+        )
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("t1.token"), F.col("t2.token"), F.col("t3.token")
+            ).alias("phrase"),
+        )
+    )
+    phrases = F.broadcast(
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "phrase")
+        .limit(_PHRASE_TOPN)
+        .select("phrase")
+    )
+    via_index = (
+        tri.join(phrases, "phrase")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs_index"),
+        )
+    )
+    via_scan = (
+        d.crossJoin(phrases)
+        .filter(
+            F.expr(
+                "instr(' ' || text || ' ', ' ' || phrase || ' ') > 0"
+            )
+        )
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_scan"))
+    )
+    out = via_index.join(via_scan, "phrase")
+    bad = out.filter(F.col("n_docs_index") != F.col("n_docs_scan"))
+    if bad.limit(1).count() != 0:
+        raise ValueError("index and scan answers diverge")
+    return out.select(
+        "phrase", "n_occurrences", "n_docs_index", "n_docs_scan"
+    )

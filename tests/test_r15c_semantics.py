@@ -417,6 +417,19 @@ def test_phash_pairs_every_brightness_variant(spark, duck):
     assert max(rows) == 2
 
 
+def test_inverted_phrase_index_equals_scan(spark, duck):
+    """Parity plus the defining identity: for every graded phrase the
+    index answer equals the scan answer, occurrences >= doc count, and
+    exactly top-3 phrases are served."""
+    _parity("text_inverted_phrase", spark, duck)
+    rows = _run("text_inverted_phrase", spark).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_docs_index"] == r["n_docs_scan"] > 0
+        assert r["n_occurrences"] >= r["n_docs_index"]
+        assert len(r["phrase"].split(" ")) == 3
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
