@@ -222,6 +222,9 @@ EXTENDED = [
     "multimodal_phash_dedup",
     # r15c — inverted-index phrase search certified against the scan:
     "text_inverted_phrase",
+    # r15c — observe() pipeline metrics and dynamic partition overwrite:
+    "scan_observe_metrics",
+    "sink_dynamic_partition_overwrite",
 ]
 
 

@@ -627,3 +627,172 @@ def q_text_inverted_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "phrase", "n_occurrences", "n_docs_index", "n_docs_scan"
     )
+
+
+# --- DataFrame.observe metrics -------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, sum_qty,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_discount > 0.05) AS observed_rows,
+       (SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) FROM lineitem
+        WHERE l_discount > 0.05) AS observed_cents
+FROM q
+"""
+
+
+@register("scan_observe_metrics", oracle=_OBSERVE_ORACLE)
+def q_scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe` — Spark's zero-cost pipeline observability:
+    named aggregate metrics (row count, summed cents) are attached to
+    the scan and collected AS A SIDE EFFECT of the query's own
+    execution (no second scan, no cache), via the `Observation`
+    helper. The observed metrics are then joined back onto the result
+    as columns, so the grade pins BOTH the query output and the
+    metric values against an oracle that recomputes the metrics with
+    explicit subqueries — a wrong observation point (e.g. after an
+    extra filter) or a double-counted retry breaks the hash.
+
+    This is the mechanism production pipelines use for row-count
+    reconciliation and data-quality telemetry: the metric rides the
+    action, so a 100 TB scan yields its audit numbers for free; the
+    alternative — a separate COUNT query — doubles the I/O, which is
+    exactly what the oracle's subqueries (two extra scans) make
+    visible by contrast.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > 0.05
+    )
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("observed_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("observed_cents"),
+    )
+    agg = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+    )
+    rows = agg.collect()  # the action that materializes the observation
+    metrics = obs.get
+    out = spark.createDataFrame(rows, agg.schema)
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        "sum_qty",
+        F.lit(metrics["observed_rows"]).cast("bigint").alias("observed_rows"),
+        F.lit(metrics["observed_cents"])
+        .cast("bigint")
+        .alias("observed_cents"),
+    )
+
+
+# --- dynamic partition overwrite ------------------------------------------------------
+
+_DPO_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN o_totalprice + 5.0 ELSE o_totalprice END
+           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sink_dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def q_sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (`partitionOverwriteMode=dynamic`):
+    an overwrite whose input holds only the 1-URGENT and 2-HIGH
+    partitions replaces EXACTLY those two directories and leaves every
+    other partition's files byte-untouched — versus the default STATIC
+    mode, which would have dropped the whole table first (the classic
+    accidental-truncation footgun this option exists to avoid).
+
+    Gates, checked on the filesystem: the three untouched partitions
+    keep their exact (name, size) file inventory; the two overwritten
+    partitions' file sets changed; and the read-back rollup reflects
+    +5.00 on exactly the overwritten rows. The mode is passed as a
+    writer OPTION, not session conf, so nothing leaks into the host
+    session.
+
+    Scale: the overwrite's cost is O(replaced partitions) — on a
+    100 TB table partitioned by day, restating one day touches one
+    directory; commit atomicity is per-partition directory swap,
+    which is why engines layer a transaction log ([[sink_delta_replacewhere]])
+    on top when multi-partition atomicity matters.
+    """
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = _tmp(sf_dir, "dyn_overwrite")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+
+    def _inventory(parts: list[str]) -> dict[str, list[tuple[str, int]]]:
+        out = {}
+        for d in os.listdir(root):
+            if not d.startswith("o_orderpriority="):
+                continue
+            pval = d.split("=", 1)[1]
+            if pval not in parts:
+                continue
+            pdir = os.path.join(root, d)
+            out[pval] = sorted(
+                (f, os.path.getsize(os.path.join(pdir, f)))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    hot = ["1-URGENT", "2-HIGH"]
+    cold = ["3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    before_cold = _inventory(cold)
+    before_hot = _inventory(hot)
+
+    (
+        o.filter(F.col("o_orderpriority").isin(hot))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(root)
+    )
+
+    after_cold = _inventory(cold)
+    after_hot = _inventory(hot)
+    if after_cold != before_cold:
+        raise ValueError("dynamic overwrite touched an unrelated partition")
+    if any(after_hot[p] == before_hot[p] for p in hot):
+        raise ValueError("overwritten partition kept its old files")
+
+    return (
+        spark.read.parquet(root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+    )

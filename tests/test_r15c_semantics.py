@@ -430,6 +430,41 @@ def test_inverted_phrase_index_equals_scan(spark, duck):
         assert len(r["phrase"].split(" ")) == 3
 
 
+def test_observe_metrics_ride_the_action(spark, duck):
+    """The observed totals must equal the grouped result re-assembled
+    (Σ n_rows == observed_rows) — the reconciliation identity the
+    mechanism exists for."""
+    _parity("scan_observe_metrics", spark, duck)
+    rows = _run("scan_observe_metrics", spark).collect()
+    assert sum(r["n_rows"] for r in rows) == rows[0]["observed_rows"]
+    assert len({r["observed_cents"] for r in rows}) == 1
+
+
+def test_dynamic_overwrite_preserves_cold_partitions(spark, duck):
+    """After the key runs, the cold partitions' parquet files must
+    still parse to the ORIGINAL prices (no +5) — file identity was
+    gated in-key; this pins content."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+    from random_forest_using_hadoop_spark.sources import load_table
+
+    _parity("sink_dynamic_partition_overwrite", spark, duck)
+    root = _tmp(SF_DIR, "dyn_overwrite")
+    cold = spark.read.parquet(root).filter(
+        F.col("o_orderpriority") == "5-LOW"
+    )
+    orig = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "5-LOW"
+    )
+    got = cold.agg(F.sum(F.floor(F.col("o_totalprice") * 100))).first()[0]
+    want = orig.agg(F.sum(F.floor(F.col("o_totalprice") * 100))).first()[0]
+    assert got == want
+    assert os.path.isdir(root)
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
