@@ -225,6 +225,9 @@ EXTENDED = [
     # r15c — observe() pipeline metrics and dynamic partition overwrite:
     "scan_observe_metrics",
     "sink_dynamic_partition_overwrite",
+    # r15c — Hudi rollback and partition-discovery type inference:
+    "sink_hudi_rollback",
+    "scan_partition_inference",
 ]
 
 

@@ -796,3 +796,82 @@ def q_sink_dynamic_partition_overwrite(
             ).alias("total_cents"),
         )
     )
+
+
+# --- partition discovery & type inference ----------------------------------------------
+
+_PART_INFER_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderkey % 5 END AS pd_bucket,
+         DATE '2024-01-01' + CAST(o_orderkey % 4 AS INTEGER) AS pd_date,
+         o_totalprice
+  FROM orders
+)
+SELECT pd_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT pd_date) AS BIGINT) AS n_dates,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM src GROUP BY pd_bucket
+"""
+
+
+@register("scan_partition_inference", oracle=_PART_INFER_ORACLE)
+def q_scan_partition_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION DISCOVERY + TYPE INFERENCE: a table partitioned by an
+    integer bucket (with NULLs — written as the
+    `__HIVE_DEFAULT_PARTITION__` directory) and a yyyy-MM-dd date is
+    read back through plain directory discovery; Spark must infer
+    pd_bucket as an INTEGER column with the null partition restored
+    to real NULLs (not the sentinel string) and pd_date as a DATE —
+    the operational trap where string-typed partition columns
+    silently break joins and range predicates after a migration.
+
+    The in-key gate asserts the inferred dtypes (`int`/`date`); the
+    graded rollup groups by the bucket INCLUDING the null partition
+    row — an engine that surfaced the sentinel string or dropped the
+    null partition fails row-count and hash alike.
+
+    Scale: partition values come from directory names — pure planner
+    metadata; inference cost is O(directories). Partition pruning on
+    the typed column (pd_bucket = 3, pd_date >= DATE'...') works only
+    BECAUSE inference typed it — the reason this surface matters.
+    """
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .cast("int")
+        .alias("pd_bucket"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("o_orderkey") % 4).cast("int"),
+        ).alias("pd_date"),
+        "o_totalprice",
+    )
+    root = _tmp(sf_dir, "part_infer")
+    o.write.mode("overwrite").partitionBy("pd_bucket", "pd_date").parquet(
+        root
+    )
+    if not any(
+        "__HIVE_DEFAULT_PARTITION__" in d for d in os.listdir(root)
+    ):
+        raise ValueError("fixture staged no null partition directory")
+
+    t = spark.read.parquet(root)
+    dtypes = dict(t.dtypes)
+    if dtypes.get("pd_bucket") != "int":
+        raise ValueError(f"bucket inferred as {dtypes.get('pd_bucket')}")
+    if dtypes.get("pd_date") != "date":
+        raise ValueError(f"date inferred as {dtypes.get('pd_date')}")
+    return t.groupBy(F.col("pd_bucket").cast("bigint").alias("pd_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("pd_date").cast("bigint").alias("n_dates"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )

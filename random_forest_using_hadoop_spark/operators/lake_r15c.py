@@ -1604,3 +1604,135 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("before_cents").cast("bigint").alias("before_cents"),
         F.sum("after_cents").cast("bigint").alias("after_cents"),
     )
+
+
+# --- Hudi rollback -------------------------------------------------------------------
+
+_ROLLBACK_ORACLE = """
+WITH latest AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END
+            AS BIGINT) AS files_rolled_back
+FROM latest GROUP BY o_orderpriority
+"""
+
+
+@register("sink_hudi_rollback", oracle=_ROLLBACK_ORACLE)
+def q_sink_hudi_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi ROLLBACK: the failed c3 write (requested+inflight markers,
+    poison data file, no completed action) is undone — its data files
+    deleted, its timeline markers removed, and a `<instant>.rollback`
+    action recording both committed. Completes the table-services
+    family ([[sink_hudi_clean]] reclaims SUPERSEDED slices of
+    completed commits; rollback reclaims INCOMPLETE commits' garbage —
+    the two reclamation paths the spec keeps strictly apart).
+
+    Gates:
+    - the latest snapshot is IDENTICAL before and after (exceptAll
+      both directions) — an incomplete instant was never visible, so
+      rolling it back must change nothing a reader sees;
+    - exactly the poison file is deleted (the victim partition's c3
+      slice), every completed commit's file survives;
+    - the c3 requested/inflight markers are gone from the timeline —
+      a fresh writer can reuse the instant namespace;
+    - rolling back again is a no-op (idempotent maintenance).
+
+    Graded: the latest-snapshot rollup with per-partition
+    rolled-back-file counts from the .rollback metadata.
+
+    Scale: rollback is O(failed instant's files) — timeline metadata
+    names them; no data is read, which is why Hudi runs rollback
+    lazily on the next writer's startup.
+    """
+    root, prios, (c1, c2, c3) = _hudi_stage(spark, sf_dir)
+    urgent = "1-URGENT"
+    victim = sorted(p for p in prios if p != urgent)[0]
+
+    before = spark.read.parquet(*_hudi_snapshot_files(root)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).localCheckpoint()
+    hdir = os.path.join(root, ".hoodie")
+
+    def _rollback(instant: str, rb_instant: str) -> dict[str, list[str]]:
+        completed = set(_hudi_completed_commits(root))
+        if instant in completed:
+            raise ValueError("refusing to roll back a completed commit")
+        per_part: dict[str, list[str]] = {}
+        for bf in _hudi_base_files(root):
+            if bf["instant"] == instant:
+                os.remove(bf["path"])
+                per_part.setdefault(bf["partition"], []).append(
+                    os.path.basename(bf["path"])
+                )
+        for suffix in (".commit.requested", ".inflight"):
+            marker = os.path.join(hdir, f"{instant}{suffix}")
+            if os.path.exists(marker):
+                os.remove(marker)
+        with open(os.path.join(hdir, f"{rb_instant}.rollback"), "w") as fh:
+            json.dump(
+                {
+                    "instantToRollback": instant,
+                    "partitionMetadata": {
+                        p: {"deletedFiles": fs}
+                        for p, fs in per_part.items()
+                    },
+                },
+                fh,
+            )
+        return per_part
+
+    removed = _rollback(c3, "20240104000000")
+    if list(removed) != [victim] or len(removed[victim]) != 1:
+        raise ValueError(f"unexpected rollback plan: {removed}")
+    # idempotent: a second rollback finds nothing
+    if _rollback(c3, "20240105000000") != {}:
+        raise ValueError("rollback is not idempotent")
+
+    # gates: timeline cleaned, completed slices intact, snapshot equal
+    for suffix in (".commit.requested", ".inflight"):
+        if os.path.exists(os.path.join(hdir, f"{c3}{suffix}")):
+            raise ValueError("rollback left the failed instant's markers")
+    if any(bf["instant"] == c3 for bf in _hudi_base_files(root)):
+        raise ValueError("rollback left the failed instant's data")
+    if _hudi_completed_commits(root) != [c1, c2]:
+        raise ValueError("rollback damaged completed commits")
+    after = spark.read.parquet(*_hudi_snapshot_files(root)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    if after.exceptAll(before).limit(1).count() != 0:
+        raise ValueError("rollback added visible rows")
+    if before.exceptAll(after).limit(1).count() != 0:
+        raise ValueError("rollback removed visible rows")
+
+    rolled = spark.createDataFrame(
+        [(p, len(fs)) for p, fs in removed.items()],
+        "o_orderpriority string, files_rolled_back bigint",
+    )
+    return (
+        after.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("total_cents"),
+        )
+        .join(F.broadcast(rolled), "o_orderpriority", "left")
+        .withColumn(
+            "files_rolled_back",
+            F.coalesce(F.col("files_rolled_back"), F.lit(0)).cast("bigint"),
+        )
+    )

@@ -465,6 +465,41 @@ def test_dynamic_overwrite_preserves_cold_partitions(spark, duck):
     assert os.path.isdir(root)
 
 
+def test_hudi_rollback_cleans_timeline_and_files(spark, duck):
+    """Post-run disk state: no c3 markers or files, a .rollback action
+    present, completed commits' files intact."""
+    import os
+
+    from random_forest_using_hadoop_spark.operators.scans import _tmp
+
+    _parity("sink_hudi_rollback", spark, duck)
+    root = _tmp(SF_DIR, "hudi_cow")
+    hdir = os.path.join(root, ".hoodie")
+    names = set(os.listdir(hdir))
+    assert "20240104000000.rollback" in names
+    assert not any(n.startswith("20240103000000.") for n in names)
+    data = {
+        f
+        for part in os.listdir(root)
+        if part != ".hoodie" and os.path.isdir(os.path.join(root, part))
+        for f in os.listdir(os.path.join(root, part))
+    }
+    assert not any("_20240103000000.parquet" in f for f in data)
+    assert any("_20240102000000.parquet" in f for f in data)
+
+
+def test_partition_inference_restores_null_partition(spark, duck):
+    """The graded frame must contain a NULL bucket row whose count
+    equals the %7 subset — proving the sentinel directory round-trips
+    to real NULLs."""
+    _parity("scan_partition_inference", spark, duck)
+    rows = {r["pd_bucket"]: r for r in _run("scan_partition_inference", spark).collect()}
+    want_null = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0"
+    ).fetchone()[0]
+    assert None in rows and rows[None]["n_rows"] == want_null
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
