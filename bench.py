@@ -228,6 +228,9 @@ EXTENDED = [
     # r15c — Hudi rollback and partition-discovery type inference:
     "sink_hudi_rollback",
     "scan_partition_inference",
+    # r15c — IDENTIFIER-clause dynamic names and CUPED adjustment:
+    "sql_identifier_clause",
+    "agg_cuped_adjustment",
 ]
 
 

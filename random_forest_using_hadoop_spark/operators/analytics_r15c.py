@@ -875,3 +875,198 @@ def q_scan_partition_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("total_cents"),
     )
+
+
+# --- IDENTIFIER clause (safe dynamic names) --------------------------------------------
+
+_IDENT_ORACLE = """
+SELECT o_orderpriority AS dim_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENT_ORACLE)
+def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() CLAUSE (Spark 3.5+/4.0): table AND column names
+    supplied as bound parameters through `IDENTIFIER(:name)` — the
+    injection-safe way to template object names, where a string-
+    concatenated name would accept `t; DROP TABLE` and a quoted
+    parameter would be treated as a string VALUE, not a name.
+    Completes the dynamic-SQL trio: [[sql_session_variables]] binds
+    values via EXECUTE IMMEDIATE, [[sql_named_parameters]] binds
+    values via the session API, this key binds NAMES.
+
+    The statement groups a parameterized table by a parameterized
+    dimension column; the oracle inlines both names — the grade
+    proves IDENTIFIER resolution is semantically identical to literal
+    names (same plan, same pushdown).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ident_orders"
+    )
+    return spark.sql(
+        """SELECT IDENTIFIER(:dim) AS dim_value,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CAST(floor(IDENTIFIER(:metric) * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS total_cents
+           FROM IDENTIFIER(:tbl)
+           GROUP BY IDENTIFIER(:dim)""",
+        args={
+            "tbl": "ident_orders",
+            "dim": "o_orderpriority",
+            "metric": "o_totalprice",
+        },
+    )
+
+
+# --- CUPED variance reduction ------------------------------------------------------------
+
+_CUPED_CUT = "1995-06-01"
+
+_CUPED_ORACLE = f"""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         c.c_custkey % 2 AS variant,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '{_CUPED_CUT}'
+             THEN CAST(floor(o.o_totalprice) AS BIGINT)
+             ELSE 0 END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '{_CUPED_CUT}'
+             THEN CAST(floor(o.o_totalprice) AS BIGINT)
+             ELSE 0 END), 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_cust
+),
+theta AS (
+  SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS th,
+         CAST(sx AS DOUBLE) / n AS mx_all
+  FROM g
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_cust GROUP BY variant
+)
+SELECT CAST(variant AS BIGINT) AS variant, n_users,
+       round(CAST(sy AS DOUBLE) / n_users, 6) AS mean_y,
+       round(CAST(sy AS DOUBLE) / n_users
+             - th * (CAST(sx AS DOUBLE) / n_users - mx_all), 6)
+           AS mean_y_cuped,
+       round(1.0 - ((syy - 2 * th * sxy + th * th * sxx)
+                    - n_users * power(CAST(sy AS DOUBLE) / n_users
+                                      - th * CAST(sx AS DOUBLE) / n_users, 2))
+                   / (syy - CAST(sy AS DOUBLE) * sy / n_users), 6)
+           AS var_reduction
+FROM v, theta
+"""
+
+
+@register("agg_cuped_adjustment", oracle=_CUPED_ORACLE)
+def q_agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the industry-
+    standard experiment-sensitivity technique): per-customer post-
+    period spend y is adjusted by the PRE-period covariate x,
+    ŷ = y − θ·(x − x̄), with θ = cov(x,y)/var(x) estimated POOLED
+    across variants (assignment is c_custkey % 2). Because x predates
+    the experiment it is assignment-independent, so the adjustment
+    moves no treatment effect — only variance. Completes the
+    experimentation shelf: [[agg_ab_ztest]] tests, [[agg_srm_guard]]
+    validates assignment, this key tightens the metric.
+
+    Exactness: x and y are exact BIGINT whole dollars (cents-level
+    products overflow the envelope at per-customer sums — measured);
+    every sufficient statistic (Σx, Σy, Σx², Σy², Σxy) is an exact
+    integer sum (Σx² at sf0.1 ≈ 3e14 < 2^63), so θ, the adjusted
+    means, and the variance-reduction ratio are identical IEEE
+    doubles in both engines, rounded at 6dp for display only.
+
+    Honesty note: the synthetic corpus draws each order independently,
+    so pre- and post-period spend are uncorrelated and the measured
+    variance reduction is ≈0 (±0.001 at sf0.01) — the grade pins the
+    MECHANISM (θ estimation, adjustment algebra, the unbiasedness
+    identity that the pooled adjusted mean equals the pooled raw
+    mean), which is what transfers to real telemetry where x routinely
+    buys 30-50% variance.
+
+    Scale: one join + two map-combinable aggregations (customers →
+    variant rows); θ is a broadcast singleton. The per-customer frame
+    is the only shuffled state — the same shape at 10⁹ users.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    dollars = F.floor(F.col("o_totalprice")).cast("bigint")
+    cut = F.lit(_CUPED_CUT).cast("date")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") < cut, dollars)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") >= cut, dollars)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("variant", (F.col("c_custkey") % 2).cast("bigint"))
+    )
+    g = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).select(
+        (
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx_all"),
+    )
+    v = per_cust.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    th, n_u = F.col("th"), F.col("n_users")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    mean_y = sy / n_u
+    adj_ss = (syy - 2 * th * sxy + th * th * sxx) - n_u * F.pow(
+        mean_y - th * sx / n_u, F.lit(2)
+    )
+    return v.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y - th * (sx / n_u - F.col("mx_all")), 6).alias(
+            "mean_y_cuped"
+        ),
+        F.round(1.0 - adj_ss / (syy - sy * sy / n_u), 6).alias(
+            "var_reduction"
+        ),
+    )

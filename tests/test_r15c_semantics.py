@@ -500,6 +500,22 @@ def test_partition_inference_restores_null_partition(spark, duck):
     assert None in rows and rows[None]["n_rows"] == want_null
 
 
+def test_identifier_clause_matches_literals(spark, duck):
+    _parity("sql_identifier_clause", spark, duck)
+
+
+def test_cuped_preserves_pooled_mean(spark, duck):
+    """CUPED's unbiasedness identity: the user-weighted pooled
+    adjusted mean equals the pooled raw mean (the x-deviations are
+    deviations FROM the pooled mean, so they cancel exactly)."""
+    _parity("agg_cuped_adjustment", spark, duck)
+    rows = _run("agg_cuped_adjustment", spark).collect()
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["n_users"] * r["mean_y"] for r in rows) / n
+    adj = sum(r["n_users"] * r["mean_y_cuped"] for r in rows) / n
+    assert abs(raw - adj) < 1e-4 * max(1.0, abs(raw))
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
