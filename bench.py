@@ -231,6 +231,9 @@ EXTENDED = [
     # r15c — IDENTIFIER-clause dynamic names and CUPED adjustment:
     "sql_identifier_clause",
     "agg_cuped_adjustment",
+    # r15c — delta-method ratio SE and interval coalescing:
+    "agg_ratio_delta_method",
+    "agg_interval_coalesce",
 ]
 
 

@@ -1070,3 +1070,197 @@ def q_agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+
+# --- delta-method ratio metric -----------------------------------------------------------
+
+_RATIO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey % 2 AS variant, o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_cust GROUP BY variant
+)
+SELECT CAST(variant AS BIGINT) AS variant, n,
+       round(CAST(sy AS DOUBLE) / sx, 6) AS ratio,
+       round(sqrt(
+         ((syy - CAST(sy AS DOUBLE) * sy / n)
+          - 2 * (CAST(sy AS DOUBLE) / sx)
+              * (sxy - CAST(sx AS DOUBLE) * sy / n)
+          + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+              * (sxx - CAST(sx AS DOUBLE) * sx / n))
+         / (n - 1) / n) / (CAST(sx AS DOUBLE) / n), 6) AS se_delta
+FROM v
+"""
+
+
+@register("agg_ratio_delta_method", oracle=_RATIO_ORACLE)
+def q_agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD standard error for a RATIO METRIC (revenue per
+    order, y/x over per-customer sums) — the experimentation-platform
+    standard for metrics whose denominator is itself random: naive
+    per-row variance treats orders as independent, but customers are
+    the randomization unit, so Var(ŷ/x̂) is taken via the first-order
+    Taylor expansion (Var_y − 2R·Cov + R²·Var_x)/(n·x̄²) over
+    PER-CUSTOMER aggregates. Completes the shelf beside
+    [[agg_cuped_adjustment]] (sensitivity) and [[agg_welch_ttest]]
+    (mean metrics).
+
+    Exactness: per-customer (x = order count, y = whole-dollar spend)
+    are exact BIGINTs, all five sufficient statistics are exact
+    integer sums, and the SE assembly is identical IEEE arithmetic on
+    one reduced row per variant (sqrt included — same bits both
+    engines), rounded at 6dp for display.
+
+    Scale: two map-combinable groupBys (orders → customers →
+    variants); nothing else shuffles. The delta-method's point is
+    exactly that it needs ONLY these reduced moments — no resampling
+    passes — which is what makes it the 100 TB-friendly choice over
+    the bootstrap.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("variant", (F.col("o_custkey") % 2).cast("bigint"))
+    )
+    v = per_cust.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = sy / sx
+    var_y = syy - sy * sy / n
+    cov = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    se = F.sqrt((var_y - 2 * r * cov + r * r * var_x) / (n - 1) / n) / (
+        sx / n
+    )
+    return v.select(
+        "variant",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+    )
+
+
+# --- interval coalescing (merge overlapping intervals) --------------------------------------
+
+_COALESCE_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP)
+           + to_seconds(CAST(60 + floor(value * 60) AS BIGINT)) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+             PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island,
+         MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(CAST(date_diff('second', island_start, island_end)
+                     AS BIGINT)) AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id % 10
+"""
+
+
+@register("agg_interval_coalesce", oracle=_COALESCE_ORACLE)
+def q_agg_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL COALESCING — the classic gaps-and-islands merge over
+    EXPLICIT intervals (each event spans [ts, ts + 60 + 60·value
+    seconds)): overlapping or touching intervals per user fuse into
+    maximal islands via the running-max-of-ends window (an interval
+    starts a new island iff its start exceeds every previous end),
+    then islands reduce to coverage seconds. The interval twin of
+    [[win_sessionize_gap]] (which merges POINTS by idle gap):
+    coalescing explicit durations is what uptime/SLA and
+    availability-window pipelines do.
+
+    Both engines run the identical window algebra on exact integer
+    second arithmetic (the interval length is floor-quantized), so
+    island boundaries — including the touching-endpoint tie (s =
+    max_prev_e fuses, per closed-open convention) — are bit-portable.
+
+    Scale: one window per user partition (bounded state: running max),
+    one groupBy — the same single-shuffle shape as the session keys;
+    user_id partitions distribute the windows.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("s"),
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            + (F.lit(60) + F.floor(F.col("value") * 60)).cast("long")
+        )
+        .cast("timestamp")
+        .alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.max("e").over(w), 0).otherwise(1),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(wc))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy(
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(
+            F.col("island_end").cast("long")
+            - F.col("island_start").cast("long")
+        )
+        .cast("bigint")
+        .alias("covered_seconds"),
+    )

@@ -516,6 +516,38 @@ def test_cuped_preserves_pooled_mean(spark, duck):
     assert abs(raw - adj) < 1e-4 * max(1.0, abs(raw))
 
 
+def test_ratio_delta_method_bounds(spark, duck):
+    """SE must be positive and small relative to the ratio, and the
+    ratio equals total spend / total orders recomputed independently."""
+    _parity("agg_ratio_delta_method", spark, duck)
+    for r in _run("agg_ratio_delta_method", spark).collect():
+        assert r["se_delta"] > 0
+        assert r["se_delta"] < r["ratio"]
+        want = duck.execute(
+            "SELECT round(SUM(CAST(floor(o_totalprice) AS BIGINT))"
+            " / CAST(COUNT(*) AS DOUBLE), 6) FROM orders"
+            f" WHERE o_custkey % 2 = {r['variant']}"
+        ).fetchone()[0]
+        assert abs(r["ratio"] - want) < 1e-6
+
+
+def test_interval_coalesce_coverage_bounds(spark, duck):
+    """Coverage can never exceed the raw interval-length sum (overlap
+    only shrinks it) and never fall below the longest single interval;
+    island counts are bounded by event counts."""
+    _parity("agg_interval_coalesce", spark, duck)
+    rows = _run("agg_interval_coalesce", spark).collect()
+    raw = duck.execute(
+        "SELECT user_id % 10, CAST(SUM(60 + floor(value * 60)) AS BIGINT),"
+        " COUNT(*) FROM events GROUP BY user_id % 10"
+    ).fetchall()
+    raw_by_bucket = {int(b): (int(s), int(n)) for b, s, n in raw}
+    for r in rows:
+        s, n = raw_by_bucket[r["user_bucket"]]
+        assert r["covered_seconds"] <= s
+        assert 1 <= r["n_islands"] <= n
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
