@@ -234,6 +234,8 @@ EXTENDED = [
     # r15c — delta-method ratio SE and interval coalescing:
     "agg_ratio_delta_method",
     "agg_interval_coalesce",
+    # r15c — model-free MI feature ranking:
+    "agg_mutual_information",
 ]
 
 

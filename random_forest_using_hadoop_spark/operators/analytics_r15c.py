@@ -1264,3 +1264,116 @@ def q_agg_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_seconds"),
     )
+
+
+# --- per-dimension mutual information ---------------------------------------------------
+
+_MI_TOPN = 10
+
+_MI_ORACLE = f"""
+WITH dims AS (
+  SELECT label, generate_subscripts(ve, 1) - 1 AS pos,
+         CASE WHEN unnest(ve) > 0 THEN 1 ELSE 0 END AS b
+  FROM (SELECT CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+),
+joint AS (
+  SELECT pos, b, label, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM dims GROUP BY pos, b, label
+),
+margx AS (
+  SELECT pos, b, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY pos, b
+),
+margy AS (
+  SELECT pos, label, CAST(SUM(nxy) AS BIGINT) AS ny
+  FROM joint GROUP BY pos, label
+),
+tot AS (SELECT pos, CAST(SUM(nxy) AS BIGINT) AS n FROM joint GROUP BY pos),
+terms AS (
+  SELECT j.pos,
+         CAST(floor((CAST(j.nxy AS DOUBLE) / t.n)
+                    * ln(CAST(j.nxy AS DOUBLE) * t.n
+                         / (CAST(x.nx AS DOUBLE) * y.ny))
+                    * 1e9 + 0.5) AS BIGINT) AS term_nano
+  FROM joint j
+  JOIN margx x ON x.pos = j.pos AND x.b = j.b
+  JOIN margy y ON y.pos = j.pos AND y.label = j.label
+  JOIN tot t ON t.pos = j.pos
+)
+SELECT pos, CAST(SUM(term_nano) AS BIGINT) AS mi_nano,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM terms GROUP BY pos
+ORDER BY mi_nano DESC, pos LIMIT {_MI_TOPN}
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_ORACLE)
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION feature ranking: I(sign(dim); label) for
+    every embedding dimension, top-{n} dims reported — the model-free
+    filter-method counterpart to [[ml_importance]] (which ranks the
+    same features THROUGH the fitted forest): MI needs only count
+    tables, so it runs as pure aggregation before any model exists,
+    which is how large pipelines pre-screen features.
+
+    Each plug-in MI term (n_xy/N)·ln(n_xy·N/(n_x·n_y)) is computed
+    from exact integer counts and nano-quantized BEFORE the per-dim
+    sum (the ln doctrine of [[text_bigram_lm]]), so the ranking —
+    including ties broken by dimension index — is bit-portable, and
+    the top-{n} is a TakeOrdered, never a global sort.
+
+    Scale: one explode + three map-combinable count aggregations,
+    all keyed by (dim, bucket[, label]) — 64×2×10 cells total: the
+    count tables are broadcast-sized regardless of corpus size, the
+    defining property of filter methods at 100 TB.
+    """.format(n=_MI_TOPN)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("ve"),
+    )
+    dims = e.select(
+        "label", F.posexplode("ve").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.when(F.col("val") > 0, 1).otherwise(0).alias("b"),
+    )
+    joint = dims.groupBy("pos", "b", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    margx = joint.groupBy("pos", "b").agg(
+        F.sum("nxy").cast("bigint").alias("nx")
+    )
+    margy = joint.groupBy("pos", "label").agg(
+        F.sum("nxy").cast("bigint").alias("ny")
+    )
+    tot = joint.groupBy("pos").agg(F.sum("nxy").cast("bigint").alias("n"))
+    terms = (
+        joint.join(margx, ["pos", "b"])
+        .join(margy, ["pos", "label"])
+        .join(F.broadcast(tot), "pos")
+        .select(
+            "pos",
+            F.floor(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    return (
+        terms.groupBy("pos")
+        .agg(
+            F.sum("term_nano").cast("bigint").alias("mi_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .orderBy(F.col("mi_nano").desc(), "pos")
+        .limit(_MI_TOPN)
+    )

@@ -548,6 +548,21 @@ def test_interval_coalesce_coverage_bounds(spark, duck):
         assert 1 <= r["n_islands"] <= n
 
 
+def test_mutual_information_nonneg_and_complete(spark, duck):
+    """Plug-in MI is nonnegative up to quantization (each dim's sum of
+    nano terms >= -n_cells, since each term errs by at most 0.5 nano)
+    and every returned dim carries a full 2x10 cell table."""
+    _parity("agg_mutual_information", spark, duck)
+    rows = _run("agg_mutual_information", spark).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["mi_nano"] >= -r["n_cells"]
+        assert r["n_cells"] <= 20
+    # descending order with pos tie-break
+    ms = [(r["mi_nano"], -r["pos"]) for r in rows]
+    assert ms == sorted(ms, reverse=True)
+
+
 def test_pref_pairs_bounded_by_buckets(spark):
     """Per language, n_pairs <= min(64 buckets, floor(docs/1)) and the
     margin order min <= mean <= max holds; sum_margin consistency with
