@@ -159,9 +159,19 @@ def q_src_hudi_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1_files = _hudi_snapshot_files(root, as_of=c1)
     if any(f"_{c3}.parquet" in f for f in latest_files):
         raise ValueError("inflight instant leaked into the snapshot")
-    if len(latest_files) != len(prios):
+    # expected groups: every group c1 staged (priorities with even keys)
+    # plus the urgent group c2 always (re)writes — on the regular fixture
+    # that is one per priority, but an adversarial corpus may have
+    # single-parity priorities (no c1 group)
+    expected_groups = {
+        (bf["partition"], bf["file_id"])
+        for bf in _hudi_base_files(root)
+        if bf["instant"] == c1
+    } | {("1-URGENT", "fg-1-URGENT")}
+    if len(latest_files) != len(expected_groups):
         raise ValueError(
-            f"expected one slice per file group, got {len(latest_files)}"
+            f"expected {len(expected_groups)} file groups, "
+            f"got {len(latest_files)}"
         )
 
     labels = spark.createDataFrame(

@@ -1143,7 +1143,7 @@ def q_sink_delta_column_mapping_rename(
 
 _PSTATS_ORACLE = """
 SELECT o_orderpriority AS partition_value,
-       CAST(2 AS BIGINT) AS data_file_count,
+       CAST(COUNT(DISTINCT o_orderkey % 2) AS BIGINT) AS data_file_count,
        CAST(COUNT(*) AS BIGINT) AS data_record_count
 FROM orders
 WHERE o_orderpriority <> '1-URGENT'
@@ -1174,7 +1174,9 @@ def q_src_iceberg_partition_stats(
     Graded: (partition_value, data_file_count, data_record_count) per
     surviving partition — the deleted partition MUST be absent (stats
     built from a stale pre-delete live set fail the row count), and
-    each survivor holds exactly its two fixture slices (even + odd).
+    each survivor holds one slice per parity class present in its rows
+    (two on the shipped fixture; the adversarial micro warehouse has
+    single-parity partitions, which the oracle mirrors).
 
     Scale: the stats file is partition-cardinality-sized; building it
     on a real table is one pass over manifest metadata (here bounded

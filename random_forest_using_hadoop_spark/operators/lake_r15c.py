@@ -50,8 +50,11 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS total_cents,
-       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-            AS BIGINT) AS files_removed
+       CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey % 2 = 0
+                                AND o_orderpriority = '1-URGENT')
+                 THEN 1 ELSE 0 END AS BIGINT) AS files_removed
 FROM latest GROUP BY o_orderpriority
 """
 
@@ -106,10 +109,20 @@ def q_sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bf["instant"] in completed
         and bf["instant"] < latest[(bf["partition"], bf["file_id"])]
     ]
-    if [os.path.basename(b["path"]) for b in to_clean] != [
-        f"fg-{urgent}_0-1-0_{c1}.parquet"
-    ]:
+    # on the regular fixture exactly the urgent group's c1 slice is
+    # superseded; an adversarial corpus without even urgent keys stages
+    # no urgent c1 slice, so the plan is legitimately empty — the gate
+    # is that ONLY urgent c1 slices ever qualify on this history
+    if any(
+        b["partition"] != urgent or b["instant"] != c1 for b in to_clean
+    ):
         raise ValueError(f"unexpected clean plan: {to_clean}")
+    cleaned_groups = {(b["partition"], b["file_id"]) for b in to_clean}
+    c1_groups_before = {
+        (bf["partition"], bf["file_id"])
+        for bf in _hudi_base_files(root)
+        if bf["instant"] == c1
+    }
 
     # execute + commit the .clean action
     c4 = "20240104000000"
@@ -151,12 +164,16 @@ def q_sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("clean added rows to the latest snapshot")
     if before.exceptAll(after).limit(1).count() != 0:
         raise ValueError("clean lost rows from the latest snapshot")
-    # gate: time travel below the retention floor is honestly broken
-    c1_groups = {
-        os.path.basename(f).split("_")[0]
+    # gate: time travel below the retention floor is honestly broken —
+    # exactly the cleaned groups vanish from the as-of-c1 resolution
+    c1_groups_after = {
+        (
+            os.path.dirname(f).rsplit(os.sep, 1)[-1],
+            os.path.basename(f).split("_")[0],
+        )
         for f in _hudi_snapshot_files(root, as_of=c1)
     }
-    if f"fg-{urgent}" in c1_groups or len(c1_groups) != len(prios) - 1:
+    if c1_groups_after != c1_groups_before - cleaned_groups:
         raise ValueError("cleaned slice still serves time travel")
 
     removed = spark.createDataFrame(
@@ -188,7 +205,9 @@ SELECT o_orderpriority,
        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS total_cents,
        CAST(CASE WHEN o_orderpriority = '1-URGENT'
-                 THEN {_N_SMALL} ELSE 1 END AS BIGINT) AS n_files_before,
+                 THEN (SELECT COUNT(DISTINCT o_orderkey % {_N_SMALL})
+                       FROM orders WHERE o_orderpriority = '1-URGENT')
+                 ELSE 1 END AS BIGINT) AS n_files_before,
        CAST(1 AS BIGINT) AS n_files_latest
 FROM orders GROUP BY o_orderpriority
 """
@@ -335,9 +354,19 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before_urgent = sum(
         1 for f in before_files if f"/{urgent}/" in f
     )
-    if n_before_urgent != _N_SMALL:
+    # one staged group per DISTINCT o_orderkey % _N_SMALL value among
+    # urgent rows — _N_SMALL on the regular fixture, fewer on an
+    # adversarial corpus with sparse urgent keys
+    n_expected = (
+        o.filter(F.col("o_orderpriority") == urgent)
+        .select((F.col("o_orderkey") % _N_SMALL).alias("b"))
+        .distinct()
+        .count()
+    )
+    if n_before_urgent != n_expected or n_before_urgent < 1:
         raise ValueError(
-            f"fixture staged {n_before_urgent} hot-partition files"
+            f"fixture staged {n_before_urgent} hot-partition files, "
+            f"expected {n_expected}"
         )
     before = spark.read.parquet(*before_files).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -361,7 +390,10 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, urgent, new_name),
     )
     shutil.rmtree(scratch, ignore_errors=True)
-    replaced = [f"fg-{urgent}-{i}" for i in range(_N_SMALL)]
+    replaced = sorted(
+        os.path.basename(f).split("_")[0] for f in before_files
+        if f"/{urgent}/" in f
+    )
     for suffix in (
         ".replacecommit.requested",
         ".replacecommit.inflight",
@@ -388,7 +420,7 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     if urgent_after != [os.path.join(root, urgent, new_name)]:
         raise ValueError(f"replace resolution wrong: {urgent_after}")
     tt_files = _snapshot_files_replace_aware(root, as_of=c1)
-    if sum(1 for f in tt_files if f"/{urgent}/" in f) != _N_SMALL:
+    if sum(1 for f in tt_files if f"/{urgent}/" in f) != n_before_urgent:
         raise ValueError("time travel below the replace lost the groups")
     after = spark.read.parquet(*after_files).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -439,7 +471,9 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "n_files_before",
-            F.when(F.col("o_orderpriority") == urgent, F.lit(_N_SMALL))
+            F.when(
+                F.col("o_orderpriority") == urgent, F.lit(n_before_urgent)
+            )
             .otherwise(F.lit(1))
             .cast("bigint"),
         )

@@ -128,6 +128,12 @@ _PYTHON_EVAL_ALLOWED = {
     # per FILE over the binaryFile scan (one Arrow batch per shard),
     # the operator's whole point (same class as the multimodal codecs)
     "src_avro": {"MapInPandas"},
+    # r15b/r15c: Hudi log/cdc decode rides the same OCF codec, one
+    # Arrow batch per log file (bounded by log-bearing file groups,
+    # never data rows); the phash key is the PNG codec again
+    "src_hudi_mor": {"MapInPandas"},
+    "src_hudi_cdc": {"MapInPandas"},
+    "multimodal_phash_dedup": {"MapInPandas"},
 }
 _PYTHON_EVAL_MARKERS = (
     "BatchEvalPython",
