@@ -77,16 +77,33 @@ _MH_BANDS = 8
 _ENC_BCAST_LIMIT = 64 << 20
 
 
-def _minhash_band_candidates(d: DataFrame) -> DataFrame:
+def _minhash_band_candidates(
+    d: DataFrame, n_docs: int | None = None
+) -> DataFrame:
     """Near-dup candidate pairs via seeded-xxhash MinHash banding:
     signature_k(doc) = min over shingles of xxhash64(k, shingle), band
-    key = the band's 2 signatures packed into one string, candidates =
-    band equi-join collisions (a < b, distinct). xxhash64 (not md5):
-    the hash only needs to be a fixed deterministic min-wise family —
-    recall is argued probabilistically and correctness comes from the
-    exact-Jaccard verify, while the oracle brute-forces all pairs and
-    never recomputes signatures — so the non-crypto JVM intrinsic wins
-    (~6× cheaper per shingle than a MessageDigest round).
+    key = ONE xxhash64 over (band index, the band's 2 signatures) — a
+    single 8-byte long instead of the r5 ~40-char "m0:m1" string, so
+    the join key is ~5× narrower (guide §2.3) and a hash collision can
+    only ADD a candidate pair (equal signatures always hash equal, so
+    no qualifying pair is ever lost; spurious pairs die in the exact
+    verify). Candidates = band-key equi-join collisions (a < b,
+    distinct). xxhash64 (not md5): the hash only needs to be a fixed
+    deterministic min-wise family — recall is argued probabilistically
+    and correctness comes from the exact-Jaccard verify, while the
+    oracle brute-forces all pairs and never recomputes signatures — so
+    the non-crypto JVM intrinsic wins (~6× cheaper per shingle than a
+    MessageDigest round).
+
+    r15 plan shape: the band table is CACHED so the expensive signature
+    pipeline (shingle explode → 16-way min aggregate) runs ONCE — the
+    r14 self-join planned it independently per side (two full explode +
+    16-digest aggregates, two exchanges, two sorts feeding a
+    SortMergeJoin). The self-join itself is strategy-gated on metadata
+    exactly like the bitmap verify (_ENC_BCAST_LIMIT): |docs|×8 band
+    rows × ~24 B under the cap broadcast one side (no shuffle, no
+    sort); past it both sides take SHUFFLE_HASH (one shuffle each of
+    8-byte keys, no sort, memory bounded by a partition).
 
     Why banding and not prefix filtering here: the corpus has a TINY
     shingle vocabulary (2,041 distinct 5-grams across 1M occurrences at
@@ -124,17 +141,26 @@ def _minhash_band_candidates(d: DataFrame) -> DataFrame:
     )
     bands = F.array(
         *[
-            F.concat_ws(":", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            F.xxhash64(F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
             for b in range(_MH_BANDS)
         ]
     )
-    bk = sig.select("doc_id", F.posexplode(bands).alias("band", "bkey"))
-    return (
-        bk.alias("x")
-        .join(
-            bk.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
+    # cache: ONE signature pass feeds both self-join sides (|docs|×8
+    # rows of (long, long) — bounded, and pinned for LRU eviction via
+    # the _bk_pin the caller threads into the pair memo)
+    bk = sig.select("doc_id", F.explode(bands).alias("bkey")).cache()
+    if n_docs is None:
+        n_docs = d.count()  # d is cached by every caller — metadata-cheap
+    est_bytes = n_docs * _MH_BANDS * 24
+    if est_bytes <= _ENC_BCAST_LIMIT:
+        x, y = F.broadcast(bk.alias("x")), bk.alias("y")
+    else:
+        x = bk.alias("x").hint("SHUFFLE_HASH")
+        y = bk.alias("y").hint("SHUFFLE_HASH")
+    out = (
+        x.join(
+            y,
+            (F.col("x.bkey") == F.col("y.bkey"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
@@ -146,6 +172,8 @@ def _minhash_band_candidates(d: DataFrame) -> DataFrame:
         # re-plans/coalesces before the verify joins. Keep it.
         .distinct()
     )
+    out._bk_pin = bk
+    return out
 
 
 # Session-scoped memo of the verified near-dup pair set, keyed by
@@ -270,12 +298,21 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     d = _docs_with_shingles(spark, sf_dir).cache()
     pairs = _exact_jaccard_pairs(spark, d).cache()
-    # pins: the shingled-docs cache AND the vocab-rank cache that
-    # dist_row_number persisted inside the bitmap encode — both are
-    # freed with this entry on LRU eviction (r10 advice: eviction must
-    # not leak the rank's InMemoryRelation)
-    rn_pin = getattr(pairs, "_rn_pin", None)
-    pins = (d, rn_pin) if rn_pin is not None else (d,)
+    # pins: the shingled-docs cache, the vocab-rank cache that
+    # dist_row_number persisted inside the bitmap encode, and the r15
+    # band-table + bitmap-table caches (each shared by both sides of
+    # its self-join) — all freed with this entry on LRU eviction (r10
+    # advice: eviction must not leak an InMemoryRelation)
+    pins = tuple(
+        f
+        for f in (
+            d,
+            getattr(pairs, "_rn_pin", None),
+            getattr(pairs, "_enc_pin", None),
+            getattr(pairs, "_bk_pin", None),
+        )
+        if f is not None
+    )
     _memo_insert(_PAIR_MEMO, _PAIR_PINS, key, pairs, pins=pins)
     return pairs
 
@@ -364,8 +401,17 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         # five times. Defensive cache instead of assert — hygiene must
         # not turn a future caller into a failure.
         d = d.cache()
-    cand = _minhash_band_candidates(d)
+    n_docs = d.count()  # metadata for BOTH join-strategy gates
+    cand = _minhash_band_candidates(d, n_docs=n_docs)
     enc, n_words = _bitmap_encode(d, "shingles")
+    # cache: ONE bitmap build feeds both verify-join sides — the r14
+    # plan assembled the full encode pipeline (vocab join + bit_or +
+    # collect_list aggregates) independently per side. |docs| rows ×
+    # ceil(|V|/64) longs — smaller than the already-cached shingled
+    # input by construction; pinned for LRU eviction via _enc_pin.
+    rn_pin = enc._rn_pin
+    enc = enc.cache()
+    enc._rn_pin = rn_pin
     inter = F.aggregate(
         F.zip_with(
             F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
@@ -386,7 +432,7 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
     # ids instead; correct, but the semi-join forced the 4.4M-row band
     # join to materialize behind a count barrier and tripled the
     # sf0.1 bench — metadata beats measurement here.
-    est_bytes = d.count() * (n_words * 8 + 48)  # d cached (enforced above)
+    est_bytes = n_docs * (n_words * 8 + 48)
     if est_bytes <= _ENC_BCAST_LIMIT:
         ea, eb = F.broadcast(enc.alias("ea")), F.broadcast(enc.alias("eb"))
     else:
@@ -406,6 +452,8 @@ def _exact_jaccard_pairs(spark: SparkSession, d: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
     out._rn_pin = enc._rn_pin  # bubble the vocab-rank cache to the memo
+    out._enc_pin = enc  # the cached bitmap table, freed with the memo
+    out._bk_pin = cand._bk_pin  # the cached band table, likewise
     return out
 
 
