@@ -388,13 +388,23 @@ def _iceberg_stage(spark: SparkSession, o: DataFrame, root: str) -> None:
     os.makedirs(meta_dir, exist_ok=True)
     # one parquet file per partition dir per snapshot slice (coalesce(1)
     # keeps the layout deterministic at fixture scale; a real writer
-    # shards — the reader below never assumes one file per partition)
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "s1"))
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
-        "overwrite"
-    ).partitionBy("o_orderpriority").parquet(os.path.join(data_dir, "s2"))
+    # shards — the reader below never assumes one file per partition).
+    # The two snapshot slices are INDEPENDENT writes to disjoint dirs,
+    # so they run as concurrent jobs (optimization guide §2.6: overlap
+    # independent jobs so the second fills the first's task tail) —
+    # byte-identical output, ~halved wall time for the shared stage.
+    def _write_slice(parity_dir):
+        parity, dirname = parity_dir
+        o.filter(F.col("o_orderkey") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(
+            os.path.join(data_dir, dirname)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write_slice, [(0, "s1"), (1, "s2")]))
     evens = _pfiles(data_dir, "s1")
     odds = _pfiles(data_dir, "s2")
 

@@ -184,24 +184,37 @@ def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
     # --- s4: CDC upsert. Replacement rows land as TWO shards per
     # partition (repartition(2)) so the s6 compaction below has real
     # work; equality-delete keys land range-split across two files,
-    # the way a real CDC writer shards a commit.
-    o.filter(
-        (F.col("o_orderkey") % 14 == 0)
-        & (F.col("o_orderpriority") != "1-URGENT")
-    ).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
-    ).repartition(2).write.mode("overwrite").partitionBy(
-        "o_orderpriority"
-    ).parquet(os.path.join(data_dir, "s4"))
+    # the way a real CDC writer shards a commit. The two writes are
+    # independent (disjoint dirs) and run as concurrent jobs (guide
+    # §2.6) — content identical, tail-filled wall time.
+    eq_dir = os.path.join(meta_dir, "eqdel")
+
+    def _write_s4_data():
+        o.filter(
+            (F.col("o_orderkey") % 14 == 0)
+            & (F.col("o_orderpriority") != "1-URGENT")
+        ).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+        ).repartition(2).write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(os.path.join(data_dir, "s4"))
+
+    def _write_s4_eqdel():
+        o.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey"
+        ).repartitionByRange(2, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(eq_dir)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(_write_s4_data)
+        f2 = pool.submit(_write_s4_eqdel)
+        f1.result(), f2.result()
     ins_entries = [
         _entry(_ST_ADDED, _S4, 4, p, v) for p, v in _pfiles(data_dir, "s4")
     ]
-    eq_dir = os.path.join(meta_dir, "eqdel")
-    o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey"
-    ).repartitionByRange(2, "o_orderkey").write.mode("overwrite").parquet(
-        eq_dir
-    )
     eq_files = [
         os.path.join(eq_dir, f)
         for f in sorted(os.listdir(eq_dir))
@@ -239,7 +252,11 @@ def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
     live, _ = _iceberg_files(_iceberg_snapshot(meta))
     pval_by_path = {p: v for p, v, _, _ in live}
     hits = (
-        spark.read.parquet(*sorted(pval_by_path))
+        # explicit schema: skips the driver-side footer-inference job
+        # every bare read.parquet pays (guide §1 — don't compute what
+        # you already know; the staged layout is fixed two columns)
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .parquet(*sorted(pval_by_path))
         .select(
             _norm_file_uri(F.input_file_name()).alias("fp"),
             F.col("_metadata.row_index").alias("pos"),
@@ -297,21 +314,32 @@ def _stage_changelog_table(spark: SparkSession, sf_dir: str) -> str:
     s4_by_part: dict[str, list[str]] = {}
     for p, v in _pfiles(data_dir, "s4"):
         s4_by_part.setdefault(v, []).append(p)
-    compact_entries = []
-    for v, paths in sorted(s4_by_part.items()):
+
+    # per-partition compaction jobs are independent (disjoint inputs
+    # and output dirs) — run them concurrently (guide §2.6) with an
+    # explicit schema (no per-relation footer inference)
+    def _compact(item):
+        v, paths = item
         out_dir = os.path.join(data_dir, "s6", f"o_orderpriority={v}")
-        spark.read.parquet(*sorted(paths)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        spark.read.schema("o_orderkey long, o_totalprice double").parquet(
+            *sorted(paths)
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
         (new_file,) = [
             os.path.join(out_dir, f)
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        compact_entries.append(_entry(_ST_ADDED, _S6, 6, new_file, v))
-        compact_entries.extend(
-            _entry(_ST_DELETED, _S6, 4, p, v) for p in sorted(paths)
-        )
+        return v, paths, new_file
+
+    compact_entries = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for v, paths, new_file in pool.map(
+            _compact, sorted(s4_by_part.items())
+        ):
+            compact_entries.append(_entry(_ST_ADDED, _S6, 6, new_file, v))
+            compact_entries.extend(
+                _entry(_ST_DELETED, _S6, 4, p, v) for p in sorted(paths)
+            )
     # survivors of m3 carry over EXISTING with their original ids
     for e in ocf_read(m3)[1]:
         if e["status"] == _ST_DELETED:
@@ -441,26 +469,22 @@ def _scan_rows(
     change_type: str,
     with_coords: bool = False,
 ):
-    """ONE distributed scan per partition VALUE over the given files
-    (the identity partition column is manifest metadata, not file
-    content), with each row's change ordinal attached via a broadcast
-    path→ordinal map — plan size is O(partition values), independent
-    of file and commit counts."""
+    """ONE distributed multi-path scan over ALL the given files, with
+    each row's identity-partition value AND change ordinal attached via
+    a single broadcast path→(value, ordinal) map — both are manifest
+    metadata, not file content. The r14 shape planned one scan per
+    partition VALUE and unioned them; collapsing to one relation with
+    an explicit schema removes the per-relation footer-inference work
+    and the union, and plan size becomes O(1) in values and files."""
     if not files:
         return None
-    by_val: dict[str, list[str]] = {}
-    for p, v, _ in files:
-        by_val.setdefault(v, []).append(p)
-    cols = ["o_orderkey", "o_totalprice"]
-    scans = []
-    # None-safe ordering: an unpartitioned entry carries a None
-    # partition value and must not TypeError against string values
-    for v, paths in sorted(
-        by_val.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
-    ):
-        s = spark.read.parquet(*sorted(set(paths))).select(
-            *cols,
-            F.lit(v).cast("string").alias("o_orderpriority"),
+    paths = sorted({p for p, _, _ in files})
+    df = (
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .parquet(*paths)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
             _norm_file_uri(F.input_file_name()).alias("_fp"),
             *(
                 [F.col("_metadata.row_index").alias("_pos")]
@@ -468,13 +492,15 @@ def _scan_rows(
                 else []
             ),
         )
-        scans.append(s)
-    df = scans[0]
-    for s in scans[1:]:
-        df = df.unionByName(s)
+    )
     omap = spark.createDataFrame(
-        sorted({(p, o) for p, _, o in files}),
-        "file_path string, change_ordinal int",
+        sorted(
+            {(p, v, o) for p, v, o in files},
+            # None-safe ordering: an unpartitioned entry carries a None
+            # partition value and must not TypeError against strings
+            key=lambda t: (t[0], t[1] is None, t[1] or "", t[2]),
+        ),
+        "file_path string, o_orderpriority string, change_ordinal int",
     )
     df = df.join(F.broadcast(omap), df["_fp"] == omap["file_path"]).drop(
         "file_path"
@@ -576,9 +602,8 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
                 "dpath string, dseq long, change_ordinal int",
             )
             keys = (
-                spark.read.parquet(
-                    *sorted(d["path"] for d in plan["eq_files"])
-                )
+                spark.read.schema("o_orderkey long")
+                .parquet(*sorted(d["path"] for d in plan["eq_files"]))
                 .withColumn("dpath", _norm_file_uri(F.input_file_name()))
                 .join(F.broadcast(dmap), "dpath")
                 .select(
@@ -606,9 +631,8 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
                 "dpath string, dseq long, change_ordinal int",
             )
             pairs = (
-                spark.read.parquet(
-                    *sorted(d["path"] for d in plan["pos_files"])
-                )
+                spark.read.schema("file_path string, pos long")
+                .parquet(*sorted(d["path"] for d in plan["pos_files"]))
                 .withColumn("dpath", _norm_file_uri(F.input_file_name()))
                 .join(F.broadcast(dmap), "dpath")
                 .select("file_path", "pos", "dseq", "change_ordinal")

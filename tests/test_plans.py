@@ -1588,18 +1588,15 @@ def test_changelog_single_scan_per_side_and_join_constant(spark):
 
     df = engine.REGISTRY["src_iceberg_changelog"].fn(spark, SF_DIR)
     plan = _changelog_plan(_tmp(SF_DIR, "iceberg_changelog"), from_id=_S2)
-    n_ins_pvals = len({v for _, v, _ in plan["inserted"]})
-    n_rem_pvals = len({v for _, v, _ in plan["removed"]})
-    n_base_pvals = len({v for v, _, _ in plan["base"].values()})
+    assert len({v for _, v, _ in plan["inserted"]}) >= 2
     assert len(plan["eq_files"]) >= 2, "fixture must shard eq deletes"
     assert len(plan["pos_files"]) >= 2, "fixture must shard pos deletes"
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    # one relation per pval per side; the base side appears in both
-    # delete branches; ONE relation for ALL eq files, ONE for ALL pos
-    expected_relations = (
-        n_ins_pvals + n_rem_pvals + 2 * n_base_pvals + 2
-    )
-    assert opt.count("Relation [") == expected_relations, opt
+    # r15: ONE relation per SIDE — inserted, removed, base (referenced
+    # by both delete branches, so it appears twice), eq keys, pos pairs
+    # — independent of partition-value count too (the identity value
+    # rides the broadcast path map, not a per-value scan union)
+    assert opt.count("Relation [") == 6, opt
     # joins: ins+rem ordinal maps (2) + per delete modality: base
     # ordinal map + base seq map + delete-file map + ONE apply (4×2)
     assert opt.count("Join ") == 10, opt
