@@ -1130,23 +1130,23 @@ def _scan_apply_pos_deletes(
     """The v2 position-delete READ path, shared by the reader key above
     and the lake_r15 DELETE writer (which must apply the CURRENT
     deletes before matching, so an already-deleted row never re-enters
-    a commit payload): per-partition-value scans with the (file,
-    position) coordinate captured AT SCAN LEVEL (_metadata.row_index
-    does not survive a union), then ONE anti-join on (file, pos) gated
-    by the spec's `data_seq <= delete_seq` ordering rule, broadcast
+    a commit payload): ONE multi-path scan over every live data file
+    (explicit schema — no footer-inference pass) with the (file,
+    position) coordinate captured at scan level, the identity-partition
+    value and the file's data sequence number attached via a single
+    broadcast path map, then ONE anti-join on (file, pos) gated by the
+    spec's `data_seq <= delete_seq` ordering rule, broadcast
     stats-gated on manifest record counts. Returns rows with the
     normalized `_fp` and `_pos` coordinates kept, or None when no data
     files are live."""
     if not data_files:
         return None
-    by_val: dict[str, list[str]] = {}
-    for p, v, _, _ in data_files:
-        by_val.setdefault(v, []).append(p)
-    scans = [
-        spark.read.parquet(*sorted(paths)).select(
+    df = (
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .parquet(*sorted({p for p, _, _, _ in data_files}))
+        .select(
             "o_orderkey",
             "o_totalprice",
-            F.lit(v).alias("o_orderpriority"),
             # normalize the scan's file URI to the staged
             # absolute-path form the delete files reference
             # (input_file_name percent-encodes e.g. the space in
@@ -1154,16 +1154,17 @@ def _scan_apply_pos_deletes(
             _norm_file_uri(F.input_file_name()).alias("_fp"),
             F.col("_metadata.row_index").alias("_pos"),
         )
-        for v, paths in sorted(by_val.items())
-    ]
-    df = scans[0]
-    for s in scans[1:]:
-        df = df.unionByName(s)
+    )
+    # ONE broadcast path map restores the identity-partition value and
+    # carries the data sequence number — both manifest metadata
+    fmap = spark.createDataFrame(
+        [(p, v, s) for p, v, _, s in data_files],
+        "file_path string, o_orderpriority string, data_seq long",
+    )
+    df = df.join(F.broadcast(fmap), df["_fp"] == fmap["file_path"]).drop(
+        "file_path"
+    )
     if delete_files:
-        seq_map = spark.createDataFrame(
-            [(p, s) for p, _, _, s in data_files],
-            "file_path string, data_seq long",
-        )
         # tag each delete row with its file's sequence number via a
         # broadcast (FULL normalized delete-file path → seq) map — the
         # same url_decode/scheme-strip normalization the data side
@@ -1174,7 +1175,8 @@ def _scan_apply_pos_deletes(
             "dpath string, dseq long",
         )
         dels = (
-            spark.read.parquet(*sorted(d["path"] for d in delete_files))
+            spark.read.schema("file_path string, pos long")
+            .parquet(*sorted(d["path"] for d in delete_files))
             .withColumn(
                 "dpath",
                 _norm_file_uri(F.input_file_name()),
@@ -1182,7 +1184,6 @@ def _scan_apply_pos_deletes(
             .join(F.broadcast(dseq), "dpath")
             .select("file_path", "pos", "dseq")
         )
-        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
         n_del = sum(d["n"] for d in delete_files)
         df = df.join(
             _maybe_broadcast_deletes(dels, n_del),
@@ -1190,8 +1191,8 @@ def _scan_apply_pos_deletes(
             & (df["_pos"] == dels["pos"])
             & (df["data_seq"] <= dels["dseq"]),  # spec ordering rule
             "left_anti",
-        ).drop("file_path", "data_seq")
-    return df
+        )
+    return df.drop("data_seq")
 
 
 # --- schema evolution (field-id projection + name mapping) ---------------------
