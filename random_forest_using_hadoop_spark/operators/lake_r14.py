@@ -34,6 +34,8 @@ from random_forest_using_hadoop_spark.delta_format import (
 )
 from random_forest_using_hadoop_spark.iceberg_format import ocf_read, ocf_write
 from random_forest_using_hadoop_spark.operators.iceberg_ext import (
+    _scan_apply_eq_deletes,
+    _scan_with_partition,
     _MANIFEST_FILE_SCHEMA,
     _ST_ADDED,
     _ST_DELETED,
@@ -1117,25 +1119,39 @@ def _iceberg_upsert_commit(
     same-commit inserts survive their own delete."""
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
-    batch.coalesce(1).write.mode("overwrite").partitionBy(
-        "o_orderpriority"
-    ).parquet(os.path.join(data_dir, f"s{seq}"))
+    # the batch's data shards and its eq-delete key file are
+    # independent writes to disjoint dirs — run them as concurrent
+    # jobs (guide §2.6); content identical, tail-filled wall time
+    eq_stage = os.path.join(meta_dir, f"eqdel-s{seq}.staging")
+
+    def _write_data():
+        batch.coalesce(1).write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(os.path.join(data_dir, f"s{seq}"))
+
+    def _write_keys():
+        # the eq-delete file is written BY AN EXECUTOR (r14 verdict
+        # hardening): a backfill-sized batch must not round-trip its
+        # keys through the driver. One sorted single-partition write,
+        # then a driver-side rename — a metadata op, like any commit
+        # finalize.
+        (
+            batch.select(F.col("o_orderkey").cast("long"))
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(eq_stage)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fd, fk = pool.submit(_write_data), pool.submit(_write_keys)
+        fd.result(), fk.result()
     ins = [
         _entry(_ST_ADDED, snap_id, seq, p, v)
         for p, v in _pfiles(data_dir, f"s{seq}")
     ]
-    # the eq-delete file is written BY AN EXECUTOR (r14 verdict
-    # hardening): a backfill-sized batch must not round-trip its keys
-    # through the driver. One sorted single-partition write, then a
-    # driver-side rename — a metadata op, like any commit finalize.
-    eq_stage = os.path.join(meta_dir, f"eqdel-s{seq}.staging")
-    (
-        batch.select(F.col("o_orderkey").cast("long"))
-        .repartition(1)
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite")
-        .parquet(eq_stage)
-    )
     (part,) = [
         f for f in os.listdir(eq_stage) if f.endswith(".parquet")
     ]
@@ -1212,48 +1228,14 @@ def q_sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- read back through the strict-sequence eq-delete contract
+    # (the shared _scan_apply_eq_deletes path — writer and reader are
+    # held to one contract)
     meta = _iceberg_table_meta(root)
     data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
-    if not data_files:  # adversarial corpus: all-urgent base, empty batches
+    df = _scan_apply_eq_deletes(spark, data_files, delete_files)
+    if df is None:  # adversarial corpus: all-urgent base, empty batches
         return spark.createDataFrame(
             [], "o_orderpriority string, n_rows long, total_cents long"
-        )
-    by_val: dict[str, list[str]] = {}
-    for p, v, _, _ in data_files:
-        by_val.setdefault(v, []).append(p)
-    scans = [
-        spark.read.parquet(*sorted(paths)).select(
-            "o_orderkey",
-            "o_totalprice",
-            F.lit(v).alias("o_orderpriority"),
-            _norm_file_uri(F.input_file_name()).alias("_fp"),
-        )
-        for v, paths in sorted(by_val.items())
-    ]
-    df = scans[0]
-    for s in scans[1:]:
-        df = df.unionByName(s)
-    eq = [d for d in delete_files if d["content"] == 2]
-    if eq:
-        seq_map = spark.createDataFrame(
-            [(p, s) for p, _, _, s in data_files],
-            "bpath string, data_seq long",
-        )
-        df = df.join(F.broadcast(seq_map), df["_fp"] == seq_map["bpath"])
-        dmap = spark.createDataFrame(
-            [(d["path"], d["seq"]) for d in eq], "dpath string, dseq long"
-        )
-        keys = (
-            spark.read.parquet(*sorted(d["path"] for d in eq))
-            .withColumn("dpath", _norm_file_uri(F.input_file_name()))
-            .join(F.broadcast(dmap), "dpath")
-            .select(F.col("o_orderkey").alias("_delkey"), "dseq")
-        )
-        df = df.join(
-            _maybe_broadcast_deletes(keys, sum(d["n"] for d in eq)),
-            (df["o_orderkey"] == keys["_delkey"])
-            & (df["data_seq"] < keys["dseq"]),
-            "left_anti",
         )
     return df.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1322,47 +1304,8 @@ def q_sink_iceberg_rewrite_deletes(
     data_files, delete_files = _iceberg_files(cur)
     _S6 = _S3 + 3
     if data_files:
-        # live state WITH deletes applied — the normal read path
-        by_val: dict[str, list[str]] = {}
-        for p, v, _, _ in data_files:
-            by_val.setdefault(v, []).append(p)
-        scans = [
-            spark.read.parquet(*sorted(paths)).select(
-                "o_orderkey",
-                "o_totalprice",
-                F.lit(v).alias("o_orderpriority"),
-                _norm_file_uri(F.input_file_name()).alias("_fp"),
-            )
-            for v, paths in sorted(by_val.items())
-        ]
-        df = scans[0]
-        for s in scans[1:]:
-            df = df.unionByName(s)
-        eq = [d for d in delete_files if d["content"] == 2]
-        if eq:
-            seq_map = spark.createDataFrame(
-                [(p, s) for p, _, _, s in data_files],
-                "bpath string, data_seq long",
-            )
-            df = df.join(
-                F.broadcast(seq_map), df["_fp"] == seq_map["bpath"]
-            )
-            dmap = spark.createDataFrame(
-                [(d["path"], d["seq"]) for d in eq],
-                "dpath string, dseq long",
-            )
-            keys = (
-                spark.read.parquet(*sorted(d["path"] for d in eq))
-                .withColumn("dpath", _norm_file_uri(F.input_file_name()))
-                .join(F.broadcast(dmap), "dpath")
-                .select(F.col("o_orderkey").alias("_delkey"), "dseq")
-            )
-            df = df.join(
-                _maybe_broadcast_deletes(keys, sum(d["n"] for d in eq)),
-                (df["o_orderkey"] == keys["_delkey"])
-                & (df["data_seq"] < keys["dseq"]),
-                "left_anti",
-            )
+        # live state WITH deletes applied — the normal (shared) read path
+        df = _scan_apply_eq_deletes(spark, data_files, delete_files)
         # rewrite: one file per partition at seq 6, deletes materialized
         df.select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -1400,20 +1343,9 @@ def q_sink_iceberg_rewrite_deletes(
         return spark.createDataFrame(
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
-    by_val2: dict[str, list[str]] = {}
-    for p, v, _, _ in data_files:
-        by_val2.setdefault(v, []).append(p)
-    scans2 = [
-        spark.read.parquet(*sorted(paths)).select(
-            "o_orderkey",
-            "o_totalprice",
-            F.lit(v).alias("o_orderpriority"),
-        )
-        for v, paths in sorted(by_val2.items())
-    ]
-    out = scans2[0]
-    for s in scans2[1:]:
-        out = out.unionByName(s)
+    out = _scan_with_partition(
+        spark, [(p, v, n) for p, v, n, _ in data_files]
+    )
     return out.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
@@ -1929,23 +1861,9 @@ def q_sink_iceberg_publish_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _read_main(meta: dict) -> DataFrame | None:
         snap = _iceberg_snapshot(meta, ref="main")
         files, _ = _iceberg_files(snap)
-        if not files:
-            return None
-        by_val: dict[str, list[str]] = {}
-        for p, v, _, _ in files:
-            by_val.setdefault(v, []).append(p)
-        scans = [
-            spark.read.parquet(*sorted(paths)).select(
-                "o_orderkey",
-                "o_totalprice",
-                F.lit(v).alias("o_orderpriority"),
-            )
-            for v, paths in sorted(by_val.items())
-        ]
-        out = scans[0]
-        for s in scans[1:]:
-            out = out.unionByName(s)
-        return out
+        return _scan_with_partition(
+            spark, [(p, v, n) for p, v, n, _ in files]
+        )
 
     before = _read_main(_iceberg_table_meta(root))
 
