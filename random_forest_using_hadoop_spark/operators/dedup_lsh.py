@@ -810,6 +810,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bin"),
         )
+        # cache: ONE prefix-emit pass (occurrence explode → df join →
+        # per-doc rank window → bin explode) feeds both self-join
+        # sides — the planner would otherwise assemble the whole
+        # pipeline independently per side. ~|docs|×prefix×2 small rows;
+        # released with the other dedup caches (release_caches).
+        .cache()
     )
     a = prefix.select(
         "tok",
@@ -871,6 +877,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # safety (the oracle's NULLIF form).
     enc, n_words = _bitmap_encode(bg.select("doc_id", "bigrams"), "bigrams")
     _pin_transient(enc)  # unmemoized call: bound the vocab-rank cache
+    # cache: ONE bitmap build feeds both verify-join sides (same fix as
+    # the minhash verify; released by release_caches like `bg` above)
+    rn_pin = enc._rn_pin
+    enc = enc.cache()
+    enc._rn_pin = rn_pin
     inter = F.aggregate(
         F.zip_with(
             F.col("ea.bm"), F.col("eb.bm"), lambda x, y: F.bit_count(x.bitwiseAND(y))
