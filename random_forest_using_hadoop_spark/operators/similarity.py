@@ -932,23 +932,38 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_embedding's block grid) at the balance point of the two
     # cost terms — see the _SEMDEDUP_ORACLE comment
     k = max(_SEMDEDUP_K_MIN, math.ceil(math.sqrt(v.count() / 2.0)))
+    # per-side invariants are computed ONCE per vector, not once per
+    # (vector, centroid) pair / per pair: |c|² rides the broadcast
+    # centroid table, |v|² and the norm ride the corpus row. The fold
+    # that produces each term and the combining expression's operation
+    # order are unchanged, so every double is bit-identical to the r15
+    # per-pair recomputation (IEEE determinism), at a third of the
+    # lambda-fold work in the two quadratic stages.
     c = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("ve").alias("ce"),
+        _dot(F.col("ve"), F.col("ve")).alias("cc"),
     )
-    corpus = v.filter(F.col("vec_id") >= k)
-    dist2 = (
-        _dot(F.col("ve"), F.col("ve"))
-        - 2.0 * _dot(F.col("ve"), F.col("ce"))
-        + _dot(F.col("ce"), F.col("ce"))
+    corpus = v.filter(F.col("vec_id") >= k).select(
+        "vec_id",
+        "ve",
+        _dot(F.col("ve"), F.col("ve")).alias("vv"),
+        F.sqrt(_dot(F.col("ve"), F.col("ve"))).alias("nv"),
     )
+    dist2 = F.col("vv") - 2.0 * _dot(F.col("ve"), F.col("ce")) + F.col("cc")
     scored = corpus.join(F.broadcast(c)).select(
-        "vec_id", "ve", "cid", dist2.alias("dist2")
+        "vec_id", "ve", "nv", "cid", dist2.alias("dist2")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
     assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "ve", "cid")
+        # argmin as ONE hash aggregate (map-side partial) instead of a
+        # sort-window pass: min over struct(dist2, cid, …) picks the
+        # same row as row_number over (dist2 ASC, cid ASC) — cid is
+        # unique within a vec_id group, so the trailing fields never
+        # participate in the comparison
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid", "ve", "nv")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"),
+                F.col("m.ve").alias("ve"), F.col("m.nv").alias("nv"))
         # materialize ONCE: four downstream consumers (both pair
         # sides, the population agg, the spine join) would otherwise
         # each replay the n·K assignment pass — the same pattern as
@@ -956,16 +971,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("ka"), F.col("ve").alias("va")
+        F.col("cid"), F.col("vec_id").alias("ka"),
+        F.col("ve").alias("va"), F.col("nv").alias("na"),
     )
     b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("kb"), F.col("ve").alias("vb")
+        F.col("cid"), F.col("vec_id").alias("kb"),
+        F.col("ve").alias("vb"), F.col("nv").alias("nb"),
     )
     dup = (
         a.join(b, "cid")
         .filter(F.col("ka") < F.col("kb"))
         .filter(
-            _cosine(F.col("va"), F.col("vb")) >= F.lit(_SEMDEDUP_TAU)
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(_SEMDEDUP_TAU)
         )
         .select("cid", "ka", "kb")
     )
