@@ -614,8 +614,43 @@ def _stage_cdf_history(spark: SparkSession, o: DataFrame, root: str) -> None:
             if f.endswith(".parquet")
         ]
 
+    # the five data/cdc slices land in DISJOINT subdirs and derive only
+    # from the input frame — independent jobs, run concurrently (guide
+    # §2.6) and committed in order once all names are known
+    updated = ev.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    pre = ev.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = updated.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    kept = updated.filter(F.col("o_orderkey") % 20 != 0)
+    deleted = updated.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {
+            name: pool.submit(_write_slice, df, out_dir, tag)
+            for name, df, out_dir, tag in (
+                ("v0", ev, data_dir, "v0"),
+                ("v1", updated, data_dir, "v1"),
+                ("v1c", pre.unionByName(post), cdc_dir, "v1"),
+                ("v2", kept, data_dir, "v2"),
+                ("v2c", deleted, cdc_dir, "v2"),
+            )
+        }
+        got = {name: f.result() for name, f in futs.items()}
+    v0_files, v1_files, v1_cdc = got["v0"], got["v1"], got["v1c"]
+    v2_files, v2_cdc = got["v2"], got["v2c"]
+
     # v0: INSERT evens (no cdc action — feed derives from the add)
-    v0_files = _write_slice(ev, data_dir, "v0")
     lines = [
         json.dumps({"add": {"path": p, "dataChange": True}})
         for p in v0_files
@@ -624,20 +659,6 @@ def _stage_cdf_history(spark: SparkSession, o: DataFrame, root: str) -> None:
         fh.write("\n".join(lines) + "\n")
 
     # v1: UPDATE — +1.00 on %10 keys; rewrite file + cdc pre/postimage
-    updated = ev.withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.0)
-        ).otherwise(F.col("o_totalprice")),
-    )
-    v1_files = _write_slice(updated, data_dir, "v1")
-    pre = ev.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "_change_type", F.lit("update_preimage")
-    )
-    post = updated.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "_change_type", F.lit("update_postimage")
-    )
-    v1_cdc = _write_slice(pre.unionByName(post), cdc_dir, "v1")
     lines = (
         [json.dumps({"cdc": {"path": p, "dataChange": False}}) for p in v1_cdc]
         + [json.dumps({"add": {"path": p, "dataChange": True}}) for p in v1_files]
@@ -647,12 +668,6 @@ def _stage_cdf_history(spark: SparkSession, o: DataFrame, root: str) -> None:
         fh.write("\n".join(lines) + "\n")
 
     # v2: DELETE %20 keys — rewrite file + cdc delete rows
-    kept = updated.filter(F.col("o_orderkey") % 20 != 0)
-    deleted = updated.filter(F.col("o_orderkey") % 20 == 0).withColumn(
-        "_change_type", F.lit("delete")
-    )
-    v2_files = _write_slice(kept, data_dir, "v2")
-    v2_cdc = _write_slice(deleted, cdc_dir, "v2")
     lines = (
         [json.dumps({"cdc": {"path": p, "dataChange": False}}) for p in v2_cdc]
         + [json.dumps({"add": {"path": p, "dataChange": True}}) for p in v2_files]

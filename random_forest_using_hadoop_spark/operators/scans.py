@@ -1104,25 +1104,59 @@ def _delta_stage_history(
     log_dir = os.path.join(root, "_delta_log")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    before = _delta_list_files(data_dir)
-    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v0_adds = _delta_list_files(data_dir) - before
-    _delta_commit(log_dir, 0, v0_adds, set())
-    before = _delta_list_files(data_dir)
-    o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
-        "append"
-    ).parquet(data_dir)
-    v1_adds = _delta_list_files(data_dir) - before
-    _delta_commit(log_dir, 1, v1_adds, set())
-    before = _delta_list_files(data_dir)
-    if v0_adds:
-        spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
-        ).repartition(1).write.mode("append").parquet(data_dir)
-    v2_adds = _delta_list_files(data_dir) - before
-    _delta_commit(log_dir, 2, v2_adds, v0_adds, data_change=False)
+
+    # v0 writes straight to the table; v1 lands in a staging dir
+    # CONCURRENTLY (guide §2.6 — independent jobs overlap), and the v2
+    # compaction (which reads v0's files) overlaps v1's tail. Staged
+    # part files keep their unique basenames when moved in, so the
+    # commit contents are exactly the sequential layout's.
+    def _write_v0():
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    v1_stage = os.path.join(root, ".v1.staging")
+
+    def _write_v1():
+        o.filter(F.col("o_orderkey") % 2 == 1).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(v1_stage)
+
+    def _move_in(stage_dir: str) -> set[str]:
+        moved = set()
+        for f in sorted(os.listdir(stage_dir)):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(stage_dir, f), os.path.join(data_dir, f)
+                )
+                moved.add(f)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return moved
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f0 = pool.submit(_write_v0)
+        f1 = pool.submit(_write_v1)
+        f0.result()
+        v0_adds = _delta_list_files(data_dir)
+        v2_stage = os.path.join(root, ".v2.staging")
+        f2 = None
+        if v0_adds:
+            f2 = pool.submit(
+                lambda: spark.read.parquet(
+                    *[os.path.join(data_dir, f) for f in sorted(v0_adds)]
+                ).repartition(1).write.mode("overwrite").parquet(v2_stage)
+            )
+        _delta_commit(log_dir, 0, v0_adds, set())
+        f1.result()
+        v1_adds = _move_in(v1_stage)
+        _delta_commit(log_dir, 1, v1_adds, set())
+        v2_adds = set()
+        if f2 is not None:
+            f2.result()
+            v2_adds = _move_in(v2_stage)
+        _delta_commit(log_dir, 2, v2_adds, v0_adds, data_change=False)
     return v0_adds, v1_adds, v2_adds
 
 
