@@ -180,6 +180,12 @@ GROUP BY r.ref
 """
 
 
+def _branch_write_data(src: DataFrame, root: str, tag: str) -> None:
+    src.coalesce(1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(os.path.join(root, "data", tag))
+
+
 def _branch_commit(
     spark: SparkSession,
     root: str,
@@ -188,15 +194,18 @@ def _branch_commit(
     snap_id: int,
     seq: int,
     ts: int,
+    data_written: bool = False,
 ) -> None:
     """One branch-only APPEND: new data files + manifest, manifest list
     = the s3 base manifest + the new one, snapshot appended WITHOUT
-    moving main or current-snapshot-id (the WAP write shape)."""
+    moving main or current-snapshot-id (the WAP write shape).
+    ``data_written`` skips the data write when the caller already
+    landed the slice (so independent branch payloads can be written as
+    concurrent jobs before their metadata commits apply in order)."""
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
-    src.coalesce(1).write.mode("overwrite").partitionBy(
-        "o_orderpriority"
-    ).parquet(os.path.join(data_dir, tag))
+    if not data_written:
+        _branch_write_data(src, root, tag)
     m = _write_manifest(
         meta_dir,
         f"m-{tag}.avro",
@@ -272,15 +281,28 @@ def q_sink_iceberg_ref_lifecycle(
     _iceberg_stage(spark, o, root)
     _S4, _S5 = _S3 + 1, _S3 + 2
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    s4src = urgent.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    s5src = urgent.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(20.0)
+    )
+    # the two branch payloads are independent writes to disjoint dirs —
+    # land them as concurrent jobs (guide §2.6), then apply the
+    # metadata commits in order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f4 = pool.submit(_branch_write_data, s4src, root, "s4wap")
+        f5 = pool.submit(_branch_write_data, s5src, root, "s5tmp")
+        f4.result(), f5.result()
     _branch_commit(
-        spark, root,
-        urgent.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0)),
-        "s4wap", _S4, 4, _T3 + 60_000,
+        spark, root, s4src, "s4wap", _S4, 4, _T3 + 60_000,
+        data_written=True,
     )
     _branch_commit(
-        spark, root,
-        urgent.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(20.0)),
-        "s5tmp", _S5, 5, _T3 + 120_000,
+        spark, root, s5src, "s5tmp", _S5, 5, _T3 + 120_000,
+        data_written=True,
     )
     iceberg_create_ref(root, "wap-branch", _S4, "branch")
     iceberg_create_ref(
@@ -915,7 +937,16 @@ def delta_write_checkpoint(
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    size = state.count()
+    # action-row count from the renamed shards' parquet FOOTERS — a
+    # driver-side metadata read of O(parts) files, instead of a whole
+    # extra Spark job recomputing the state fold (guide §1.2: don't
+    # compute what the write already materialized)
+    import pyarrow.parquet as pq
+
+    size = sum(
+        pq.ParquetFile(os.path.join(log_dir, name)).metadata.num_rows
+        for name in names
+    )
     lc = {"version": v, "size": size}
     if n > 1:
         lc["parts"] = n
