@@ -35,6 +35,25 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000.0
 
 
+def local_rows(spark, data, schema=None):
+    """``spark.createDataFrame`` for SMALL driver-side lists (file maps,
+    spines, commit descriptors, fixture feeds) without the
+    defaultParallelism fan-out: the plain list path parallelizes even a
+    4-row list into one Python partition PER CORE, so materializing it
+    costs ``local[32]`` thirty-two Python-worker round trips (measured
+    4.7 s for a 4-row coalesce(1) write; 0.7 s with one slice). One
+    bounded-metadata list = one partition — same row-verification
+    and type-conversion path (``createDataFrame(RDD, schema)`` is the
+    list path minus the fan-out), so values are identical. Lists that
+    are NOT bounded metadata (none in this engine — everything
+    row-scale is a distributed scan) should keep the plain call."""
+    if not data:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def _fixed(c: Column) -> Column:
     return F.floor(c * SCALE + 0.5).cast("bigint")
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from random_forest_using_hadoop_spark.ml.forest import SEED, assemble
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 _GBT_ITERS = 10
 _GBT_DEPTH = 4
@@ -75,7 +76,7 @@ def q_ml_gbt_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = load_table(spark, sf_dir, "embeddings").count()
     imp_sum = float(sum(model.featureImportances.toArray()))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 model.getNumTrees,
@@ -147,7 +148,7 @@ def q_ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     data.unpersist()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(sizes),

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 SEED = 42
 NUM_TREES = 20
@@ -181,7 +182,7 @@ def q_ml_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_train, n_test = train.count(), test.count()
     classes_train = train.select("label").distinct().count()
     frac = n_train / max(n_total, 1)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 n_total,
@@ -220,7 +221,7 @@ def q_ml_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sampled, n_unique = boot.agg(
         F.count(F.lit(1)), F.countDistinct("vec_id")
     ).first()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 n_rows,
@@ -268,7 +269,7 @@ def q_ml_rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((F.col("label") == F.col("prediction")).cast("double"))
     ).first()[0]
     n_total = load_table(spark, sf_dir, "embeddings").count()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 model.getNumTrees,
@@ -319,7 +320,7 @@ def q_ml_rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_domain = all(r["prediction"] in domain for r in conf)
     integral = all(float(r["prediction"]).is_integer() for r in conf)
     covered = sum(r["n"] for r in conf) == art["pred"].count()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(domain),
@@ -371,7 +372,7 @@ def q_ml_rf_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows, label_sum = data.agg(
         F.count(F.lit(1)).cast("long"), F.sum("label").cast("long")
     ).first()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(n_rows, label_sum, n_test > 0, math.isfinite(rmse), rmse <= 1.5 * sd)],
         "n_rows long, label_sum long, "
         "n_test_pos boolean, rmse_finite boolean, rmse_bounded boolean",
@@ -414,7 +415,7 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long"), F.max("c").cast("long"))
         .first()
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(n_classes, majority_n, 0.0 <= acc <= 1.0, 0.0 <= f1 <= 1.0, acc >= 0.12)],
         "n_classes long, majority_n long, "
         "acc_in_01 boolean, f1_in_01 boolean, acc_above_chance boolean",
@@ -450,7 +451,7 @@ def q_ml_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.sort(key=lambda t: (-t[1], t[0]))
     top = rows[:10]
     n_dims = art["model"].numFeatures
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 len(top),
@@ -501,7 +502,7 @@ def q_ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prediction") == F.col("re_prediction"), 0).otherwise(1)
         ),
     ).first()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(int(n_mismatch), n_pred > 0)],
         "n_mismatch long, roundtrip_nonempty boolean",
     )
@@ -589,7 +590,7 @@ def q_ml_cv_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = cv.fit(data)
     best_depth = model.bestModel.getMaxDepth()
     best_metric = float(max(model.avgMetrics))  # numpy → python scalar
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 data.count(),
@@ -647,7 +648,7 @@ def q_ml_pca_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vector_to_array("pca")).alias("arity")
     )
     arity_ok = projected.filter(F.col("arity") != k).count() == 0
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 data.count(),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
 from random_forest_using_hadoop_spark.helpers import davg, dsum, o_davg, o_dsum
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
@@ -138,7 +139,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("ep"),
         F.countDistinct("l_orderkey").alias("eo"),
     ).first()
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 row["ep"],
@@ -488,7 +489,7 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ev.agg(F.count_distinct("user_id").alias("exact_total")))
         .first()
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 row["n_days"],

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 # --- SQL session variables + EXECUTE IMMEDIATE ---------------------------------
 
@@ -688,7 +689,7 @@ def q_scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = agg.collect()  # the action that materializes the observation
     metrics = obs.get
-    out = spark.createDataFrame(rows, agg.schema)
+    out = local_rows(spark, rows, agg.schema)
     return out.select(
         "l_returnflag",
         "n_rows",

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
+
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
 
@@ -399,7 +401,7 @@ def q_pipe_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = h.agg(
         F.sum("docs").alias("all_docs"), F.sum("toks").alias("all_toks")
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [(t,) for t in _ABLATION_STEPS], "min_chars bigint"
     )
     return (
@@ -564,7 +566,7 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()[0]
         )
         rows.append((frac, n_train, n_test, bool(0.0 <= acc <= 1.0)))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         "frac double, n_train long, n_test long, acc_in_unit_interval boolean",
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
 from random_forest_using_hadoop_spark.helpers import o_dsum
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
@@ -687,7 +688,7 @@ def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in binned
     )
     conf_uniform = all(r["conf_lo"] >= 1.0 / n_classes - 1e-12 for r in binned)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 n_classes,

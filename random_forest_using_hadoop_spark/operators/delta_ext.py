@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from random_forest_using_hadoop_spark.helpers import local_rows
+
 from random_forest_using_hadoop_spark.delta_format import (
     dv_inline_descriptor,
     dv_on_disk_descriptors,
@@ -354,7 +356,7 @@ def q_src_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_stats_table(spark, o, root)
     surviving = _stats_surviving_files(spark, log_dir, _SKIP_LO, _SKIP_HI)
     if not surviving:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     df = spark.read.parquet(
@@ -542,7 +544,7 @@ def q_src_delta_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.row_index").alias("pos"),
     )
     if del_rows:
-        dv_frame = spark.createDataFrame(del_rows, "fname string, pos long")
+        dv_frame = local_rows(spark, del_rows, "fname string, pos long")
         data = data.join(F.broadcast(dv_frame), ["fname", "pos"], "left_anti")
     return data.groupBy(
         (F.col("o_orderkey") % 2).cast("bigint").alias("parity")
@@ -797,7 +799,7 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _tagged_read(paths_by_v: dict[int, list[str]]) -> DataFrame | None:
         if not paths_by_v:
             return None
-        fmap = spark.createDataFrame(
+        fmap = local_rows(spark, 
             [
                 (os.path.basename(p), v)
                 for v, ps in paths_by_v.items()
@@ -849,7 +851,7 @@ def q_src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     if not feeds:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "version int, change_type string, n_rows long, total_cents long",
         )
@@ -1020,7 +1022,7 @@ def q_sink_delta_replacewhere(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v, paths in sorted(by_val.items())
     ]
     if not scans:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     df = scans[0]
@@ -1289,7 +1291,7 @@ def q_src_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _delta_live_files,
     )
 
-    labels = spark.createDataFrame(
+    labels = local_rows(spark, 
         [(v_mid, "asof_mid"), (v_latest, "asof_latest")],
         "version int, snapshot string",
     )
@@ -1313,7 +1315,7 @@ def q_src_delta_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("asof_mid",), ("asof_latest",)], "snapshot string"
     )
     return spine.join(per_snap, "snapshot", "left").select(
@@ -1455,7 +1457,7 @@ def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: checkpoint state ∝ live files
     )
     ckpt_fnames = {r["fname"] for r in side_adds}
-    labels = spark.createDataFrame(
+    labels = local_rows(spark, 
         [("checkpoint_v2", f) for f in sorted(ckpt_fnames)]
         + [("latest_v3", f) for f in sorted(latest_fnames)],
         "snapshot string, fname string",
@@ -1475,7 +1477,7 @@ def q_src_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("checkpoint_v2",), ("latest_v3",)], "snapshot string"
     )
     return spine.join(per_snap, "snapshot", "left").select(
@@ -2367,7 +2369,7 @@ def q_src_delta_liquid_clustering(
             spark, log_dir, "o_custkey", -(2**62), 2**62
         )
     if not surviving:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     df = spark.read.parquet(
@@ -2533,12 +2535,12 @@ def q_src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
     if not adds:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "commit_version int, n_rows long, row_id_sum long, "
             "row_id_max long",
         )
-    base_map = spark.createDataFrame(
+    base_map = local_rows(spark, 
         adds, "file_path string, base_row_id long, commit_version int"
     )
     df = (
@@ -2724,7 +2726,7 @@ def q_src_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif "remove" in act:
                 live.pop(act["remove"]["path"], None)
     if not live:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     by_val: dict[str, list[str]] = {}

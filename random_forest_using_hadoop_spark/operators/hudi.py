@@ -31,6 +31,7 @@ from random_forest_using_hadoop_spark.operators.scans import (
 )
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 _BASE_RE = re.compile(
     r"^(?P<file_id>.+)_(?P<token>\d+-\d+-\d+)_(?P<instant>\d{14})\.parquet$"
@@ -174,7 +175,7 @@ def q_src_hudi_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"got {len(latest_files)}"
         )
 
-    labels = spark.createDataFrame(
+    labels = local_rows(spark, 
         [(os.path.basename(f), "latest") for f in latest_files]
         + [(os.path.basename(f), "asof_c1") for f in c1_files],
         "fname string, snapshot string",
@@ -524,13 +525,13 @@ def q_stream_hudi_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         for inst, (n, c) in sorted(acc.items())
         if inst in ordinal
     ]
-    spine = spark.createDataFrame([(1,), (2,)], "seq int")
+    spine = local_rows(spark, [(1,), (2,)], "seq int")
     got = (
-        spark.createDataFrame(
+        local_rows(spark, 
             rows, "seq int, n_written bigint, total_cents bigint"
         )
         if rows
-        else spark.createDataFrame(
+        else local_rows(spark, 
             [], "seq int, n_written bigint, total_cents bigint"
         )
     )
@@ -829,7 +830,7 @@ def _hudi_mor_merged(
                     ]
 
     logs = (
-        spark.createDataFrame([(p,) for p in log_paths], "path string")
+        local_rows(spark, [(p,) for p in log_paths], "path string")
         .repartition(len(log_paths))
         .mapInPandas(
             _decode_log,

@@ -49,6 +49,7 @@ from random_forest_using_hadoop_spark.operators.scans import (
 )
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 # entry statuses per the spec (§Manifests)
 _ST_EXISTING, _ST_ADDED, _ST_DELETED = 0, 1, 2
@@ -768,7 +769,7 @@ def _scan_with_partition(
         .parquet(*paths)
         .withColumn("_fp", _norm_file_uri(F.input_file_name()))
     )
-    pmap = spark.createDataFrame(
+    pmap = local_rows(spark, 
         sorted(
             {(p, v) for p, v, _ in files},
             # None-safe: unpartitioned entries carry a None value
@@ -826,7 +827,7 @@ def q_src_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _iceberg_live_files(_iceberg_snapshot(meta))
     df = _scan_with_partition(spark, files)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
@@ -876,7 +877,7 @@ def q_src_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _scan_with_partition(spark, _iceberg_live_files(snap))
         if df is not None:
             parts.append(df.withColumn("snapshot", F.lit(label)))
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("as_of_s1",), ("latest",)], "snapshot string"
     )
     if not parts:
@@ -952,7 +953,7 @@ def q_src_iceberg_partition_prune(
     )
     df = _scan_with_partition(spark, files)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
@@ -1127,7 +1128,7 @@ def q_src_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files, delete_files = _iceberg_files(snap)
     df = _scan_apply_pos_deletes(spark, data_files, delete_files)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
@@ -1168,7 +1169,7 @@ def _scan_apply_pos_deletes(
     )
     # ONE broadcast path map restores the identity-partition value and
     # carries the data sequence number — both manifest metadata
-    fmap = spark.createDataFrame(
+    fmap = local_rows(spark, 
         [(p, v, s) for p, v, _, s in data_files],
         "file_path string, o_orderpriority string, data_seq long",
     )
@@ -1181,7 +1182,7 @@ def _scan_apply_pos_deletes(
         # same url_decode/scheme-strip normalization the data side
         # uses; keying on basename would cross-assign sequence numbers
         # between same-named delete files in different directories
-        dseq = spark.createDataFrame(
+        dseq = local_rows(spark, 
             [(d["path"], d["seq"]) for d in delete_files],
             "dpath string, dseq long",
         )
@@ -1236,7 +1237,7 @@ def _scan_apply_eq_deletes(
             _norm_file_uri(F.input_file_name()).alias("_fp"),
         )
     )
-    fmap = spark.createDataFrame(
+    fmap = local_rows(spark, 
         [(p, v, s) for p, v, _, s in data_files],
         "file_path string, o_orderpriority string, data_seq long",
     )
@@ -1251,7 +1252,7 @@ def _scan_apply_eq_deletes(
                     f"unsupported equality_ids {d['equality_ids']}; this "
                     "fixture keys on field 1 (o_orderkey)"
                 )
-        dseq = spark.createDataFrame(
+        dseq = local_rows(spark, 
             [(d["path"], d["seq"]) for d in eq],
             "dpath string, dseq long",
         )
@@ -1468,7 +1469,7 @@ def q_src_iceberg_schema_evolution(
     meta = _iceberg_table_meta(root)
     df = _scan_with_name_mapping(spark, meta)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "order_status string, n_rows long, total_cents long"
         )
     return df.groupBy(
@@ -1651,7 +1652,7 @@ def q_src_iceberg_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     survivors, _ = _stats_surviving_iceberg_files(root)
     if not survivors:
-        return spark.createDataFrame([], "n_rows long, total_cents long")
+        return local_rows(spark, [], "n_rows long, total_cents long")
     return (
         spark.read.parquet(*sorted(survivors))
         .filter(
@@ -1835,7 +1836,7 @@ def q_src_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files, delete_files = _iceberg_files(snap)
     df = _scan_apply_eq_deletes(spark, data_files, delete_files)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
@@ -2013,7 +2014,7 @@ def q_sink_iceberg_expire_snapshots(
 
     df = _scan_with_partition(spark, [(p, v, n) for p, v, n, _ in live])
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "parity bigint, n_rows long, total_cents long"
         )
     return df.groupBy(
@@ -2121,7 +2122,7 @@ def q_sink_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = _scan_with_partition(spark, [(p, v, n) for p, v, n, _ in new_live])
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)
@@ -2329,7 +2330,7 @@ def q_src_iceberg_bucket_transform(
         _iceberg_snapshot(meta), partition_pred=lambda b: b in targets
     )
     if not files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderkey long, n_rows long, total_cents long"
         )
     return (
@@ -2406,7 +2407,7 @@ def q_src_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         return paths
 
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("s1_to_s2",), ("s2_to_s3",)], "segment string"
     )
     parts = []
@@ -2586,7 +2587,7 @@ def q_src_iceberg_year_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _iceberg_snapshot(meta), partition_pred=lambda y: y in targets
     )
     if not files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "order_year bigint, n_rows long, total_cents long"
         )
     return (
@@ -2743,13 +2744,13 @@ def q_stream_iceberg_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (int(seq), int(n), int(c)) for seq, (n, c) in sorted(acc.items())
     ]
-    spine = spark.createDataFrame([(1,), (2,), (3,)], "seq int")
+    spine = local_rows(spark, [(1,), (2,), (3,)], "seq int")
     got = (
-        spark.createDataFrame(
+        local_rows(spark, 
             rows, "seq int, n_appended bigint, total_cents bigint"
         )
         if rows
-        else spark.createDataFrame(
+        else local_rows(spark, 
             [], "seq int, n_appended bigint, total_cents bigint"
         )
     )
@@ -2989,7 +2990,7 @@ def q_src_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred_spec_id=default_spec,
     )
     if not data:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     lit_files: dict[str, list[str]] = {}
@@ -3271,7 +3272,7 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _iceberg_snapshot(meta)
     data_files, delete_files = _iceberg_files_full(snap)
     if not data_files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     by_val: dict[str, list[str]] = {}
@@ -3292,7 +3293,7 @@ def q_src_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.unionByName(s)
     dvs = [d for d in delete_files if d["format"] == "PUFFIN"]
     if dvs:
-        desc = spark.createDataFrame(
+        desc = local_rows(spark, 
             [
                 (
                     d["path"],
@@ -3564,12 +3565,12 @@ def q_src_iceberg_v3_row_lineage(
     meta = _iceberg_table_meta(root)
     data_files, _ = _iceberg_files_full(_iceberg_snapshot(meta))
     if not data_files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "o_orderpriority string, n_rows long, row_id_sum long, "
             "row_id_max long",
         )
-    frid_map = spark.createDataFrame(
+    frid_map = local_rows(spark, 
         [(d["path"], d["first_row_id"]) for d in data_files],
         "file_path string, first_row_id long",
     )
@@ -3789,7 +3790,7 @@ def q_src_iceberg_v3_default_values(
     initial_default = flag_field.get("initial-default")
     data_files, _ = _iceberg_files_full(_iceberg_snapshot(meta))
     if not data_files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "flag string, n_rows long, total_cents long"
         )
     # group files by whether their PHYSICAL schema carries field 4 —
@@ -4002,7 +4003,7 @@ def q_src_iceberg_multifield_spec(
         pred_spec_id=0,
     )
     if not data:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "o_orderpriority string, o_orderstatus string, n_rows long, "
             "total_cents long",
@@ -4086,7 +4087,7 @@ def q_src_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("4")
 
     meta = _iceberg_table_meta(root)
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("audit-tag",), ("wap-branch",), ("main",)], "ref string"
     )
     parts = []
@@ -4330,7 +4331,7 @@ def q_src_lake_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         if df is not None:
             parts.append(df.withColumn("format", F.lit(label)))
     if not parts:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "format string, n_rows long, total_cents long"
         )
     both = parts[0]
@@ -4567,7 +4568,7 @@ def q_src_iceberg_manifest_prune(
         manifest_pred=_summary_may_match,
     )
     if not data:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     df = spark.read.parquet(*sorted(d["path"] for d in data)).select(
@@ -4626,11 +4627,11 @@ def q_src_iceberg_meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = _iceberg_table_meta(root)
     files = _iceberg_live_files(_iceberg_snapshot(meta))
     if not files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "partition_value string, file_count long, record_count long",
         )
-    fdf = spark.createDataFrame(
+    fdf = local_rows(spark, 
         [(v, n) for _, v, n in files],
         "partition_value string, record_count long",
     )
@@ -4708,7 +4709,7 @@ def q_sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _iceberg_live_files(_iceberg_snapshot(meta))
     )
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return _cents_agg(df)

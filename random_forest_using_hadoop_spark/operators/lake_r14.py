@@ -28,6 +28,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
+
 from random_forest_using_hadoop_spark.delta_format import (
     dv_on_disk_descriptors,
     dv_read,
@@ -495,7 +497,7 @@ def _scan_rows(
             ),
         )
     )
-    omap = spark.createDataFrame(
+    omap = local_rows(spark, 
         sorted(
             {(p, v, o) for p, v, o in files},
             # None-safe ordering: an unpartitioned entry carries a None
@@ -588,7 +590,7 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
         base = _scan_rows(spark, base_files, "", with_coords=True).drop(
             "change_ordinal"
         )
-        seq_map = spark.createDataFrame(
+        seq_map = local_rows(spark, 
             [(p, s, r) for p, (_, s, r) in sorted(plan["base"].items())],
             "bpath string, data_seq long, removed_ord int",
         )
@@ -598,7 +600,7 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
         if plan["eq_files"]:
             # ONE unioned key scan tagged with each file's sequence and
             # ordinal via a broadcast map, ONE inner join
-            dmap = spark.createDataFrame(
+            dmap = local_rows(spark, 
                 [(d["path"], d["seq"], d["ordinal"])
                  for d in plan["eq_files"]],
                 "dpath string, dseq long, change_ordinal int",
@@ -627,7 +629,7 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
             ).withColumn("change_type", F.lit("delete"))
             parts.append(_finish(eq_rows))
         if plan["pos_files"]:
-            dmap = spark.createDataFrame(
+            dmap = local_rows(spark, 
                 [(d["path"], d["seq"], d["ordinal"])
                  for d in plan["pos_files"]],
                 "dpath string, dseq long, change_ordinal int",
@@ -650,7 +652,7 @@ def _changelog_rows(spark: SparkSession, plan: dict) -> DataFrame:
             parts.append(_finish(pos_rows))
 
     if not parts:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "change_ordinal int, change_type string, o_orderkey long, "
             "price_cents long, o_orderpriority string",
@@ -800,7 +802,7 @@ def q_stream_iceberg_changelog(
     rows = [
         (o, t, n, c) for (o, t), (n, c) in sorted(acc.items()) if n
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows,
         "change_ordinal int, change_type string, n_rows long, "
         "total_cents long",
@@ -1052,7 +1054,7 @@ def q_sink_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("insert",), ("update_preimage",), ("update_postimage",),
          ("delete",)],
         "_change_type string",
@@ -1234,7 +1236,7 @@ def q_sink_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
     df = _scan_apply_eq_deletes(spark, data_files, delete_files)
     if df is None:  # adversarial corpus: all-urgent base, empty batches
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return df.groupBy("o_orderpriority").agg(
@@ -1340,7 +1342,7 @@ def q_sink_iceberg_rewrite_deletes(
     data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
     assert not delete_files, "maintenance left delete files behind"
     if not data_files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     out = _scan_with_partition(
@@ -1548,7 +1550,7 @@ def q_src_iceberg_v3_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     data_files, _ = _iceberg_files(_iceberg_snapshot(meta))
     if not data_files:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "event_type string, n_rows long, sum_value double, "
             "n_users long"
         )
@@ -1884,7 +1886,7 @@ def q_sink_iceberg_publish_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _agg(df: DataFrame | None, section: str) -> DataFrame:
         if df is None:
-            return spark.createDataFrame(
+            return local_rows(spark, 
                 [],
                 "section string, o_orderpriority string, n_rows long, "
                 "total_cents long",
@@ -1981,7 +1983,7 @@ def _delta_delete_to_dv(
     live = _dv_snapshot(log_dir)
     # per-file current-DV descriptor map: O(files) metadata, shipped to
     # the matched rows via a broadcast equi-join on the file path
-    desc_map = spark.createDataFrame(
+    desc_map = local_rows(spark, 
         [
             (
                 os.path.join(root, p),
@@ -2138,7 +2140,7 @@ def q_sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.row_index").alias("_pos"),
     )
     if del_rows:
-        dv_frame = spark.createDataFrame(del_rows, "_fp string, _pos long")
+        dv_frame = local_rows(spark, del_rows, "_fp string, _pos long")
         data = data.join(F.broadcast(dv_frame), ["_fp", "_pos"], "left_anti")
     return data.groupBy(
         (F.col("o_orderkey") % 2).cast("bigint").alias("parity")

@@ -53,6 +53,7 @@ from random_forest_using_hadoop_spark.operators.scans import (
 )
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 # --- Iceberg ref lifecycle writers ---------------------------------------------
 
@@ -319,7 +320,7 @@ def q_sink_iceberg_ref_lifecycle(
 
     # --- read back through the ref-resolving reader
     meta = _iceberg_table_meta(root)
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [
             ("main",), ("keep-audit",), ("wap-branch",),
             ("old-audit",), ("tmp-branch",),
@@ -631,18 +632,18 @@ def q_sink_delta_check_constraint(
     rejected = 0
     bad_batches = [
         # CHECK price_range: one literal negative-price row
-        spark.createDataFrame(
+        local_rows(spark, 
             [(1, -5.0, "1-URGENT")],
             "o_orderkey long, o_totalprice double, o_orderpriority string",
         ),
         # CHECK key_present: NULL key (NULL price would PASS the range
         # check per SQL semantics — that case is pinned in the tests)
-        spark.createDataFrame(
+        local_rows(spark, 
             [(None, 10.0, "1-URGENT")],
             "o_orderkey long, o_totalprice double, o_orderpriority string",
         ),
         # generated-column mismatch: supplied cents off by one
-        spark.createDataFrame(
+        local_rows(spark, 
             [(2, 10.0, "1-URGENT", 1001)],
             "o_orderkey long, o_totalprice double, "
             "o_orderpriority string, price_cents long",
@@ -846,7 +847,7 @@ def q_sink_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files, delete_files = _iceberg_files(_iceberg_snapshot(meta))
     df = _scan_apply_pos_deletes(spark, data_files, delete_files)
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return df.groupBy("o_orderpriority").agg(
@@ -1062,7 +1063,7 @@ def q_sink_delta_checkpoint_write(
     }
     paths = sorted(all_files[f] for f in fnames)
     if not paths:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return (
@@ -1254,7 +1255,7 @@ def q_sink_delta_checkpoint_v2(
     }
     paths = sorted(all_files[f] for f in fnames)
     if not paths:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     return (
@@ -1484,7 +1485,7 @@ def q_sink_iceberg_schema_evolution(
 
     df = _scan_with_name_mapping(spark, _iceberg_table_meta(root))
     if df is None:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "order_status string, n_rows long, total_cents long"
         )
     return df.groupBy(

@@ -40,6 +40,7 @@ from random_forest_using_hadoop_spark.operators.scans import (
 )
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 # --- Iceberg sort-order writer -------------------------------------------------
 
@@ -457,7 +458,7 @@ def q_src_delta_in_commit_timestamp(
             "adversarial mtimes did not bite — fixture lost its point"
         )
 
-    labels = spark.createDataFrame(
+    labels = local_rows(spark, 
         [(v_early, "asof_early"), (v_mid, "asof_mid"),
          (v_late, "asof_latest")],
         "version int, snapshot string",
@@ -482,7 +483,7 @@ def q_src_delta_in_commit_timestamp(
             ).alias("total_cents"),
         )
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("asof_early",), ("asof_mid",), ("asof_latest",)],
         "snapshot string",
     )
@@ -917,7 +918,7 @@ def q_src_iceberg_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"for fields {b['fields']} — corrupt statistics file"
             )
         out.append((id_to_name[b["fields"][0]], len(hashes), est))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         out, "field_name string, n_retained bigint, ndv bigint"
     )
 
@@ -1211,7 +1212,7 @@ def q_src_iceberg_partition_stats(
             agg[0] += 1
             agg[1] += e["data_file"]["record_count"]
     stats_dir = os.path.join(root, "metadata", "partition-stats-s3")
-    spark.createDataFrame(
+    local_rows(spark, 
         [(p, c[0], c[1]) for p, c in sorted(per_part.items())],
         "partition_value string, data_file_count bigint, "
         "data_record_count bigint",

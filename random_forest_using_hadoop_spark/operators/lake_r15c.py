@@ -23,6 +23,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
+
 from random_forest_using_hadoop_spark.operators.hudi import (
     _hudi_base_files,
     _hudi_completed_commits,
@@ -176,7 +178,7 @@ def q_sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     if c1_groups_after != c1_groups_before - cleaned_groups:
         raise ValueError("cleaned slice still serves time travel")
 
-    removed = spark.createDataFrame(
+    removed = local_rows(spark, 
         [(p, len(fs)) for p, fs in per_part.items()],
         "o_orderpriority string, files_removed bigint",
     )
@@ -1594,7 +1596,7 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
 
     cdc = (
-        spark.createDataFrame([(p,) for p in cdc_paths], "path string")
+        local_rows(spark, [(p,) for p in cdc_paths], "path string")
         .repartition(len(cdc_paths))
         .mapInPandas(
             _decode_cdc,
@@ -1750,7 +1752,7 @@ def q_sink_hudi_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     if before.exceptAll(after).limit(1).count() != 0:
         raise ValueError("rollback removed visible rows")
 
-    rolled = spark.createDataFrame(
+    rolled = local_rows(spark, 
         [(p, len(fs)) for p, fs in removed.items()],
         "o_orderpriority string, files_rolled_back bigint",
     )

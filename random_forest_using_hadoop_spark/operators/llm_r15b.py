@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 # --- SFT chat-template assembly + loss-mask manifest ---------------------------
 
@@ -390,7 +391,7 @@ def _pq_bottomk_ids(e, seed: str, k: int):
         .limit(k)
         .collect()
     )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(r["vec_id"], i) for i, r in enumerate(rows)],
         "vec_id bigint, rk int",
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from random_forest_using_hadoop_spark.helpers import local_rows
 from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
@@ -634,7 +635,7 @@ def q_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = audit.collect(), audit.schema
     finally:
         back.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return local_rows(spark, rows, schema)
 
 
 # --- nested-JSON ingestion ----------------------------------------------------
@@ -879,7 +880,7 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, old[k])
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [
             (
                 row["n_rows"],
@@ -1032,7 +1033,7 @@ def q_scan_missing_file_resilient(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "l_returnflag string, n long, key_checksum long"
     )
 
@@ -1629,7 +1630,7 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     live_v2 = sorted(v1_adds | v2_adds)
     ckpt_path = os.path.join(log_dir, "00000000000000000002.checkpoint.parquet")
     ckpt_tmp = os.path.join(root, "_ckpt_stage")
-    spark.createDataFrame(
+    local_rows(spark, 
         [(f"data/{p}",) for p in live_v2], "add_path string"
     ).select(
         F.struct(F.col("add_path").alias("path")).alias("add")
@@ -1715,7 +1716,7 @@ def q_src_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
-    spine = spark.createDataFrame(
+    spine = local_rows(spark, 
         [("checkpoint_v2",), ("latest_v3",)], "snapshot string"
     )
     return spine.join(per_snap, "snapshot", "left").select(
@@ -1839,7 +1840,7 @@ def q_src_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # metadata: one row per SURVIVING file
     )
     if not pruned:
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "o_orderpriority string, n_rows long, total_cents long"
         )
     # partition column restored from partitionValues, never from data;
@@ -1959,7 +1960,7 @@ def q_src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, o_totalprice double, o_orderpriority string"
     )
     if not any(f.endswith(".avro") for f in os.listdir(out_dir)):
-        rows = spark.createDataFrame([], out_schema)  # empty corpus
+        rows = local_rows(spark, [], out_schema)  # empty corpus
     else:
 
         def _decode(it):

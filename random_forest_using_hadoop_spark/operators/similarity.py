@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
+from random_forest_using_hadoop_spark.helpers import local_rows
 
 N_QUERIES = 5
 TOP_K = 10
@@ -402,7 +403,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = model.transform(v.filter(F.col("vec_id") >= N_QUERIES)).select(
         F.col("vec_id").alias("corpus_id"), F.col("ve").alias("cv"), "cell"
     )
-    centroids = spark.createDataFrame(
+    centroids = local_rows(spark, 
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         schema="cell int, centroid array<double>",
     )

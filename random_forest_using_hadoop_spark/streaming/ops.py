@@ -26,6 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from random_forest_using_hadoop_spark.helpers import local_rows
 from random_forest_using_hadoop_spark.helpers import dsum, o_dsum
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
@@ -336,7 +337,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_emitted = [r for r in rows_run2 if r not in set(rows_run1)]
     late_ok = 1 if (not late_emitted and n_dropped > 0) else 0
     schema_out = "window_start timestamp_ntz, n long, phase string"
-    rows = spark.createDataFrame(
+    rows = local_rows(spark, 
         [(ws, cnt, "on_time") for ws, cnt in rows_run1]
         + [(None, late_ok, "late_ok")],
         schema=schema_out,
@@ -750,7 +751,7 @@ def _cdc_version_stats(
     pins the job count on a many-version batch."""
     import os
 
-    fmap = spark.createDataFrame(
+    fmap = local_rows(spark, 
         [(os.path.basename(r["path"]), r["version"]) for r in acts],
         "fname string, version int",
     )
@@ -898,7 +899,7 @@ def q_stream_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     rows = [(v, n, c) for v, (n, c) in sorted(acc.items())]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "version int, n_rows long, total_cents long"
     )
 
@@ -986,7 +987,7 @@ def q_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged to versions via a broadcast file map. `tag_col` reads
         the staged _change_type column (cdc files); otherwise the
         caller supplies the type."""
-        fmap = spark.createDataFrame(
+        fmap = local_rows(spark, 
             [(os.path.basename(p), v) for p, v in paths_with_version],
             "fname string, version int",
         )
@@ -1084,6 +1085,6 @@ def q_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (v, t, n, c) for (v, t), (n, c) in sorted(acc.items()) if n
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "version int, change_type string, n_rows long, total_cents long"
     )
