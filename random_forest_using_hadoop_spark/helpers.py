@@ -54,6 +54,33 @@ def local_rows(spark, data, schema=None):
     )
 
 
+def assert_multiset_equal(a, b, what: str) -> None:
+    """In-key honesty gate: require two frames to be multiset-equal
+    (same rows with the same multiplicities — exactly what
+    ``a.exceptAll(b)`` AND ``b.exceptAll(a)`` both empty proves), in
+    ONE Spark job instead of two: union the sides with +1/-1 weights,
+    hash-aggregate by every column, and look for any nonzero net
+    count. Each exceptAll direction recomputes BOTH inputs, so for
+    un-checkpointed gate inputs this also halves how often the (often
+    expensive) sides are evaluated. The failure message says which
+    direction broke, recovered from the sign of the net weight."""
+    cols = a.columns
+    off = (
+        a.select(*cols).withColumn("_w", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("_w", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .limit(1)
+        .collect()
+    )
+    if off:
+        side = "left has rows the right lacks" if off[0]["_d"] > 0 else (
+            "right has rows the left lacks"
+        )
+        raise ValueError(f"{what}: {side} ({off[0].asDict()})")
+
+
 def _fixed(c: Column) -> Column:
     return F.floor(c * SCALE + 0.5).cast("bigint")
 

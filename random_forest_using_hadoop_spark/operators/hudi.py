@@ -21,6 +21,7 @@ import json
 import os
 import re
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,7 +32,10 @@ from random_forest_using_hadoop_spark.operators.scans import (
 )
 from random_forest_using_hadoop_spark.registry import register
 from random_forest_using_hadoop_spark.sources import load_table
-from random_forest_using_hadoop_spark.helpers import local_rows
+from random_forest_using_hadoop_spark.helpers import (
+    assert_multiset_equal,
+    local_rows,
+)
 
 _BASE_RE = re.compile(
     r"^(?P<file_id>.+)_(?P<token>\d+-\d+-\d+)_(?P<instant>\d{14})\.parquet$"
@@ -240,8 +244,9 @@ def _hudi_stage(
         """One base file = one file slice: write to a scratch dir,
         then a single driver-side rename into the spec's
         `<fileId>_<writeToken>_<instant>.parquet` name. O(1) renames
-        per slice — the data write itself is distributed."""
-        scratch = os.path.join(root, "_scratch")
+        per slice — the data write itself is distributed. Scratch dirs
+        are per-instant so independent slice writes can overlap."""
+        scratch = os.path.join(root, f"_scratch_{instant}")
         shutil.rmtree(scratch, ignore_errors=True)
         df.coalesce(1).write.mode("overwrite").parquet(scratch)
         pdir = os.path.join(root, part)
@@ -255,17 +260,26 @@ def _hudi_stage(
         )
         shutil.rmtree(scratch, ignore_errors=True)
 
-    prios = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
     evens = _meta(o.filter(F.col("o_orderkey") % 2 == 0), c1)
     # ONE distributed job writes every file group: partitionBy on a
     # duplicate column (the data keeps o_orderpriority — our reader
     # passes explicit file lists, never dir-inference), repartition by
     # the same column so each group lands as exactly one base file;
-    # the per-file renames into the spec's naming are O(groups).
+    # the per-file renames into the spec's naming are O(groups). The
+    # priority-spine collect is an independent job — overlap it with
+    # the write so the c1 tail back-fills its executors.
     scratch = os.path.join(root, "_scratch_c1")
-    evens.withColumn("pp", F.col("o_orderpriority")).repartition(
-        "pp"
-    ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_prios = pool.submit(
+            lambda: [
+                r[0]
+                for r in o.select("o_orderpriority").distinct().collect()
+            ]
+        )
+        evens.withColumn("pp", F.col("o_orderpriority")).repartition(
+            "pp"
+        ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+        prios = fut_prios.result()
     for d in os.listdir(scratch):
         if not d.startswith("pp="):
             continue
@@ -302,12 +316,30 @@ def _hudi_stage(
     inserted = o.filter(
         (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderpriority") == urgent)
     )
-    _write_slice(
-        _meta(updated.unionByName(inserted), c2),
-        urgent,
-        f"fg-{urgent}",
-        c2,
+    # c3: INFLIGHT poison — newer slice of a healthy group, prices
+    # doubled, completed action deliberately absent
+    victim = sorted(p for p in prios if p != urgent)[0]
+    poison = _meta(
+        o.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.col("o_orderpriority") == victim)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        c3,
     )
+    # the two slice writes touch disjoint partitions and scratch dirs:
+    # run them as concurrent jobs; the timeline markers land after, in
+    # instant order, so the committed layout is byte-identical
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f2 = pool.submit(
+            _write_slice,
+            _meta(updated.unionByName(inserted), c2),
+            urgent,
+            f"fg-{urgent}",
+            c2,
+        )
+        f3 = pool.submit(_write_slice, poison, victim, f"fg-{victim}", c3)
+        f2.result()
+        f3.result()
     with open(os.path.join(hdir, f"{c2}.commit.requested"), "w") as fh:
         fh.write("")
     with open(os.path.join(hdir, f"{c2}.inflight"), "w") as fh:
@@ -322,18 +354,6 @@ def _hudi_stage(
             },
             fh,
         )
-
-    # c3: INFLIGHT poison — newer slice of a healthy group, prices
-    # doubled, completed action deliberately absent
-    victim = sorted(p for p in prios if p != urgent)[0]
-    poison = _meta(
-        o.filter(
-            (F.col("o_orderkey") % 2 == 0)
-            & (F.col("o_orderpriority") == victim)
-        ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
-        c3,
-    )
-    _write_slice(poison, victim, f"fg-{victim}", c3)
     with open(os.path.join(hdir, f"{c3}.commit.requested"), "w") as fh:
         fh.write("")
     with open(os.path.join(hdir, f"{c3}.inflight"), "w") as fh:
@@ -678,28 +698,27 @@ def _hudi_stage_mor(
         "o_orderpriority",
     )
     scratch = os.path.join(root, "_scratch")
-    evens.withColumn("pp", F.col("o_orderpriority")).repartition(
-        "pp"
-    ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
-    for d in os.listdir(scratch):
-        if not d.startswith("pp="):
-            continue
-        p = d[3:]
-        pdir = os.path.join(root, p)
-        os.makedirs(pdir, exist_ok=True)
-        parts = [
-            f
-            for f in os.listdir(os.path.join(scratch, d))
-            if f.endswith(".parquet")
-        ]
-        os.rename(
-            os.path.join(scratch, d, parts[0]),
-            os.path.join(pdir, f"fg-{p}_0-1-0_{c1}.parquet"),
-        )
-    shutil.rmtree(scratch, ignore_errors=True)
-    for suffix in (".commit.requested", ".inflight", ".commit"):
-        with open(os.path.join(hdir, f"{c1}{suffix}"), "w") as fh:
-            fh.write("{}" if suffix == ".commit" else "")
+
+    def _write_base() -> None:
+        evens.withColumn("pp", F.col("o_orderpriority")).repartition(
+            "pp"
+        ).write.partitionBy("pp").mode("overwrite").parquet(scratch)
+        for d in os.listdir(scratch):
+            if not d.startswith("pp="):
+                continue
+            p = d[3:]
+            pdir = os.path.join(root, p)
+            os.makedirs(pdir, exist_ok=True)
+            parts = [
+                f
+                for f in os.listdir(os.path.join(scratch, d))
+                if f.endswith(".parquet")
+            ]
+            os.rename(
+                os.path.join(scratch, d, parts[0]),
+                os.path.join(pdir, f"fg-{p}_0-1-0_{c1}.parquet"),
+            )
+        shutil.rmtree(scratch, ignore_errors=True)
 
     # c2: deltacommit — ONE log file against the urgent file group,
     # written executor-side
@@ -756,9 +775,25 @@ def _hudi_stage_mor(
             _ocf_write(_os.path.join(log_dir, log_name), log_schema, recs)
         yield _pd.DataFrame({"n": _pd.Series([len(recs)], dtype="int64")})
 
-    upd.unionByName(dels).unionByName(ins).coalesce(1).mapInPandas(
-        _write_log, schema="n long"
-    ).collect()
+    # the base write and the log write are independent jobs into
+    # disjoint paths (the log dir is pre-created so the executor-side
+    # OCF write never races the rename loop): overlap them, then stamp
+    # the timeline markers in instant order
+    os.makedirs(log_dir, exist_ok=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_base = pool.submit(_write_base)
+        f_log = pool.submit(
+            lambda: upd.unionByName(dels)
+            .unionByName(ins)
+            .coalesce(1)
+            .mapInPandas(_write_log, schema="n long")
+            .collect()
+        )
+        f_base.result()
+        f_log.result()
+    for suffix in (".commit.requested", ".inflight", ".commit"):
+        with open(os.path.join(hdir, f"{c1}{suffix}"), "w") as fh:
+            fh.write("{}" if suffix == ".commit" else "")
     for suffix in (".deltacommit.requested", ".inflight", ".deltacommit"):
         with open(os.path.join(hdir, f"{c2}{suffix}"), "w") as fh:
             fh.write("{}" if suffix.endswith(".deltacommit") else "")
@@ -979,11 +1014,10 @@ def q_sink_hudi_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ro_after = spark.read.parquet(*sorted(latest)).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    # distributed equivalence proof, both directions
-    if ro_after.exceptAll(snapshot_before).limit(1).count() != 0:
-        raise ValueError("post-compaction read has rows snapshot lacked")
-    if snapshot_before.exceptAll(ro_after).limit(1).count() != 0:
-        raise ValueError("compaction lost rows the snapshot had")
+    # distributed equivalence proof, both directions in one job
+    assert_multiset_equal(
+        ro_after, snapshot_before, "compaction changed the snapshot"
+    )
 
     return ro_after.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

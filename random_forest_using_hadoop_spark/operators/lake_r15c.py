@@ -19,11 +19,15 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from random_forest_using_hadoop_spark.helpers import local_rows
+from random_forest_using_hadoop_spark.helpers import (
+    assert_multiset_equal,
+    local_rows,
+)
 
 from random_forest_using_hadoop_spark.operators.hudi import (
     _hudi_base_files,
@@ -162,10 +166,7 @@ def q_sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = spark.read.parquet(*after_files).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    if after.exceptAll(before).limit(1).count() != 0:
-        raise ValueError("clean added rows to the latest snapshot")
-    if before.exceptAll(after).limit(1).count() != 0:
-        raise ValueError("clean lost rows from the latest snapshot")
+    assert_multiset_equal(after, before, "clean changed the snapshot")
     # gate: time travel below the retention floor is honestly broken —
     # exactly the cleaned groups vanish from the as-of-c1 resolution
     c1_groups_after = {
@@ -427,10 +428,7 @@ def q_sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = spark.read.parquet(*after_files).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    if after.exceptAll(before).limit(1).count() != 0:
-        raise ValueError("clustering added rows")
-    if before.exceptAll(after).limit(1).count() != 0:
-        raise ValueError("clustering lost rows")
+    assert_multiset_equal(after, before, "clustering changed rows")
     # sortedness of the clustered file: within its single file, row
     # order must be nondecreasing — checked distributed via a
     # per-partition monotonicity fold (the file reads as one split
@@ -594,12 +592,22 @@ def _stage_many_appends(spark: SparkSession, sf_dir: str, root: str) -> None:
     os.makedirs(meta_dir, exist_ok=True)
     manifests: list[tuple[str, int]] = []
     snaps: list[tuple[int, int, int, str, str]] = []
-    for i in range(_RWM_N):
-        o.filter(F.col("o_orderkey") % _RWM_N == i).coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy("o_orderpriority").parquet(
-            os.path.join(data_dir, f"s{i + 1}")
+    # the _RWM_N slice writes are independent jobs into disjoint
+    # subdirs: run them concurrently (guide-§2.6 back-fill) — the
+    # manifest/list/metadata chain below still commits them in order,
+    # so the staged history is identical
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda i: o.filter(F.col("o_orderkey") % _RWM_N == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("o_orderpriority")
+                .parquet(os.path.join(data_dir, f"s{i + 1}")),
+                range(_RWM_N),
+            )
         )
+    for i in range(_RWM_N):
         files = _pfiles(data_dir, f"s{i + 1}")
         sid, seq = _RWM_SB + i, i + 1
         m = _write_manifest(
@@ -743,10 +751,7 @@ def q_sink_iceberg_rewrite_manifests(
     after = _scan_with_partition(
         spark, [(p, v_, n) for p, v_, n, _ in _iceberg_files(snap2)[0]]
     )
-    if after.exceptAll(before).limit(1).count() != 0:
-        raise ValueError("rewrite added rows")
-    if before.exceptAll(after).limit(1).count() != 0:
-        raise ValueError("rewrite lost rows")
+    assert_multiset_equal(after, before, "rewrite changed rows")
 
     from random_forest_using_hadoop_spark.operators.iceberg_ext import (
         _cents_agg,
@@ -892,10 +897,7 @@ def q_sink_iceberg_remove_orphans(
     after = _scan_with_partition(
         spark, [(p, v, n) for p, v, n, _ in after_live]
     )
-    if after.exceptAll(before).limit(1).count() != 0:
-        raise ValueError("orphan sweep added rows")
-    if before.exceptAll(after).limit(1).count() != 0:
-        raise ValueError("orphan sweep lost rows")
+    assert_multiset_equal(after, before, "orphan sweep changed rows")
     s1_files_after = sorted(
         p
         for p, _, _, _ in _iceberg_files(
@@ -1352,10 +1354,7 @@ def q_sink_lake_uniform_append(
 
     ddf = _scan_with_partition(spark, delta_files)
     idf = _scan_with_partition(spark, [(p, v, n) for p, v, n in ice_files])
-    if ddf.exceptAll(idf).limit(1).count() != 0:
-        raise ValueError("delta chain reads rows iceberg lacks")
-    if idf.exceptAll(ddf).limit(1).count() != 0:
-        raise ValueError("iceberg chain reads rows delta lacks")
+    assert_multiset_equal(ddf, idf, "delta and iceberg chains diverge")
 
     both = ddf.withColumn("format", F.lit("delta")).unionByName(
         idf.withColumn("format", F.lit("iceberg"))
@@ -1522,18 +1521,21 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
         .unionByName(o.filter((F.col("o_orderkey") % 2 == 1) & u))
     )
-    scratch = os.path.join(root, "_scratch_c2")
-    merged.coalesce(1).write.mode("overwrite").parquet(scratch)
-    src = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
-    os.rename(
-        os.path.join(scratch, src),
-        os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c2}.parquet"),
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
-
     cdc_dir = os.path.join(root, urgent)
     cdc_name = f".fg-{urgent}_{c2}-cdc.log.1_0-1-0"
     cdc_schema = _CDC_SCHEMA
+
+    def _write_slice_c2() -> None:
+        scratch = os.path.join(root, "_scratch_c2")
+        merged.coalesce(1).write.mode("overwrite").parquet(scratch)
+        src = next(
+            f for f in os.listdir(scratch) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(scratch, src),
+            os.path.join(root, urgent, f"fg-{urgent}_0-1-0_{c2}.parquet"),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
 
     def _write_cdc(it):
         import os as _os
@@ -1560,12 +1562,19 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ocf_write(_os.path.join(cdc_dir, cdc_name), cdc_schema, recs)
         yield _pd.DataFrame({"n": _pd.Series([len(recs)], dtype="int64")})
 
-    n_cdc = (
-        changes.coalesce(1)
-        .mapInPandas(_write_cdc, schema="n long")
-        .agg(F.sum("n"))
-        .first()[0]
-    )
+    # the new base slice and the cdc log are independent jobs into
+    # disjoint files: overlap them — the commit markers land after
+    os.makedirs(cdc_dir, exist_ok=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_slice = pool.submit(_write_slice_c2)
+        f_cdc = pool.submit(
+            lambda: changes.coalesce(1)
+            .mapInPandas(_write_cdc, schema="n long")
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        f_slice.result()
+        n_cdc = f_cdc.result()
     for suffix in (".commit.requested", ".inflight", ".commit"):
         with open(os.path.join(hdir, f"{c2}{suffix}"), "w") as fh:
             fh.write(
@@ -1603,6 +1612,9 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="op string, o_orderkey long, before_cents long, "
             "after_cents long",
         )
+        # consumed twice (honesty gate + graded aggregate): materialize
+        # the O(changed rows) decode once instead of re-decoding per job
+        .localCheckpoint()
     )
 
     # honesty gate: cdc ≡ the distributed snapshot diff
@@ -1628,10 +1640,7 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("before_cents") != F.col("after_cents"))
         )
     )
-    if cdc.exceptAll(diff).limit(1).count() != 0:
-        raise ValueError("cdc log carries rows the snapshot diff lacks")
-    if diff.exceptAll(cdc).limit(1).count() != 0:
-        raise ValueError("cdc log missed rows the snapshot diff found")
+    assert_multiset_equal(cdc, diff, "cdc log != snapshot diff")
     if n_cdc != changes.count():
         raise ValueError("cdc writer dropped records")
 
@@ -1747,10 +1756,7 @@ def q_sink_hudi_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = spark.read.parquet(*_hudi_snapshot_files(root)).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    if after.exceptAll(before).limit(1).count() != 0:
-        raise ValueError("rollback added visible rows")
-    if before.exceptAll(after).limit(1).count() != 0:
-        raise ValueError("rollback removed visible rows")
+    assert_multiset_equal(after, before, "rollback changed visible rows")
 
     rolled = local_rows(spark, 
         [(p, len(fs)) for p, fs in removed.items()],
