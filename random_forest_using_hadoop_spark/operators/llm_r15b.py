@@ -271,13 +271,17 @@ def q_pipe_ngram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), one groupBy on the bigram key with map-side partials.
     """
     d = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE per document: the lambda below indexes the
+    # pre-split array — inlining split(text) into the lambda re-splits
+    # the text per bigram position (no CSE across lambda scopes)
     bg = (
-        d.select(
+        d.select(F.split("text", " ").alias("toks"))
+        .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> struct(split(text, ' ')[i - 1] as token, "
-                    "split(text, ' ')[i] as next))"
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] as token, "
+                    "toks[i] as next))"
                 )
             ).alias("b")
         )
@@ -285,17 +289,21 @@ def q_pipe_ngram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "next")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
+    # the count-of-counts histogram is bounded by Zipf (tens of rows)
+    # but feeds TWO consumers (the totals and the threshold curve):
+    # materialize it once so the corpus-sized bigram aggregation runs
+    # a single pass instead of once per consumer
     hist = bg.groupBy("c2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum("c2").cast("bigint").alias("mass"),
-    )
+    ).localCheckpoint()
     tot = hist.agg(
         F.sum("n_types").cast("bigint").alias("all_types"),
         F.sum("mass").cast("bigint").alias("all_mass"),
     )
     thresholds = F.broadcast(
-        hist.sparkSession.createDataFrame(
-            [(t,) for t in range(1, 6)], "threshold int"
+        local_rows(
+            hist.sparkSession, [(t,) for t in range(1, 6)], "threshold int"
         )
     )
     return (
@@ -429,13 +437,11 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: dims explode is N×64 rows; the codebook side is {k}×64 =
     1,024 rows — broadcast; the distance agg partial-aggregates
-    map-side on (vec, subspace, code); the argmin is a bounded window
-    per (vec, subspace). At 1B vectors the identical plan holds with
-    the codebook still broadcast-sized — the explode is the only
-    term that grows.
+    map-side on (vec, subspace, code); the argmin is a second hash
+    aggregate (min over (d, code) structs — map-combinable, no sort).
+    At 1B vectors the identical plan holds with the codebook still
+    broadcast-sized — the explode is the only term that grows.
     """.format(m=_PQ_M, k=_PQ_K)
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ve")
     )
@@ -468,10 +474,15 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    # argmin per (vec, subspace) as ONE hash aggregate with map-side
+    # partials — min(struct(d, code)) IS the orderBy(d, code) winner,
+    # replacing the Exchange+Sort+Window pass (same trick as
+    # dedup_semantic's assignment stage)
     return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        dist.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"),
+                F.col("m.d").alias("d"))
         .groupBy("subspace", "code")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
@@ -638,11 +649,12 @@ def q_emb_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(nano(F.col("val"), F.col("cval"))).alias("d"))
     )
-    wass = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    # argmin as a hash aggregate (min(struct(d, code)) = the
+    # orderBy(d, code) winner) — no Exchange+Sort+Window pass
     codes = (
-        dist.withColumn("rn", F.row_number().over(wass))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "subspace", "code")
+        dist.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"))
     )
     queries = _pq_bottomk_ids(e, "q:", _PQ_NQ).select(
         F.col("vec_id").alias("q_id")
