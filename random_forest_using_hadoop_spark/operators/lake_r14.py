@@ -2105,12 +2105,24 @@ def q_sink_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = os.path.join(root, "_delta_log")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(data_dir)
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(data_dir)
+    # stage both parity files in ONE distributed job (partitionBy into
+    # a scratch dir, rename the two parts in) instead of two sequential
+    # coalesce(1) appends — the files' contents are identical slices
+    scratch = os.path.join(root, "_scratch")
+    o.withColumn("par", (F.col("o_orderkey") % 2).cast("int")).repartition(
+        "par"
+    ).write.partitionBy("par").mode("overwrite").parquet(scratch)
+    os.makedirs(data_dir, exist_ok=True)
+    for d in sorted(os.listdir(scratch)):
+        if not d.startswith("par="):
+            continue
+        for f in os.listdir(os.path.join(scratch, d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(scratch, d, f),
+                    os.path.join(data_dir, f"par{d[4:]}-{f}"),
+                )
+    shutil.rmtree(scratch, ignore_errors=True)
     with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
         fh.write(
             "\n".join(
