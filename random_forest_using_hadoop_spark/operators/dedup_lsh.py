@@ -1236,7 +1236,10 @@ def q_dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = tok.groupBy("hw").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WINNOW_DF_CAP
     )
-    kept = tok.join(keep.select("hw"), "hw")
+    # cache the df-capped postings too: they feed BOTH self-join sides,
+    # so uncached the df count + semi join would run twice (same
+    # lifecycle as `tok` above — released via release_caches)
+    kept = tok.join(keep.select("hw"), "hw").cache()
     a = kept.select(F.col("doc_id").alias("doc_id_a"), "hw")
     b = kept.select(F.col("doc_id").alias("doc_id_b"), "hw")
     return (

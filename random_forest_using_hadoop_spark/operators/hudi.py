@@ -874,7 +874,10 @@ def _hudi_mor_merged(
         )
     )
     # latest log record per record key wins (single log version here,
-    # but the window is the general rule)
+    # but the window is the general rule). Measured this round: a
+    # max(struct) aggregate plans as SortAggregate over the near-unique
+    # keys — same sort, extra struct builds, 2.0 -> 2.6 s — so the
+    # window stays.
     w = Window.partitionBy("o_orderkey").orderBy(F.lit(1).desc())
     log_latest = (
         logs.withColumn("rn", F.row_number().over(w))

@@ -437,11 +437,15 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: dims explode is N×64 rows; the codebook side is {k}×64 =
     1,024 rows — broadcast; the distance agg partial-aggregates
-    map-side on (vec, subspace, code); the argmin is a second hash
-    aggregate (min over (d, code) structs — map-combinable, no sort).
+    map-side on (vec, subspace, code); the argmin is a bounded window
+    per (vec, subspace) — measured this round against the min(struct)
+    aggregate form, which plans as SortAggregate (same sort, extra
+    struct builds) and was A/B-neutral at best, so the window stays.
     At 1B vectors the identical plan holds with the codebook still
     broadcast-sized — the explode is the only term that grows.
     """.format(m=_PQ_M, k=_PQ_K)
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ve")
     )
@@ -474,15 +478,10 @@ def q_emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    # argmin per (vec, subspace) as ONE hash aggregate with map-side
-    # partials — min(struct(d, code)) IS the orderBy(d, code) winner,
-    # replacing the Exchange+Sort+Window pass (same trick as
-    # dedup_semantic's assignment stage)
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
     return (
-        dist.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"),
-                F.col("m.d").alias("d"))
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .groupBy("subspace", "code")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
@@ -649,12 +648,11 @@ def q_emb_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(nano(F.col("val"), F.col("cval"))).alias("d"))
     )
-    # argmin as a hash aggregate (min(struct(d, code)) = the
-    # orderBy(d, code) winner) — no Exchange+Sort+Window pass
+    wass = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
     codes = (
-        dist.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+        dist.withColumn("rn", F.row_number().over(wass))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
     )
     queries = _pq_bottomk_ids(e, "q:", _PQ_NQ).select(
         F.col("vec_id").alias("q_id")

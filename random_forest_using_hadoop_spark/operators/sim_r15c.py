@@ -466,13 +466,11 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cell")
         .agg(F.sum(nano(F.col("val"), F.col("cval"))).alias("d"))
     )
-    # argmin per vector as ONE hash aggregate with map-side partials
-    # (min(struct(d, cell)) = the orderBy(d, cell) winner) — replaces
-    # the Exchange+Sort+Window pass
+    wc = Window.partitionBy("vec_id").orderBy("d", "cell")
     assigned = (
-        cell_dist.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
+        cell_dist.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
     )
 
     # PQ codes (same construction/seed as emb_pq_codebook)
@@ -495,11 +493,11 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(nano(F.col("val"), F.col("cval"))).alias("d"))
     )
-    # same hash-aggregate argmin for the per-subspace code assignment
+    ws = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
     codes = (
-        pqdist.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "subspace", F.col("m.code").alias("code"))
+        pqdist.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
     )
 
     queries = _pq_bottomk_ids(e, "q2:", _IVF_NQ).select(
