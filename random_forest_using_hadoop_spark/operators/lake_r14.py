@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -988,6 +989,7 @@ def q_sink_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     new_files, cdc_files = [], []
+    slice_jobs: list = []  # (list, future) — independent writes overlap
     n_src = src.count()  # bounded: the batch IS the commit's input
     if touched:
         cand = spark.read.parquet(
@@ -1006,7 +1008,7 @@ def q_sink_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("o_totalprice"))
             .alias("o_totalprice"),
         )
-        new_files += _write_slice(rewritten, data_dir, "v1")
+        slice_jobs.append((new_files, (rewritten, data_dir, "v1")))
         pre = joined.filter(F.col("op") == "update").select(
             "o_orderkey",
             "o_totalprice",
@@ -1022,14 +1024,26 @@ def q_sink_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.lit("delete").alias("_change_type"),
         )
-        cdc_files += _write_slice(
-            pre.unionByName(post).unionByName(dels), cdc_dir, "v1"
+        slice_jobs.append(
+            (cdc_files, (pre.unionByName(post).unionByName(dels),
+                         cdc_dir, "v1"))
         )
     ins_cdc = inserts.select(
         "o_orderkey", "o_totalprice", F.lit("insert").alias("_change_type")
     )
-    cdc_files += _write_slice(ins_cdc, cdc_dir, "v1ins")
-    new_files += _write_slice(inserts, data_dir, "v1ins")
+    slice_jobs.append((cdc_files, (ins_cdc, cdc_dir, "v1ins")))
+    slice_jobs.append((new_files, (inserts, data_dir, "v1ins")))
+    # the up-to-four slice writes land in disjoint subdirs and share no
+    # data dependency: run them as concurrent jobs (guide-§2.6
+    # back-fill); results append in the fixed submission order so the
+    # commit json is unchanged
+    with ThreadPoolExecutor(max_workers=len(slice_jobs)) as pool:
+        futs = [
+            (sink, pool.submit(_write_slice, *args))
+            for sink, args in slice_jobs
+        ]
+        for sink, fut in futs:
+            sink += fut.result()
     lines = (
         [json.dumps({"cdc": {"path": p, "dataChange": False}})
          for p in cdc_files]
