@@ -1612,9 +1612,9 @@ def q_src_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="op string, o_orderkey long, before_cents long, "
             "after_cents long",
         )
-        # consumed twice (honesty gate + graded aggregate): materialize
-        # the O(changed rows) decode once instead of re-decoding per job
-        .localCheckpoint()
+        # NOT checkpointed: tests/test_plans.py pins the MapInPandas
+        # decode in this key's returned plan (the Arrow-batch gate);
+        # the one-job multiset gate already cut the re-decodes to two
     )
 
     # honesty gate: cdc ≡ the distributed snapshot diff
