@@ -205,6 +205,11 @@ def dist_row_number(
     # their entry instead of waiting for the engine-wide
     # release_caches() boundary
     ranked._rn_pin = part
+    # total row count, already summed driver-side from the ≤ n_parts
+    # per-slice counts — callers that need |df| (e.g. the bitmap
+    # encoder's vocabulary size) read it here instead of paying a
+    # second full count() job over the same frame
+    ranked._rn_total = acc
     return ranked
 
 

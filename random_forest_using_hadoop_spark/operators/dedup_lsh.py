@@ -333,29 +333,36 @@ def _bitmap_encode(d: DataFrame, set_col: str) -> tuple[DataFrame, int]:
     from random_forest_using_hadoop_spark.helpers import dist_row_number
 
     vocab = d.select(F.explode(set_col).alias("s")).distinct()
-    n_vocab = vocab.count()  # driver-side metadata, ∝ vocabulary only
-    n_words = (n_vocab + 63) // 64
     # "s" is distinct, hence a total order — dist_row_number's contract
     ranked = dist_row_number(vocab, [F.col("s")], out="_rn")
+    # |vocab| comes free with the rank's per-slice counts (_rn_total) —
+    # the r15 shape paid a SECOND full explode+distinct+count job here
+    n_vocab = ranked._rn_total
+    n_words = (n_vocab + 63) // 64
     sid = ranked.select("s", (F.col("_rn") - 1).cast("int").alias("sid"))
     tok = d.select("doc_id", F.explode(set_col).alias("s")).join(
         F.broadcast(sid), "s"
     )
+    # per-doc set size n rides the aggregation as a COUNT of exploded
+    # elements (set_col is a distinct array — the encoder's contract —
+    # so the count IS size(set_col)); the r15 shape joined back to `d`
+    # for F.size(set_col), an extra scan + shuffle join per encode
     words = tok.groupBy(
         "doc_id", (F.col("sid") / 64).cast("int").alias("w")
     ).agg(
         F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))")
-        ).alias("wv")
-    )
-    bm = words.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("w"), F.col("wv")))
-        ).alias("wm")
+        ).alias("wv"),
+        F.count(F.lit(1)).alias("c"),
     )
     enc = (
-        d.select("doc_id", F.size(set_col).alias("n"))
-        .join(bm, "doc_id")
+        words.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("w"), F.col("wv")))
+            ).alias("wm"),
+            F.sum("c").cast("int").alias("n"),
+        )
         .select(
             "doc_id",
             "n",
@@ -739,7 +746,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hide in a suffix of length ⌈t·|x|⌉ − 1). The order is (global df
     ASC, token) so prefix join keys are the RAREST bigrams; the join key
     is the COMPOSITE (prefix token, width-20 length bin) with both sides
-    exploded to {bin, bin+1} (the r3 bin-cover argument), so collisions
+    exploded to {bin, bin+1} (the r3 bin-cover argument), collapsed to
+    ONE xxhash64 long (r16, guide §2.3 — collisions only ADD candidates,
+    which the residuals + exact verify filter), so collisions
     need a shared rare token AND compatible length. Join residuals then
     apply the size-ratio bound (min ≥ t·max) and PPJoin's positional
     filter (overlap ≤ min(sz−pos)+1 must reach α = ⌈t/(1+t)·(sz_a+sz_b)⌉
@@ -796,7 +805,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both sides explode to {bin, bin+1}: any pair within ±20 chars
         # has home bins differing by ≤1, so the two 2-bin covers always
         # intersect (the r3 bin-cover argument, now composed with the
-        # prefix token into one join key)
+        # prefix token into one join key). r16: the (tok, bin) composite
+        # is collapsed to ONE xxhash64 long (guide §2.3 narrower keys,
+        # the move that won dedup_minhash 2.68×) — equal (tok, bin)
+        # always hash equal so no qualifying pair is lost, and a hash
+        # collision can only ADD a candidate, which the length residual
+        # + exact bitmap verify below filter exactly like any other
+        # non-qualifying collision. The token string itself never
+        # leaves the prefix pipeline.
         .select(
             "tok",
             "doc_id",
@@ -810,24 +826,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bin"),
         )
+        .select(
+            F.xxhash64("tok", "bin").alias("k"),
+            "doc_id",
+            "n_chars",
+            "sz",
+            "rnk",
+        )
         # cache: ONE prefix-emit pass (occurrence explode → df join →
         # per-doc rank window → bin explode) feeds both self-join
         # sides — the planner would otherwise assemble the whole
-        # pipeline independently per side. ~|docs|×prefix×2 small rows;
+        # pipeline independently per side. ~|docs|×prefix×2 small rows
+        # (28 B of data each after the key collapse);
         # released with the other dedup caches (release_caches).
         .cache()
     )
     a = prefix.select(
-        "tok",
-        "bin",
+        "k",
         F.col("doc_id").alias("doc_id_a"),
         F.col("n_chars").alias("nc_a"),
         F.col("sz").alias("sz_a"),
         F.col("rnk").alias("pos_a"),
     )
     b = prefix.select(
-        "tok",
-        "bin",
+        "k",
         F.col("doc_id").alias("doc_id_b"),
         F.col("n_chars").alias("nc_b"),
         F.col("sz").alias("sz_b"),
@@ -847,8 +869,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_BIGRAM_T / (1.0 + _BIGRAM_T))
         - F.lit(1e-9)  # guard: ceil of an exactly-integral product
     )
+    # self-join strategy gated on metadata exactly like the minhash
+    # band join (guide §3.1): the prefix table is 28 B/row of data, so
+    # under the cap broadcast one side (no shuffle at all); past it
+    # both sides take SHUFFLE_HASH — one exchange each of 8-byte keys,
+    # no sort, memory bounded by a partition. The count materializes
+    # the cached prefix frame, which both join sides need anyway.
+    n_prefix = prefix.count()
+    if n_prefix * 48 <= _ENC_BCAST_LIMIT:
+        a, b = F.broadcast(a), b
+    else:
+        a = a.hint("SHUFFLE_HASH")
+        b = b.hint("SHUFFLE_HASH")
     cand = (
-        a.join(b, ["tok", "bin"])
+        a.join(b, ["k"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .filter(F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
         # size residual: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)

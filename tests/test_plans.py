@@ -577,13 +577,16 @@ def test_ngram_jaccard_is_binned_equi_join(spark):
     |nc_a − nc_b| ≤ 20 predicate alone (BNLJ) may never reappear, and
     the length-bin-only key (docs-per-bin is ∝ corpus, so candidates
     grew quadratically: 26 s at sf0.1, scaling_probe r9) may not
-    either: the join must carry a string key (the prefix token), not
-    just the numeric bin."""
+    either: the join key must carry the prefix token, not just the
+    numeric bin. r16: the (tok, bin) composite is collapsed to one
+    xxhash64 long (guide §2.3) — the key expression must still hash
+    the TOKEN (first argument), so the token-selectivity property the
+    r9 gate protects is preserved."""
     plan = _formatted_plan(spark, "dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
-    assert "tok" in plan
+    assert "xxhash64(tok" in plan  # the join key hashes the prefix token
     assert "bit_count" in plan  # bitmap verify, not string-array joins
 
 
